@@ -1,0 +1,593 @@
+package graft.operators
+
+import graft._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator inventory (SURVEY.md §2.1–2.5, §2.7–2.9), expressed
+  * as declarative DataFrame plans over the TESTDATA tables so Catalyst
+  * keeps pushdown/pruning/broadcast decisions.
+  *
+  * Naming mirrors the survey: sN scans, pN projections/filters, jN joins,
+  * aN aggregations, oN sort/limit, uN set ops, fN scalar-function surface.
+  * Each query has a DuckDB oracle twin in [[oracle]] with identical output
+  * column names and ORDER BY.
+  */
+object Relational {
+
+  // ---------------------------------------------------------------- scans
+
+  /** S1 (scripts/etl_turbofan.py:10-19): whitespace-text positional scan
+    * with numeric coercion. Demonstrated as a lossless roundtrip: serialize
+    * lineitem rows to space-separated lines, then parse them back with the
+    * positional split + try_cast pipeline the CMAPSS reader uses.
+    */
+  private def s1TextScan(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val line = concat_ws(" ", col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+    li.select(line.as("value"))
+      .select(split(trim(col("value")), "\\s+").as("f"))
+      .select(
+        element_at(col("f"), 1).cast("long").as("l_orderkey"),
+        element_at(col("f"), 2).cast("int").as("l_linenumber"),
+        expr("try_cast(element_at(f, 3) AS double)").as("l_quantity"),
+        expr("try_cast(element_at(f, 4) AS double)").as("l_extendedprice"),
+        expr("try_cast(element_at(f, 5) AS double)").as("l_discount"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** S2/J2 (scripts/ml_pipeline.py:190-191): single-column scan with
+    * positional key assignment (row i → unit i+1) via row_number.
+    */
+  private def s2IndexedScan(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d)
+      .select(col("n_nationkey"), col("n_name"),
+        row_number().over(Window.orderBy("n_nationkey")).as("rn"))
+      .orderBy("n_nationkey")
+
+  /** S3 (scripts/streamlit_dashboard.py:16-19): full ordered table scan. */
+  private def s3TableScan(s: SparkSession, d: String): DataFrame =
+    Tables.supplier(s, d).orderBy("s_suppkey")
+
+  // -------------------------------------------- projections / filters
+
+  /** P1 (scripts/etl_turbofan.py:63-67): column selection (pruned scan). */
+  private def p1Project(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** P2 (turbine_etl_dbt/models/stg_cycles_raw.sql:11-21): typed
+    * re-projection. floor-before-int-cast keeps Spark (truncate) and
+    * DuckDB (round) cast semantics aligned.
+    */
+  private def p2Cast(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      col("o_custkey").cast("string").as("custkey_str"),
+      floor(col("o_totalprice")).cast("long").as("price_int"),
+      col("o_orderdate").cast("date").cast("string").as("order_date"))
+      .orderBy("o_orderkey")
+
+  /** P4 (scripts/streamlit_dashboard.py:85-92): value-set membership. */
+  private def p4Isin(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_returnflag").isin("A", "R"))
+      .select("l_orderkey", "l_linenumber", "l_returnflag")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** P5 (scripts/streamlit_dashboard.py:43-48, ml_pipeline_gpu.py:800-810):
+    * inequality / not-equal / null predicates.
+    */
+  private def p5Filter(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_type") =!= "error" && col("value") >= 50 &&
+        col("props").isNotNull)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+      .orderBy("event_id")
+
+  /** P6 (scripts/etl_turbofan.py:74-78): constant-column detection as a
+    * statistics pass — one distributed agg job whose scalar results
+    * parameterize later plans (never a collect of row data).
+    */
+  private def p6ConstCols(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).agg(
+      countDistinct(col("p_brand")).as("d_brand"),
+      countDistinct(col("p_type")).as("d_type"),
+      countDistinct(col("p_size")).as("d_size"),
+      countDistinct(col("p_retailprice")).as("d_retailprice"))
+
+  /** P8 (scripts/ml_pipeline.py:236-238): null repair with the column
+    * median. Median computed as a 1-row stats frame and broadcast-joined,
+    * not collected.
+    */
+  private def p8ImputeMedian(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        nullif(col("l_discount"), lit(0.0)).as("disc"))
+    val med = li.agg(median(col("disc")).as("med"))
+    li.crossJoin(broadcast(med))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        r6(coalesce(col("disc"), col("med"))).as("disc_imputed"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** P9 (scripts/ml_pipeline.py:440): clamp at zero. */
+  private def p9Clamp(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"),
+        r6(greatest(col("value") - 100, lit(0.0))).as("clamped"))
+      .orderBy("event_id")
+
+  /** P10 (scripts/ml_pipeline.py:656-659; dashboard/dax-measures:27-33):
+    * derived arithmetic — abs/squared error and guarded divide.
+    */
+  private def p10Arith(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"),
+      r6(abs(col("value") - 100)).as("abs_err"),
+      r6(pow(col("value") - 100, 2)).as("sq_err"),
+      r6(when(col("value") =!= 0, lit(100.0) / col("value"))).as("ratio"))
+      .orderBy("event_id")
+
+  /** P11 (dashboard/dax-measures:36-46): CASE bucketing + grouped counts. */
+  private def p11Bucket(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(when(col("o_totalprice") < 50000, "low")
+        .when(col("o_totalprice") < 150000, "mid")
+        .when(col("o_totalprice") < 300000, "high")
+        .otherwise("top").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+
+  // ---------------------------------------------------------------- joins
+
+  /** J1 (scripts/ml_pipeline.py:194-195): small-side equi joins. Dimension
+    * tables are broadcast so the fact scan never shuffles for the join —
+    * the 100 TB plan is scan + broadcast hash joins + one partial/final
+    * hash agg.
+    */
+  private def j1BroadcastJoin(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Semi join: customers having at least one finished order (EXISTS). */
+  private def j2SemiJoin(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("c_custkey"))
+    c.join(o, Seq("c_custkey"), "left_semi")
+      .select("c_custkey", "c_name").orderBy("c_custkey")
+  }
+
+  /** Anti join: customers with no orders at all (NOT EXISTS). */
+  private def j3AntiJoin(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).select(col("o_custkey").as("c_custkey"))
+    c.join(o, Seq("c_custkey"), "left_anti")
+      .select("c_custkey", "c_name").orderBy("c_custkey")
+  }
+
+  /** J2 (scripts/ml_pipeline.py:191): positional alignment — two sources
+    * joined on row_number (the RUL-file ↔ unit_nr protocol).
+    */
+  private def j4Positional(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(s, d)
+      .select(col("r_name"), row_number().over(Window.orderBy("r_regionkey")).as("rn"))
+    val n = Tables.nation(s, d)
+      .select(col("n_name"), row_number().over(Window.orderBy("n_nationkey")).as("rn"))
+    n.join(broadcast(r), Seq("rn"), "inner")
+      .select("rn", "n_name", "r_name").orderBy("rn")
+  }
+
+  // --------------------------------------------------------- aggregations
+
+  /** A1 (scripts/etl_turbofan.py:130-133): grouped multi-agg (the
+    * units_summary shape) — partial+final hash aggregation.
+    */
+  private def a1GroupMulti(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        min(col("l_quantity")).as("qty_min"),
+        max(col("l_quantity")).as("qty_max"),
+        dsum(col("l_quantity")).as("qty_sum"),
+        dsum(col("l_extendedprice")).as("price_sum"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** A3 (scripts/ml_pipeline.py:194): last row per group (final-cycle
+    * snapshot) via a descending row_number window.
+    */
+  private def a3LastPerGroup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(tsUs(col("ts")).desc, col("event_id").desc)
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"))
+      .orderBy("user_id")
+  }
+
+  /** A5+A6 (dashboard/dax-measures:2-12): global scalar measures. */
+  private def a5GlobalMeasures(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).agg(
+      count(lit(1)).as("n_events"),
+      countDistinct(col("user_id")).as("n_users"),
+      countDistinct(col("event_type")).as("n_types"),
+      max(col("value")).as("max_value"),
+      r6(avg(col("value"))).as("avg_value"),
+      max(tsUs(col("ts"))).as("max_ts_us"))
+
+  /** A7 (dashboard/dax-measures:15-24): two-level aggregate — average and
+    * median over per-group maxima.
+    */
+  private def a7TwoLevel(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("user_id").agg(max(col("value")).as("mx"))
+      .agg(r6(avg(col("mx"))).as("avg_user_max"),
+        r6(median(col("mx"))).as("median_user_max"))
+
+  /** A8 (dashboard/dax-measures:27-33): conditional-count ratio. */
+  private def a8CondRatio(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).agg(
+      r6(avg(when(col("value") < 30, 1.0).otherwise(0.0))).as("critical_pct"),
+      sum(when(col("value") < 30, 1L).otherwise(0L)).as("critical_n"))
+
+  /** A9 (dashboard/dax-measures:52-53): population vs sample stddev. */
+  private def a9Stddev(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).agg(
+      r6(stddev_pop(col("value"))).as("sd_pop"),
+      r6(stddev_samp(col("value"))).as("sd_samp"),
+      r6(var_pop(col("value"))).as("var_p"))
+
+  /** A10 (scripts/ml_pipeline_gpu.py:795-816): grouped metric rollup with
+    * post-agg sqrt (RMSE shape), ordered by error.
+    */
+  private def a10MetricRollup(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        r6(avg(abs(col("value") - 100))).as("mae_vs_100"),
+        r6(sqrt(avg(pow(col("value") - 100, 2)))).as("rmse_vs_100"))
+      .orderBy("event_type")
+
+  /** A11 (dashboard/dax-measures:62-72): unweighted average of per-group
+    * averages vs the global average (DAX filter-context semantics).
+    */
+  private def a11AvgOfAvgs(s: SparkSession, d: String): DataFrame = {
+    val doc = Tables.documents(s, d)
+    val perLang = doc.groupBy("lang").agg(avg(col("n_chars")).as("lang_avg"))
+      .agg(r6(avg(col("lang_avg"))).as("avg_of_lang_avgs"))
+    val global = doc.agg(r6(avg(col("n_chars"))).as("global_avg"))
+    perLang.crossJoin(global)
+  }
+
+  /** A12 (scripts/ml_pipeline.py:443-445): RMSE / MAE / R² of a predictor
+    * (per-user mean) against observed values — metrics as pure aggregates.
+    */
+  private def a12EvalMetrics(s: SparkSession, d: String): DataFrame = {
+    val wp = Window.partitionBy("user_id")
+    val base = Tables.events(s, d)
+      .select(col("value").as("t"), avg(col("value")).over(wp).as("p"))
+    // Global mean as a broadcast 1-row stats frame, not an unpartitioned
+    // window (which would funnel 100 TB through a single partition).
+    val scored = base.crossJoin(broadcast(base.agg(avg(col("t")).as("tbar"))))
+    scored.agg(
+      r6(sqrt(avg(pow(col("t") - col("p"), 2)))).as("rmse"),
+      r6(avg(abs(col("t") - col("p")))).as("mae"),
+      r6(lit(1.0) - sum(pow(col("t") - col("p"), 2)) /
+        sum(pow(col("t") - col("tbar"), 2))).as("r2"))
+  }
+
+  /** A13 (scripts/ml_pipeline.py:238): exact column medians in one agg. */
+  private def a13Medians(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).agg(
+      r6(median(col("l_quantity"))).as("med_qty"),
+      r6(median(col("l_extendedprice"))).as("med_price"),
+      r6(median(col("l_discount"))).as("med_disc"))
+
+  // -------------------------------------------------------- sort / top-k
+
+  /** O1 (scripts/etl_turbofan.py:36): composite sort (with limit so the
+    * result is a deterministic prefix).
+    */
+  private def o1Sort(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber").limit(50)
+
+  /** O2 (scripts/streamlit_dashboard.py:43-49): top-k by recency →
+    * TakeOrderedAndProject, no full sort at scale.
+    */
+  private def o2TopkRecent(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"), tsUs(col("ts")).as("ts_us"))
+      .orderBy(col("ts_us").desc, col("event_id").desc).limit(100)
+
+  /** O3 (scripts/ml_pipeline.py:476-479): top-n by value. */
+  private def o3TopnValue(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"), col("value"))
+      .orderBy(col("value").desc, col("event_id")).limit(15)
+
+  // ------------------------------------------------------------- set ops
+
+  /** U1 (scripts/etl_turbofan.py:119-128): append accumulation —
+    * unionByName of per-slice frames, then a global rollup proving the
+    * union covers the input exactly.
+    */
+  private def u1Union(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val even = e.filter(col("user_id") % 2 === 0)
+    val odd = e.filter(col("user_id") % 2 === 1)
+    even.unionByName(odd)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
+  /** U2 (scripts/etl_turbofan.py:196-204): set intersection (nations with
+    * both customers and suppliers).
+    */
+  private def u2Intersect(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
+  /** Set difference: nations with customers but no suppliers. */
+  private def u3Except(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      .except(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
+  // ------------------------------------------- scalar function surface
+
+  /** §2.9 string functions: lower/upper/substring/split/concat_ws/
+    * startswith/regex.
+    */
+  private def f1String(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      lower(col("p_name")).as("name_lower"),
+      upper(col("p_brand")).as("brand_upper"),
+      substring(col("p_type"), 1, 5).as("type_pfx"),
+      element_at(split(col("p_name"), " "), 1).as("first_word"),
+      size(split(col("p_name"), " ")).as("n_words"),
+      concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+      col("p_name").startsWith("a").as("starts_a"),
+      col("p_type").rlike("[0-9]").as("has_digit"))
+      .orderBy("p_partkey")
+
+  /** §2.9 math functions: sqrt/ln/exp/abs/pow on order totals. */
+  private def f2Math(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      r6(sqrt(col("o_totalprice"))).as("sqrt_price"),
+      r6(log(col("o_totalprice"))).as("ln_price"),
+      r6(exp(col("o_totalprice") / 100000)).as("exp_scaled"))
+      .orderBy("o_orderkey")
+
+  /** §2.9 date functions: extract + format + grouped monthly rollup. */
+  private def f3Date(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        col("o_totalprice"))
+      .groupBy("ym")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("ym")
+
+  // ------------------------------------------------------------ registry
+
+  val queries: Map[String, Query] = Map(
+    "s1_text_scan" -> s1TextScan _,
+    "s2_indexed_scan" -> s2IndexedScan _,
+    "s3_table_scan" -> s3TableScan _,
+    "p1_project" -> p1Project _,
+    "p2_cast" -> p2Cast _,
+    "p4_isin" -> p4Isin _,
+    "p5_filter" -> p5Filter _,
+    "p6_const_cols" -> p6ConstCols _,
+    "p8_impute_median" -> p8ImputeMedian _,
+    "p9_clamp" -> p9Clamp _,
+    "p10_arith" -> p10Arith _,
+    "p11_bucket" -> p11Bucket _,
+    "j1_broadcast_join" -> j1BroadcastJoin _,
+    "j2_semi_join" -> j2SemiJoin _,
+    "j3_anti_join" -> j3AntiJoin _,
+    "j4_positional_join" -> j4Positional _,
+    "a1_group_multi" -> a1GroupMulti _,
+    "a3_last_per_group" -> a3LastPerGroup _,
+    "a5_global_measures" -> a5GlobalMeasures _,
+    "a7_two_level" -> a7TwoLevel _,
+    "a8_cond_ratio" -> a8CondRatio _,
+    "a9_stddev" -> a9Stddev _,
+    "a10_metric_rollup" -> a10MetricRollup _,
+    "a11_avg_of_avgs" -> a11AvgOfAvgs _,
+    "a12_eval_metrics" -> a12EvalMetrics _,
+    "a13_medians" -> a13Medians _,
+    "o1_sort" -> o1Sort _,
+    "o2_topk_recent" -> o2TopkRecent _,
+    "o3_topn_value" -> o3TopnValue _,
+    "u1_union" -> u1Union _,
+    "u2_intersect" -> u2Intersect _,
+    "u3_except" -> u3Except _,
+    "f1_string" -> f1String _,
+    "f2_math" -> f2Math _,
+    "f3_date" -> f3Date _)
+
+  val oracle: Map[String, String] = Map(
+    "s1_text_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "s2_indexed_scan" ->
+      """SELECT n_nationkey, n_name,
+        |  CAST(row_number() OVER (ORDER BY n_nationkey) AS INT) AS rn
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "s3_table_scan" -> "SELECT * FROM supplier ORDER BY s_suppkey",
+    "p1_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "p2_cast" ->
+      """SELECT o_orderkey, CAST(o_custkey AS VARCHAR) AS custkey_str,
+        |  CAST(floor(o_totalprice) AS BIGINT) AS price_int,
+        |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "p4_isin" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+        |WHERE l_returnflag IN ('A','R') ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "p5_filter" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE event_type <> 'error' AND value >= 50 AND props IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+    "p6_const_cols" ->
+      """SELECT count(DISTINCT p_brand) AS d_brand, count(DISTINCT p_type) AS d_type,
+        |  count(DISTINCT p_size) AS d_size,
+        |  count(DISTINCT p_retailprice) AS d_retailprice FROM part""".stripMargin,
+    "p8_impute_median" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(coalesce(nullif(l_discount, 0.0),
+        |    (SELECT median(nullif(l_discount, 0.0)) FROM lineitem)), 6) AS disc_imputed
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "p9_clamp" ->
+      """SELECT event_id, round(greatest(value - 100, 0.0), 6) AS clamped
+        |FROM events ORDER BY event_id""".stripMargin,
+    "p10_arith" ->
+      """SELECT event_id, round(abs(value - 100), 6) AS abs_err,
+        |  round(pow(value - 100, 2), 6) AS sq_err,
+        |  round(CASE WHEN value <> 0 THEN 100.0 / value END, 6) AS ratio
+        |FROM events ORDER BY event_id""".stripMargin,
+    "p11_bucket" ->
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+        |  WHEN o_totalprice < 150000 THEN 'mid'
+        |  WHEN o_totalprice < 300000 THEN 'high' ELSE 'top' END AS bucket,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "j1_broadcast_join" ->
+      """SELECT r_name, n_name, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "j2_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "j3_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "j4_positional_join" ->
+      """WITH r AS (SELECT r_name,
+        |    CAST(row_number() OVER (ORDER BY r_regionkey) AS INT) AS rn FROM region),
+        |  n AS (SELECT n_name,
+        |    CAST(row_number() OVER (ORDER BY n_nationkey) AS INT) AS rn FROM nation)
+        |SELECT n.rn AS rn, n_name, r_name FROM n JOIN r ON n.rn = r.rn
+        |ORDER BY n.rn""".stripMargin,
+    "a1_group_multi" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  min(l_quantity) AS qty_min, max(l_quantity) AS qty_max,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty_sum,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS price_sum
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "a3_last_per_group" ->
+      """SELECT user_id, event_id, event_type, value FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id
+        |  ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+    "a5_global_measures" ->
+      """SELECT count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+        |  count(DISTINCT event_type) AS n_types, max(value) AS max_value,
+        |  round(avg(value), 6) AS avg_value, max(epoch_us(ts)) AS max_ts_us
+        |FROM events""".stripMargin,
+    "a7_two_level" ->
+      """SELECT round(avg(mx), 6) AS avg_user_max,
+        |  round(median(mx), 6) AS median_user_max
+        |FROM (SELECT user_id, max(value) AS mx FROM events GROUP BY user_id)""".stripMargin,
+    "a8_cond_ratio" ->
+      """SELECT round(avg(CASE WHEN value < 30 THEN 1.0 ELSE 0.0 END), 6) AS critical_pct,
+        |  sum(CASE WHEN value < 30 THEN 1 ELSE 0 END) AS critical_n
+        |FROM events""".stripMargin,
+    "a9_stddev" ->
+      """SELECT round(stddev_pop(value), 6) AS sd_pop,
+        |  round(stddev_samp(value), 6) AS sd_samp,
+        |  round(var_pop(value), 6) AS var_p FROM events""".stripMargin,
+    "a10_metric_rollup" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(avg(abs(value - 100)), 6) AS mae_vs_100,
+        |  round(sqrt(avg(pow(value - 100, 2))), 6) AS rmse_vs_100
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a11_avg_of_avgs" ->
+      """SELECT (SELECT round(avg(lang_avg), 6) FROM
+        |    (SELECT avg(n_chars) AS lang_avg FROM documents GROUP BY lang)
+        |  ) AS avg_of_lang_avgs,
+        |  (SELECT round(avg(n_chars), 6) FROM documents) AS global_avg""".stripMargin,
+    "a12_eval_metrics" ->
+      """WITH scored AS (SELECT value AS t,
+        |    avg(value) OVER (PARTITION BY user_id) AS p,
+        |    avg(value) OVER () AS tbar FROM events)
+        |SELECT round(sqrt(avg(pow(t - p, 2))), 6) AS rmse,
+        |  round(avg(abs(t - p)), 6) AS mae,
+        |  round(1.0 - sum(pow(t - p, 2)) / sum(pow(t - tbar, 2)), 6) AS r2
+        |FROM scored""".stripMargin,
+    "a13_medians" ->
+      """SELECT round(median(l_quantity), 6) AS med_qty,
+        |  round(median(l_extendedprice), 6) AS med_price,
+        |  round(median(l_discount), 6) AS med_disc FROM lineitem""".stripMargin,
+    "o1_sort" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber LIMIT 50""".stripMargin,
+    "o2_topk_recent" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us FROM events
+        |ORDER BY ts_us DESC, event_id DESC LIMIT 100""".stripMargin,
+    "o3_topn_value" ->
+      """SELECT event_id, value FROM events
+        |ORDER BY value DESC, event_id LIMIT 15""".stripMargin,
+    "u1_union" ->
+      """SELECT event_type, count(*) AS n FROM (
+        |  SELECT * FROM events WHERE user_id % 2 = 0
+        |  UNION ALL
+        |  SELECT * FROM events WHERE user_id % 2 = 1)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "u2_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+    "u3_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT
+        |SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+    "f1_string" ->
+      """SELECT p_partkey, lower(p_name) AS name_lower, upper(p_brand) AS brand_upper,
+        |  substr(p_type, 1, 5) AS type_pfx,
+        |  split_part(p_name, ' ', 1) AS first_word,
+        |  CAST(len(string_split(p_name, ' ')) AS INT) AS n_words,
+        |  p_brand || '-' || p_type AS brand_type,
+        |  starts_with(p_name, 'a') AS starts_a,
+        |  regexp_matches(p_type, '[0-9]') AS has_digit
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "f2_math" ->
+      """SELECT o_orderkey, round(sqrt(o_totalprice), 6) AS sqrt_price,
+        |  round(ln(o_totalprice), 6) AS ln_price,
+        |  round(exp(o_totalprice / 100000), 6) AS exp_scaled
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "f3_date" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS ym, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1 ORDER BY ym""".stripMargin)
+}

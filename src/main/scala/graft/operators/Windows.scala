@@ -1,0 +1,149 @@
+package graft.operators
+
+import graft._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function inventory (SURVEY.md §2.6 W1–W6) — the heart of the
+  * reference workload: per-entity trailing means, lags, partition maxima
+  * and z-scores over a logical clock.
+  *
+  * Mapped onto the events table: partition key user_id (the reference's
+  * (dataset, unit_nr)), order key (epoch-micros ts, event_id) (the
+  * reference's time_cycles). All five feature families share ONE window
+  * partitioning+ordering, so Catalyst plans a single Exchange + Sort
+  * feeding one WindowExec — at 100 TB that is exactly one shuffle for the
+  * whole feature table (SURVEY.md §4 physical strategy).
+  */
+object Windows {
+
+  private def ordered = Window.partitionBy("user_id")
+    .orderBy(tsUs(col("ts")), col("event_id"))
+  private def unordered = Window.partitionBy("user_id")
+
+  /** W1 (turbine_etl_dbt/models/fct_cycles_features.sql:29-35): trailing
+    * 5-row mean, min_periods=1 semantics (partial windows at series start
+    * average whatever rows exist — exactly what ROWS BETWEEN gives).
+    */
+  private def w1Rolling5(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"),
+        r6(avg(col("value")).over(ordered.rowsBetween(-4, 0))).as("mean5"))
+      .orderBy("event_id")
+
+  /** W2 (fct_cycles_features.sql:37-43): trailing 20-row mean. */
+  private def w2Rolling20(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"),
+        r6(avg(col("value")).over(ordered.rowsBetween(-19, 0))).as("mean20"))
+      .orderBy("event_id")
+
+  /** W3 (fct_cycles_features.sql:45-47): first difference via lag; first
+    * row per partition → null.
+    */
+  private def w3LagDiff(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"),
+        r6(col("value") - lag(col("value"), 1).over(ordered)).as("d_value"))
+      .orderBy("event_id")
+
+  /** W4/A2 (fct_cycles_features.sql:23-26): unbounded partition max minus
+    * current (the RUL shape: distance to the partition's peak).
+    */
+  private def w4PartitionMax(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"),
+        r6(max(col("value")).over(unordered) - col("value")).as("headroom"))
+      .orderBy("event_id")
+
+  /** W5 (scripts/etl_turbofan.py:27-31): per-partition z-score with
+    * population stddev (pandas ddof=0) and a 0/0→null guard for constant
+    * partitions (SURVEY.md §7.4.1).
+    */
+  private def w5Zscore(s: SparkSession, d: String): DataFrame = {
+    val sd = stddev_pop(col("value")).over(unordered)
+    val mu = avg(col("value")).over(unordered)
+    Tables.events(s, d)
+      .select(col("event_id"),
+        r6(when(sd =!= 0, (col("value") - mu) / sd)).as("z_value"))
+      .orderBy("event_id")
+  }
+
+  /** W6 (scripts/ml_pipeline.py:191): ranking family. */
+  private def w6RowNumber(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"),
+        row_number().over(ordered).as("rn"),
+        rank().over(Window.partitionBy("user_id").orderBy("event_type")).as("rk"),
+        dense_rank().over(Window.partitionBy("user_id").orderBy("event_type")).as("drk"))
+      .orderBy("event_id")
+
+  /** Flagship: the whole CMAPSS feature table in ONE plan — rul (W4),
+    * mean5/mean20 (W1/W2), diff (W3), z-score (W5) as a single select over
+    * shared windows (scripts/etl_turbofan.py:93-103 intended semantics;
+    * positional-concat fragility replaced by key-aligned expressions,
+    * SURVEY.md §7.4.4).
+    */
+  def features(s: SparkSession, d: String): DataFrame = {
+    val sd = stddev_pop(col("value")).over(unordered)
+    val mu = avg(col("value")).over(unordered)
+    Tables.events(s, d).select(
+      col("user_id"), col("event_id"),
+      r6(max(col("value")).over(unordered) - col("value")).as("rul"),
+      r6(avg(col("value")).over(ordered.rowsBetween(-4, 0))).as("mean5_value"),
+      r6(avg(col("value")).over(ordered.rowsBetween(-19, 0))).as("mean20_value"),
+      r6(col("value") - lag(col("value"), 1).over(ordered)).as("d_value"),
+      r6(when(sd =!= 0, (col("value") - mu) / sd)).as("z_value"))
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, Query] = Map(
+    "w1_rolling5" -> w1Rolling5 _,
+    "w2_rolling20" -> w2Rolling20 _,
+    "w3_lag_diff" -> w3LagDiff _,
+    "w4_partition_max" -> w4PartitionMax _,
+    "w5_zscore" -> w5Zscore _,
+    "w6_row_number" -> w6RowNumber _,
+    "wf_features" -> (features _))
+
+  private val over = "PARTITION BY user_id ORDER BY epoch_us(ts), event_id"
+
+  val oracle: Map[String, String] = Map(
+    "w1_rolling5" ->
+      s"""SELECT event_id, round(avg(value) OVER ($over
+         |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS mean5
+         |FROM events ORDER BY event_id""".stripMargin,
+    "w2_rolling20" ->
+      s"""SELECT event_id, round(avg(value) OVER ($over
+         |  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6) AS mean20
+         |FROM events ORDER BY event_id""".stripMargin,
+    "w3_lag_diff" ->
+      s"""SELECT event_id, round(value - lag(value, 1) OVER ($over), 6) AS d_value
+         |FROM events ORDER BY event_id""".stripMargin,
+    "w4_partition_max" ->
+      """SELECT event_id,
+        |  round(max(value) OVER (PARTITION BY user_id) - value, 6) AS headroom
+        |FROM events ORDER BY event_id""".stripMargin,
+    "w5_zscore" ->
+      """SELECT event_id, round(CASE WHEN sd <> 0 THEN (value - mu) / sd END, 6) AS z_value
+        |FROM (SELECT event_id, value,
+        |  stddev_pop(value) OVER (PARTITION BY user_id) AS sd,
+        |  avg(value) OVER (PARTITION BY user_id) AS mu FROM events)
+        |ORDER BY event_id""".stripMargin,
+    "w6_row_number" ->
+      s"""SELECT event_id, CAST(row_number() OVER ($over) AS INT) AS rn,
+         |  CAST(rank() OVER (PARTITION BY user_id ORDER BY event_type) AS INT) AS rk,
+         |  CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY event_type) AS INT) AS drk
+         |FROM events ORDER BY event_id""".stripMargin,
+    "wf_features" ->
+      s"""SELECT user_id, event_id,
+         |  round(max(value) OVER (PARTITION BY user_id) - value, 6) AS rul,
+         |  round(avg(value) OVER ($over ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS mean5_value,
+         |  round(avg(value) OVER ($over ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6) AS mean20_value,
+         |  round(value - lag(value, 1) OVER ($over), 6) AS d_value,
+         |  round(CASE WHEN stddev_pop(value) OVER (PARTITION BY user_id) <> 0
+         |    THEN (value - avg(value) OVER (PARTITION BY user_id))
+         |         / stddev_pop(value) OVER (PARTITION BY user_id) END, 6) AS z_value
+         |FROM events ORDER BY event_id""".stripMargin)
+}

@@ -1,0 +1,34 @@
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Shared helpers for oracle-deterministic query construction.
+  *
+  * Every declared query is differentially tested against DuckDB running
+  * equivalent ANSI SQL on the same parquet inputs, so cross-engine float
+  * determinism is a first-class concern:
+  *
+  *  - `dsum` makes double sums order-independent by accumulating in
+  *    DECIMAL(38,6) (exact) and casting the final value back to double —
+  *    both engines produce the bit-identical result regardless of
+  *    partition/row order.
+  *  - `r6` rounds derived floating-point columns to 6 decimals; inputs are
+  *    identical doubles in both engines, so only accumulated ulp drift
+  *    differs, which is far below 1e-6 for these workloads.
+  *  - `tsUs` projects timestamps to epoch microseconds. The events table
+  *    stores nanosecond timestamps, which Spark truncates to micros on
+  *    read while DuckDB keeps ns — comparing/ordering at micro resolution
+  *    (DuckDB side uses epoch_us) removes the mismatch.
+  */
+package object graft {
+  type Query = (SparkSession, String) => DataFrame
+
+  /** Order-independent exact sum of a double column (see above). */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(38, 6))).cast("double")
+
+  /** Canonical 6-decimal rounding for derived floats. */
+  def r6(c: Column): Column = round(c, 6)
+
+  /** Timestamp → epoch microseconds (matches DuckDB epoch_us). */
+  def tsUs(c: Column): Column = unix_micros(c)
+}
