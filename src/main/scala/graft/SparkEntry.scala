@@ -19,12 +19,23 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
-      operators.Windows.queries
+      operators.Windows.queries ++
+      operators.Dedup.queries ++
+      operators.Similarity.queries ++
+      operators.TextAnalysis.queries ++
+      operators.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops.
+    * the same parquet tables. Omit for non-SQL-expressible ops (the
+    * approximate LSH ANN variant and the stub-decoder pipeline get the
+    * driver's weaker rows-only check; both are additionally spec-tested
+    * against their exact baselines).
     */
   def oracleSql: Map[String, String] =
     operators.Relational.oracle ++
-      operators.Windows.oracle
+      operators.Windows.oracle ++
+      operators.Dedup.oracle ++
+      operators.Similarity.oracle ++
+      operators.TextAnalysis.oracle ++
+      operators.Multimodal.oracle
 }

@@ -1,0 +1,294 @@
+package graft.operators
+
+import graft._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines:
+  * exact (hash-groupBy), n-gram Jaccard with prefix filtering, MinHash
+  * LSH, SimHash, and embedding-cosine near-dup.
+  *
+  * Cross-engine determinism: every hash is md5 (bit-identical in Spark
+  * and DuckDB), so even the LSH variants are oracle-checkable — no
+  * engine-specific murmur/xxhash anywhere.
+  *
+  * Scale design: nothing here is O(n²) over the corpus. Candidate
+  * generation is always an equi-join on a derived key (text hash, rare
+  * prefix shingle, minhash band, simhash band), i.e. a shuffle Spark
+  * partitions by key; verification touches only candidate pairs.
+  */
+object Dedup {
+
+  /** Word k-shingles of a text column, distinct, null-safe for short docs. */
+  def shingles(text: Column, k: Int): Column = {
+    val w = split(text, " ")
+    val grams = transform(sequence(lit(1), size(w) - (k - 1)),
+      i => concat_ws(" ", (0 until k).map(j => element_at(w, i + j)): _*))
+    array_distinct(when(size(w) >= k, grams).otherwise(array()))
+  }
+
+  /** DuckDB twin of [[shingles]] (1-based lists; range is half-open). */
+  private def shinglesSql(k: Int): String = {
+    val parts = (0 until k).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+    s"""list_distinct(CASE WHEN len(w) >= $k
+       | THEN list_transform(range(1, len(w) - ${k - 2}), i -> $parts)
+       | ELSE [] END)""".stripMargin.replace("\n", "")
+  }
+
+  // -------------------------------------------------------- exact dedup
+
+  /** Exact dedup via hash-groupBy (one shuffle on md5(text); the text
+    * itself never becomes a join key, so 100 TB of documents shuffle only
+    * 32-byte digests + ids). keep_id = min doc_id per group (keep-first).
+    */
+  private def exact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_id")
+
+  // ------------------------------- n-gram Jaccard (prefix-filter join)
+
+  private val JaccardTau = 0.6
+
+  /** All document pairs with word-3-gram Jaccard ≥ 0.6, computed exactly
+    * with PPJoin-style prefix filtering: shingle frequencies are a stats
+    * pass; each doc indexes only its |S| - ceil(τ|S|) + 1 globally rarest
+    * shingles (any pair meeting τ must share one of those), so the
+    * candidate join is on rare keys instead of all-pairs; candidates are
+    * then verified with the exact Jaccard. Same result set as the naive
+    * O(n²) oracle, scalable shuffle profile.
+    */
+  private def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val ex = docs.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("s"))
+    val freq = ex.groupBy("s").agg(count(lit(1)).as("f"))
+    val prefixLen = (col("n") - ceil(lit(JaccardTau) * col("n")) + 1).cast("int")
+    val prefix = ex.join(freq, "s")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("f"), col("s"))))
+      .filter(col("rnk") <= prefixLen)
+      .select("doc_id", "s")
+    val cand = prefix.as("x").join(prefix.as("y"), Seq("s"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+    val inter = size(array_intersect(col("sha"), col("shb")))
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("jaccard", r6(inter.cast("double") /
+        (size(col("sha")) + size(col("shb")) - inter)))
+      .filter(col("jaccard") >= JaccardTau)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // --------------------------------------------------- MinHash + LSH
+
+  private val NumHashes = 16
+  private val NumBands = 4
+  private val RowsPerBand = NumHashes / NumBands
+
+  /** MinHash LSH candidate pairs: 16 md5-seeded min-hashes over 3-gram
+    * shingles, banded 4×4; pairs sharing any band bucket. The classic
+    * shingle→minhash→band→bucket-join pipeline — the join key is the
+    * band digest, so the shuffle is O(corpus × 4 digests).
+    */
+  private def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sigCols = (0 until NumHashes).map { i =>
+      array_min(transform(col("sh"), x => md5(concat(lit(s"$i:"), x)))).as(s"m$i")
+    }
+    val sigs = docs.select(col("doc_id") +: sigCols: _*)
+    val bandCols = (0 until NumBands).map { b =>
+      md5(concat((0 until RowsPerBand).map(j => col(s"m${b * RowsPerBand + j}")): _*))
+    }
+    val bl = sigs.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
+    bl.as("x").join(bl.as("y"), Seq("band_idx", "band_val"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private def minhashOracle: String = {
+    val sigsSql = (0 until NumHashes).map(i =>
+      s"list_min(list_transform(sh, x -> md5('$i:' || x))) AS m$i").mkString(", ")
+    val bandsSql = (0 until NumBands).map { b =>
+      val cat = (0 until RowsPerBand).map(j => s"m${b * RowsPerBand + j}").mkString(" || ")
+      s"SELECT doc_id, $b AS band_idx, md5($cat) AS band_val FROM sigs"
+    }.mkString(" UNION ALL ")
+    s"""WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |t AS (SELECT doc_id, ${shinglesSql(3)} AS sh FROM w0),
+       |t2 AS (SELECT doc_id, sh FROM t WHERE len(sh) > 0),
+       |sigs AS (SELECT doc_id, $sigsSql FROM t2),
+       |bands AS ($bandsSql)
+       |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |FROM bands x JOIN bands y
+       |  ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+       |  AND x.doc_id < y.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ----------------------------------------------------------- SimHash
+
+  private val SimBits = 60 // 15 hex digits of md5 → fits a positive long
+  private val SimHamMax = 3
+  private val SimBands = 4 // 4 bands × 15 bits; pigeonhole-exact for ≤3
+
+  /** Per-word hex digits of md5, as an array of 15 ints (computed once per
+    * word, then reused by all 60 bit positions).
+    */
+  private def wordDigits(words: Column): Column =
+    transform(words, w => {
+      val h = md5(w)
+      transform(sequence(lit(1), lit(15)),
+        j => conv(h.substr(j, lit(1)), 16, 10).cast("int"))
+    })
+
+  /** 60-bit SimHash of the word multiset: bit (j,k) is set iff the count
+    * of words whose md5 hex digit j has bit k set exceeds half. Bit weights
+    * are Scala-level literals, so the whole signature is one codegen'd
+    * expression — no UDF, no shuffle.
+    */
+  def simhash(text: Column): Column = {
+    val dw = wordDigits(split(text, " "))
+    // One codegen'd expression: sum over 60 bits of weight * sign-test.
+    (for { j <- 1 to 15; k <- 0 until 4 } yield {
+      val weight = 1L << ((15 - j) * 4 + k)
+      val cnt = aggregate(dw, lit(0L),
+        (acc, digits) => acc +
+          (floor(element_at(digits, lit(j)) / (1 << k)).cast("long") % 2) * 2 - 1)
+      when(cnt > 0, lit(weight)).otherwise(lit(0L))
+    }).reduce(_ + _)
+  }
+
+  private def simhashSql: String = {
+    val terms = (for { j <- 1 to 15; k <- 0 until 4 } yield {
+      val weight = 1L << ((15 - j) * 4 + k)
+      s"""CASE WHEN list_sum(list_transform(dw,
+         | digits -> (CAST(floor(digits[$j] / ${1 << k}) AS BIGINT) % 2) * 2 - 1)) > 0
+         | THEN CAST($weight AS BIGINT) ELSE 0 END""".stripMargin.replace("\n", "")
+    }).mkString(" + ")
+    s"""WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |dws AS (SELECT doc_id, list_transform(w, x ->
+       |  list_transform(range(1, 16), j -> CAST(('0x' || substr(md5(x), j, 1))::BIGINT AS INT))) AS dw
+       |FROM w0)
+       |SELECT doc_id, $terms AS simhash FROM dws ORDER BY doc_id""".stripMargin
+  }
+
+  /** SimHash signatures per document. */
+  private def simhashSigs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), simhash(col("text")).as("simhash"))
+      .orderBy("doc_id")
+
+  /** SimHash near-dup pairs (hamming ≤ 3) via banded join: 4 bands of 15
+    * bits — any pair within hamming 3 shares at least one band
+    * (pigeonhole), so the banded equi-join is exact, not approximate,
+    * while shuffling only (band_idx, 15-bit key) pairs.
+    */
+  private def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sigs = Tables.documents(s, d)
+      .select(col("doc_id"), simhash(col("text")).as("sig"))
+    val bandCols = (0 until SimBands).map { b =>
+      (shiftrightunsigned(col("sig"), b * 15).bitwiseAND(lit(0x7FFFL))).as(s"b$b")
+    }
+    val bl = sigs.select(Seq(col("doc_id"), col("sig")) ++ bandCols: _*)
+      .select(col("doc_id"), col("sig"),
+        posexplode(array((0 until SimBands).map(b => col(s"b$b")): _*))
+          .as(Seq("band_idx", "band_val")))
+    bl.as("x").join(bl.as("y"), Seq("band_idx", "band_val"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= SimHamMax)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private def simhashPairsOracle: String = {
+    val inner = simhashSql.replace("ORDER BY doc_id", "")
+    s"""WITH sigs AS ($inner)
+       |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+       |FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.simhash, y.simhash)) <= $SimHamMax
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ------------------------------------------- embedding cosine near-dup
+
+  private val CosTau = 0.45
+
+  /** Embedding near-dup pairs: cosine ≥ τ over the embeddings table.
+    * Exact variant — the all-pairs comparison is the oracle semantics;
+    * the scale path (LSH-bucketed) lives in [[Similarity]]. Vectors are
+    * L2-normalized in one narrow pass first so the pair stage is a plain
+    * dot product.
+    */
+  private def cosineNearDup(s: SparkSession, d: String): DataFrame = {
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", sqrt(aggregate(col("e"), lit(0.0), (a, x) => a + x * x)))
+    val a = v.select(col("vec_id").as("id_a"), col("e").as("ea"), col("nrm").as("na"))
+    val b = v.select(col("vec_id").as("id_b"), col("e").as("eb"), col("nrm").as("nb"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("cos", r6(
+        aggregate(zip_with(col("ea"), col("eb"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x) / (col("na") * col("nb"))))
+      .filter(col("cos") >= CosTau)
+      .select("id_a", "id_b", "cos")
+      .orderBy("id_a", "id_b")
+  }
+
+  // ------------------------------------------------------------ registry
+
+  val queries: Map[String, Query] = Map(
+    "dd_exact" -> exact _,
+    "dd_ngram_jaccard" -> ngramJaccard _,
+    "dd_minhash_lsh" -> minhashLsh _,
+    "dd_simhash" -> simhashSigs _,
+    "dd_simhash_pairs" -> simhashPairs _,
+    "dd_cosine_neardup" -> cosineNearDup _)
+
+  val oracle: Map[String, String] = Map(
+    "dd_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "dd_ngram_jaccard" ->
+      s"""WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |t AS (SELECT doc_id, ${shinglesSql(3)} AS sh FROM w0),
+         |t2 AS (SELECT doc_id, sh FROM t WHERE len(sh) > 0),
+         |e AS (SELECT doc_id, unnest(sh) AS s FROM t2),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM e x JOIN e y ON x.s = y.s AND x.doc_id < y.doc_id),
+         |j AS (SELECT doc_a, doc_b,
+         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+         |  FROM cand JOIN t2 a ON a.doc_id = doc_a JOIN t2 b ON b.doc_id = doc_b)
+         |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= $JaccardTau
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dd_minhash_lsh" -> minhashOracle,
+    "dd_simhash" -> simhashSql,
+    "dd_simhash_pairs" -> simhashPairsOracle,
+    "dd_cosine_neardup" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |n AS (SELECT vec_id, e,
+         |  sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(list_sum(list_transform(range(1, len(a.e) + 1),
+         |    i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm), 6) AS cos
+         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, cos FROM p WHERE cos >= $CosTau
+         |ORDER BY id_a, id_b""".stripMargin)
+}

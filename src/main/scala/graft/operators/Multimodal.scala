@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media as opaque binary columns with typed
+  * metadata, batch feature extraction with real Spark plumbing (schema,
+  * partitioning, batch shape) and a STUBBED decoder.
+  *
+  * The container has no image/audio codecs, so [[fakeDecode]] stands in
+  * for the real decoder behind the same signature — it is deterministic
+  * (derived from the bytes) so the pipeline is testable end-to-end. The
+  * Spark-side contract is what matters at 100 TB: binary payloads never
+  * become join/group keys, feature extraction is mapPartitions in bounded
+  * batches (the Scala analog of mapInPandas with a batch size), and
+  * metadata travels in a typed struct column.
+  */
+object Multimodal {
+
+  /** Typed row for the media table: payload + typed metadata. */
+  case class MediaRow(media_id: Long, payload: Array[Byte], format: String,
+      width: Int, height: Int)
+
+  /** Extracted feature row (what a real decoder+featurizer would emit). */
+  case class MediaFeatures(media_id: Long, n_bytes: Int, mean_byte: Double,
+      entropy_bucket: Int, feature: Array[Float])
+
+  /** Builds the media table from documents: payload = utf-8 bytes (a
+    * deterministic stand-in for image bytes), metadata derived from size.
+    */
+  def mediaTable(s: SparkSession, d: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        when(col("doc_id") % 3 === 0, "png")
+          .when(col("doc_id") % 3 === 1, "jpeg").otherwise("webp").as("format"),
+        (col("n_chars") % 64 + 1).cast("int").as("width"),
+        (col("n_chars") % 48 + 1).cast("int").as("height"))
+      .as[MediaRow]
+  }
+
+  /** STUB decoder: the real implementation would decode the payload with
+    * an image/audio codec (not available in this container). This fake is
+    * deterministic in the bytes so tests and oracles are stable; the
+    * signature (bytes → fixed-size float feature) is the real contract.
+    */
+  private[graft] def fakeDecode(payload: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < payload.length) {
+      out(i % dim) += (payload(i) & 0xFF) / 255.0f
+      i += 1
+    }
+    out
+  }
+
+  private val FeatureDim = 8
+  private val BatchSize = 64
+
+  /** Batch feature extraction: mapPartitions over bounded batches (the
+    * batch shape a vectorized decoder needs), never materializing a whole
+    * partition. Output is a typed Dataset with a fixed-dim feature column.
+    */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(BatchSize).flatMap { batch =>
+        // A real decoder would process `batch` as one vectorized call.
+        batch.iterator.map { r =>
+          val f = fakeDecode(r.payload, FeatureDim)
+          val n = r.payload.length
+          val mean = if (n == 0) 0.0 else r.payload.map(_ & 0xFF).sum.toDouble / n
+          MediaFeatures(r.media_id, n, math.floor(mean * 1e6) / 1e6,
+            (mean / 32).toInt, f)
+        }
+      }
+    }
+  }
+
+  /** Oracle-checked metadata query: binary payload length + hex prefix —
+    * the part of the multimodal path expressible in both engines.
+    */
+  private def meta(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      octet_length(encode(col("text"), "UTF-8")).as("n_bytes"),
+      substring(hex(encode(col("text"), "UTF-8")), 1, 16).as("hex_prefix"))
+      .orderBy("doc_id")
+
+  /** Rows-only query exposing the full stubbed pipeline (media table →
+    * batched feature extraction) through the driver contract.
+    */
+  private def features(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    extractFeatures(mediaTable(s, d))
+      .select(col("media_id"), col("n_bytes"), col("mean_byte"),
+        col("entropy_bucket"),
+        r6(element_at(col("feature"), 1).cast("double")).as("f0"))
+      .orderBy("media_id")
+  }
+
+  val queries: Map[String, Query] = Map(
+    "mm_meta" -> meta _,
+    "mm_features" -> features _)
+
+  /** mm_features exercises the stub decoder → rows-only check. */
+  val oracle: Map[String, String] = Map(
+    "mm_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  substr(hex(encode(text)), 1, 16) AS hex_prefix
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,152 @@
+package graft.operators
+
+import graft._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * codegen'd column expressions over the documents table — one narrow
+  * pass per query, no shuffle, no UDFs.
+  */
+object TextAnalysis {
+
+  /** Marker vocabularies for the n-gram/stopword language heuristic.
+    * Deterministic, engine-agnostic; tie-break order en,es,de,fr,zh.
+    */
+  private val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast", "slow"),
+    "es" -> Seq("data", "row", "value"),
+    "de" -> Seq("join", "merge", "group"),
+    "fr" -> Seq("filter", "sort", "order"),
+    "zh" -> Seq("spark", "window", "stream"))
+
+  private def markerCount(words: Column, ms: Seq[String]): Column =
+    size(filter(words, w => array_contains(typedLit(ms), w)))
+
+  /** Language ID by marker-word occurrence scoring (the classic n-gram
+    * heuristic shape: score per language, argmax with deterministic ties).
+    */
+  private def langid(s: SparkSession, d: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val scores = Markers.map { case (l, ms) => markerCount(words, ms).as(s"s_$l") }
+    val scored = Tables.documents(s, d)
+      .select(Seq(col("doc_id"), col("lang")) ++ scores: _*)
+    val langs = Markers.map(_._1)
+    val pred = langs.init.foldRight(lit(langs.last): Column) { (l, rest) =>
+      val ge = langs.filter(_ != l)
+        .map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
+      when(ge, lit(l)).otherwise(rest)
+    }
+    scored.withColumn("pred", pred)
+      .withColumn("hit", (col("pred") === col("lang")).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  private def langidOracle: String = {
+    val scores = Markers.map { case (l, ms) =>
+      val lst = ms.map(m => s"'$m'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), w -> list_contains([$lst], w))) AS s_$l"
+    }.mkString(",\n  ")
+    val langs = Markers.map(_._1)
+    val pred = langs.init.foldRight(s"'${langs.last}'") { (l, rest) =>
+      val ge = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"CASE WHEN $ge THEN '$l' ELSE $rest END"
+    }
+    s"""WITH scored AS (SELECT doc_id, lang,
+       |  $scores
+       |FROM documents)
+       |SELECT doc_id, lang, s_en, s_es, s_de, s_fr, s_zh,
+       |  $pred AS pred,
+       |  CAST(($pred = lang) AS INT) AS hit
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  /** Quality scoring: length/word-count/distinct-ratio/stopword-ratio —
+    * the usual cheap heuristics for corpus filtering.
+    */
+  private def quality(s: SparkSession, d: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val stop = typedLit(Seq("the", "a", "and", "of", "to"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_m"),
+      size(words).as("n_words"),
+      size(array_distinct(words)).as("n_distinct"),
+      r6(size(array_distinct(words)).cast("double") / size(words)).as("ttr"),
+      r6(aggregate(words, lit(0L), (a, w) => a + length(w)).cast("double") /
+        size(words)).as("avg_word_len"),
+      r6(size(filter(words, w => array_contains(stop, w))).cast("double") /
+        size(words)).as("stop_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens and a regex token family (a
+    * BPE-ish pre-tokenization: lowercase runs | digit runs).
+    */
+  private def tokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(split(col("text"), " ")).as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))).as("re_tokens"),
+      size(array_distinct(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"),
+        lit(0)))).as("re_vocab"))
+      .orderBy("doc_id")
+
+  /** Document fingerprint: minimum md5 over 5-gram shingles (a
+    * deterministic rolling-hash analog — near-identical docs collide
+    * with probability ≈ their shingle Jaccard). Includes the fingerprint
+    * group size, i.e., how many docs share the fingerprint.
+    */
+  private def fingerprint(s: SparkSession, d: String): DataFrame = {
+    val fp = Tables.documents(s, d)
+      .select(col("doc_id"),
+        array_min(transform(Dedup.shingles(col("text"), 5), md5(_))).as("fingerprint"))
+    val grp = fp.groupBy("fingerprint").agg(count(lit(1)).as("n_docs"))
+    fp.join(grp, Seq("fingerprint"))
+      .select("doc_id", "fingerprint", "n_docs")
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, Query] = Map(
+    "ta_langid" -> langid _,
+    "ta_quality" -> quality _,
+    "ta_tokens" -> tokens _,
+    "ta_fingerprint" -> fingerprint _)
+
+  val oracle: Map[String, String] = Map(
+    "ta_langid" -> langidOracle,
+    "ta_quality" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+        |SELECT doc_id, CAST(len(text) AS INT) AS n_chars_m,
+        |  CAST(len(w) AS INT) AS n_words,
+        |  CAST(len(list_distinct(w)) AS INT) AS n_distinct,
+        |  round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) AS ttr,
+        |  round(CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / len(w), 6)
+        |    AS avg_word_len,
+        |  round(CAST(len(list_filter(w, x ->
+        |    list_contains(['the','a','and','of','to'], x))) AS DOUBLE) / len(w), 6)
+        |    AS stop_ratio
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "ta_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INT) AS re_tokens,
+        |  CAST(len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS INT)
+        |    AS re_vocab
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "ta_fingerprint" -> {
+      val sh5 = {
+        val parts = (0 until 5).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+        s"""list_distinct(CASE WHEN len(w) >= 5
+           | THEN list_transform(range(1, len(w) - 3), i -> $parts)
+           | ELSE [] END)""".stripMargin.replace("\n", "")
+      }
+      s"""WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |fp AS (SELECT doc_id,
+         |  list_min(list_transform($sh5, x -> md5(x))) AS fingerprint FROM w0),
+         |grp AS (SELECT fingerprint, count(*) AS n_docs FROM fp GROUP BY fingerprint)
+         |SELECT doc_id, fp.fingerprint, n_docs FROM fp JOIN grp USING (fingerprint)
+         |ORDER BY doc_id""".stripMargin
+    })
+}
