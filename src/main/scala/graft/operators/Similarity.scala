@@ -49,8 +49,12 @@ object Similarity {
 
   // ------------------------------------------------ LSH-bucketed variant
 
-  private val NumPlanes = 16
-  private val LshBands = 4 // 4 bands × 4 sign bits
+  // 5 bands × 3 sign bits: for this corpus's neighbor range (cos ≈ 0.4,
+  // per-bit agreement p ≈ 0.63) analytic recall is 1-(1-p³)⁵ ≈ 0.76 vs
+  // ≈ 0.50 for 4×4 — wider bands trade candidates for recall.
+  private val NumPlanes = 15
+  private val LshBands = 5
+  private val BandBits = 3
 
   /** Deterministic pseudorandom hyperplanes: weight (p, i) is derived from
     * md5 so any engine/restart reproduces them. Driver-side constants
@@ -81,7 +85,8 @@ object Similarity {
     val sig = v.withColumn("sig", sigBits)
     val banded = sig.select(col("vec_id"), col("u"),
       posexplode(array((0 until LshBands).map(b =>
-        shiftrightunsigned(col("sig"), b * 4).bitwiseAND(lit(0xFL))): _*))
+        shiftrightunsigned(col("sig"), b * BandBits)
+          .bitwiseAND(lit((1L << BandBits) - 1))): _*))
         .as(Seq("band_idx", "bucket")))
     val q = banded.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("u").as("qu"),
@@ -99,9 +104,54 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  // ------------------------------------------------------- IVF variant
+
+  private val IvfCells = 16
+  private val IvfProbes = 4
+
+  /** ANN via IVF (inverted-file index): the corpus is coarse-quantized to
+    * 16 deterministic centroid cells; each query probes its 4 nearest
+    * cells and reranks only those members exactly. At 100 TB the cell id
+    * is the partition key — a probe touches probes/cells of the data, and
+    * centroids (the only broadcast state) stay tiny. Deterministic seed
+    * centroids stand in for a k-means fit (which would converge them but
+    * not change the plumbing).
+    */
+  def annTopkIvf(s: SparkSession, d: String): DataFrame = {
+    val v = normalized(s, d)
+    // Seed centroids: first IvfCells non-query vectors, id-deterministic.
+    val cent = v.filter(col("vec_id") >= NumQueries &&
+      col("vec_id") < NumQueries + IvfCells)
+      .select((col("vec_id") - NumQueries).as("cell"), col("u").as("cu"))
+    val scoredCells = v.crossJoin(broadcast(cent))
+      .withColumn("cs", dot(col("u"), col("cu")))
+    val assign = scoredCells
+      .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
+        .orderBy(col("cs").desc, col("cell"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("u"), col("cell"))
+    val qcells = v.filter(col("vec_id") < NumQueries).crossJoin(broadcast(cent))
+      .withColumn("cs", dot(col("u"), col("cu")))
+      .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
+        .orderBy(col("cs").desc, col("cell"))))
+      .filter(col("rn") <= IvfProbes)
+      .select(col("vec_id").as("query_id"), col("u").as("qu"), col("cell"))
+    qcells.join(assign, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        r6(dot(col("qu"), col("u"))).as("cos"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("rnk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id"))))
+      .filter(col("rnk") <= K)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos"))
+      .orderBy("query_id", "rnk")
+  }
+
   val queries: Map[String, Query] = Map(
     "ann_topk_exact" -> (annTopkExact _),
-    "ann_topk_lsh" -> (annTopkLsh _))
+    "ann_topk_lsh" -> (annTopkLsh _),
+    "ann_topk_ivf" -> (annTopkIvf _))
 
   /** ann_topk_lsh is approximate by construction → rows-only check. */
   val oracle: Map[String, String] = Map(

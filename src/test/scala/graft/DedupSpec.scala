@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends GraftSuite {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("prefix-filtered jaccard equals naive all-pairs jaccard") {
+    val got = run("dd_ngram_jaccard")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Naive reference: all pairs via crossJoin (test-only; quadratic)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), operators.Dedup.shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val a = docs.select(col("doc_id").as("da"), col("sh").as("sa"))
+    val b = docs.select(col("doc_id").as("db"), col("sh").as("sb"))
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    val naive = a.crossJoin(b).filter(col("da") < col("db"))
+      .withColumn("j", inter.cast("double") /
+        (size(col("sa")) + size(col("sb")) - inter))
+      .filter(col("j") >= 0.6)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive)
+    assert(got.nonEmpty, "testdata should contain planted near-dups")
+  }
+
+  test("minhash LSH finds all high-jaccard pairs (recall at tau=0.6)") {
+    val exact = run("dd_ngram_jaccard")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = run("dd_minhash_lsh")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Planted dups are at jaccard ~0.85-0.99 where 4x4-band recall ~1
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"minhash recall $recall too low")
+  }
+
+  test("exact dedup groups cover every document exactly once") {
+    val g = run("dd_exact").agg(sum("n_copies")).first().getLong(0)
+    assert(g == Tables.documents(spark, sf).count())
+  }
+
+  test("simhash banded pair join equals naive hamming<=3 join") {
+    val sigs = run("dd_simhash").select("doc_id", "simhash")
+    val a = sigs.select(col("doc_id").as("da"), col("simhash").as("ha"))
+    val b = sigs.select(col("doc_id").as("db"), col("simhash").as("hb"))
+    val naive = a.crossJoin(b).filter(col("da") < col("db"))
+      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= 3)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = run("dd_simhash_pairs")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == naive)
+  }
+
+  test("cosine near-dup pairs are symmetric-free and above threshold") {
+    val rows = run("dd_cosine_neardup").collect()
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall(r => r.getDouble(2) >= 0.45))
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Smoke + invariant tests for the relational inventory at sf0.001 (the
+  * DuckDB differential at sf0.01 is the authoritative value check; these
+  * guard plan-level regressions fast).
+  */
+class RelationalSpec extends GraftSuite {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("every declared query runs and respects its declared schema") {
+    SparkEntry.queries.keys.foreach { name =>
+      val df = run(name)
+      assert(df.columns.nonEmpty, s"$name has no columns")
+      assert(df.limit(1).count() >= 0, s"$name failed to execute")
+    }
+  }
+
+  test("every oracle entry has a matching query") {
+    val qs = SparkEntry.queries.keySet
+    val missing = SparkEntry.oracleSql.keySet.diff(qs)
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("s1 text roundtrip is lossless") {
+    val parsed = run("s1_text_scan")
+    val orig = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount")
+    assert(parsed.exceptAll(orig).count() == 0)
+    assert(orig.exceptAll(parsed).count() == 0)
+  }
+
+  test("a1 group multi-agg: group counts sum to table size") {
+    val total = run("a1_group_multi").agg(sum("n")).first().getLong(0)
+    assert(total == Tables.lineitem(spark, sf).count())
+  }
+
+  test("j1 broadcast join plans a broadcast, not a shuffle join") {
+    val plan = run("j1_broadcast_join").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("o2 top-k plans TakeOrderedAndProject (no global sort)") {
+    val plan = run("o2_topk_recent").queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan was:\n$plan")
+  }
+
+  test("p1 projection prunes the parquet scan to selected columns") {
+    val plan = run("p1_project").queryExecution.executedPlan.toString
+    assert(!plan.contains("l_shipdate"), "scan should not read unused columns")
+  }
+
+  test("p4 filter is pushed down to the parquet scan") {
+    val plan = run("p4_isin").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(l_returnflag"), s"plan was:\n$plan")
+  }
+
+  test("u1 union equals direct aggregation (append protocol)") {
+    val direct = Tables.events(spark, sf).groupBy("event_type")
+      .agg(count(lit(1)).as("n")).orderBy("event_type").collect()
+    val unioned = run("u1_union").collect()
+    assert(direct.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      unioned.map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+class SimilaritySpec extends GraftSuite {
+
+  test("exact ANN: 10 queries x 10 ranked neighbors, cosine in [-1,1]") {
+    val rows = SparkEntry.queries("ann_topk_exact")(spark, sf).collect()
+    assert(rows.length == 100)
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 10)
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to 10))
+      // ranked by descending cosine
+      val cs = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (x, y) => x >= y })
+      assert(cs.forall(c => c >= -1.0001 && c <= 1.0001))
+    }
+  }
+
+  test("LSH ANN recall@10 vs exact baseline is usable (>= 0.5)") {
+    val exact = SparkEntry.queries("ann_topk_exact")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = SparkEntry.queries("ann_topk_lsh")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall@10 = $recall")
+  }
+
+  test("IVF ANN recall@10 is usable and scans a fraction of the corpus") {
+    val exact = SparkEntry.queries("ann_topk_exact")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = SparkEntry.queries("ann_topk_ivf")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall@10 = $recall")
+  }
+
+  test("hyperplanes are deterministic across invocations") {
+    val p1 = operators.Similarity.planes(64)
+    val p2 = operators.Similarity.planes(64)
+    assert(p1.flatten.toSeq == p2.flatten.toSeq)
+    assert(p1.flatten.forall(v => v >= -1 && v <= 1))
+  }
+}

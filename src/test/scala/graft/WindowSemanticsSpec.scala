@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Edge semantics from SURVEY.md §7.4 on tiny literal frames. */
+class WindowSemanticsSpec extends GraftSuite {
+  import spark.implicits._
+
+  private lazy val ts = Seq(
+    // (unit, cycle, v)
+    (1, 1, 10.0), (1, 2, 20.0), (1, 3, 30.0), (1, 4, 40.0),
+    (1, 5, 50.0), (1, 6, 60.0), (2, 1, 7.0), (2, 2, 7.0))
+    .toDF("unit", "cycle", "v")
+
+  private val w = Window.partitionBy("unit").orderBy("cycle")
+
+  test("W1 rolling mean w=5 matches pandas min_periods=1 partial windows") {
+    val got = ts.withColumn("m5", avg($"v").over(w.rowsBetween(-4, 0)))
+      .orderBy("unit", "cycle")
+      .select("m5").as[Double].collect()
+    // unit1: 10, 15, 20, 25, 30, 40 ; unit2: 7, 7
+    assert(got.toSeq == Seq(10.0, 15.0, 20.0, 25.0, 30.0, 40.0, 7.0, 7.0))
+  }
+
+  test("W3 lag diff: first row per partition is null") {
+    val got = ts.withColumn("d", $"v" - lag($"v", 1).over(w))
+      .orderBy("unit", "cycle").select("d").collect()
+    assert(got(0).isNullAt(0) && got(6).isNullAt(0))
+    assert(got(1).getDouble(0) == 10.0)
+  }
+
+  test("W4 partition max (RUL shape): unbounded frame, decreasing to 0") {
+    val got = ts.withColumn("rul",
+      max($"cycle").over(Window.partitionBy("unit")) - $"cycle")
+      .orderBy("unit", "cycle").select("rul").as[Int].collect()
+    assert(got.toSeq == Seq(5, 4, 3, 2, 1, 0, 1, 0))
+  }
+
+  test("W5 z-score: ddof=0 (population) stddev; constant partition -> null") {
+    val sd = stddev_pop($"v").over(Window.partitionBy("unit"))
+    val mu = avg($"v").over(Window.partitionBy("unit"))
+    val got = ts.withColumn("z", when(sd =!= 0, ($"v" - mu) / sd))
+      .orderBy("unit", "cycle").select("z").collect()
+    // unit 2 is constant -> 0/0 -> null (pandas NaN convention)
+    assert(got(6).isNullAt(0) && got(7).isNullAt(0))
+    // unit 1: mean 35, stddev_pop = sqrt(variance with ddof=0)
+    val z1 = got(0).getDouble(0)
+    assert(math.abs(z1 - (10.0 - 35.0) / math.sqrt(291.6666666666667)) < 1e-9)
+  }
+
+  test("A3 last-per-group takes the true last row (SURVEY §7.4.3)") {
+    val df = Seq((1, 1, Some(5.0)), (1, 2, None), (2, 1, Some(1.0)))
+      .toDF("unit", "cycle", "v")
+    val wd = Window.partitionBy("unit").orderBy($"cycle".desc)
+    val got = df.withColumn("rn", row_number().over(wd)).filter($"rn" === 1)
+      .orderBy("unit").collect()
+    // last ROW semantics: unit 1 keeps cycle 2 with null v (documented
+    // divergence from pandas groupby().last() per-column skip-null)
+    assert(got(0).getInt(1) == 2 && got(0).isNullAt(2))
+  }
+
+  test("wf_features produces all five feature families, non-empty") {
+    val f = operators.Windows.features(spark, sf)
+    assert(f.columns.toSet == Set("user_id", "event_id", "rul",
+      "mean5_value", "mean20_value", "d_value", "z_value"))
+    assert(f.count() == Tables.events(spark, sf).count())
+  }
+}
