@@ -21,15 +21,19 @@ object Similarity {
   private val K = 10
   private val NumQueries = 10 // vec_id < 10 are the query vectors
 
-  /** L2-normalized double vectors. */
+  /** L2-normalized double vectors, persisted: every ANN variant reads the
+    * corpus twice (query side + corpus side) and the normalization pass
+    * should run once (CacheManager dedups the plan across invocations).
+    */
   private def normalized(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .withColumn("nrm", sqrt(aggregate(col("e"), lit(0.0), (a, x) => a + x * x)))
       .select(col("vec_id"), transform(col("e"), x => x / col("nrm")).as("u"))
+      .persist()
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Codegen'd native dot product (see [[graft.functions.DotProduct]]). */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.dot(a, b)
 
   /** Exact brute-force top-k cosine neighbors for each query vector. */
   def annTopkExact(s: SparkSession, d: String): DataFrame = {

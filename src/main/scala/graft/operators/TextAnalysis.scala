@@ -102,6 +102,7 @@ object TextAnalysis {
     val fp = Tables.documents(s, d)
       .select(col("doc_id"),
         array_min(transform(Dedup.shingles(col("text"), 5), md5(_))).as("fingerprint"))
+      .persist() // reused by the group-size branch and the final join
     val grp = fp.groupBy("fingerprint").agg(count(lit(1)).as("n_docs"))
     fp.join(grp, Seq("fingerprint"))
       .select("doc_id", "fingerprint", "n_docs")

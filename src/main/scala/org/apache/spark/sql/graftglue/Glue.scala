@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftglue
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to the `private[sql]` Column ↔ Expression conversions (Spark 4
+  * moved Column onto ColumnNode; classic conversions live behind
+  * private[sql]). This package exists only to host custom Catalyst
+  * expressions' plumbing — no Spark internals are modified.
+  */
+object Glue {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -52,6 +52,15 @@ class DedupSpec extends GraftSuite {
     assert(banded == naive)
   }
 
+  test("native SimHash60 expression equals the composed-expression form") {
+    val composed = Tables.documents(spark, sf)
+      .select(col("doc_id"), operators.Dedup.simhash(col("text")).as("s"))
+      .orderBy("doc_id").collect().map(_.getLong(1)).toSeq
+    val native = run("dd_simhash").orderBy("doc_id")
+      .collect().map(_.getLong(1)).toSeq
+    assert(native == composed)
+  }
+
   test("cosine near-dup pairs are symmetric-free and above threshold") {
     val rows = run("dd_cosine_neardup").collect()
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
