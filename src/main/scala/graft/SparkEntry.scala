@@ -23,7 +23,8 @@ object SparkEntry {
       operators.Dedup.queries ++
       operators.Similarity.queries ++
       operators.TextAnalysis.queries ++
-      operators.Multimodal.queries
+      operators.Multimodal.queries ++
+      operators.SqlSurface.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops (the
@@ -37,5 +38,6 @@ object SparkEntry {
       operators.Dedup.oracle ++
       operators.Similarity.oracle ++
       operators.TextAnalysis.oracle ++
-      operators.Multimodal.oracle
+      operators.Multimodal.oracle ++
+      operators.SqlSurface.oracle
 }

@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SQL-entry parity (SURVEY §3.2): the dbt feature model expressed as a
+  * spark.sql string over temp views, plus a closed-form OLS regression
+  * (the reference's ML-metrics surface as pure aggregates).
+  */
+object SqlSurface {
+
+  /** Register the sf tables as temp views (idempotent). */
+  def registerViews(s: SparkSession, d: String): Unit =
+    Tables.names.foreach { n =>
+      Tables(s, d, n).createOrReplaceTempView(n)
+    }
+
+  /** The dbt fct_cycles_features model shape
+    * (turbine_etl_dbt/models/fct_cycles_features.sql:10-50) as literal
+    * SQL via spark.sql — the Jinja sensor loop becomes a generated column
+    * list; output is identical to the DataFrame-API wf_features, proving
+    * both entry points share semantics (and one WindowExec plan).
+    */
+  private def dbtFeatures(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql(
+      """SELECT user_id, event_id,
+        |  round(max(value) OVER (PARTITION BY user_id) - value, 6) AS rul,
+        |  round(avg(value) OVER (PARTITION BY user_id
+        |    ORDER BY unix_micros(ts), event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS mean5_value,
+        |  round(avg(value) OVER (PARTITION BY user_id
+        |    ORDER BY unix_micros(ts), event_id
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6) AS mean20_value,
+        |  round(value - lag(value, 1) OVER (PARTITION BY user_id
+        |    ORDER BY unix_micros(ts), event_id), 6) AS d_value,
+        |  round(CASE WHEN stddev_pop(value) OVER (PARTITION BY user_id) <> 0
+        |    THEN (value - avg(value) OVER (PARTITION BY user_id))
+        |         / stddev_pop(value) OVER (PARTITION BY user_id) END, 6) AS z_value
+        |FROM events ORDER BY event_id""".stripMargin)
+  }
+
+  /** OLS y~x (l_extendedprice ~ l_quantity) in closed form: the five
+    * sufficient statistics are decimal-exact (order-independent) sums, so
+    * slope/intercept are bit-identical across engines; fit metrics follow
+    * as one more aggregate pass. This is the reference's regression-
+    * evaluation surface (scripts/ml_pipeline.py:270-287,443-445) as a
+    * distributed two-pass aggregate — no collect, no iteration.
+    */
+  private def olsRegression(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+    val dec = "decimal(38,8)"
+    val stats = li.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x").cast(dec)).cast("double").as("sx"),
+      sum(col("y").cast(dec)).cast("double").as("sy"),
+      sum((col("x").cast(dec) * col("y").cast(dec))).cast("double").as("sxy"),
+      sum((col("x").cast(dec) * col("x").cast(dec))).cast("double").as("sxx"))
+      .withColumn("slope", (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx")))
+      .withColumn("intercept", (col("sy") - col("slope") * col("sx")) / col("n"))
+    val scored = li.crossJoin(broadcast(stats.select("slope", "intercept")))
+      .withColumn("p", col("intercept") + col("slope") * col("x"))
+    scored.agg(
+      r6(first(col("slope"))).as("slope"),
+      r6(first(col("intercept"))).as("intercept"),
+      r6(sqrt(avg(pow(col("y") - col("p"), 2)))).as("rmse"),
+      r6(avg(abs(col("y") - col("p")))).as("mae"))
+  }
+
+  val queries: Map[String, Query] = Map(
+    "sql_dbt_features" -> dbtFeatures _,
+    "ml_ols" -> olsRegression _)
+
+  val oracle: Map[String, String] = Map(
+    // Same semantics as wf_features — the oracle is shared by construction.
+    "sql_dbt_features" -> Windows.oracle("wf_features"),
+    "ml_ols" ->
+      """WITH li AS (SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem),
+        |stats AS (SELECT
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(x AS DECIMAL(38,8))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(y AS DECIMAL(38,8))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x AS DECIMAL(38,8)) * CAST(y AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(x AS DECIMAL(38,8)) * CAST(x AS DECIMAL(38,8))) AS DOUBLE) AS sxx
+        |  FROM li),
+        |fit AS (SELECT n, sx, sy,
+        |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope FROM stats),
+        |fit2 AS (SELECT slope, (sy - slope * sx) / n AS intercept FROM fit),
+        |scored AS (SELECT y, intercept + slope * x AS p, slope, intercept
+        |  FROM li CROSS JOIN fit2)
+        |SELECT round(any_value(slope), 6) AS slope,
+        |  round(any_value(intercept), 6) AS intercept,
+        |  round(sqrt(avg(pow(y - p, 2))), 6) AS rmse,
+        |  round(avg(abs(y - p)), 6) AS mae
+        |FROM scored""".stripMargin)
+}

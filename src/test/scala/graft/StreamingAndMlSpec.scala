@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.pipeline.MlPipeline
+import graft.streaming.StreamingFeatures
+import org.apache.spark.sql.functions._
+
+class StreamingAndMlSpec extends GraftSuite {
+
+  test("streaming windowed counts equal the batch aggregation") {
+    // Stage the events table as the stream source directory (one file =
+    // one micro-batch of the incremental append protocol).
+    val src = Files.createTempDirectory("graft_stream").toString
+    val events = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+
+    StreamingFeatures.runWindowedToMemory(spark, src, "stream_counts")
+    val streamed = spark.table("stream_counts")
+      .groupBy("win_start", "event_type").agg(max("n").as("n"))
+      .orderBy("win_start", "event_type").collect()
+    val batch = events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+      .orderBy("win_start", "event_type").collect()
+    assert(streamed.map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSeq ==
+      batch.map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSeq)
+  }
+
+  test("stateful running features accumulate across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingFeatures.Event]
+    val q = StreamingFeatures.runningFeatures(mem.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("running_features").start()
+    def ev(id: Long, uid: Long, v: Double) = StreamingFeatures.Event(
+      id, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), uid, "t", v)
+    mem.addData(ev(1, 1, 10.0), ev(2, 1, 20.0), ev(3, 2, 5.0))
+    q.processAllAvailable()
+    mem.addData(ev(4, 1, 30.0))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("running_features")
+      .groupBy("user_id").agg(max("n_events").as("n"), max("max_value").as("mx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(last == Set((1L, 3L, 30.0), (2L, 1L, 5.0)))
+  }
+
+  test("ml pipeline trains, clamps and evaluates on CMAPSS features") {
+    assume(new java.io.File("/root/reference/data/raw/train_FD001.txt").exists())
+    val raw = pipeline.CmapssReader.read(spark,
+      "/root/reference/data/raw/train_FD001.txt", "FD001")
+    val feat = pipeline.FeatureEngineering
+      .features(raw, Seq("sensor2", "sensor3", "sensor4"))
+      .na.drop(Seq("d_sensor2", "d_sensor3", "d_sensor4"))
+    val Array(train, test) = feat.randomSplit(Array(0.8, 0.2), seed = 42)
+    val (preds, metrics) = MlPipeline.trainAndScore(train, test,
+      Seq("mean5_sensor2", "mean20_sensor2", "z_sensor2", "d_sensor2",
+        "mean5_sensor3", "z_sensor4"),
+      labelCol = "rul")
+    assert(metrics.rmse > 0 && metrics.rmse.isFinite)
+    assert(metrics.r2 > 0.1, s"r2 = ${metrics.r2}")
+    assert(preds.filter(col("predicted_rul") < 0).count() == 0) // clamped
+    val rollup = MlPipeline.metricRollup(preds).collect()
+    assert(rollup.length == 1 && rollup.head.getString(0) == "linear_regression")
+  }
+}
