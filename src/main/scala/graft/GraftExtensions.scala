@@ -1,0 +1,42 @@
+package graft
+
+import graft.functions.{DotProduct, SimHash60, SortedIntersectCount}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions registration: exposes the native kernels to the
+  * SQL surface (`SELECT graft_dot(a, b) ...`). Install with
+  * `.withExtensions(new GraftExtensions)` at session build, or call
+  * [[GraftExtensions.register]] on a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private type Builder = Seq[Expression] => Expression
+
+  private[graft] val functions: Seq[(String, ExpressionInfo, Builder)] = Seq(
+    ("graft_dot",
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (es: Seq[Expression]) => DotProduct(es(0), es(1))),
+    ("graft_simhash60",
+      new ExpressionInfo(classOf[SimHash60].getName, "graft_simhash60"),
+      (es: Seq[Expression]) => SimHash60(es.head)),
+    ("graft_sorted_intersect_count",
+      new ExpressionInfo(classOf[SortedIntersectCount].getName,
+        "graft_sorted_intersect_count"),
+      (es: Seq[Expression]) => SortedIntersectCount(es(0), es(1))))
+
+  /** Register on an existing session (temp functions, idempotent). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class ExtensionsAndScaleSpec extends GraftSuite {
+
+  test("native kernels are callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |  graft_sorted_intersect_count(array('a','b','c'), array('b','c','d')) AS i,
+        |  graft_simhash60(array(md5('hello'), md5('world'))) AS s""".stripMargin)
+      .first()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getInt(1) == 2)
+    assert(r.getLong(2) != 0L)
+  }
+
+  test("catalog ops: existence probe, fallback chain, name patterns") {
+    import graft.pipeline.CatalogOps
+    Tables.events(spark, sf).createOrReplaceTempView("cat_events")
+    assert(CatalogOps.tableExists(spark, "cat_events"))
+    assert(!CatalogOps.tableExists(spark, "cat_missing"))
+    assert(CatalogOps.readFirstExisting(spark,
+      Seq("cat_missing", "cat_events")).isDefined)
+    val feat = operators.Windows.features(spark, sf)
+    assert(CatalogOps.prefixCols(feat, "mean") ==
+      Seq("mean5_value", "mean20_value"))
+    assert(CatalogOps.regexCols(feat, "^(mean|z)_?.*value") ==
+      Seq("mean5_value", "mean20_value", "z_value"))
+    assert(CatalogOps.featureCols(feat, Seq("user_id", "event_id")).size == 5)
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    val e = Tables.events(spark, sf)
+    val direct = e.groupBy("event_type")
+      .agg(sum(col("value")).as("sum_value"), count(lit(1)).as("cnt"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 1e6), r.getLong(2)))
+    val salted = operators.Skew.saltedSum(e, Seq("event_type"), "value")
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 1e6), r.getLong(2)))
+    assert(direct.toSeq == salted.toSeq)
+  }
+
+  test("salted join equals plain join") {
+    val e = Tables.events(spark, sf).select("event_id", "user_id", "value")
+    val dim = Tables.events(spark, sf).select(col("user_id")).distinct()
+      .withColumn("user_tag", concat(lit("u"), col("user_id")))
+    val plain = e.join(dim, "user_id").select("event_id", "user_tag")
+      .orderBy("event_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    val salted = operators.Skew.saltedJoin(e, dim, "user_id")
+      .select("event_id", "user_tag")
+      .orderBy("event_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(plain.toSeq == salted.toSeq)
+  }
+
+  test("wf_features: all five feature families share ONE shuffle") {
+    val plan = operators.Windows.features(spark, sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly 1 hash exchange, got $exchanges:\n$plan")
+  }
+
+  test("dedup/minhash joins read the persisted signature table") {
+    val plan = SparkEntry.queries("dd_minhash_lsh")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // Both join sides must feed off the materialized band table
+    // (doc_id, band digest) instead of recomputing the md5 pipeline.
+    assert(plan.contains("InMemoryTableScan"), s"plan was:\n$plan")
+  }
+}
