@@ -251,6 +251,45 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ------------------------------------------------- dedup clustering
+
+  /** Connected components over the near-dup graph (edges = jaccard ≥ τ
+    * pairs): every document labeled with the minimum doc_id reachable
+    * through near-dup links — the canonical representative for keep-first
+    * cluster dedup. Iterative min-label propagation, the standard
+    * large-graph CC algorithm (alternating equi-joins, state = one label
+    * per node, converges in O(component diameter) rounds — near-dup
+    * components are tiny cliques, so 1–2 rounds). The convergence check
+    * is a scalar count per round, not a collect.
+    */
+  private def clusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = ngramJaccard(s, d).select("doc_a", "doc_b")
+    val edges = pairs.union(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).persist()
+    var labels = Tables.documents(s, d)
+      .select(col("doc_id"), col("doc_id").as("cluster")).persist()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val neighborMin = edges
+        .join(labels.withColumnsRenamed(
+          Map("doc_id" -> "doc_b", "cluster" -> "nbr_cluster")), Seq("doc_b"))
+        .groupBy(col("doc_a").as("doc_id"))
+        .agg(min(col("nbr_cluster")).as("nbr_min"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
+            .as("cluster"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("cluster", "prev"), "doc_id")
+        .filter(col("cluster") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    labels.orderBy("doc_id")
+  }
+
   // ------------------------------------------- embedding cosine near-dup
 
   private val CosTau = 0.45
@@ -284,6 +323,7 @@ object Dedup {
     "dd_minhash_lsh" -> minhashLsh _,
     "dd_simhash" -> simhashSigs _,
     "dd_simhash_pairs" -> simhashPairs _,
+    "dd_clusters" -> clusters _,
     "dd_cosine_neardup" -> cosineNearDup _)
 
   val oracle: Map[String, String] = Map(
@@ -305,6 +345,26 @@ object Dedup {
          |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= $JaccardTau
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dd_minhash_lsh" -> minhashOracle,
+    "dd_clusters" ->
+      s"""WITH RECURSIVE w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |t AS (SELECT doc_id, ${shinglesSql(3)} AS sh FROM w0),
+         |t2 AS (SELECT doc_id, sh FROM t WHERE len(sh) > 0),
+         |e AS (SELECT doc_id, unnest(sh) AS s FROM t2),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM e x JOIN e y ON x.s = y.s AND x.doc_id < y.doc_id),
+         |j AS (SELECT doc_a, doc_b,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+         |  FROM cand JOIN t2 a ON a.doc_id = doc_a JOIN t2 b ON b.doc_id = doc_b),
+         |edges0 AS (SELECT doc_a, doc_b FROM j WHERE round(jac, 6) >= $JaccardTau),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM edges0
+         |  UNION ALL SELECT doc_b, doc_a FROM edges0),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a)
+         |SELECT src AS doc_id, min(dst) AS cluster FROM reach
+         |GROUP BY src ORDER BY doc_id""".stripMargin,
     "dd_simhash" -> simhashSql,
     "dd_simhash_pairs" -> simhashPairsOracle,
     "dd_cosine_neardup" ->

@@ -109,14 +109,73 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Corpus vocabulary rollup: top-k tokens by frequency. The shuffle
+    * carries per-partition partial counts (map-side combine), then a
+    * TakeOrdered — the canonical combiner-friendly corpus statistic.
+    */
+  private def vocab(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(20)
+
+  /** Composite curation pipeline: quality filter (length + type-token
+    * ratio) then keep-first near-dup removal (drop every doc_b of a
+    * jaccard pair) — the filter→dedup composition an LLM corpus pass
+    * runs, as one declarative plan (filter, anti-join on the pair set).
+    */
+  private def curate(s: SparkSession, d: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val q = Tables.documents(s, d)
+      .withColumn("n_words", size(words))
+      .withColumn("ttr", size(array_distinct(words)).cast("double") / size(words))
+      .filter(col("n_words") >= 30 && col("ttr") >= 0.3)
+    val dupTails = Dedup.queries("dd_ngram_jaccard")(s, d)
+      .select(col("doc_b").as("doc_id")).distinct()
+    q.join(dupTails, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Query] = Map(
     "ta_langid" -> langid _,
     "ta_quality" -> quality _,
     "ta_tokens" -> tokens _,
-    "ta_fingerprint" -> fingerprint _)
+    "ta_vocab" -> vocab _,
+    "ta_fingerprint" -> fingerprint _,
+    "pipe_curate" -> curate _)
 
   val oracle: Map[String, String] = Map(
     "ta_langid" -> langidOracle,
+    "ta_vocab" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    "pipe_curate" -> {
+      val sh3 = {
+        val parts = (0 until 3).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+        s"""list_distinct(CASE WHEN len(w) >= 3
+           | THEN list_transform(range(1, len(w) - 1), i -> $parts)
+           | ELSE [] END)""".stripMargin.replace("\n", "")
+      }
+      s"""WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |t2 AS (SELECT doc_id, $sh3 AS sh FROM w0 WHERE len($sh3) > 0),
+         |e AS (SELECT doc_id, unnest(sh) AS s FROM t2),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM e x JOIN e y ON x.s = y.s AND x.doc_id < y.doc_id),
+         |j AS (SELECT doc_a, doc_b,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+         |  FROM cand JOIN t2 a ON a.doc_id = doc_a JOIN t2 b ON b.doc_id = doc_b),
+         |tails AS (SELECT DISTINCT doc_b AS doc_id FROM j WHERE round(jac, 6) >= 0.6),
+         |q AS (SELECT doc_id, lang, n_chars, len(w) AS n_words,
+         |    CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr
+         |  FROM documents JOIN w0 USING (doc_id))
+         |SELECT doc_id, lang, n_chars FROM q
+         |WHERE n_words >= 30 AND ttr >= 0.3
+         |  AND doc_id NOT IN (SELECT doc_id FROM tails)
+         |ORDER BY doc_id""".stripMargin
+    },
     "ta_quality" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
         |SELECT doc_id, CAST(len(text) AS INT) AS n_chars_m,

@@ -61,6 +61,20 @@ class DedupSpec extends GraftSuite {
     assert(native == composed)
   }
 
+  test("cluster labels: pair members share a label, singletons are own rep") {
+    val pairs = run("dd_ngram_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val labels = run("dd_clusters").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"pair ($a,$b) split across clusters")
+      assert(labels(a) <= a && labels(a) <= b)
+    }
+    val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    labels.filterNot { case (id, _) => inPairs(id) }
+      .foreach { case (id, c) => assert(id == c, s"singleton $id got label $c") }
+  }
+
   test("cosine near-dup pairs are symmetric-free and above threshold") {
     val rows = run("dd_cosine_neardup").collect()
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
