@@ -21,15 +21,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Execute the query's EXACT physical plan: a count() on top would let
+    // the optimizer prune unused window/projection expressions and
+    // under-measure. toRdd + full iterator consumption materializes every
+    // output column.
+    def runFull(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.toRdd.foreachPartition { it =>
+          while (it.hasNext) it.next()
+        }
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n => // warmup
-      try SparkEntry.queries(n)(spark, sfDir).count()
-      catch { case _: Throwable => }
+      try runFull(n) catch { case _: Throwable => }
     }
     val results = names.map { name =>
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => () }
+      try runFull(name) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-smoke utility: replicates the events table `factor`× (unique
+  * synthetic user/event ids, written once to a scratch dir) and times the
+  * flagship plans on it. This is a dev/scale experiment, not part of the
+  * driver contract — it answers "does the plan shape survive 100× data"
+  * with measurements instead of claims.
+  *
+  * Usage: runMain graft.ScaleSmoke [factor] [srcSfDir] [scratchDir]
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(100)
+    val src = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val scratch = args.lift(2).getOrElse("/tmp/graft_scale_events")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val dir = new java.io.File(scratch)
+    if (!dir.exists()) {
+      val e = Tables.events(spark, src)
+      e.crossJoin(spark.range(0, factor).select(col("id").as("rep")))
+        .select(
+          (col("event_id") + col("rep") * 1000000000L).as("event_id"),
+          col("ts"),
+          (col("user_id") + col("rep") * 1000000L).as("user_id"),
+          col("event_type"), col("value"))
+        .repartition(cpus.toInt * 2)
+        .write.mode("overwrite").parquet(scratch)
+    }
+    val big = spark.read.parquet(scratch)
+    val rows = big.count()
+
+    // Materialize the exact plan (count() would prune window exprs).
+    def full(df: org.apache.spark.sql.DataFrame): Long = {
+      df.queryExecution.toRdd.foreachPartition { it =>
+        while (it.hasNext) it.next()
+      }
+      0L
+    }
+    def time(name: String)(f: => Long): (String, Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = f
+      (name, (System.nanoTime() - t0) / 1e9, n)
+    }
+
+    import org.apache.spark.sql.expressions.Window
+    val wp = Window.partitionBy("user_id")
+    val wo = wp.orderBy(col("ts"), col("event_id"))
+    val results = Seq(
+      time("wf_features") {
+        full(big.select(col("user_id"), col("event_id"),
+          (max(col("value")).over(wp) - col("value")).as("rul"),
+          avg(col("value")).over(wo.rowsBetween(-4, 0)).as("mean5"),
+          avg(col("value")).over(wo.rowsBetween(-19, 0)).as("mean20"),
+          (col("value") - lag(col("value"), 1).over(wo)).as("d"),
+          (col("value") - avg(col("value")).over(wp)).as("dev")))
+      },
+      time("grouped_agg") {
+        full(big.groupBy("user_id", "event_type")
+          .agg(count(lit(1)), sum(col("value")), max(col("value"))))
+      },
+      time("topk") { full(big.orderBy(col("value").desc).limit(100)) },
+      time("distinct_users") {
+        big.agg(countDistinct(col("user_id"))).first().getLong(0)
+      })
+    val qs = results.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_smoke","rows":$rows,"factor":$factor,"queries":$qs}""")
+    spark.stop()
+  }
+}

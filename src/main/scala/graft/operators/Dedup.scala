@@ -73,7 +73,10 @@ object Dedup {
       explode(col("sh")).as("s")).persist()
     val freq = ex.groupBy("s").agg(count(lit(1)).as("f"))
     val prefixLen = (col("n") - ceil(lit(JaccardTau) * col("n")) + 1).cast("int")
-    val prefix = ex.join(freq, "s")
+    // The shingle-frequency dictionary is a stats table (bounded by the
+    // shingle vocabulary, tiny relative to the corpus) — broadcast it so
+    // the postings list is not shuffled just to learn frequencies.
+    val prefix = ex.join(broadcast(freq), "s")
       .withColumn("rnk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("f"), col("s"))))
       .filter(col("rnk") <= prefixLen)
