@@ -47,6 +47,9 @@ object MlPipeline {
       col(labelCol).as("actual_rul"),
       abs(col(labelCol) - col("predicted")).as("absolute_error"),
       pow(col(labelCol) - col("predicted"), 2).as("squared_error"))
+      // P12 (ml_pipeline.py:660; DDL DEFAULT CURRENT_TIMESTAMP): stamp at
+      // write time; excluded from determinism-sensitive comparisons.
+      .withColumn("prediction_timestamp", current_timestamp())
     (predictions, metrics)
   }
 
