@@ -61,7 +61,9 @@ object Multimodal {
 
   /** Batch feature extraction: mapPartitions over bounded batches (the
     * batch shape a vectorized decoder needs), never materializing a whole
-    * partition. Output is a typed Dataset with a fixed-dim feature column.
+    * partition. Header metadata (format/dims) comes from the REAL
+    * byte-level parser ([[MediaHeaders]]); pixel features from the stub.
+    * Output is a typed Dataset with a fixed-dim feature column.
     */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
@@ -77,6 +79,15 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** Header metadata over a binary media column — real parsing, no codec. */
+  def parseHeaders(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      val info = MediaHeaders.parse(r.payload)
+      (r.media_id, info.format, info.width, info.height)
+    }.toDF("media_id", "detected_format", "parsed_width", "parsed_height")
   }
 
   /** Oracle-checked metadata query: binary payload length + hex prefix —

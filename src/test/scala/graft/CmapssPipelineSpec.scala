@@ -83,6 +83,40 @@ class CmapssPipelineSpec extends GraftSuite {
     assert(one == res.rowsPerDataset("FD001"))
   }
 
+  test("dbt partition-key bug is reproducible via the partitionKey param") {
+    // SURVEY §2.6 caution: the dbt model partitions by unit_nr only, so
+    // appended datasets mix engines. With two datasets loaded, the buggy
+    // key must produce different rul values than the correct key.
+    assume(haveData)
+    val fd003 = "/root/reference/data/raw/test_FD003.txt"
+    assume(new java.io.File(fd003).exists())
+    val both = CmapssReader.read(spark, fd001, "FD001")
+      .unionByName(CmapssReader.read(spark, fd003, "FD003"))
+    val correct = FeatureEngineering.features(both, Seq("sensor2"))
+      .select("dataset", "unit_nr", "time_cycles", "rul")
+    val buggy = FeatureEngineering.features(both, Seq("sensor2"),
+      partitionKey = Seq("unit_nr"))
+      .select("dataset", "unit_nr", "time_cycles", "rul")
+    val diffs = correct.withColumnRenamed("rul", "rul_ok")
+      .join(buggy.withColumnRenamed("rul", "rul_bug"),
+        Seq("dataset", "unit_nr", "time_cycles"))
+      .filter(col("rul_ok") =!= col("rul_bug")).count()
+    assert(diffs > 0, "buggy partition key should mix engines across datasets")
+  }
+
+  test("reader is robust to malformed lines (coerce to null, keep row)") {
+    val tmp = java.nio.file.Files.createTempFile("graft_junk", ".txt")
+    java.nio.file.Files.writeString(tmp,
+      "1 1 0.5 0.6 100 641.82 abc 1587.99\n" + // junk sensor2
+        "\n" + // blank line dropped
+        "2 1 0.1 0.2 100 642.0 1588.0 1400.0 extra extra extra\n")
+    val df = CmapssReader.read(spark, tmp.toString, "T", nSensors = 3)
+    val rows = df.orderBy("unit_nr").collect()
+    assert(rows.length == 2)
+    assert(rows(0).isNullAt(rows(0).fieldIndex("sensor2"))) // 'abc' -> null
+    assert(rows(1).getDouble(rows(1).fieldIndex("sensor3")) == 1400.0)
+  }
+
   test("units_summary and measures shapes") {
     assume(haveData)
     val df = CmapssReader.read(spark, fd001, "FD001")

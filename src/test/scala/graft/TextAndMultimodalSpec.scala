@@ -52,6 +52,35 @@ class TextAndMultimodalSpec extends GraftSuite {
       a.media_id == b.media_id && a.feature.toSeq == b.feature.toSeq })
   }
 
+  test("media headers: PNG/GIF/JPEG dimensions parsed from real bytes") {
+    import operators.MediaHeaders
+    // Hand-built PNG: signature + IHDR with width=640 height=480
+    val png = Array[Int](0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 2, 0x80, 0, 0, 1, 0xE0, 8, 2, 0, 0, 0).map(_.toByte)
+    assert(MediaHeaders.parse(png) == MediaHeaders.MediaInfo("png", 640, 480))
+    // GIF89a with 320x200 logical screen (LE16)
+    val gif = Array[Int]('G', 'I', 'F', '8', '9', 'a',
+      0x40, 0x01, 0xC8, 0x00, 0).map(_.toByte)
+    assert(MediaHeaders.parse(gif) == MediaHeaders.MediaInfo("gif", 320, 200))
+    // JPEG: SOI + APP0 (len 4) + SOF0 with height=100 width=200
+    val jpg = Array[Int](0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x04, 0x4A, 0x46,
+      0xFF, 0xC0, 0x00, 0x0B, 8, 0x00, 0x64, 0x00, 0xC8, 3, 0, 0, 0).map(_.toByte)
+    assert(MediaHeaders.parse(jpg) == MediaHeaders.MediaInfo("jpeg", 200, 100))
+    // Garbage → unknown, no crash
+    assert(MediaHeaders.parse("not an image".getBytes).format == "unknown")
+    assert(MediaHeaders.parse(Array.emptyByteArray).format == "unknown")
+  }
+
+  test("media headers run distributed over the media table") {
+    val media = operators.Multimodal.mediaTable(spark, sf)
+    val parsed = operators.Multimodal.parseHeaders(media)
+    assert(parsed.count() == media.count())
+    // utf-8 text payloads are not valid media → all unknown, parsed safely
+    assert(parsed.filter(col("detected_format") === "unknown").count() ==
+      media.count())
+  }
+
   test("multimodal: partitioning is preserved (no implicit coalesce)") {
     val media = operators.Multimodal.mediaTable(spark, sf).repartition(7)
     val out = operators.Multimodal.extractFeatures(media)
