@@ -309,12 +309,15 @@ object Dedup {
       .withColumn("nrm", sqrt(aggregate(col("e"), lit(0.0), (a, x) => a + x * x)))
     val a = v.select(col("vec_id").as("id_a"), col("e").as("ea"), col("nrm").as("na"))
     val b = v.select(col("vec_id").as("id_b"), col("e").as("eb"), col("nrm").as("nb"))
-    a.join(broadcast(b), col("id_a") < col("id_b"))
-      .withColumn("cos", r6(
-        graft.functions.VectorFunctions.dot(col("ea"), col("eb")) /
-          (col("na") * col("nb"))))
-      .filter(col("cos") >= CosTau)
-      .select("id_a", "id_b", "cos")
+    // The threshold lives in the JOIN CONDITION: the nested-loop join then
+    // evaluates the codegen'd dot per candidate and only materializes the
+    // (rare) matching pairs, instead of building every wide pair row and
+    // filtering afterwards. The dot is recomputed in the projection for
+    // survivors only.
+    val cos = r6(graft.functions.VectorFunctions.dot(col("ea"), col("eb")) /
+      (col("na") * col("nb")))
+    a.join(broadcast(b), col("id_a") < col("id_b") && cos >= CosTau)
+      .select(col("id_a"), col("id_b"), cos.as("cos"))
       .orderBy("id_a", "id_b")
   }
 

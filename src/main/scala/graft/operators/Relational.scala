@@ -299,6 +299,28 @@ object Relational {
       r6(median(col("l_extendedprice"))).as("med_price"),
       r6(median(col("l_discount"))).as("med_disc"))
 
+  /** Hierarchical rollup (extension beyond the reference's flat groups):
+    * subtotals per (event_type, user_id), per event_type, and grand total
+    * in one pass. Null ordering is pinned explicitly — Spark defaults
+    * nulls-first, DuckDB nulls-last.
+    */
+  private def a14Rollup(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .rollup("event_type", "user_id")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("event_type").asc_nulls_first, col("user_id").asc_nulls_first)
+
+  /** Cube over two low-cardinality dimensions. */
+  private def a15Cube(s: SparkSession, d: String): DataFrame = {
+    val bucket = when(col("value") < 50, "lo")
+      .when(col("value") < 150, "mid").otherwise("hi")
+    Tables.events(s, d)
+      .withColumn("vb", bucket)
+      .cube("event_type", "vb")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type").asc_nulls_first, col("vb").asc_nulls_first)
+  }
+
   // -------------------------------------------------------- sort / top-k
 
   /** O1 (scripts/etl_turbofan.py:36): composite sort (with limit so the
@@ -417,6 +439,8 @@ object Relational {
     "a11_avg_of_avgs" -> a11AvgOfAvgs _,
     "a12_eval_metrics" -> a12EvalMetrics _,
     "a13_medians" -> a13Medians _,
+    "a14_rollup" -> a14Rollup _,
+    "a15_cube" -> a15Cube _,
     "o1_sort" -> o1Sort _,
     "o2_topk_recent" -> o2TopkRecent _,
     "o3_topn_value" -> o3TopnValue _,
@@ -549,6 +573,18 @@ object Relational {
       """SELECT round(median(l_quantity), 6) AS med_qty,
         |  round(median(l_extendedprice), 6) AS med_price,
         |  round(median(l_discount), 6) AS med_disc FROM lineitem""".stripMargin,
+    "a14_rollup" ->
+      """SELECT event_type, user_id, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY ROLLUP (event_type, user_id)
+        |ORDER BY event_type ASC NULLS FIRST, user_id ASC NULLS FIRST""".stripMargin,
+    "a15_cube" ->
+      """SELECT event_type, vb, count(*) AS n
+        |FROM (SELECT event_type,
+        |  CASE WHEN value < 50 THEN 'lo' WHEN value < 150 THEN 'mid'
+        |    ELSE 'hi' END AS vb FROM events)
+        |GROUP BY CUBE (event_type, vb)
+        |ORDER BY event_type ASC NULLS FIRST, vb ASC NULLS FIRST""".stripMargin,
     "o1_sort" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |ORDER BY l_orderkey, l_linenumber LIMIT 50""".stripMargin,
