@@ -410,6 +410,26 @@ object Relational {
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
       .orderBy("ym")
 
+  /** JSON field extraction from the events props column (semi-structured
+    * source surface): parse, cast, aggregate by extracted value.
+    */
+  private def f4Json(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy((col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+      .orderBy(col("k_mod").asc_nulls_first)
+
+  /** Approximate distinct (HLL) vs exact — the 100 TB cardinality
+    * estimator. No oracle (HLL sketches are engine-specific); the spec
+    * asserts the estimate lands within 5% of exact.
+    */
+  private def a16ApproxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).agg(
+      countDistinct(col("user_id")).as("exact_users"),
+      approx_count_distinct(col("user_id")).as("approx_users"),
+      approx_count_distinct(col("value"), 0.02).as("approx_values"))
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Query] = Map(
@@ -449,7 +469,9 @@ object Relational {
     "u3_except" -> u3Except _,
     "f1_string" -> f1String _,
     "f2_math" -> f2Math _,
-    "f3_date" -> f3Date _)
+    "f3_date" -> f3Date _,
+    "f4_json" -> f4Json _,
+    "a16_approx_distinct" -> a16ApproxDistinct _)
 
   val oracle: Map[String, String] = Map(
     "s1_text_scan" ->
@@ -625,5 +647,10 @@ object Relational {
     "f3_date" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS ym, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
-        |FROM orders GROUP BY 1 ORDER BY ym""".stripMargin)
+        |FROM orders GROUP BY 1 ORDER BY ym""".stripMargin,
+    "f4_json" ->
+      """SELECT k % 10 AS k_mod, count(*) AS n, min(k) AS k_min, max(k) AS k_max
+        |FROM (SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |  FROM events)
+        |GROUP BY 1 ORDER BY k_mod ASC NULLS FIRST""".stripMargin)
 }

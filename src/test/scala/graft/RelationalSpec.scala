@@ -66,6 +66,12 @@ class RelationalSpec extends GraftSuite {
       unioned.map(r => (r.getString(0), r.getLong(1))).toSeq)
   }
 
+  test("approx distinct lands within 5% of exact") {
+    val r = run("a16_approx_distinct").first()
+    val exact = r.getLong(0).toDouble
+    assert(math.abs(r.getLong(1) - exact) / exact <= 0.05)
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
