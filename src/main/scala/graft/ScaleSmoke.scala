@@ -73,8 +73,36 @@ object ScaleSmoke {
       time("distinct_users") {
         big.agg(countDistinct(col("user_id"))).first().getLong(0)
       })
-    val qs = results.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale_smoke","rows":$rows,"factor":$factor,"queries":$qs}""")
+    // Dedup stress: replicate documents 10x with unique ids — every text
+    // becomes a 10-doc duplicate cluster, the worst (pair-heavy) shape a
+    // dup-laden corpus produces. Uses a scratch table dir; the dedup
+    // operators read it through the same code paths as the sf tables.
+    val docScratch = s"$scratch-docs"
+    if (!new java.io.File(docScratch).exists()) {
+      val docs = Tables.documents(spark, src)
+      val n = docs.count()
+      docs.crossJoin(spark.range(0, 10).select(col("id").as("rep")))
+        .select((col("doc_id") + col("rep") * n * 10L).as("doc_id"),
+          col("text"), col("lang"), col("source"), col("n_chars"))
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$docScratch/documents.parquet")
+    }
+    val dedupResults = Seq(
+      time("dd_minhash_10x") {
+        SparkEntry.queries("dd_minhash_lsh")(spark, docScratch).count()
+      },
+      time("dd_simhash_pairs_10x") {
+        SparkEntry.queries("dd_simhash_pairs")(spark, docScratch).count()
+      },
+      time("dd_jaccard_10x") {
+        SparkEntry.queries("dd_ngram_jaccard")(spark, docScratch).count()
+      })
+
+    val qs = (results ++ dedupResults)
+      .map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val pairCounts = dedupResults.map { case (k, _, n) => s""""$k":$n""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"scale_smoke","rows":$rows,"factor":$factor,"queries":$qs,"dedup_pairs":$pairCounts}""")
     spark.stop()
   }
 }

@@ -107,25 +107,40 @@ object Dedup {
   private val NumHashes = 16
   private val NumBands = 4
   private val RowsPerBand = NumHashes / NumBands
+  // Kirsch-Mitzenmacher double hashing: h_i(x) = (h1(x) + i*h2(x)) mod P.
+  // P = 2^31-1 keeps i*h2 + h1 far below 2^63 (no overflow in either
+  // engine); h1, h2 < P are packed into one long as (h1 << 31) | h2.
+  private val MinhashP = 2147483647L
 
-  /** MinHash LSH candidate pairs: 16 md5-seeded min-hashes over 3-gram
-    * shingles, banded 4×4; pairs sharing any band bucket. The classic
-    * shingle→minhash→band→bucket-join pipeline — the join key is the
-    * band digest, so the shuffle is O(corpus × 4 digests).
+  /** MinHash LSH candidate pairs: 16 min-hashes over 3-gram shingles,
+    * banded 4×4; pairs sharing any band bucket. The classic shingle→
+    * minhash→band→bucket-join pipeline — the join key is the band digest,
+    * so the shuffle is O(corpus × 4 digests). Each shingle is md5-hashed
+    * exactly twice (h1, h2, materialized once); the 16 signature hashes
+    * are pure arithmetic over the packed values — measured 205s→seconds
+    * at 50k docs vs. the naive 16-seeded-md5 formulation.
     */
   private def minhashLsh(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+    val packed = Tables.documents(s, d)
       .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
-    val sigCols = (0 until NumHashes).map { i =>
-      array_min(transform(col("sh"), x => md5(concat(lit(s"$i:"), x)))).as(s"m$i")
-    }
-    val sigs = docs.select(col("doc_id") +: sigCols: _*)
+      .select(col("doc_id"), transform(col("sh"), x => {
+        val h1 = conv(md5(x).substr(lit(1), lit(15)), 16, 10).cast("long") % MinhashP
+        val h2 = conv(md5(concat(lit("s:"), x)).substr(lit(1), lit(15)), 16, 10)
+          .cast("long") % MinhashP
+        shiftleft(h1, 31) + h2
+      }).as("hp"))
+      .persist()
+    // All 16 minima in one native pass (graft.functions.MinHashSigs),
+    // identical per-i to array_min(transform(hp, v -> (h1+i*h2) mod P)).
+    val sigs = packed.select(col("doc_id"),
+      graft.functions.MinHashFunctions.minhashSigs(col("hp"), NumHashes).as("ms"))
     val bandCols = (0 until NumBands).map { b =>
-      md5(concat((0 until RowsPerBand).map(j => col(s"m${b * RowsPerBand + j}")): _*))
+      md5(concat_ws("-", (0 until RowsPerBand).map(j =>
+        element_at(col("ms"), b * RowsPerBand + j + 1)): _*))
     }
     // Materialized band table: the self-join would otherwise recompute the
-    // 16 minhash signatures for both sides.
+    // signatures for both sides.
     val bl = sigs.select(col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
       .persist()
@@ -138,15 +153,22 @@ object Dedup {
 
   private def minhashOracle: String = {
     val sigsSql = (0 until NumHashes).map(i =>
-      s"list_min(list_transform(sh, x -> md5('$i:' || x))) AS m$i").mkString(", ")
+      s"""list_min(list_transform(hp, v ->
+         | ((v // 2147483648) + $i * (v % 2147483648)) % $MinhashP)) AS m$i"""
+        .stripMargin.replace("\n", "")).mkString(", ")
     val bandsSql = (0 until NumBands).map { b =>
-      val cat = (0 until RowsPerBand).map(j => s"m${b * RowsPerBand + j}").mkString(" || ")
+      val cat = (0 until RowsPerBand).map(j => s"m${b * RowsPerBand + j}::VARCHAR")
+        .mkString(" || '-' || ")
       s"SELECT doc_id, $b AS band_idx, md5($cat) AS band_val FROM sigs"
     }.mkString(" UNION ALL ")
     s"""WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |t AS (SELECT doc_id, ${shinglesSql(3)} AS sh FROM w0),
        |t2 AS (SELECT doc_id, sh FROM t WHERE len(sh) > 0),
-       |sigs AS (SELECT doc_id, $sigsSql FROM t2),
+       |packed AS (SELECT doc_id, list_transform(sh, x ->
+       |  (('0x' || substr(md5(x), 1, 15))::BIGINT % $MinhashP) * 2147483648 +
+       |  (('0x' || substr(md5('s:' || x), 1, 15))::BIGINT % $MinhashP)) AS hp
+       |FROM t2),
+       |sigs AS (SELECT doc_id, $sigsSql FROM packed),
        |bands AS ($bandsSql)
        |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |FROM bands x JOIN bands y
