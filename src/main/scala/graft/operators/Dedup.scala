@@ -151,7 +151,8 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  private def minhashOracle: String = {
+  /** Shared CTE block producing the minhash candidate pair set. */
+  private def minhashCandSql: String = {
     val sigsSql = (0 until NumHashes).map(i =>
       s"""list_min(list_transform(hp, v ->
          | ((v // 2147483648) + $i * (v % 2147483648)) % $MinhashP)) AS m$i"""
@@ -161,7 +162,7 @@ object Dedup {
         .mkString(" || '-' || ")
       s"SELECT doc_id, $b AS band_idx, md5($cat) AS band_val FROM sigs"
     }.mkString(" UNION ALL ")
-    s"""WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s"""w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |t AS (SELECT doc_id, ${shinglesSql(3)} AS sh FROM w0),
        |t2 AS (SELECT doc_id, sh FROM t WHERE len(sh) > 0),
        |packed AS (SELECT doc_id, list_transform(sh, x ->
@@ -169,12 +170,33 @@ object Dedup {
        |  (('0x' || substr(md5('s:' || x), 1, 15))::BIGINT % $MinhashP)) AS hp
        |FROM t2),
        |sigs AS (SELECT doc_id, $sigsSql FROM packed),
-       |bands AS ($bandsSql)
-       |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |bands AS ($bandsSql),
+       |mh_cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |FROM bands x JOIN bands y
        |  ON x.band_idx = y.band_idx AND x.band_val = y.band_val
-       |  AND x.doc_id < y.doc_id
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |  AND x.doc_id < y.doc_id)""".stripMargin
+  }
+
+  private def minhashOracle: String =
+    s"""WITH $minhashCandSql
+       |SELECT doc_a, doc_b FROM mh_cand ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Edit-distance near-dup: MinHash candidates verified by Levenshtein
+    * distance (both engines implement the identical unit-cost DP). The
+    * expensive O(len²) distance runs only on the LSH-filtered pairs.
+    */
+  private val EditMax = 40
+  private def editDistance(s: SparkSession, d: String): DataFrame = {
+    val cand = minhashLsh(s, d)
+    val ta = Tables.documents(s, d)
+      .select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+    val tb = Tables.documents(s, d)
+      .select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+    cand.join(ta, "doc_a").join(tb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("text_a"), col("text_b")).as("edit_dist"))
+      .filter(col("edit_dist") <= EditMax)
+      .orderBy("doc_a", "doc_b")
   }
 
   // ----------------------------------------------------------- SimHash
@@ -352,6 +374,7 @@ object Dedup {
     "dd_simhash" -> simhashSigs _,
     "dd_simhash_pairs" -> simhashPairs _,
     "dd_clusters" -> clusters _,
+    "dd_edit_distance" -> editDistance _,
     "dd_cosine_neardup" -> cosineNearDup _)
 
   val oracle: Map[String, String] = Map(
@@ -373,6 +396,15 @@ object Dedup {
          |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= $JaccardTau
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dd_minhash_lsh" -> minhashOracle,
+    "dd_edit_distance" ->
+      s"""WITH $minhashCandSql
+         |SELECT doc_a, doc_b,
+         |  CAST(levenshtein(a.text, b.text) AS INT) AS edit_dist
+         |FROM mh_cand
+         |JOIN documents a ON a.doc_id = doc_a
+         |JOIN documents b ON b.doc_id = doc_b
+         |WHERE levenshtein(a.text, b.text) <= $EditMax
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "dd_clusters" ->
       s"""WITH RECURSIVE w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |t AS (SELECT doc_id, ${shinglesSql(3)} AS sh FROM w0),

@@ -98,7 +98,42 @@ object Windows {
       .orderBy("event_id")
   }
 
+  /** W7 (extension): gap-based sessionization — the standard log-pipeline
+    * operator. A session starts when the gap to the previous event
+    * exceeds 24h; session ids are a running sum of start flags over the
+    * per-user ordered window, then per-session stats roll up. One shuffle
+    * (user partition) feeds lag + running sum; the aggregate reuses the
+    * same partitioning.
+    */
+  private def w7Sessionize(s: SparkSession, d: String): DataFrame = {
+    val gapUs = 24L * 3600 * 1000000 // 24h in micros
+    val newSession = when(
+      (tsUs(col("ts")) - lag(tsUs(col("ts")), 1).over(ordered)).isNull ||
+        (tsUs(col("ts")) - lag(tsUs(col("ts")), 1).over(ordered)) > gapUs,
+      1L).otherwise(0L)
+    Tables.events(s, d)
+      .withColumn("session_id",
+        sum(newSession).over(ordered.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(tsUs(col("ts"))).as("start_us"),
+        max(tsUs(col("ts"))).as("end_us"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Grouped exact percentiles (interpolated, matching quantile_cont). */
+  private def w8Percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(r6(expr("percentile(value, 0.5)")).as("p50"),
+        r6(expr("percentile(value, 0.9)")).as("p90"),
+        r6(expr("percentile(value, 0.99)")).as("p99"))
+      .orderBy("event_type")
+
   val queries: Map[String, Query] = Map(
+    "w7_sessionize" -> w7Sessionize _,
+    "w8_percentiles" -> w8Percentiles _,
     "w1_rolling5" -> w1Rolling5 _,
     "w2_rolling20" -> w2Rolling20 _,
     "w3_lag_diff" -> w3LagDiff _,
@@ -110,6 +145,27 @@ object Windows {
   private val over = "PARTITION BY user_id ORDER BY epoch_us(ts), event_id"
 
   val oracle: Map[String, String] = Map(
+    "w7_sessionize" ->
+      s"""WITH flagged AS (SELECT user_id, event_id, value, epoch_us(ts) AS tus,
+         |  CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER ($over) IS NULL
+         |    OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER ($over) > 86400000000
+         |    THEN 1 ELSE 0 END AS ns
+         |FROM events),
+         |sess AS (SELECT user_id, value, tus,
+         |  CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY tus, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS session_id
+         |FROM flagged)
+         |SELECT user_id, session_id, count(*) AS n_events,
+         |  min(tus) AS start_us, max(tus) AS end_us,
+         |  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+         |FROM sess GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin,
+    "w8_percentiles" ->
+      """SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90,
+        |  round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "w1_rolling5" ->
       s"""SELECT event_id, round(avg(value) OVER ($over
          |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS mean5
