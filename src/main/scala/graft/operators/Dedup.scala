@@ -80,13 +80,21 @@ object Dedup {
       .withColumn("rnk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("f"), col("s"))))
       .filter(col("rnk") <= prefixLen)
-      .select("doc_id", "s", "n")
-    // Size-compatibility bound: jaccard ≥ τ forces min(|A|,|B|) ≥ τ·max —
-    // prunes cross-size candidate pairs before the distinct/verify stages.
+      .select("doc_id", "s", "n", "rnk")
+    // Two exact PPJoin prunes before the distinct/verify stages:
+    //  - size compatibility: jaccard ≥ τ forces min(|A|,|B|) ≥ τ·max;
+    //  - positional bound: both sides' shingles are ranked in the same
+    //    global (freq, shingle) order, so a pair matching at ranks
+    //    (ra, rb) can share at most min(na-ra, nb-rb)+1 shingles, which
+    //    must reach the overlap threshold τ/(1+τ)·(na+nb).
+    val minOverlap = ceil(lit(JaccardTau / (1 + JaccardTau)) *
+      (col("x.n") + col("y.n")))
     val cand = prefix.as("x").join(prefix.as("y"), Seq("s"))
       .filter(col("x.doc_id") < col("y.doc_id") &&
         least(col("x.n"), col("y.n")) >=
-          ceil(lit(JaccardTau) * greatest(col("x.n"), col("y.n"))))
+          ceil(lit(JaccardTau) * greatest(col("x.n"), col("y.n"))) &&
+        least(col("x.n") - col("x.rnk"), col("y.n") - col("y.rnk")) + 1 >=
+          minOverlap)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
