@@ -31,18 +31,34 @@ object Bench {
           while (it.hasNext) it.next()
         }
     val names = SparkEntry.queries.keys.toSeq.sorted
-    names.foreach { n => // warmup
+    names.foreach { n => // warmup (failures re-surface in the measured pass)
       try runFull(n) catch { case _: Throwable => }
     }
+    // A crashed query must NOT be reported as a near-zero timing: record
+    // -1 for it and list it in "failed" so the driver sees the signal.
+    var failed = List.empty[String]
     val results = names.map { name =>
       val t0 = System.nanoTime()
-      try runFull(name) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { runFull(name); true } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          failed ::= name
+          false
+      }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Keep the JSON line SHORT (3-decimal timings): the driver captures
+    // only the tail of stdout, and a multi-KB line gets its head chopped
+    // and fails to parse (round-1 BENCH had parsed:null for this reason).
+    def f3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     spark.stop()
+    // After spark.stop() so no stray executor logging lands after it.
+    println(line)
   }
 }

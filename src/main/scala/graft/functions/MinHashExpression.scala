@@ -31,12 +31,26 @@ case class MinHashSigs(child: Expression, numHashes: Int)
       s"$prettyName requires array<bigint> of packed hashes, got ${t.simpleString}")
   }
 
-  override def nullSafeEval(input: Any): Any =
-    MinHashSigs.compute(input.asInstanceOf[ArrayData], numHashes)
+  // Empty input → null, matching the composed form
+  // array_min(transform(...)) and the DuckDB list_min oracle (which are
+  // null on empty lists) rather than k sentinel Long.MaxValue entries.
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    if (arr.numElements() == 0) null
+    else MinHashSigs.compute(arr, numHashes)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      c => s"graft.functions.MinHashSigs.compute($c, $numHashes)")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |if ($c.numElements() == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.MinHashSigs.compute($c, $numHashes);
+         |}
+       """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSigs =
     copy(child = newChild)

@@ -30,11 +30,15 @@ object MediaHeaders {
       var i = 2
       while (i + 9 < bytes.length) {
         if (u(i) != 0xFF) return MediaInfo("jpeg", -1, -1)
+        // Markers may be preceded by any number of 0xFF fill bytes.
+        while (i + 1 < bytes.length && u(i + 1) == 0xFF) i += 1
+        if (i + 9 >= bytes.length) return MediaInfo("jpeg", -1, -1)
         val marker = u(i + 1)
         if (marker >= 0xC0 && marker <= 0xC3) {
           return MediaInfo("jpeg", be16(i + 7), be16(i + 5))
         }
-        if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD9)) i += 2
+        // Standalone 2-byte markers: TEM (0x01), RST0-7/SOI/EOI (0xD0-D9).
+        if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD9)) i += 2
         else i += 2 + be16(i + 2)
       }
       MediaInfo("jpeg", -1, -1)

@@ -73,7 +73,11 @@ object Multimodal {
         batch.iterator.map { r =>
           val f = fakeDecode(r.payload, FeatureDim)
           val n = r.payload.length
-          val mean = if (n == 0) 0.0 else r.payload.map(_ & 0xFF).sum.toDouble / n
+          // Long accumulator: an Int sum of unsigned bytes overflows past
+          // ~8.4 MB (2^31 / 255) of payload.
+          val mean =
+            if (n == 0) 0.0
+            else r.payload.foldLeft(0L)((acc, b) => acc + (b & 0xFF)).toDouble / n
           MediaFeatures(r.media_id, n, math.floor(mean * 1e6) / 1e6,
             (mean / 32).toInt, f)
         }

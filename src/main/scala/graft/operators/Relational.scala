@@ -567,7 +567,7 @@ object Relational {
         |FROM (SELECT user_id, max(value) AS mx FROM events GROUP BY user_id)""".stripMargin,
     "a8_cond_ratio" ->
       """SELECT round(avg(CASE WHEN value < 30 THEN 1.0 ELSE 0.0 END), 6) AS critical_pct,
-        |  sum(CASE WHEN value < 30 THEN 1 ELSE 0 END) AS critical_n
+        |  CAST(sum(CASE WHEN value < 30 THEN 1 ELSE 0 END) AS BIGINT) AS critical_n
         |FROM events""".stripMargin,
     "a9_stddev" ->
       """SELECT round(stddev_pop(value), 6) AS sd_pop,

@@ -73,9 +73,10 @@ object Similarity {
     }
   }
 
-  /** ANN via random-hyperplane LSH: 16 sign bits per vector, banded 4×4;
-    * candidates are bucket-mates in any band, re-ranked by exact cosine.
-    * The join key is (band, 4-bit bucket) — bounded fan-out, no all-pairs.
+  /** ANN via random-hyperplane LSH: NumPlanes=15 sign bits per vector,
+    * banded LshBands=5 × BandBits=3; candidates are bucket-mates in any
+    * band, re-ranked by exact cosine. The join key is (band, 3-bit
+    * bucket) — bounded fan-out, no all-pairs.
     */
   def annTopkLsh(s: SparkSession, d: String): DataFrame = {
     val dim = Tables.embeddings(s, d).select(size(col("embedding")))

@@ -55,6 +55,17 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: exec error: {e}")
         fail += 1
         continue
+    # Driver-parity type check: DuckDB HUGEINT/DECIMAL outputs become
+    # float64/decimal128 on the driver's pandas/arrow side and hash-mismatch
+    # Spark's int64 even when Python-int equality passes below (r1 a8 bug).
+    etypes = {r[0]: r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()}
+    bad_types = {c: t for c, t in etypes.items()
+                 if t == "HUGEINT" or t.startswith("DECIMAL")
+                 or t.startswith("UTINYINT") or t.startswith("USMALLINT")
+                 or t.startswith("UINTEGER") or t.startswith("UBIGINT")}
+    if bad_types:
+        print(f"WARN {name}: oracle cols with driver-lossy types: {bad_types}"
+              " (cast to BIGINT/DOUBLE in the SQL)")
     gc, gr = canon(grows, gcols)
     ec, er = canon(erows, ecols)
     if gc != ec:
