@@ -24,7 +24,8 @@ object SparkEntry {
       operators.Similarity.queries ++
       operators.TextAnalysis.queries ++
       operators.Multimodal.queries ++
-      operators.SqlSurface.queries
+      operators.SqlSurface.queries ++
+      operators.Extended.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops (the
@@ -39,5 +40,6 @@ object SparkEntry {
       operators.Similarity.oracle ++
       operators.TextAnalysis.oracle ++
       operators.Multimodal.oracle ++
-      operators.SqlSurface.oracle
+      operators.SqlSurface.oracle ++
+      operators.Extended.oracle
 }

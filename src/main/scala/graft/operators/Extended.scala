@@ -1,0 +1,237 @@
+package graft.operators
+
+import graft._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-2 inventory extensions beyond the reference surface: temporal
+  * joins (as-of, range), pivot, distinct aggregates, correlation
+  * statistics, array functions, the rank-function family and corpus
+  * bigram statistics. All oracle-checked against DuckDB.
+  *
+  * Scale notes per operator are on each method — none of these is
+  * all-pairs, and the joins are either broadcast (bounded dimension) or
+  * one partition-friendly shuffle.
+  */
+object Extended {
+
+  /** As-of join: each event picks the most recent `error` event of the
+    * same user at-or-before its timestamp (the classic trades/quotes
+    * shape; here: "time since last error" enrichment).
+    *
+    * Spark-first plan: NOT a join at all — the right stream is unioned
+    * into the left with a tag, one (user_id)-partitioned window computes
+    * `last(err_us, ignoreNulls)` over rows ≤ current. One shuffle total,
+    * no pair blow-up, state per key bounded by the window frame — at
+    * 100 TB this is the merge-based as-of every stream processor uses,
+    * with ties resolved right-row-first so the match is inclusive,
+    * exactly like DuckDB's ASOF (e.ts >= r.ts) semantics.
+    */
+  private def j5AsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), tsUs(col("ts")).as("tus"),
+        col("event_type"))
+    val errs = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("tus"), lit(0).as("tag"),
+        lit(null).cast("long").as("eid"), col("tus").as("err_us"))
+    val lefts = ev
+      .select(col("user_id"), col("tus"), lit(1).as("tag"),
+        col("event_id").as("eid"), lit(null).cast("long").as("err_us"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("tus"), col("tag"), col("eid"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    errs.unionByName(lefts)
+      .withColumn("last_err_us", last(col("err_us"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("eid").as("event_id"), col("user_id"), col("tus"),
+        col("last_err_us"))
+      .orderBy("event_id")
+  }
+
+  /** Range join: events binned into value intervals from a (tiny) ranges
+    * dimension. The dimension is broadcast, so the theta-join is a
+    * broadcast nested loop over 4 rows per event — no shuffle of the fact
+    * side, which is the only plan that survives 100 TB (a shuffle theta
+    * join would be all-pairs).
+    */
+  private val ValueRanges: Seq[(Int, Double, Double)] = Seq(
+    (0, 0.0, 50.0), (1, 50.0, 100.0), (2, 100.0, 200.0), (3, 200.0, 1e9))
+
+  private def j6RangeJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ranges = ValueRanges.toDF("bucket_id", "lo", "hi")
+    Tables.events(s, d)
+      .join(broadcast(ranges),
+        col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy("bucket_id")
+      .agg(count(lit(1)).as("n"), r6(avg(col("value"))).as("avg_value"))
+      .orderBy("bucket_id")
+  }
+
+  /** Pivot: per-user average value by event type, one column per type.
+    * The type list is explicit (never inferred with an extra collect
+    * job); the plan is a single partial+final hash aggregate over
+    * user_id — pivot columns are just conditional aggregates.
+    */
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  private def p13Pivot(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", EventTypes)
+      .agg(r6(avg(col("value"))))
+      .orderBy("user_id")
+
+  /** Distinct aggregates: grouped count-distinct and sum-distinct.
+    * Catalyst plans these as a two-phase expand+aggregate; the distinct
+    * sum accumulates in DECIMAL so both engines agree bit-exactly.
+    */
+  private def a17DistinctAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("d_parts"),
+        sum_distinct(col("l_quantity").cast(DecimalType(38, 6)))
+          .cast("double").as("sd_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** Correlation statistics: Pearson corr and covariances per group —
+    * single-pass co-moment aggregates (partial+final), the textbook
+    * map-side-combine shape.
+    */
+  private def a18Corr(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        r6(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qp"),
+        r6(covar_pop(col("l_quantity"), col("l_extendedprice"))).as("cov_p"),
+        r6(covar_samp(col("l_quantity"), col("l_extendedprice"))).as("cov_s"))
+      .orderBy("l_returnflag")
+
+  /** Array-function surface over the embedding column: size, indexing,
+    * min/max, slice + aggregate — all codegen'd, one narrow pass.
+    */
+  private def f5Array(s: SparkSession, d: String): DataFrame = {
+    val e = col("embedding").cast("array<double>")
+    Tables.embeddings(s, d).select(
+      col("vec_id"),
+      size(e).as("dim"),
+      r6(element_at(e, 1)).as("first"),
+      r6(array_max(e)).as("mx"),
+      r6(array_min(e)).as("mn"),
+      r6(aggregate(slice(e, 1, 8), lit(0.0), _ + _)).as("head_sum"))
+      .orderBy("vec_id")
+  }
+
+  /** Rank-function family: percent_rank, cume_dist, ntile quartiles over
+    * a per-user total order (value with event_id tiebreak — ties must be
+    * broken identically in both engines for determinism).
+    */
+  private def w9RankFamily(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("value"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_id"),
+        r6(percent_rank().over(w)).as("pr"),
+        r6(cume_dist().over(w)).as("cd"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy("event_id")
+  }
+
+  /** Corpus bigram document frequency, top-20: per-doc distinct word
+    * bigrams explode into a combiner-friendly count (map-side partials on
+    * the shuffle), then TakeOrdered — the n-gram statistics pass of a
+    * training-data pipeline.
+    */
+  private def taBigrams(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(Dedup.shingles(col("text"), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("bigram")).limit(20)
+
+  // ------------------------------------------------------------ registry
+
+  val queries: Map[String, Query] = Map(
+    "j5_asof_join" -> j5AsofJoin _,
+    "j6_range_join" -> j6RangeJoin _,
+    "p13_pivot" -> p13Pivot _,
+    "a17_distinct_agg" -> a17DistinctAgg _,
+    "a18_corr" -> a18Corr _,
+    "f5_array" -> f5Array _,
+    "w9_rank_family" -> w9RankFamily _,
+    "ta_bigrams" -> taBigrams _)
+
+  val oracle: Map[String, String] = Map(
+    // ASOF at epoch-µs resolution on BOTH sides: the raw column is
+    // TIMESTAMP(NANOS), which Spark truncates to µs on read — comparing
+    // at ns in DuckDB could order a sub-µs-later error before an event.
+    "j5_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events),
+        |r AS (SELECT user_id, epoch_us(ts) AS err_us FROM events
+        |      WHERE event_type = 'error')
+        |SELECT e.event_id, e.user_id, e.tus, r.err_us AS last_err_us
+        |FROM e ASOF LEFT JOIN r
+        |  ON e.user_id = r.user_id AND e.tus >= r.err_us
+        |ORDER BY event_id""".stripMargin,
+    "j6_range_join" -> {
+      val vals = ValueRanges.map { case (b, lo, hi) => s"($b, $lo, $hi)" }
+        .mkString(", ")
+      s"""SELECT bucket_id, count(*) AS n, round(avg(value), 6) AS avg_value
+         |FROM events JOIN (VALUES $vals) ranges(bucket_id, lo, hi)
+         |  ON value >= lo AND value < hi
+         |GROUP BY bucket_id ORDER BY bucket_id""".stripMargin
+    },
+    "p13_pivot" -> {
+      val cols = EventTypes.map(t =>
+        s"round(avg(value) FILTER (event_type = '$t'), 6) AS \"$t\"")
+        .mkString(",\n  ")
+      s"""SELECT user_id,
+         |  $cols
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+    },
+    "a17_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS d_parts,
+        |  CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+        |    AS sd_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "a18_corr" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |  round(covar_pop(l_quantity, l_extendedprice), 6) AS cov_p,
+        |  round(covar_samp(l_quantity, l_extendedprice), 6) AS cov_s
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "f5_array" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |           FROM embeddings)
+        |SELECT vec_id, CAST(len(e) AS INT) AS dim,
+        |  round(e[1], 6) AS first,
+        |  round(list_max(e), 6) AS mx,
+        |  round(list_min(e), 6) AS mn,
+        |  round(list_sum(e[1:8]), 6) AS head_sum
+        |FROM v ORDER BY vec_id""".stripMargin,
+    "w9_rank_family" ->
+      """SELECT event_id,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+        |ORDER BY event_id""".stripMargin,
+    "ta_bigrams" -> {
+      val sh2 = {
+        val parts = (0 until 2).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+        s"""list_distinct(CASE WHEN len(w) >= 2
+           | THEN list_transform(range(1, len(w)), i -> $parts)
+           | ELSE [] END)""".stripMargin.replace("\n", "")
+      }
+      s"""WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |t AS (SELECT doc_id, $sh2 AS sh FROM w0),
+         |e AS (SELECT unnest(sh) AS bigram FROM t)
+         |SELECT bigram, count(*) AS df FROM e
+         |GROUP BY bigram ORDER BY df DESC, bigram LIMIT 20""".stripMargin
+    })
+}

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming exact deduplication — the streaming twin of the batch
+  * `dd_exact` operator: a document is emitted the first time its content
+  * hash is seen and suppressed on every later arrival.
+  *
+  * Shape: keyBy(md5(text)) → flatMapGroupsWithState with a single
+  * boolean per key. State is O(distinct content hashes) — each entry is
+  * the 32-byte digest key plus a flag, NOT the document, so 100 TB of
+  * text dedups with gigabytes of state. The same layout Spark's own
+  * `dropDuplicates` on a stream uses, made explicit so a TTL policy
+  * (ProcessingTimeTimeout + state.setTimeoutDuration) can bound state
+  * for unbounded key spaces.
+  */
+object StreamingDedup {
+
+  case class Doc(doc_id: Long, text: String)
+  case class SeenDoc(text_hash: String, doc_id: Long)
+
+  /** First-seen filter: emits (hash, doc_id) for first arrivals only. */
+  def firstSeen(docs: Dataset[Doc]): Dataset[SeenDoc] = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(col("doc_id"), col("text"), md5(col("text")).as("text_hash"))
+      .as[(Long, String, String)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[Boolean, SeenDoc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (hash, batch, state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            // Deterministic representative within the batch: min doc_id
+            // (keep-first, matching the batch operator's keep_id).
+            Iterator.single(SeenDoc(hash, batch.map(_._1).min))
+          }
+      }
+  }
+
+  /** Drive a stream of documents from `srcDir` (parquet drops) into an
+    * in-memory table and block until all available input is processed.
+    */
+  def runToMemory(spark: SparkSession, srcDir: String, queryName: String): Unit = {
+    import spark.implicits._
+    val src = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .parquet(srcDir)
+      .as[Doc]
+    val q = firstSeen(src)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(queryName).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Keyed upsert sink for micro-batches — the streaming mirror of the
+  * reference's replace-or-append table protocol (scripts/etl_turbofan.py:
+  * 119-121) upgraded to merge semantics: new rows replace existing rows
+  * with the same key instead of duplicating them.
+  *
+  * Implementation is copy-on-write over parquet, the same mechanism a
+  * table format (Delta/Iceberg) uses under MERGE: read the current
+  * snapshot, anti-join out the keys present in the batch, union the
+  * batch, write the next snapshot, then atomically swap directories.
+  * At 100 TB the table would be partitioned and only partitions touched
+  * by the batch's keys would be rewritten (dynamic partition overwrite);
+  * the swap below is the single-directory version of that commit.
+  */
+object UpsertSink {
+
+  /** Merge `batch` into the keyed parquet table at `tablePath`. */
+  def upsert(batch: DataFrame, tablePath: String, keyCol: String): Unit = {
+    val spark = batch.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val cur = new org.apache.hadoop.fs.Path(tablePath)
+    val tmp = new org.apache.hadoop.fs.Path(tablePath + ".next")
+    val merged =
+      if (fs.exists(cur)) {
+        val existing = spark.read.parquet(tablePath)
+        existing.join(batch.select(keyCol), Seq(keyCol), "left_anti")
+          .unionByName(batch)
+      } else batch
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (fs.exists(cur)) fs.delete(cur, true)
+    fs.rename(tmp, cur)
+  }
+
+  /** Attach as a foreachBatch sink: each micro-batch merges on `keyCol`.
+    * Usage:
+    * {{{
+    * df.writeStream.foreachBatch(UpsertSink.foreachBatch(path, "id")) ...
+    * }}}
+    */
+  def foreachBatch(tablePath: String, keyCol: String)
+      : (DataFrame, Long) => Unit =
+    (batch, _) => upsert(batch, tablePath, keyCol)
+
+  /** Drive a parquet-drop stream through the upsert sink until all
+    * available input is processed (test/dev entry).
+    */
+  def runStream(spark: SparkSession, srcDir: String, schema: String,
+      tablePath: String, keyCol: String): Unit = {
+    val q = spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .foreachBatch(foreachBatch(tablePath, keyCol))
+      .option("checkpointLocation", tablePath + ".chk")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

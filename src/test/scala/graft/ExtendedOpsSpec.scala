@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.Extended
+import graft.streaming.{StreamingDedup, UpsertSink}
+import org.apache.spark.sql.functions._
+
+class ExtendedOpsSpec extends GraftSuite {
+
+  test("as-of join matches the brute-force maximum at-or-before") {
+    val got = Extended.queries("j5_asof_join")(spark, sf)
+    // Brute force: for each event, max error ts <= event ts per user.
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), tsUs(col("ts")).as("tus"),
+        col("event_type"))
+    val errs = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("tus").as("err_us"))
+    val brute = ev.join(errs, Seq("user_id"), "left")
+      .groupBy("event_id", "user_id", "tus")
+      .agg(max(when(col("err_us") <= col("tus"), col("err_us")))
+        .as("last_err_us"))
+    val a = got.collect().map(r => (r.getLong(0),
+      Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+    val b = brute.collect().map(r => (r.getLong(0),
+      Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+    assert(a.size == b.size)
+    assert(a == b)
+  }
+
+  test("as-of join is inclusive: an error event matches itself") {
+    val got = Extended.queries("j5_asof_join")(spark, sf)
+    val errRows = Tables.events(spark, sf)
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), tsUs(col("ts")).as("own_tus"))
+    // An error's own timestamp is the maximum error ts ≤ its ts, so the
+    // inclusive as-of must return exactly it.
+    val joined = got.join(errRows, Seq("event_id"))
+    assert(joined.filter(col("last_err_us") =!= col("own_tus")).count() == 0)
+  }
+
+  test("range join buckets partition all events exactly once") {
+    val got = Extended.queries("j6_range_join")(spark, sf)
+    val totalBucketed = got.agg(sum(col("n"))).first().getLong(0)
+    val totalEvents = Tables.events(spark, sf).count()
+    assert(totalBucketed == totalEvents)
+  }
+
+  test("pivot columns are the conditional aggregates") {
+    val got = Extended.queries("p13_pivot")(spark, sf)
+    assert(got.columns.toSeq ==
+      Seq("user_id", "click", "error", "purchase", "signup", "view"))
+    val manual = Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(r6(avg(when(col("event_type") === "click", col("value")))).as("click"))
+    val a = got.select("user_id", "click").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    val b = manual.collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    assert(a == b)
+  }
+
+  test("rank family: percent_rank 0..1, ntile balanced") {
+    val got = Extended.queries("w9_rank_family")(spark, sf)
+    assert(got.filter(col("pr") < 0 || col("pr") > 1).count() == 0)
+    assert(got.filter(col("quartile") < 1 || col("quartile") > 4).count() == 0)
+  }
+
+  test("streaming dedup emits each content hash exactly once across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingDedup.Doc]
+    val q = StreamingDedup.firstSeen(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_dedup").start()
+    mem.addData(StreamingDedup.Doc(1, "aaa"), StreamingDedup.Doc(2, "bbb"),
+      StreamingDedup.Doc(3, "aaa"))
+    q.processAllAvailable()
+    mem.addData(StreamingDedup.Doc(4, "aaa"), StreamingDedup.Doc(5, "ccc"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("stream_dedup").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // Three distinct texts; keep-first doc_id within the first batch seen.
+    assert(out.map(_._2).sorted == Seq(1L, 2L, 5L))
+    assert(out.map(_._1).distinct.length == 3)
+  }
+
+  test("upsert sink merges on key: replaced rows do not duplicate") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft_upsert").toString + "/t"
+    val b1 = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "v")
+    UpsertSink.upsert(b1, table, "id")
+    val b2 = Seq((2L, "b2", 21.0), (4L, "d", 40.0)).toDF("id", "name", "v")
+    UpsertSink.upsert(b2, table, "id")
+    val out = spark.read.parquet(table).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(out == Seq((1L, "a", 10.0), (2L, "b2", 21.0), (3L, "c", 30.0),
+      (4L, "d", 40.0)))
+  }
+
+  test("upsert stream drives micro-batches through the merge") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_upsrc").toString
+    val table = Files.createTempDirectory("graft_uptab").toString + "/t"
+    Seq((1L, 5.0), (2L, 6.0)).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(dir)
+    UpsertSink.runStream(spark, dir, "id LONG, v DOUBLE", table, "id")
+    Seq((2L, 7.0), (3L, 8.0)).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(dir)
+    UpsertSink.runStream(spark, dir, "id LONG, v DOUBLE", table, "id")
+    val out = spark.read.parquet(table).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(out == Seq((1L, 5.0), (2L, 7.0), (3L, 8.0)))
+  }
+}
