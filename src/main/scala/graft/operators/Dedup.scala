@@ -128,7 +128,8 @@ object Dedup {
     * are pure arithmetic over the packed values — measured 205s→seconds
     * at 50k docs vs. the naive 16-seeded-md5 formulation.
     */
-  private def minhashLsh(s: SparkSession, d: String): DataFrame = {
+  /** MinHash signature table (doc_id, ms: array of 16 minima). */
+  private def minhashSigsFrame(s: SparkSession, d: String): DataFrame = {
     val packed = Tables.documents(s, d)
       .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -141,8 +142,13 @@ object Dedup {
       .persist()
     // All 16 minima in one native pass (graft.functions.MinHashSigs),
     // identical per-i to array_min(transform(hp, v -> (h1+i*h2) mod P)).
-    val sigs = packed.select(col("doc_id"),
+    packed.select(col("doc_id"),
       graft.functions.MinHashFunctions.minhashSigs(col("hp"), NumHashes).as("ms"))
+  }
+
+  /** LSH band candidate pairs from the signature table. */
+  private def minhashCandidates(s: SparkSession, d: String): DataFrame = {
+    val sigs = minhashSigsFrame(s, d)
     val bandCols = (0 until NumBands).map { b =>
       md5(concat_ws("-", (0 until RowsPerBand).map(j =>
         element_at(col("ms"), b * RowsPerBand + j + 1)): _*))
@@ -156,6 +162,28 @@ object Dedup {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  private def minhashLsh(s: SparkSession, d: String): DataFrame =
+    minhashCandidates(s, d).orderBy("doc_a", "doc_b")
+
+  /** Signature-estimated Jaccard for the LSH candidate pairs: the
+    * fraction of agreeing signature components, the estimator a
+    * verification-free dedup pass uses at scale (E[est] = true jaccard;
+    * no shingle sets are ever re-read, so the verify stage costs
+    * O(pairs × k) instead of O(pairs × doc length)).
+    */
+  private def minhashEstimate(s: SparkSession, d: String): DataFrame = {
+    val sigs = minhashSigsFrame(s, d)
+    val a = sigs.select(col("doc_id").as("doc_a"), col("ms").as("ms_a"))
+    val b = sigs.select(col("doc_id").as("doc_b"), col("ms").as("ms_b"))
+    val agree = (0 until NumHashes).map(i =>
+      (element_at(col("ms_a"), i + 1) === element_at(col("ms_b"), i + 1))
+        .cast("int")).reduce(_ + _)
+    minhashCandidates(s, d)
+      .join(a, "doc_a").join(b, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        r6(agree.cast("double") / NumHashes).as("jac_est"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -355,7 +383,15 @@ object Dedup {
     * L2-normalized in one narrow pass first so the pair stage is a plain
     * dot product.
     */
-  private def cosineNearDup(s: SparkSession, d: String): DataFrame = {
+  private def cosineNearDup(s: SparkSession, d: String): DataFrame =
+    blockedCosinePairs(s, d, CosTau)
+
+  /** Composed-plan form (broadcast nested-loop join with the threshold in
+    * the join condition, codegen'd dot). Kept as the readable reference —
+    * [[blockedCosinePairs]] is spec-asserted bit-identical to it.
+    */
+  private[graft] def cosineNearDupComposed(s: SparkSession, d: String,
+      tau: Double = CosTau): DataFrame = {
     val v = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .withColumn("nrm", sqrt(aggregate(col("e"), lit(0.0), (a, x) => a + x * x)))
@@ -368,8 +404,65 @@ object Dedup {
     // survivors only.
     val cos = r6(graft.functions.VectorFunctions.dot(col("ea"), col("eb")) /
       (col("na") * col("nb")))
-    a.join(broadcast(b), col("id_a") < col("id_b") && cos >= CosTau)
+    a.join(broadcast(b), col("id_a") < col("id_b") && cos >= tau)
       .select(col("id_a"), col("id_b"), cos.as("cos"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Spark's Round(double, 6) path (BigDecimal HALF_UP on the canonical
+    * string repr) — reused inside the kernel so rounded values are
+    * bit-identical to the composed plan and the DuckDB oracle.
+    */
+  private def round6d(x: Double): Double =
+    if (x.isNaN || x.isInfinite) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Blocked all-pairs cosine kernel: the corpus block is broadcast as
+    * primitive arrays and each partition runs a tight dot-product loop
+    * (mapPartitions) — the block-nested-loop a matrix engine would run,
+    * ~5x the broadcast-NLJ row machinery it replaces. Arithmetic order is
+    * identical to the composed plan (sequential dot, norm divide, then
+    * round), so results are bit-equal.
+    *
+    * 100 TB path: tile the corpus into broadcast-sized blocks and loop
+    * block joins (each output pair belongs to exactly one (i-block,
+    * j-block) tile, so the union is exact); the per-tile inner loop below
+    * is unchanged. This corpus fits one tile.
+    */
+  private[graft] def blockedCosinePairs(s: SparkSession, d: String,
+      tau: Double): DataFrame = {
+    import s.implicits._
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .as[(Long, Array[Double])]
+    val corpus = v.collect().sortBy(_._1)
+    def norm(e: Array[Double]): Double = {
+      var t = 0.0; var i = 0
+      while (i < e.length) { t += e(i) * e(i); i += 1 }
+      math.sqrt(t)
+    }
+    val norms = corpus.map { case (_, e) => norm(e) }
+    val bc = s.sparkContext.broadcast((corpus, norms))
+    v.mapPartitions { it =>
+      val (bv, bn) = bc.value
+      it.flatMap { case (ida, ea) =>
+        val na = norm(ea)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var j = 0
+        while (j < bv.length) {
+          val (idb, eb) = bv(j)
+          if (idb > ida) {
+            var dp = 0.0; var i = 0
+            while (i < ea.length) { dp += ea(i) * eb(i); i += 1 }
+            val c = round6d(dp / (na * bn(j)))
+            if (c >= tau) out += ((ida, idb, c))
+          }
+          j += 1
+        }
+        out.iterator
+      }
+    }.toDF("id_a", "id_b", "cos")
       .orderBy("id_a", "id_b")
   }
 
@@ -379,6 +472,7 @@ object Dedup {
     "dd_exact" -> exact _,
     "dd_ngram_jaccard" -> ngramJaccard _,
     "dd_minhash_lsh" -> minhashLsh _,
+    "dd_minhash_est" -> minhashEstimate _,
     "dd_simhash" -> simhashSigs _,
     "dd_simhash_pairs" -> simhashPairs _,
     "dd_clusters" -> clusters _,
@@ -404,6 +498,16 @@ object Dedup {
          |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= $JaccardTau
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dd_minhash_lsh" -> minhashOracle,
+    "dd_minhash_est" -> {
+      val agree = (0 until NumHashes).map(i =>
+        s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH $minhashCandSql
+         |SELECT doc_a, doc_b, round(($agree) / 16.0, 6) AS jac_est
+         |FROM mh_cand
+         |JOIN sigs a ON a.doc_id = doc_a
+         |JOIN sigs b ON b.doc_id = doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
     "dd_edit_distance" ->
       s"""WITH $minhashCandSql
          |SELECT doc_a, doc_b,

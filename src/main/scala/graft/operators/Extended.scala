@@ -151,9 +151,63 @@ object Extended {
       .groupBy("bigram").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("bigram")).limit(20)
 
+  /** Regex function surface: global replace, group extraction, match
+    * predicate — all codegen'd; patterns kept in the RE2-compatible
+    * subset so Java and DuckDB regex engines agree.
+    */
+  private def f6Regex(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      substring(regexp_replace(col("text"), "[0-9]+", "#"), 1, 40).as("masked"),
+      regexp_extract(col("text"), "([a-z]+)", 1).as("first_word"),
+      col("text").rlike("data").cast("int").as("has_data"))
+      .orderBy("doc_id")
+
+  /** Boolean aggregates: per-group every/any — partial+final, one bit of
+    * state per group per predicate.
+    */
+  private def a19BoolAgg(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        bool_and(col("value") > 0).as("all_pos"),
+        bool_or(col("value") > 400).as("any_big"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** Deterministic list/string aggregation: the per-key set of event
+    * types, sorted then joined — the canonical way to make a collect
+    * aggregate order-stable across engines and partitionings.
+    */
+  private def a21StringAgg(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(concat_ws(",", array_sort(collect_set(col("event_type"))))
+        .as("types"))
+      .orderBy("user_id")
+
+  /** first_value / last_value / nth_value window family over the
+    * per-user event order (unique (ts, event_id) key, so ROWS and RANGE
+    * frames agree in both engines).
+    */
+  private def w10FirstLast(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(tsUs(col("ts")), col("event_id"))
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, d)
+      .select(col("event_id"),
+        r6(first(col("value")).over(w)).as("first_v"),
+        r6(last(col("value")).over(wAll)).as("last_v"),
+        r6(nth_value(col("value"), 2).over(w)).as("second_v"))
+      .orderBy("event_id")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Query] = Map(
+    "f6_regex" -> f6Regex _,
+    "a19_bool_agg" -> a19BoolAgg _,
+    "a21_string_agg" -> a21StringAgg _,
+    "w10_first_last" -> w10FirstLast _,
     "j5_asof_join" -> j5AsofJoin _,
     "j6_range_join" -> j6RangeJoin _,
     "p13_pivot" -> p13Pivot _,
@@ -164,6 +218,32 @@ object Extended {
     "ta_bigrams" -> taBigrams _)
 
   val oracle: Map[String, String] = Map(
+    // DuckDB regexp_replace needs the 'g' flag to match Java's
+    // replace-all semantics.
+    "f6_regex" ->
+      """SELECT doc_id,
+        |  substr(regexp_replace(text, '[0-9]+', '#', 'g'), 1, 40) AS masked,
+        |  regexp_extract(text, '([a-z]+)', 1) AS first_word,
+        |  CAST(regexp_matches(text, 'data') AS INT) AS has_data
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "a19_bool_agg" ->
+      """SELECT event_type, bool_and(value > 0) AS all_pos,
+        |  bool_or(value > 400) AS any_big, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a21_string_agg" ->
+      """SELECT user_id,
+        |  array_to_string(list_sort(list_distinct(list(event_type))), ',')
+        |    AS types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "w10_first_last" ->
+      """SELECT event_id,
+        |  round(first_value(value) OVER w, 6) AS first_v,
+        |  round(last_value(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND UNBOUNDED FOLLOWING), 6) AS last_v,
+        |  round(nth_value(value, 2) OVER w, 6) AS second_v
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |ORDER BY event_id""".stripMargin,
     // ASOF at epoch-µs resolution on BOTH sides: the raw column is
     // TIMESTAMP(NANOS), which Spark truncates to µs on read — comparing
     // at ns in DuckDB could order a sub-µs-later error before an event.

@@ -65,6 +65,16 @@ class ExtendedOpsSpec extends GraftSuite {
     assert(got.filter(col("quartile") < 1 || col("quartile") > 4).count() == 0)
   }
 
+  test("blocked cosine kernel is bit-identical to the composed plan") {
+    // Lower tau than the query's 0.45 so the comparison covers real pairs.
+    val kernel = operators.Dedup.blockedCosinePairs(spark, sf, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val composed = operators.Dedup.cosineNearDupComposed(spark, sf, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(kernel.nonEmpty, "tau 0.3 should yield pairs at sf0.001")
+    assert(kernel == composed)
+  }
+
   test("streaming dedup emits each content hash exactly once across batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
