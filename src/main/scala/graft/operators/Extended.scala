@@ -201,6 +201,82 @@ object Extended {
       .orderBy("event_id")
   }
 
+  /** TPC-H Q1 (pricing summary): the canonical scan→partial-agg→final-agg
+    * benchmark shape. Product terms are computed per-row in double
+    * (bit-identical across engines) and summed in DECIMAL
+    * (order-independent), so the result is exact at any parallelism.
+    */
+  private def tpchQ1(s: SparkSession, d: String): DataFrame = {
+    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val charge = disc * (lit(1.0) + col("l_tax"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= to_timestamp(lit("2001-09-02")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(disc).as("sum_disc_price"),
+        dsum(charge).as("sum_charge"),
+        r6(avg(col("l_quantity"))).as("avg_qty"),
+        r6(avg(col("l_extendedprice"))).as("avg_price"),
+        r6(avg(col("l_discount"))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** TPC-H Q3 (shipping priority): selective dimension filter →
+    * broadcast-joined fact scan → grouped revenue → top-10. The customer
+    * and orders sides are broadcast after their filters; lineitem never
+    * shuffles for the joins.
+    */
+  private def tpchQ3(s: SparkSession, d: String): DataFrame = {
+    val cut = to_timestamp(lit("1998-03-15"))
+    val c = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = Tables.orders(s, d).filter(col("o_orderdate") < cut)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = Tables.lineitem(s, d).filter(col("l_shipdate") > cut)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(broadcast(o.join(broadcast(c),
+        col("o_custkey") === col("c_custkey"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q6 (forecasting revenue change): pure filter+agg — the
+    * predicate-pushdown showcase (all four filters reach the parquet
+    * row-group stats).
+    */
+  private def tpchQ6(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n"))
+
+  /** Value-RANGE window frame: per-user trailing band [v-10, v] over the
+    * value order — frames defined by the ORDER key's values, not row
+    * counts (the other half of the SQL window-frame spec; W1/W2 cover
+    * ROWS frames).
+    */
+  private def w11RangeFrame(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("value"))
+      .rangeBetween(-10L, 0L)
+    Tables.events(s, d)
+      .select(col("event_id"),
+        count(lit(1)).over(w).as("n_in_band"),
+        sum(col("value").cast(DecimalType(38, 6))).over(w)
+          .cast("double").as("band_sum"))
+      .orderBy("event_id")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Query] = Map(
@@ -208,6 +284,10 @@ object Extended {
     "a19_bool_agg" -> a19BoolAgg _,
     "a21_string_agg" -> a21StringAgg _,
     "w10_first_last" -> w10FirstLast _,
+    "tpch_q1" -> tpchQ1 _,
+    "tpch_q3" -> tpchQ3 _,
+    "tpch_q6" -> tpchQ6 _,
+    "w11_range_frame" -> w11RangeFrame _,
     "j5_asof_join" -> j5AsofJoin _,
     "j6_range_join" -> j6RangeJoin _,
     "p13_pivot" -> p13Pivot _,
@@ -226,6 +306,51 @@ object Extended {
         |  regexp_extract(text, '([a-z]+)', 1) AS first_word,
         |  CAST(regexp_matches(text, 'data') AS INT) AS has_data
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+        |    AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+        |    AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  round(avg(l_extendedprice), 6) AS avg_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "tpch_q3" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS od,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY l_orderkey, od
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "tpch_q6" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,6)))
+        |    AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "w11_range_frame" ->
+      """SELECT event_id,
+        |  count(*) OVER w AS n_in_band,
+        |  CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+        |    AS band_sum
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY value
+        |  RANGE BETWEEN 10 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "a19_bool_agg" ->
       """SELECT event_type, bool_and(value > 0) AS all_pos,
         |  bool_or(value > 400) AS any_big, count(*) AS n

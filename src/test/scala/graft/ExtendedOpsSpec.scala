@@ -65,6 +65,20 @@ class ExtendedOpsSpec extends GraftSuite {
     assert(got.filter(col("quartile") < 1 || col("quartile") > 4).count() == 0)
   }
 
+  test("tpch_q3 joins are broadcast: the fact side never shuffles") {
+    val plan = operators.Extended.queries("tpch_q3")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), "fact-side shuffle join planned")
+  }
+
+  test("tpch_q6 filters push down to the parquet scan") {
+    val plan = operators.Extended.queries("tpch_q6")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("l_discount"), plan.take(2000))
+  }
+
   test("blocked cosine kernel is bit-identical to the composed plan") {
     // Lower tau than the query's 0.45 so the comparison covers real pairs.
     val kernel = operators.Dedup.blockedCosinePairs(spark, sf, 0.3)
