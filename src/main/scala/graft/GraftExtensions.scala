@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, SimHash60, SortedIntersectCount}
+import graft.functions.{DotProduct, MinHashSigs, SimHash60, SortedIntersectCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -31,7 +31,12 @@ object GraftExtensions {
     ("graft_sorted_intersect_count",
       new ExpressionInfo(classOf[SortedIntersectCount].getName,
         "graft_sorted_intersect_count"),
-      (es: Seq[Expression]) => SortedIntersectCount(es(0), es(1))))
+      (es: Seq[Expression]) => SortedIntersectCount(es(0), es(1))),
+    // graft_minhash_sigs(packed_hashes, k): k must be a literal int.
+    ("graft_minhash_sigs",
+      new ExpressionInfo(classOf[MinHashSigs].getName, "graft_minhash_sigs"),
+      (es: Seq[Expression]) => MinHashSigs(es(0),
+        es(1).eval().asInstanceOf[Number].intValue())))
 
   /** Register on an existing session (temp functions, idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

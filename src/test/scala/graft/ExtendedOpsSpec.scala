@@ -79,6 +79,43 @@ class ExtendedOpsSpec extends GraftSuite {
       plan.contains("l_discount"), plan.take(2000))
   }
 
+  test("plan hygiene: no cartesian product anywhere in the inventory") {
+    // dd_clusters iterates jobs at plan-build time — skip it here (its
+    // joins are the same equi-join shape the other dedup ops use).
+    val skip = Set("dd_clusters")
+    SparkEntry.queries.keys.filterNot(skip).foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product")
+    }
+  }
+
+  test("bucketed tables co-locate the equi-join: no shuffle exchange") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+      Tables.orders(spark, sf).write.bucketBy(4, "o_orderkey")
+        .sortBy("o_orderkey").saveAsTable("b_orders")
+      Tables.lineitem(spark, sf).write.bucketBy(4, "l_orderkey")
+        .sortBy("l_orderkey").saveAsTable("b_lineitem")
+      val j = spark.table("b_lineitem")
+        .join(spark.table("b_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "l_quantity", "o_totalprice")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(1500))
+      assert(!plan.contains("Exchange"),
+        "bucketed join still shuffles:\n" + plan.take(1500))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
   test("blocked cosine kernel is bit-identical to the composed plan") {
     // Lower tau than the query's 0.45 so the comparison covers real pairs.
     val kernel = operators.Dedup.blockedCosinePairs(spark, sf, 0.3)
@@ -87,6 +124,18 @@ class ExtendedOpsSpec extends GraftSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(kernel.nonEmpty, "tau 0.3 should yield pairs at sf0.001")
     assert(kernel == composed)
+  }
+
+  test("graft_minhash_sigs is SQL-callable and matches the kernel") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_minhash_sigs(array(CAST(12345678901 AS BIGINT)), 4) AS s")
+      .first().getSeq[Long](0)
+    assert(r.length == 4)
+    // Empty input → null (list_min semantics).
+    assert(spark.sql(
+      "SELECT graft_minhash_sigs(CAST(array() AS ARRAY<BIGINT>), 4) AS s")
+      .first().isNullAt(0))
   }
 
   test("streaming dedup emits each content hash exactly once across batches") {
