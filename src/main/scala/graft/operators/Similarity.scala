@@ -35,6 +35,26 @@ object Similarity {
   /** Codegen'd native dot product (see [[graft.functions.DotProduct]]). */
   def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.dot(a, b)
 
+  /** Per-vector int8 affine quantization (min/max scaling to 0..255) —
+    * the compression step a 100 TB vector store applies before ANN
+    * serving (4x smaller than float32, distance error bounded by
+    * scale/2). Emitted here as the quantization parameters + the first
+    * four codes, all closed-form and oracle-checkable; constant vectors
+    * (scale 0) quantize to null codes.
+    */
+  private def quantize(s: SparkSession, d: String): DataFrame = {
+    val e = col("embedding").cast("array<double>")
+    val mn = array_min(e)
+    val mx = array_max(e)
+    val scale = (mx - mn) / 255.0
+    val codes = (1 to 4).map(i =>
+      when(scale > 0, round((element_at(e, i) - mn) / scale).cast("int"))
+        .as(s"q$i"))
+    Tables.embeddings(s, d)
+      .select(Seq(col("vec_id"), r6(mn).as("mn"), r6(mx).as("mx")) ++ codes: _*)
+      .orderBy("vec_id")
+  }
+
   /** Exact brute-force top-k cosine neighbors for each query vector. */
   def annTopkExact(s: SparkSession, d: String): DataFrame = {
     val v = normalized(s, d)
@@ -156,10 +176,22 @@ object Similarity {
   val queries: Map[String, Query] = Map(
     "ann_topk_exact" -> (annTopkExact _),
     "ann_topk_lsh" -> (annTopkLsh _),
-    "ann_topk_ivf" -> (annTopkIvf _))
+    "ann_topk_ivf" -> (annTopkIvf _),
+    "sim_quantize" -> (quantize _))
 
   /** ann_topk_lsh is approximate by construction → rows-only check. */
   val oracle: Map[String, String] = Map(
+    "sim_quantize" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |           FROM embeddings),
+        |p AS (SELECT vec_id, e, list_min(e) AS mn, list_max(e) AS mx,
+        |  (list_max(e) - list_min(e)) / 255.0 AS sc FROM v)
+        |SELECT vec_id, round(mn, 6) AS mn, round(mx, 6) AS mx,
+        |  CASE WHEN sc > 0 THEN CAST(round((e[1] - mn) / sc) AS INT) END AS q1,
+        |  CASE WHEN sc > 0 THEN CAST(round((e[2] - mn) / sc) AS INT) END AS q2,
+        |  CASE WHEN sc > 0 THEN CAST(round((e[3] - mn) / sc) AS INT) END AS q3,
+        |  CASE WHEN sc > 0 THEN CAST(round((e[4] - mn) / sc) AS INT) END AS q4
+        |FROM p ORDER BY vec_id""".stripMargin,
     "ann_topk_exact" ->
       s"""WITH v AS (SELECT vec_id,
          |    list_transform(CAST(embedding AS DOUBLE[]), x -> x /

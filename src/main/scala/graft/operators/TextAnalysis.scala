@@ -137,7 +137,28 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Unigram log-probability scoring: corpus token frequencies (one
+    * combiner-friendly agg, broadcast as a dictionary) score each doc as
+    * Σ log10(freq/total) — the cheap LM-style quality signal. The
+    * dictionary is bounded by vocabulary size, so the per-doc pass stays
+    * a broadcast join at any corpus scale.
+    */
+  private def unigramLogprob(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val freq = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).as("total"))
+    tok.join(broadcast(freq), "token")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        r6(sum(log10(col("cnt").cast("double") / col("total"))))
+          .as("logprob"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Query] = Map(
+    "ta_unigram_logprob" -> unigramLogprob _,
     "ta_langid" -> langid _,
     "ta_quality" -> quality _,
     "ta_tokens" -> tokens _,
@@ -146,6 +167,15 @@ object TextAnalysis {
     "pipe_curate" -> curate _)
 
   val oracle: Map[String, String] = Map(
+    "ta_unigram_logprob" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM freq)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(sum(log10(CAST(cnt AS DOUBLE) / total)), 6) AS logprob
+        |FROM tok JOIN freq USING (token), tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "ta_langid" -> langidOracle,
     "ta_vocab" ->
       """SELECT token, count(*) AS n

@@ -122,6 +122,23 @@ object Windows {
       .orderBy("user_id", "session_id")
   }
 
+  /** W12: the same gap-sessionization as [[w7Sessionize]] but through
+    * Spark's NATIVE session_window aggregate (merging event-time session
+    * state in the agg operator instead of lag+cumsum windows) — checked
+    * against the identical gap-cumsum SQL oracle, proving the two
+    * formulations coincide. This is the form that also runs on a stream
+    * (session_window + watermark), where the lag/cumsum form cannot.
+    */
+  private def w12SessionWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "24 hours"))
+      .agg(count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        tsUs(col("session_window.start")).as("start_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "start_us")
+
   /** Grouped exact percentiles (interpolated, matching quantile_cont). */
   private def w8Percentiles(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -132,6 +149,7 @@ object Windows {
       .orderBy("event_type")
 
   val queries: Map[String, Query] = Map(
+    "w12_session_window" -> w12SessionWindow _,
     "w7_sessionize" -> w7Sessionize _,
     "w8_percentiles" -> w8Percentiles _,
     "w1_rolling5" -> w1Rolling5 _,
@@ -145,6 +163,25 @@ object Windows {
   private val over = "PARTITION BY user_id ORDER BY epoch_us(ts), event_id"
 
   val oracle: Map[String, String] = Map(
+    // Same gap-cumsum formulation as w7 rolled up to (session start,
+    // count, sum) — with one boundary difference: Spark session windows
+    // are end-EXCLUSIVE ([start, last_ts + gap)), so a gap of exactly
+    // 24h starts a new session → the flag condition is >= here, vs the
+    // strict > of w7's explicit-gap definition.
+    "w12_session_window" ->
+      s"""WITH flagged AS (SELECT user_id, event_id, value, epoch_us(ts) AS tus,
+         |  CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER ($over) IS NULL
+         |    OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER ($over) >= 86400000000
+         |    THEN 1 ELSE 0 END AS ns
+         |FROM events),
+         |sess AS (SELECT user_id, value, tus,
+         |  sum(ns) OVER (PARTITION BY user_id ORDER BY tus, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |FROM flagged)
+         |SELECT user_id, min(tus) AS start_us, count(*) AS n_events,
+         |  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+         |FROM sess GROUP BY user_id, session_id
+         |ORDER BY user_id, start_us""".stripMargin,
     "w7_sessionize" ->
       s"""WITH flagged AS (SELECT user_id, event_id, value, epoch_us(ts) AS tus,
          |  CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER ($over) IS NULL
