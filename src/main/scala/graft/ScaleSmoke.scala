@@ -72,6 +72,29 @@ object ScaleSmoke {
       time("topk") { full(big.orderBy(col("value").desc).limit(100)) },
       time("distinct_users") {
         big.agg(countDistinct(col("user_id"))).first().getLong(0)
+      },
+      // Round-2 ops at scale: merge-based as-of join (one shuffle) and
+      // native session_window (agg-operator session state).
+      time("asof_join") {
+        val ev = big.select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("tus"), col("event_type"))
+        val errs = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("tus"), lit(0).as("tag"),
+            lit(null).cast("long").as("eid"), col("tus").as("err_us"))
+        val lefts = ev.select(col("user_id"), col("tus"), lit(1).as("tag"),
+          col("event_id").as("eid"), lit(null).cast("long").as("err_us"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("tus"), col("tag"), col("eid"))
+          .rowsBetween(Long.MinValue, 0)
+        full(errs.unionByName(lefts)
+          .withColumn("last_err_us",
+            last(col("err_us"), ignoreNulls = true).over(w))
+          .filter(col("tag") === 1))
+      },
+      time("session_window") {
+        full(big.groupBy(col("user_id"),
+            session_window(col("ts"), "24 hours"))
+          .agg(count(lit(1)).as("n"), sum(col("value")).as("sv")))
       })
     // Dedup stress: replicate documents 10x with unique ids — every text
     // becomes a 10-doc duplicate cluster, the worst (pair-heavy) shape a
@@ -96,6 +119,9 @@ object ScaleSmoke {
       },
       time("dd_jaccard_10x") {
         SparkEntry.queries("dd_ngram_jaccard")(spark, docScratch).count()
+      },
+      time("ta_bigrams_10x") {
+        SparkEntry.queries("ta_bigrams")(spark, docScratch).count()
       })
 
     val qs = (results ++ dedupResults)

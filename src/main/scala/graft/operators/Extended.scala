@@ -277,6 +277,51 @@ object Extended {
       .orderBy("event_id")
   }
 
+  /** Deterministic train/val/test assignment: md5(doc_id) buckets 0..99 →
+    * 80/10/10 split. Hash-based (not seeded-random) so the assignment is
+    * stable across engines, re-runs and re-partitioning — the property a
+    * reproducible corpus pipeline needs; adding documents never moves an
+    * existing one between splits.
+    */
+  private def ppHashSplit(s: SparkSession, d: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+      16, 10).cast("long") % 100
+    val split = when(bucket < 80, "train").when(bucket < 90, "val")
+      .otherwise("test")
+    Tables.documents(s, d)
+      .select(col("lang"), split.as("split"))
+      .groupBy("lang", "split").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "split")
+  }
+
+  /** Inverse-frequency class weights (total / (k·n) per label) — the
+    * standard imbalance correction, computed as one tiny agg + broadcast
+    * of the per-class stats.
+    */
+  private def mlClassWeights(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.embeddings(s, d)
+      .groupBy("label").agg(count(lit(1)).as("n"))
+    val t = c.agg(sum(col("n")).cast("double").as("total"),
+      count(lit(1)).as("k"))
+    c.crossJoin(broadcast(t))
+      .select(col("label"), col("n"),
+        r6(col("total") / (col("k") * col("n"))).as("weight"))
+      .orderBy("label")
+  }
+
+  /** Text normalization: lowercase, strip non-alphanumerics, collapse
+    * whitespace — emitted as the normalized hash + length (the form a
+    * normalization-then-dedup pass keys on).
+    */
+  private def taNormalize(s: SparkSession, d: String): DataFrame = {
+    val norm = trim(regexp_replace(regexp_replace(lower(col("text")),
+      "[^a-z0-9 ]", " "), " +", " "))
+    Tables.documents(s, d)
+      .select(col("doc_id"), md5(norm).as("norm_hash"),
+        length(norm).as("n_norm"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Query] = Map(
@@ -284,6 +329,9 @@ object Extended {
     "a19_bool_agg" -> a19BoolAgg _,
     "a21_string_agg" -> a21StringAgg _,
     "w10_first_last" -> w10FirstLast _,
+    "pp_hash_split" -> ppHashSplit _,
+    "ml_class_weights" -> mlClassWeights _,
+    "ta_normalize" -> taNormalize _,
     "tpch_q1" -> tpchQ1 _,
     "tpch_q3" -> tpchQ3 _,
     "tpch_q6" -> tpchQ6 _,
@@ -305,6 +353,28 @@ object Extended {
         |  substr(regexp_replace(text, '[0-9]+', '#', 'g'), 1, 40) AS masked,
         |  regexp_extract(text, '([a-z]+)', 1) AS first_word,
         |  CAST(regexp_matches(text, 'data') AS INT) AS has_data
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "pp_hash_split" ->
+      """WITH b AS (SELECT lang,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100
+        |    AS bucket
+        |FROM documents)
+        |SELECT lang,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n
+        |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+    "ml_class_weights" ->
+      """WITH c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+        |t AS (SELECT CAST(sum(n) AS DOUBLE) AS total, count(*) AS k FROM c)
+        |SELECT label, n, round(total / (k * n), 6) AS weight
+        |FROM c, t ORDER BY label""".stripMargin,
+    "ta_normalize" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash,
+        |  CAST(len(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS INT) AS n_norm
         |FROM documents ORDER BY doc_id""".stripMargin,
     "tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,

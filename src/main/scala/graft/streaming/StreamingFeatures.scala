@@ -49,6 +49,23 @@ object StreamingFeatures {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Gap-based session aggregation on a stream: the streaming form of the
+    * batch w12_session_window query. The watermark bounds session state —
+    * a session closes (and its state is evicted) once the watermark
+    * passes its end, which is what makes sessionization viable on an
+    * unbounded stream.
+    */
+  def sessionCounts(events: DataFrame,
+      gap: String = "24 hours",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        col("n_events"), col("sum_value"))
+
   /** Stateful per-user running features: count/mean/max maintained in
     * GroupState — O(distinct users) state, updated per micro-batch.
     */

@@ -50,6 +50,42 @@ class StreamingAndMlSpec extends GraftSuite {
     assert(last == Set((1L, 3L, 30.0), (2L, 1L, 5.0)))
   }
 
+  test("streaming session_window matches the batch sessionization") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingFeatures.Event]
+    val sessions = StreamingFeatures.sessionCounts(mem.toDF())
+    // Session windows on streams emit in APPEND mode only: a session row
+    // appears once the watermark passes its end (= state eviction).
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("stream_sessions").start()
+    def ev(id: Long, uid: Long, t: String, v: Double) = StreamingFeatures.Event(
+      id, java.sql.Timestamp.valueOf(t), uid, "t", v)
+    mem.addData(
+      ev(1, 1, "2024-01-01 00:00:00", 1.0),
+      ev(2, 1, "2024-01-01 10:00:00", 2.0), // same session (gap 10h < 24h)
+      ev(3, 1, "2024-01-03 00:00:00", 3.0), // new session (gap 38h)
+      ev(4, 2, "2024-01-01 00:00:00", 4.0))
+    q.processAllAvailable()
+    // Watermark flushes: each batch advances the watermark to the
+    // previous batch's max event time minus the 1h delay, closing the
+    // earlier sessions (user 99's own sessions stay open/unemitted).
+    mem.addData(ev(5, 99, "2024-02-01 00:00:00", 0.0))
+    q.processAllAvailable()
+    mem.addData(ev(6, 99, "2024-03-01 00:00:00", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("stream_sessions")
+      .filter(col("user_id") < 99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def us(t: String) = java.sql.Timestamp.valueOf(t).getTime * 1000L
+    assert(out == Set(
+      (1L, us("2024-01-01 00:00:00"), 2L),
+      (1L, us("2024-01-03 00:00:00"), 1L),
+      (2L, us("2024-01-01 00:00:00"), 1L)))
+  }
+
   test("ml pipeline trains, clamps and evaluates on CMAPSS features") {
     assume(new java.io.File("/root/reference/data/raw/train_FD001.txt").exists())
     val raw = pipeline.CmapssReader.read(spark,
