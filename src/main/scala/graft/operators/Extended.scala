@@ -277,6 +277,23 @@ object Extended {
       .orderBy("event_id")
   }
 
+  /** arg-min/arg-max aggregates: first/last event type per user. The
+    * selector key is a zero-padded (epoch-µs, event_id) string — unique
+    * and identically ordered in both engines, making the arg aggregates
+    * tie-free (DuckDB's arg_max has no composite-key overload).
+    */
+  private def a22ArgMinmax(s: SparkSession, d: String): DataFrame = {
+    val key = concat(
+      lpad(tsUs(col("ts")).cast("string"), 20, "0"), lit("-"),
+      lpad(col("event_id").cast("string"), 10, "0"))
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(min_by(col("event_type"), key).as("first_type"),
+        max_by(col("event_type"), key).as("last_type"),
+        count(lit(1)).as("n"))
+      .orderBy("user_id")
+  }
+
   /** Deterministic train/val/test assignment: md5(doc_id) buckets 0..99 →
     * 80/10/10 split. Hash-based (not seeded-random) so the assignment is
     * stable across engines, re-runs and re-partitioning — the property a
@@ -329,6 +346,7 @@ object Extended {
     "a19_bool_agg" -> a19BoolAgg _,
     "a21_string_agg" -> a21StringAgg _,
     "w10_first_last" -> w10FirstLast _,
+    "a22_arg_minmax" -> a22ArgMinmax _,
     "pp_hash_split" -> ppHashSplit _,
     "ml_class_weights" -> mlClassWeights _,
     "ta_normalize" -> taNormalize _,
@@ -354,6 +372,14 @@ object Extended {
         |  regexp_extract(text, '([a-z]+)', 1) AS first_word,
         |  CAST(regexp_matches(text, 'data') AS INT) AS has_data
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "a22_arg_minmax" ->
+      """WITH k AS (SELECT user_id, event_type,
+        |  lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '-' ||
+        |    lpad(CAST(event_id AS VARCHAR), 10, '0') AS key
+        |FROM events)
+        |SELECT user_id, arg_min(event_type, key) AS first_type,
+        |  arg_max(event_type, key) AS last_type, count(*) AS n
+        |FROM k GROUP BY user_id ORDER BY user_id""".stripMargin,
     "pp_hash_split" ->
       """WITH b AS (SELECT lang,
         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100
