@@ -130,8 +130,13 @@ object TextAnalysis {
       .withColumn("n_words", size(words))
       .withColumn("ttr", size(array_distinct(words)).cast("double") / size(words))
       .filter(col("n_words") >= 30 && col("ttr") >= 0.3)
+    // Persisted: the tail set is tiny (distinct doc_b of near-dup pairs)
+    // but its lineage is the whole candidate+verify pipeline — caching
+    // here caps a cache-miss recompute at once per run, and CacheManager
+    // dedups it with any other consumer of the same pair set.
     val dupTails = Dedup.queries("dd_ngram_jaccard")(s, d)
       .select(col("doc_b").as("doc_id")).distinct()
+      .persist()
     q.join(dupTails, Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "n_chars")
       .orderBy("doc_id")
