@@ -261,6 +261,55 @@ object Extended {
       .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
         count(lit(1)).as("n"))
 
+  /** TPC-H Q5 (local supplier volume): the 6-table join. All dimension
+    * chains (customer→nation→region, supplier→nation) broadcast; the only
+    * fact-side work is one scan + one final aggregate — the deepest join
+    * tree in the inventory, still shuffle-free on lineitem.
+    */
+  private def tpchQ5(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, d)
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+    val c = Tables.customer(s, d)
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+      .select("o_orderkey", "o_custkey")
+    val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q18 (large-volume customers): a grouped HAVING filter feeding
+    * a semi-join back onto the fact/dimension join — the aggregate
+    * produces the (small) qualifying key set, so the second phase is
+    * broadcast too.
+    */
+  private def tpchQ18(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(dsum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 250)
+    Tables.orders(s, d)
+      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        r6(col("o_totalprice")).as("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   /** Value-RANGE window frame: per-user trailing band [v-10, v] over the
     * value order — frames defined by the ORDER key's values, not row
     * counts (the other half of the SQL window-frame spec; W1/W2 cover
@@ -352,7 +401,9 @@ object Extended {
     "ta_normalize" -> taNormalize _,
     "tpch_q1" -> tpchQ1 _,
     "tpch_q3" -> tpchQ3 _,
+    "tpch_q5" -> tpchQ5 _,
     "tpch_q6" -> tpchQ6 _,
+    "tpch_q18" -> tpchQ18 _,
     "w11_range_frame" -> w11RangeFrame _,
     "j5_asof_join" -> j5AsofJoin _,
     "j6_range_join" -> j6RangeJoin _,
@@ -429,6 +480,33 @@ object Extended {
         |  AND l_shipdate > TIMESTAMP '1998-03-15'
         |GROUP BY l_orderkey, od
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "tpch_q18" ->
+      """WITH big AS (SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+        |      AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) > 250)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  round(o_totalprice, 6) AS o_totalprice, total_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
     "tpch_q6" ->
       """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,6)))
         |    AS DOUBLE) AS revenue,

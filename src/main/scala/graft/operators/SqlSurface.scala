@@ -70,13 +70,43 @@ object SqlSurface {
       r6(avg(abs(col("y") - col("p")))).as("mae"))
   }
 
+  /** Explicit GROUPING SETS with GROUPING() markers — the general form
+    * of a14's rollup/a15's cube, only reachable through the SQL entry
+    * (the DataFrame API exposes rollup/cube but not arbitrary sets).
+    * Catalyst plans one Expand + single aggregate for all three sets.
+    */
+  private def groupingSets(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql(
+      """SELECT event_type, user_id % 10 AS cohort,
+        |  CAST(grouping(event_type) AS INT) AS g_type,
+        |  CAST(grouping(user_id % 10) AS INT) AS g_cohort,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+        |ORDER BY g_type, g_cohort, event_type NULLS FIRST,
+        |  cohort NULLS FIRST""".stripMargin)
+  }
+
   val queries: Map[String, Query] = Map(
     "sql_dbt_features" -> dbtFeatures _,
+    "sql_grouping_sets" -> groupingSets _,
     "ml_ols" -> olsRegression _)
 
   val oracle: Map[String, String] = Map(
     // Same semantics as wf_features — the oracle is shared by construction.
     "sql_dbt_features" -> Windows.oracle("wf_features"),
+    "sql_grouping_sets" ->
+      """SELECT event_type, user_id % 10 AS cohort,
+        |  CAST(grouping(event_type) AS INT) AS g_type,
+        |  CAST(grouping(user_id % 10) AS INT) AS g_cohort,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+        |ORDER BY g_type, g_cohort, event_type NULLS FIRST,
+        |  cohort NULLS FIRST""".stripMargin,
     "ml_ols" ->
       """WITH li AS (SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem),
         |stats AS (SELECT
