@@ -91,6 +91,23 @@ class ExtendedOpsSpec extends GraftSuite {
     }
   }
 
+  test("wf_features computes all five window families after ONE hash shuffle") {
+    val plan = SparkEntry.queries("wf_features")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashShuffles == 1,
+      s"expected 1 window shuffle, got $hashShuffles:\n" + plan.take(1500))
+  }
+
+  test("as-of join is one shuffle: union + window, no join exchange") {
+    val plan = operators.Extended.queries("j5_asof_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashShuffles == 1,
+      s"expected 1 shuffle, got $hashShuffles:\n" + plan.take(1500))
+    assert(!plan.contains("Join"), "as-of should not plan a join operator")
+  }
+
   test("bucketed tables co-locate the equi-join: no shuffle exchange") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
