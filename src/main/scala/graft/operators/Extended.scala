@@ -343,6 +343,30 @@ object Extended {
       .orderBy("user_id")
   }
 
+  /** Fixed-width histogram (the dashboard binning shape): floor-divide
+    * into bins, count per bin — one combiner-friendly aggregate.
+    */
+  private def a23Histogram(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(floor(col("value") / 25).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"), r6(avg(col("value"))).as("avg_in_bin"))
+      .orderBy("bin")
+
+  /** Null-semantics surface: nullif/coalesce/null-safe equality — the
+    * three-valued-logic cases that diverge between engines if handled
+    * casually (Spark `<=>` ≡ SQL IS NOT DISTINCT FROM).
+    */
+  private def p14NullSemantics(s: SparkSession, d: String): DataFrame = {
+    val dsc = nullif(col("l_discount"), lit(0.0))
+    val tax = nullif(col("l_tax"), lit(0.0))
+    Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      r6(coalesce(dsc, lit(-1.0))).as("disc_or_neg1"),
+      (dsc <=> tax).cast("int").as("disc_eq_tax_nullsafe"),
+      dsc.isNull.cast("int").as("disc_is_null"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** Deterministic train/val/test assignment: md5(doc_id) buckets 0..99 →
     * 80/10/10 split. Hash-based (not seeded-random) so the assignment is
     * stable across engines, re-runs and re-partitioning — the property a
@@ -396,6 +420,8 @@ object Extended {
     "a21_string_agg" -> a21StringAgg _,
     "w10_first_last" -> w10FirstLast _,
     "a22_arg_minmax" -> a22ArgMinmax _,
+    "a23_histogram" -> a23Histogram _,
+    "p14_null_semantics" -> p14NullSemantics _,
     "pp_hash_split" -> ppHashSplit _,
     "ml_class_weights" -> mlClassWeights _,
     "ta_normalize" -> taNormalize _,
@@ -423,6 +449,17 @@ object Extended {
         |  regexp_extract(text, '([a-z]+)', 1) AS first_word,
         |  CAST(regexp_matches(text, 'data') AS INT) AS has_data
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "a23_histogram" ->
+      """SELECT CAST(floor(value / 25) AS BIGINT) AS bin, count(*) AS n,
+        |  round(avg(value), 6) AS avg_in_bin
+        |FROM events GROUP BY bin ORDER BY bin""".stripMargin,
+    "p14_null_semantics" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(coalesce(nullif(l_discount, 0.0), -1.0), 6) AS disc_or_neg1,
+        |  CAST(nullif(l_discount, 0.0) IS NOT DISTINCT FROM
+        |    nullif(l_tax, 0.0) AS INT) AS disc_eq_tax_nullsafe,
+        |  CAST(nullif(l_discount, 0.0) IS NULL AS INT) AS disc_is_null
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "a22_arg_minmax" ->
       """WITH k AS (SELECT user_id, event_type,
         |  lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '-' ||
