@@ -343,6 +343,34 @@ object Extended {
       .orderBy("user_id")
   }
 
+  /** Datetime extraction surface: calendar fields + truncation. The
+    * dayofweek convention differs between engines (Spark 1=Sunday,
+    * DuckDB 0=Sunday) — the oracle maps explicitly rather than trusting
+    * same-named functions to agree.
+    */
+  private def f7Datetime(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"),
+      year(col("ts")).as("y"),
+      quarter(col("ts")).as("q"),
+      month(col("ts")).as("m"),
+      dayofmonth(col("ts")).as("dom"),
+      hour(col("ts")).as("h"),
+      dayofweek(col("ts")).as("dow1"), // 1 = Sunday
+      weekofyear(col("ts")).as("iso_week"),
+      tsUs(date_trunc("day", col("ts"))).as("day_us"))
+      .orderBy("event_id")
+
+  /** Offset pagination: ORDER BY + OFFSET + LIMIT (the dashboard's
+    * page-2 query). At scale offset pagination degrades (the sort must
+    * still produce the skipped prefix) — keyset pagination (WHERE key >
+    * last_seen, as in o2) is the 100 TB form; this covers the operator.
+    */
+  private def o4Offset(s: SparkSession, d: String): DataFrame =
+    Tables.supplier(s, d)
+      .orderBy("s_suppkey")
+      .offset(10).limit(20)
+
   /** Fixed-width histogram (the dashboard binning shape): floor-divide
     * into bins, count per bin — one combiner-friendly aggregate.
     */
@@ -422,6 +450,8 @@ object Extended {
     "a22_arg_minmax" -> a22ArgMinmax _,
     "a23_histogram" -> a23Histogram _,
     "p14_null_semantics" -> p14NullSemantics _,
+    "f7_datetime" -> f7Datetime _,
+    "o4_offset" -> o4Offset _,
     "pp_hash_split" -> ppHashSplit _,
     "ml_class_weights" -> mlClassWeights _,
     "ta_normalize" -> taNormalize _,
@@ -449,6 +479,20 @@ object Extended {
         |  regexp_extract(text, '([a-z]+)', 1) AS first_word,
         |  CAST(regexp_matches(text, 'data') AS INT) AS has_data
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "f7_datetime" ->
+      """SELECT event_id,
+        |  CAST(year(ts) AS INT) AS y,
+        |  CAST(quarter(ts) AS INT) AS q,
+        |  CAST(month(ts) AS INT) AS m,
+        |  CAST(day(ts) AS INT) AS dom,
+        |  CAST(hour(ts) AS INT) AS h,
+        |  CAST(dayofweek(ts) + 1 AS INT) AS dow1,
+        |  CAST(weekofyear(ts) AS INT) AS iso_week,
+        |  epoch_us(date_trunc('day', ts)) AS day_us
+        |FROM events ORDER BY event_id""".stripMargin,
+    "o4_offset" ->
+      """SELECT * FROM supplier ORDER BY s_suppkey
+        |LIMIT 20 OFFSET 10""".stripMargin,
     "a23_histogram" ->
       """SELECT CAST(floor(value / 25) AS BIGINT) AS bin, count(*) AS n,
         |  round(avg(value), 6) AS avg_in_bin

@@ -66,6 +66,27 @@ object StreamingFeatures {
         unix_micros(col("session_window.start")).as("start_us"),
         col("n_events"), col("sum_value"))
 
+  /** Stream-stream interval join: each event joins the error events of
+    * the same user within the trailing hour. Both sides carry watermarks
+    * and the join condition bounds event-time distance, so Spark can
+    * evict right-side state once the watermark passes ts + 1h — the
+    * requirement for a stream-stream join to run with bounded state on
+    * an unbounded stream.
+    */
+  def joinRecentErrors(events: DataFrame, errors: DataFrame,
+      watermark: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val e = events.withWatermark("ts", watermark).alias("e")
+    val r = errors.withWatermark("ts", watermark).alias("r")
+    e.join(r,
+      expr("e.user_id = r.user_id AND " +
+        "r.ts BETWEEN e.ts - INTERVAL 1 HOUR AND e.ts"))
+      .select(col("e.event_id").as("event_id"),
+        col("e.user_id").as("user_id"),
+        col("r.event_id").as("error_id"),
+        col("r.ts").as("error_ts"))
+  }
+
   /** Stateful per-user running features: count/mean/max maintained in
     * GroupState — O(distinct users) state, updated per micro-batch.
     */

@@ -86,6 +86,29 @@ class StreamingAndMlSpec extends GraftSuite {
       (2L, us("2024-01-01 00:00:00"), 1L)))
   }
 
+  test("stream-stream interval join pairs events with trailing-hour errors") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val evs = MemoryStream[StreamingFeatures.Event]
+    val ers = MemoryStream[StreamingFeatures.Event]
+    val joined = StreamingFeatures.joinRecentErrors(evs.toDF(), ers.toDF())
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("stream_join").start()
+    def ev(id: Long, uid: Long, t: String) = StreamingFeatures.Event(
+      id, java.sql.Timestamp.valueOf(t), uid, "t", 0.0)
+    ers.addData(ev(100, 1, "2024-01-01 10:00:00"), // within the hour of 1
+      ev(101, 1, "2024-01-01 08:00:00"), // too old for event 1
+      ev(102, 2, "2024-01-01 10:30:00")) // wrong user for event 1
+    evs.addData(ev(1, 1, "2024-01-01 10:30:00"),
+      ev(2, 3, "2024-01-01 10:30:00")) // no errors for user 3
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("stream_join")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(out == Set((1L, 100L)))
+  }
+
   test("ml pipeline trains, clamps and evaluates on CMAPSS features") {
     assume(new java.io.File("/root/reference/data/raw/train_FD001.txt").exists())
     val raw = pipeline.CmapssReader.read(spark,
