@@ -224,10 +224,12 @@ object Extended {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
-  /** TPC-H Q3 (shipping priority): selective dimension filter →
-    * broadcast-joined fact scan → grouped revenue → top-10. The customer
-    * and orders sides are broadcast after their filters; lineitem never
-    * shuffles for the joins.
+  /** TPC-H Q3 (shipping priority): selective dimension filter → joined
+    * fact scan → grouped revenue → top-10. No explicit broadcast hints:
+    * customer and orders SCALE with the data (hinting them broadcast
+    * would lie at 100 TB) — Catalyst/AQE auto-broadcasts them below the
+    * threshold (which it does at bench scale, spec-asserted) and falls
+    * back to shuffle joins beyond it.
     */
   private def tpchQ3(s: SparkSession, d: String): DataFrame = {
     val cut = to_timestamp(lit("1998-03-15"))
@@ -237,8 +239,7 @@ object Extended {
       .select("o_orderkey", "o_custkey", "o_orderdate")
     val l = Tables.lineitem(s, d).filter(col("l_shipdate") > cut)
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    l.join(broadcast(o.join(broadcast(c),
-        col("o_custkey") === col("c_custkey"))),
+    l.join(o.join(c, col("o_custkey") === col("c_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"))
@@ -261,10 +262,11 @@ object Extended {
       .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
         count(lit(1)).as("n"))
 
-  /** TPC-H Q5 (local supplier volume): the 6-table join. All dimension
-    * chains (customer→nation→region, supplier→nation) broadcast; the only
-    * fact-side work is one scan + one final aggregate — the deepest join
-    * tree in the inventory, still shuffle-free on lineitem.
+  /** TPC-H Q5 (local supplier volume): the 6-table join. Only the
+    * FIXED-cardinality dimensions (nation, region) carry explicit
+    * broadcast hints — customer/orders/supplier scale with the data, so
+    * their join strategy is left to Catalyst/AQE (auto-broadcast below
+    * the threshold, shuffle join at 100 TB).
     */
   private def tpchQ5(s: SparkSession, d: String): DataFrame = {
     val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
@@ -280,9 +282,9 @@ object Extended {
     val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
     Tables.lineitem(s, d)
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-      .join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .groupBy("n_name")
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
@@ -291,9 +293,9 @@ object Extended {
   }
 
   /** TPC-H Q18 (large-volume customers): a grouped HAVING filter feeding
-    * a semi-join back onto the fact/dimension join — the aggregate
-    * produces the (small) qualifying key set, so the second phase is
-    * broadcast too.
+    * a join back onto orders/customer. The qualifying key set is
+    * genuinely small at ANY scale (HAVING > threshold keeps outliers), so
+    * its broadcast hint is scale-honest; customer is left to AQE.
     */
   private def tpchQ18(s: SparkSession, d: String): DataFrame = {
     val big = Tables.lineitem(s, d)
@@ -302,7 +304,7 @@ object Extended {
       .filter(col("total_qty") > 250)
     Tables.orders(s, d)
       .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(Tables.customer(s, d)),
+      .join(Tables.customer(s, d),
         col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         r6(col("o_totalprice")).as("o_totalprice"), col("total_qty"))
