@@ -116,14 +116,59 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** Frame sampling over an opaque binary payload: slice fixed 256-byte
+    * "frames", keep every 2nd (the sample stride a video pipeline uses
+    * to cut decode cost), fingerprint each kept frame. Pure byte
+    * arithmetic — unlike the stub decoder this IS oracle-checkable, so
+    * the frame-extraction plumbing (offsets, stride, per-frame schema)
+    * is differentially verified; only pixel decode itself stays stubbed.
+    */
+  private val FrameBytes = 256
+  private val FrameStride = 2
+  private val MaxFrames = 4
+
+  private def frames(s: SparkSession, d: String): DataFrame = {
+    val payload = encode(col("text"), "UTF-8")
+    val frameIdx = explode(sequence(lit(0), lit(MaxFrames - 1))).as("frame_idx")
+    Tables.documents(s, d)
+      .select(col("doc_id"), payload.as("payload"), frameIdx)
+      .withColumn("off", col("frame_idx") * FrameStride * FrameBytes)
+      .filter(octet_length(col("payload")) > col("off"))
+      .select(col("doc_id"), col("frame_idx"),
+        substring(col("payload"), col("off") + 1, lit(FrameBytes))
+          .as("frame"))
+      .select(col("doc_id"), col("frame_idx"),
+        octet_length(col("frame")).as("frame_bytes"),
+        // Fingerprint the hex rendering: DuckDB's substring/md5 don't
+        // take BLOBs, so the oracle slices hex text — Spark still does
+        // the real binary slicing and only hashes via hex.
+        md5(hex(col("frame"))).as("frame_hash"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val queries: Map[String, Query] = Map(
     "mm_meta" -> meta _,
-    "mm_features" -> features _)
+    "mm_features" -> features _,
+    "mm_frames" -> frames _)
 
   /** mm_features exercises the stub decoder → rows-only check. */
   val oracle: Map[String, String] = Map(
     "mm_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |  substr(hex(encode(text)), 1, 16) AS hex_prefix
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frames" ->
+      s"""WITH p AS (SELECT doc_id, hex(encode(text)) AS ph,
+         |        octet_length(encode(text)) AS nb FROM documents),
+         |f AS (SELECT doc_id, ph, nb, unnest(range(0, $MaxFrames))
+         |        AS frame_idx FROM p),
+         |o AS (SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+         |        substr(ph, CAST(frame_idx * ${2 * FrameStride * FrameBytes}
+         |          + 1 AS INT), ${2 * FrameBytes}) AS fh
+         |      FROM f
+         |      WHERE nb > frame_idx * ${FrameStride * FrameBytes})
+         |SELECT doc_id, frame_idx,
+         |  CAST(len(fh) / 2 AS INT) AS frame_bytes,
+         |  md5(fh) AS frame_hash
+         |FROM o ORDER BY doc_id, frame_idx""".stripMargin)
 }
