@@ -11,10 +11,13 @@ import org.apache.spark.sql.functions._
   * Implementation is copy-on-write over parquet, the same mechanism a
   * table format (Delta/Iceberg) uses under MERGE: read the current
   * snapshot, anti-join out the keys present in the batch, union the
-  * batch, write the next snapshot, then atomically swap directories.
-  * At 100 TB the table would be partitioned and only partitions touched
-  * by the batch's keys would be rewritten (dynamic partition overwrite);
-  * the swap below is the single-directory version of that commit.
+  * batch, write the next snapshot, then swap directories. The swap is
+  * delete+rename — NOT atomic (a concurrent reader can race the
+  * window); a real table format commits via an atomic
+  * metadata-pointer flip instead, which is the production upgrade
+  * path. At 100 TB the table would be partitioned and only partitions
+  * touched by the batch's keys rewritten (dynamic partition
+  * overwrite).
   */
 object UpsertSink {
 
