@@ -50,7 +50,11 @@ object Bench {
     // Keep the JSON line SHORT (3-decimal timings): the driver captures
     // only the tail of stdout, and a multi-KB line gets its head chopped
     // and fails to parse (round-1 BENCH had parsed:null for this reason).
-    def f3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: f"%.3f" uses the JVM default locale, and a
+    // comma-decimal locale would emit invalid JSON.
+    def f3(v: Double): String =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

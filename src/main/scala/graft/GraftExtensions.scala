@@ -33,10 +33,21 @@ object GraftExtensions {
         "graft_sorted_intersect_count"),
       (es: Seq[Expression]) => SortedIntersectCount(es(0), es(1))),
     // graft_minhash_sigs(packed_hashes, k): k must be a literal int.
+    // Validated here so a misuse surfaces as a clear analysis error, not
+    // an internal eval()/cast exception.
     ("graft_minhash_sigs",
       new ExpressionInfo(classOf[MinHashSigs].getName, "graft_minhash_sigs"),
-      (es: Seq[Expression]) => MinHashSigs(es(0),
-        es(1).eval().asInstanceOf[Number].intValue())))
+      (es: Seq[Expression]) => {
+        require(es.length == 2,
+          s"graft_minhash_sigs requires 2 arguments (array, k), got ${es.length}")
+        require(es(1).foldable,
+          "graft_minhash_sigs: k must be a literal integer")
+        es(1).eval() match {
+          case n: Number => MinHashSigs(es(0), n.intValue())
+          case other => throw new IllegalArgumentException(
+            s"graft_minhash_sigs: k must be a non-null integer literal, got $other")
+        }
+      }))
 
   /** Register on an existing session (temp functions, idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

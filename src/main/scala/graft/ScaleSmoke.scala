@@ -76,20 +76,10 @@ object ScaleSmoke {
       // Round-2 ops at scale: merge-based as-of join (one shuffle) and
       // native session_window (agg-operator session state).
       time("asof_join") {
-        val ev = big.select(col("event_id"), col("user_id"),
-          unix_micros(col("ts")).as("tus"), col("event_type"))
-        val errs = ev.filter(col("event_type") === "error")
-          .select(col("user_id"), col("tus"), lit(0).as("tag"),
-            lit(null).cast("long").as("eid"), col("tus").as("err_us"))
-        val lefts = ev.select(col("user_id"), col("tus"), lit(1).as("tag"),
-          col("event_id").as("eid"), lit(null).cast("long").as("err_us"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("user_id").orderBy(col("tus"), col("tag"), col("eid"))
-          .rowsBetween(Long.MinValue, 0)
-        full(errs.unionByName(lefts)
-          .withColumn("last_err_us",
-            last(col("err_us"), ignoreNulls = true).over(w))
-          .filter(col("tag") === 1))
+        // The SAME plan the j5_asof_join query ships, on the scaled table.
+        full(operators.Extended.asofLastError(
+          big.select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("tus"), col("event_type"))))
       },
       time("session_window") {
         full(big.groupBy(col("user_id"),

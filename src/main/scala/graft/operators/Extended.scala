@@ -29,10 +29,11 @@ object Extended {
     * with ties resolved right-row-first so the match is inclusive,
     * exactly like DuckDB's ASOF (e.ts >= r.ts) semantics.
     */
-  private def j5AsofJoin(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
-      .select(col("event_id"), col("user_id"), tsUs(col("ts")).as("tus"),
-        col("event_type"))
+  /** The merge-based as-of plan over any (event_id, user_id, tus,
+    * event_type) frame — shared by the oracle query and ScaleSmoke so
+    * the measured plan IS the shipped plan.
+    */
+  private[graft] def asofLastError(ev: DataFrame): DataFrame = {
     val errs = ev.filter(col("event_type") === "error")
       .select(col("user_id"), col("tus"), lit(0).as("tag"),
         lit(null).cast("long").as("eid"), col("tus").as("err_us"))
@@ -47,8 +48,13 @@ object Extended {
       .filter(col("tag") === 1)
       .select(col("eid").as("event_id"), col("user_id"), col("tus"),
         col("last_err_us"))
-      .orderBy("event_id")
   }
+
+  private def j5AsofJoin(s: SparkSession, d: String): DataFrame =
+    asofLastError(Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), tsUs(col("ts")).as("tus"),
+        col("event_type")))
+      .orderBy("event_id")
 
   /** Range join: events binned into value intervals from a (tiny) ranges
     * dimension. The dimension is broadcast, so the theta-join is a

@@ -24,16 +24,23 @@ object UpsertSink {
   /** Merge `batch` into the keyed parquet table at `tablePath`. */
   def upsert(batch: DataFrame, tablePath: String, keyCol: String): Unit = {
     val spark = batch.sparkSession
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val cur = new org.apache.hadoop.fs.Path(tablePath)
+    // Resolve the PATH's filesystem, not fs.defaultFS — a tablePath on
+    // a different scheme (s3a:// vs hdfs://) would otherwise throw
+    // "Wrong FS" from exists/delete/rename.
+    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(tablePath + ".next")
+    // A batch with duplicate keys would write BOTH rows and permanently
+    // violate key uniqueness — collapse to one row per key first. The
+    // pick among intra-batch duplicates is arbitrary (like Delta MERGE,
+    // deterministic last-writer-wins needs a version column upstream).
+    val source = batch.dropDuplicates(Seq(keyCol))
     val merged =
       if (fs.exists(cur)) {
         val existing = spark.read.parquet(tablePath)
-        existing.join(batch.select(keyCol), Seq(keyCol), "left_anti")
-          .unionByName(batch)
-      } else batch
+        existing.join(source.select(keyCol), Seq(keyCol), "left_anti")
+          .unionByName(source)
+      } else source
     merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     if (fs.exists(cur)) fs.delete(cur, true)
     fs.rename(tmp, cur)
