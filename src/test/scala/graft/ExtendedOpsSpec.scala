@@ -190,6 +190,36 @@ class ExtendedOpsSpec extends GraftSuite {
       (4L, "d", 40.0)))
   }
 
+  test("upsert collapses intra-batch duplicate keys to one row") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft_upsert_dup").toString + "/t"
+    val b = Seq((1L, "a", 1.0), (1L, "b", 2.0), (2L, "c", 3.0))
+      .toDF("id", "name", "v")
+    UpsertSink.upsert(b, table, "id")
+    val out = spark.read.parquet(table)
+    assert(out.count() == 2)
+    assert(out.groupBy("id").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("approx percentiles stay within the declared rank-error bound") {
+    // percentile_approx(acc=100) guarantees rank error <= n/100; verify
+    // against the exact percentile on the events value column.
+    val df = Tables.events(spark, sf)
+    val n = df.count()
+    val exactSorted = df.select("value").orderBy("value")
+      .collect().map(_.getDouble(0))
+    Seq(0.5, 0.9, 0.99).foreach { q =>
+      val approx = df.agg(
+        expr(s"percentile_approx(value, $q, 100)")).first().getDouble(0)
+      val rank = exactSorted.indexWhere(_ >= approx) match {
+        case -1 => n - 1
+        case i => i.toLong
+      }
+      val err = math.abs(rank - q * n).toDouble / n
+      assert(err <= 0.02, s"q=$q rank error $err exceeds bound")
+    }
+  }
+
   test("upsert stream drives micro-batches through the merge") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_upsrc").toString
