@@ -89,9 +89,43 @@ object SqlSurface {
         |  cohort NULLS FIRST""".stripMargin)
   }
 
+  /** Correlated EXISTS + scalar subquery through the SQL entry —
+    * Catalyst decorrelates the EXISTS into a left-semi join and plans
+    * the scalar subquery as a broadcast one-row aggregate; neither
+    * becomes a per-row loop.
+    */
+  private def existsSubquery(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql(
+      """SELECT o_orderkey, round(o_totalprice, 6) AS o_totalprice
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_quantity > 45)
+        |  AND o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** UNPIVOT (wide → long): three measure columns become (metric, value)
+    * rows via stack — the Expand operator, one pass, no shuffle.
+    */
+  private def unpivot(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql(
+      """SELECT l_orderkey, l_linenumber, metric, round(value, 6) AS value
+        |FROM (SELECT l_orderkey, l_linenumber,
+        |        stack(3, 'quantity', l_quantity,
+        |                 'extendedprice', l_extendedprice,
+        |                 'discount', l_discount) AS (metric, value)
+        |      FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin)
+  }
+
   val queries: Map[String, Query] = Map(
     "sql_dbt_features" -> dbtFeatures _,
     "sql_grouping_sets" -> groupingSets _,
+    "sql_exists" -> existsSubquery _,
+    "sql_unpivot" -> unpivot _,
     "ml_ols" -> olsRegression _)
 
   val oracle: Map[String, String] = Map(
@@ -107,6 +141,27 @@ object SqlSurface {
         |GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
         |ORDER BY g_type, g_cohort, event_type NULLS FIRST,
         |  cohort NULLS FIRST""".stripMargin,
+    "sql_exists" ->
+      """SELECT o_orderkey, round(o_totalprice, 6) AS o_totalprice
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_quantity > 45)
+        |  AND o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+    // DuckDB has no stack(); the long form is the portable oracle.
+    "sql_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, round(value, 6) AS value
+        |FROM (
+        |  SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+        |         l_quantity AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'discount', l_discount
+        |  FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
     "ml_ols" ->
       """WITH li AS (SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem),
         |stats AS (SELECT
