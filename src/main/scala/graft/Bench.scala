@@ -12,6 +12,9 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // Optional args: restrict to these query names (dev profiling); the
+    // driver passes none → full run.
+    val only = args.toSet
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -31,6 +34,7 @@ object Bench {
           while (it.hasNext) it.next()
         }
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only(n))
     names.foreach { n => // warmup (failures re-surface in the measured pass)
       try runFull(n) catch { case _: Throwable => }
     }
