@@ -93,10 +93,14 @@ object Similarity {
     }
   }
 
-  /** ANN via random-hyperplane LSH: NumPlanes=15 sign bits per vector,
-    * banded LshBands=5 × BandBits=3; candidates are bucket-mates in any
-    * band, re-ranked by exact cosine. The join key is (band, 3-bit
-    * bucket) — bounded fan-out, no all-pairs.
+  /** ANN via multi-probe random-hyperplane LSH: NumPlanes=15 sign bits
+    * per vector, banded LshBands=5 × BandBits=3; the corpus indexes its
+    * exact band buckets, while each QUERY additionally probes every
+    * 1-bit-flipped bucket per band (hamming≤1 multi-probe). Per-band
+    * hit probability rises from p³ to p³+3p²(1-p) (p ≈ per-bit
+    * agreement) — at p≈0.63 analytic recall is 1-(1-0.69)⁵ ≈ 0.997 vs
+    * ≈ 0.76 single-probe — while the corpus-side index and shuffle are
+    * unchanged; only the (tiny) query side fans out 4×.
     */
   def annTopkLsh(s: SparkSession, d: String): DataFrame = {
     val dim = Tables.embeddings(s, d).select(size(col("embedding")))
@@ -113,9 +117,21 @@ object Similarity {
         shiftrightunsigned(col("sig"), b * BandBits)
           .bitwiseAND(lit((1L << BandBits) - 1))): _*))
         .as(Seq("band_idx", "bucket")))
-    val q = banded.filter(col("vec_id") < NumQueries)
+    // Query probe set: exact bucket + each single-bit flip, per band.
+    val probeStructs = for {
+      b <- 0 until LshBands
+      f <- -1 until BandBits
+    } yield {
+      val base = shiftrightunsigned(col("sig"), b * BandBits)
+        .bitwiseAND(lit((1L << BandBits) - 1))
+      val bucket = if (f < 0) base else base.bitwiseXOR(lit(1L << f))
+      struct(lit(b).as("band_idx"), bucket.as("bucket"))
+    }
+    val q = sig.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("u").as("qu"),
-        col("band_idx"), col("bucket"))
+        explode(array(probeStructs: _*)).as("bb"))
+      .select(col("query_id"), col("qu"),
+        col("bb.band_idx").as("band_idx"), col("bb.bucket").as("bucket"))
     val cand = banded.join(q, Seq("band_idx", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("qu"), col("vec_id").as("neighbor_id"), col("u"))

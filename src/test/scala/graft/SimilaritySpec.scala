@@ -16,13 +16,13 @@ class SimilaritySpec extends GraftSuite {
     }
   }
 
-  test("LSH ANN recall@10 vs exact baseline is usable (>= 0.5)") {
+  test("LSH ANN recall@10 vs exact baseline is high (>= 0.8, multi-probe)") {
     val exact = SparkEntry.queries("ann_topk_exact")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val lsh = SparkEntry.queries("ann_topk_lsh")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = exact.count(lsh.contains).toDouble / exact.size
-    assert(recall >= 0.5, s"LSH recall@10 = $recall")
+    assert(recall >= 0.8, s"LSH recall@10 = $recall")
   }
 
   test("IVF ANN recall@10 is usable and scans a fraction of the corpus") {
