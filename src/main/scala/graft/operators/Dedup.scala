@@ -447,36 +447,80 @@ object Dedup {
     .empty[(SparkSession, String),
       org.apache.spark.broadcast.Broadcast[(Array[(Long, Array[Double])], Array[Double])]]
 
+  /** The per-partition inner loop shared by the single-tile and tiled
+    * kernels: score one scan row against one broadcast corpus block.
+    */
+  private def kernelScore(
+      it: Iterator[(Long, Array[Double])],
+      bv: Array[(Long, Array[Double])], bn: Array[Double],
+      tau: Double): Iterator[(Long, Long, Double)] =
+    it.flatMap { case (ida, ea) =>
+      val na = norm(ea)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      var j = 0
+      while (j < bv.length) {
+        val (idb, eb) = bv(j)
+        if (idb > ida) {
+          var dp = 0.0; var i = 0
+          while (i < ea.length) { dp += ea(i) * eb(i); i += 1 }
+          val c = round6d(dp / (na * bn(j)))
+          if (c >= tau) out += ((ida, idb, c))
+        }
+        j += 1
+      }
+      out.iterator
+    }
+
+  private def collectCorpus(s: SparkSession, d: String) =
+    corpusCache.getOrElseUpdate((s, d), {
+      import s.implicits._
+      val corpus = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .as[(Long, Array[Double])]
+        .collect().sortBy(_._1)
+      s.sparkContext.broadcast((corpus, corpus.map { case (_, e) => norm(e) }))
+    })
+
   private[graft] def blockedCosinePairs(s: SparkSession, d: String,
       tau: Double): DataFrame = {
     import s.implicits._
     val v = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .as[(Long, Array[Double])]
-    val bc = corpusCache.getOrElseUpdate((s, d), {
-      val corpus = v.collect().sortBy(_._1)
-      s.sparkContext.broadcast((corpus, corpus.map { case (_, e) => norm(e) }))
-    })
+    val bc = collectCorpus(s, d)
     v.mapPartitions { it =>
       val (bv, bn) = bc.value
-      it.flatMap { case (ida, ea) =>
-        val na = norm(ea)
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-        var j = 0
-        while (j < bv.length) {
-          val (idb, eb) = bv(j)
-          if (idb > ida) {
-            var dp = 0.0; var i = 0
-            while (i < ea.length) { dp += ea(i) * eb(i); i += 1 }
-            val c = round6d(dp / (na * bn(j)))
-            if (c >= tau) out += ((ida, idb, c))
-          }
-          j += 1
-        }
-        out.iterator
-      }
+      kernelScore(it, bv, bn, tau)
     }.toDF("id_a", "id_b", "cos")
       .orderBy("id_a", "id_b")
+  }
+
+  /** Tiled form of [[blockedCosinePairs]] — the 100 TB path: when the
+    * corpus exceeds one broadcast, split it into `tiles` contiguous
+    * id-range blocks, broadcast each block separately, and union the
+    * per-block pair scans. Every (i < j) pair lands in exactly one
+    * block's scan, so the union is exact (spec-asserted equal to the
+    * single-tile kernel). Peak broadcast memory drops by the tile
+    * factor; total scan work is unchanged.
+    */
+  private[graft] def blockedCosinePairsTiled(s: SparkSession, d: String,
+      tau: Double, tiles: Int): DataFrame = {
+    import s.implicits._
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .as[(Long, Array[Double])]
+    val (corpus, norms) = collectCorpus(s, d).value
+    val blockSize = math.max(1, (corpus.length + tiles - 1) / tiles)
+    val parts = (0 until corpus.length by blockSize).map { start =>
+      val end = math.min(start + blockSize, corpus.length)
+      val bc = s.sparkContext.broadcast(
+        (corpus.slice(start, end), norms.slice(start, end)))
+      v.mapPartitions { it =>
+        val (bv, bn) = bc.value
+        kernelScore(it, bv, bn, tau)
+      }.toDF("id_a", "id_b", "cos")
+    }
+    parts.reduce(_ unionByName _).orderBy("id_a", "id_b")
   }
 
   // ------------------------------------------------------------ registry

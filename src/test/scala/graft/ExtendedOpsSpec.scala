@@ -155,6 +155,14 @@ class ExtendedOpsSpec extends GraftSuite {
       .first().isNullAt(0))
   }
 
+  test("tiled cosine kernel equals the single-tile kernel exactly") {
+    val one = operators.Dedup.blockedCosinePairs(spark, sf, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val tiled = operators.Dedup.blockedCosinePairsTiled(spark, sf, 0.3, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(one.nonEmpty && tiled == one)
+  }
+
   test("streaming dedup emits each content hash exactly once across batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
