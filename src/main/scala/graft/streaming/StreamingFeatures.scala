@@ -74,13 +74,18 @@ object StreamingFeatures {
     * an unbounded stream.
     */
   def joinRecentErrors(events: DataFrame, errors: DataFrame,
-      watermark: String = "10 minutes"): DataFrame = {
+      watermark: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
     import org.apache.spark.sql.functions.expr
     val e = events.withWatermark("ts", watermark).alias("e")
     val r = errors.withWatermark("ts", watermark).alias("r")
+    // "left_outer" emits the unmatched (error_id null) row only once the
+    // watermark proves no matching error can still arrive — the
+    // completeness-vs-latency tradeoff every outer stream join makes.
     e.join(r,
       expr("e.user_id = r.user_id AND " +
-        "r.ts BETWEEN e.ts - INTERVAL 1 HOUR AND e.ts"))
+        "r.ts BETWEEN e.ts - INTERVAL 1 HOUR AND e.ts"),
+      joinType)
       .select(col("e.event_id").as("event_id"),
         col("e.user_id").as("user_id"),
         col("r.event_id").as("error_id"),

@@ -109,6 +109,36 @@ class StreamingAndMlSpec extends GraftSuite {
     assert(out == Set((1L, 100L)))
   }
 
+  test("left-outer stream-stream join emits unmatched rows after watermark") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val evs = MemoryStream[StreamingFeatures.Event]
+    val ers = MemoryStream[StreamingFeatures.Event]
+    val joined = StreamingFeatures.joinRecentErrors(
+      evs.toDF(), ers.toDF(), joinType = "left_outer")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("stream_ljoin").start()
+    def ev(id: Long, uid: Long, t: String) = StreamingFeatures.Event(
+      id, java.sql.Timestamp.valueOf(t), uid, "t", 0.0)
+    ers.addData(ev(100, 1, "2024-01-01 10:00:00"))
+    evs.addData(ev(1, 1, "2024-01-01 10:30:00"), // matches error 100
+      ev(2, 2, "2024-01-01 10:30:00")) // no error → null after watermark
+    q.processAllAvailable()
+    // Advance the watermark past event 2's join window so the unmatched
+    // row can be finalized and emitted.
+    evs.addData(ev(8, 99, "2024-02-01 00:00:00"))
+    ers.addData(ev(9, 99, "2024-02-01 00:00:00"))
+    q.processAllAvailable()
+    evs.addData(ev(10, 99, "2024-03-01 00:00:00"))
+    ers.addData(ev(11, 99, "2024-03-01 00:00:00"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("stream_ljoin").filter(col("user_id") < 99)
+      .collect().map(r => (r.getLong(0), Option(r.get(2)))).toSet
+    assert(out == Set((1L, Some(100L)), (2L, None)))
+  }
+
   test("ml pipeline trains, clamps and evaluates on CMAPSS features") {
     assume(new java.io.File("/root/reference/data/raw/train_FD001.txt").exists())
     val raw = pipeline.CmapssReader.read(spark,
