@@ -351,6 +351,34 @@ object Extended {
       .orderBy("user_id")
   }
 
+  /** Bitwise scalar surface: and/or/xor/shifts/bit_count — the hash and
+    * signature pipelines use these internally; declared here as a
+    * first-class oracle-checked family.
+    */
+  private def f9Bitwise(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"),
+      col("event_id").bitwiseAND(lit(0xFFL)).as("b_and"),
+      col("event_id").bitwiseOR(lit(0x100L)).as("b_or"),
+      col("event_id").bitwiseXOR(col("user_id")).as("b_xor"),
+      shiftleft(col("event_id"), 3).as("shl"),
+      shiftrightunsigned(col("event_id"), 2).as("shr"),
+      bit_count(col("event_id")).as("popcnt"))
+      .orderBy("event_id")
+
+  /** Extended string surface: pad/translate/repeat/reverse/replace —
+    * the remainder of the scalar string family beyond f1.
+    */
+  private def f10String(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      lpad(col("p_brand"), 12, ".").as("brand_pad"),
+      translate(col("p_type"), "aeiou", "AEIOU").as("type_vowels"),
+      reverse(col("p_brand")).as("brand_rev"),
+      regexp_replace(col("p_name"), " ", "_").as("name_snake"),
+      length(col("p_name")).as("name_len"))
+      .orderBy("p_partkey")
+
   /** Datetime extraction surface: calendar fields + truncation. The
     * dayofweek convention differs between engines (Spark 1=Sunday,
     * DuckDB 0=Sunday) — the oracle maps explicitly rather than trusting
@@ -459,6 +487,8 @@ object Extended {
     "a23_histogram" -> a23Histogram _,
     "p14_null_semantics" -> p14NullSemantics _,
     "f7_datetime" -> f7Datetime _,
+    "f9_bitwise" -> f9Bitwise _,
+    "f10_string" -> f10String _,
     "o4_offset" -> o4Offset _,
     "pp_hash_split" -> ppHashSplit _,
     "ml_class_weights" -> mlClassWeights _,
@@ -487,6 +517,23 @@ object Extended {
         |  regexp_extract(text, '([a-z]+)', 1) AS first_word,
         |  CAST(regexp_matches(text, 'data') AS INT) AS has_data
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "f9_bitwise" ->
+      """SELECT event_id,
+        |  event_id & 255 AS b_and,
+        |  event_id | 256 AS b_or,
+        |  xor(event_id, user_id) AS b_xor,
+        |  event_id << 3 AS shl,
+        |  event_id >> 2 AS shr,
+        |  CAST(bit_count(event_id) AS INT) AS popcnt
+        |FROM events ORDER BY event_id""".stripMargin,
+    "f10_string" ->
+      """SELECT p_partkey,
+        |  lpad(p_brand, 12, '.') AS brand_pad,
+        |  translate(p_type, 'aeiou', 'AEIOU') AS type_vowels,
+        |  reverse(p_brand) AS brand_rev,
+        |  replace(p_name, ' ', '_') AS name_snake,
+        |  CAST(len(p_name) AS INT) AS name_len
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "f7_datetime" ->
       """SELECT event_id,
         |  CAST(year(ts) AS INT) AS y,
