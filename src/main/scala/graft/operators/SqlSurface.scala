@@ -121,11 +121,26 @@ object SqlSurface {
         |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin)
   }
 
+  /** Aggregate FILTER clauses — per-aggregate predicates in one pass
+    * (the SQL-standard form of the conditional-aggregate pivot shape).
+    */
+  private def filterAgg(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql(
+      """SELECT event_type,
+        |  count(*) AS n,
+        |  count(*) FILTER (WHERE value < 30) AS n_low,
+        |  count(*) FILTER (WHERE value >= 400) AS n_high,
+        |  round(avg(value) FILTER (WHERE value >= 100), 6) AS avg_mid
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
   val queries: Map[String, Query] = Map(
     "sql_dbt_features" -> dbtFeatures _,
     "sql_grouping_sets" -> groupingSets _,
     "sql_exists" -> existsSubquery _,
     "sql_unpivot" -> unpivot _,
+    "sql_filter_agg" -> filterAgg _,
     "ml_ols" -> olsRegression _)
 
   val oracle: Map[String, String] = Map(
@@ -141,6 +156,13 @@ object SqlSurface {
         |GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
         |ORDER BY g_type, g_cohort, event_type NULLS FIRST,
         |  cohort NULLS FIRST""".stripMargin,
+    "sql_filter_agg" ->
+      """SELECT event_type,
+        |  count(*) AS n,
+        |  count(*) FILTER (WHERE value < 30) AS n_low,
+        |  count(*) FILTER (WHERE value >= 400) AS n_high,
+        |  round(avg(value) FILTER (WHERE value >= 100), 6) AS avg_mid
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "sql_exists" ->
       """SELECT o_orderkey, round(o_totalprice, 6) AS o_totalprice
         |FROM orders o
