@@ -442,10 +442,25 @@ object Dedup {
   // (warmup + measured bench passes, plan-hygiene sweeps, Verify) would
   // otherwise run its own collect job and leak one broadcast per call.
   // One entry per corpus — the materialized "index block" a production
-  // vector store would keep resident anyway.
+  // vector store would keep resident anyway. Caveat: a dir is assumed
+  // immutable within a session (rewriting the parquet under a cached dir
+  // serves stale data); entries are evicted when their session ends so
+  // they never outlive or leak across sessions.
   private val corpusCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String),
       org.apache.spark.broadcast.Broadcast[(Array[(Long, Array[Double])], Array[Double])]]
+  private val evictionHooked = scala.collection.concurrent.TrieMap
+    .empty[SparkSession, Unit]
+  private def hookEviction(s: SparkSession): Unit =
+    evictionHooked.getOrElseUpdate(s, {
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          corpusCache.filterInPlace { case ((sess, _), _) => sess ne s }
+          evictionHooked.remove(s)
+        }
+      })
+    })
 
   /** The per-partition inner loop shared by the single-tile and tiled
     * kernels: score one scan row against one broadcast corpus block.
@@ -471,7 +486,8 @@ object Dedup {
       out.iterator
     }
 
-  private def collectCorpus(s: SparkSession, d: String) =
+  private def collectCorpus(s: SparkSession, d: String) = {
+    hookEviction(s)
     corpusCache.getOrElseUpdate((s, d), {
       import s.implicits._
       val corpus = Tables.embeddings(s, d)
@@ -480,6 +496,7 @@ object Dedup {
         .collect().sortBy(_._1)
       s.sparkContext.broadcast((corpus, corpus.map { case (_, e) => norm(e) }))
     })
+  }
 
   private[graft] def blockedCosinePairs(s: SparkSession, d: String,
       tau: Double): DataFrame = {
@@ -496,25 +513,34 @@ object Dedup {
   }
 
   /** Tiled form of [[blockedCosinePairs]] — the 100 TB path: when the
-    * corpus exceeds one broadcast, split it into `tiles` contiguous
-    * id-range blocks, broadcast each block separately, and union the
-    * per-block pair scans. Every (i < j) pair lands in exactly one
-    * block's scan, so the union is exact (spec-asserted equal to the
-    * single-tile kernel). Peak broadcast memory drops by the tile
-    * factor; total scan work is unchanged.
+    * corpus exceeds one broadcast, split the vec_id domain into `tiles`
+    * ranges, build each block by a FILTERED collect of just that range
+    * (driver holds at most one tile at a time — never the full corpus),
+    * broadcast it, and union the per-block pair scans. Every (i < j)
+    * pair lands in exactly one block's scan, so the union is exact
+    * (spec-asserted equal to the single-tile kernel). Tile boundaries
+    * come from approximate vec_id quantiles: boundaries only balance
+    * memory, never affect which pairs are emitted, so approximation is
+    * safe. Peak broadcast memory drops by the tile factor; total scan
+    * work is unchanged.
     */
   private[graft] def blockedCosinePairsTiled(s: SparkSession, d: String,
       tau: Double, tiles: Int): DataFrame = {
     import s.implicits._
-    val v = Tables.embeddings(s, d)
+    val vDf = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      .as[(Long, Array[Double])]
-    val (corpus, norms) = collectCorpus(s, d).value
-    val blockSize = math.max(1, (corpus.length + tiles - 1) / tiles)
-    val parts = (0 until corpus.length by blockSize).map { start =>
-      val end = math.min(start + blockSize, corpus.length)
+    val v = vDf.as[(Long, Array[Double])]
+    val cuts =
+      if (tiles <= 1) Array.empty[Double]
+      else vDf.stat.approxQuantile(
+        "vec_id", (1 until tiles).map(_.toDouble / tiles).toArray, 0.001)
+    val bounds = (Double.NegativeInfinity +: cuts.toSeq :+
+      Double.PositiveInfinity).distinct.sliding(2).toSeq
+    val parts = bounds.map { case Seq(lo, hi) =>
+      val tile = v.filter(r => r._1 > lo && r._1 <= hi)
+        .collect().sortBy(_._1)
       val bc = s.sparkContext.broadcast(
-        (corpus.slice(start, end), norms.slice(start, end)))
+        (tile, tile.map { case (_, e) => norm(e) }))
       v.mapPartitions { it =>
         val (bv, bn) = bc.value
         kernelScore(it, bv, bn, tau)
