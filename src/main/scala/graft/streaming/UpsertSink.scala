@@ -35,6 +35,13 @@ object UpsertSink {
     // pick among intra-batch duplicates is arbitrary (like Delta MERGE,
     // deterministic last-writer-wins needs a version column upstream).
     val source = batch.dropDuplicates(Seq(keyCol))
+    // Recover from a crash between a previous delete and rename: a
+    // COMPLETE stranded .next dir (_SUCCESS present, i.e. the parquet
+    // job committed) is the fully-written next snapshot — finish its
+    // swap before merging, instead of silently reading an empty table.
+    if (!fs.exists(cur) &&
+        fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
+      require(fs.rename(tmp, cur), s"recovery rename $tmp -> $cur failed")
     val merged =
       if (fs.exists(cur)) {
         val existing = spark.read.parquet(tablePath)
@@ -42,8 +49,12 @@ object UpsertSink {
           .unionByName(source)
       } else source
     merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    if (fs.exists(cur)) fs.delete(cur, true)
-    fs.rename(tmp, cur)
+    // delete/rename report failure via their return value, not an
+    // exception — unchecked, a failed swap would silently strand the new
+    // snapshot in .next and leave the table missing.
+    if (fs.exists(cur))
+      require(fs.delete(cur, true), s"delete of old snapshot $cur failed")
+    require(fs.rename(tmp, cur), s"rename $tmp -> $cur failed")
   }
 
   /** Attach as a foreachBatch sink: each micro-batch merges on `keyCol`.

@@ -30,8 +30,10 @@ class SimilaritySpec extends GraftSuite {
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val ivf = SparkEntry.queries("ann_topk_ivf")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
+    // Tuned 32 cells / 8 probes / 4 Lloyd iters: measured 0.64 at
+    // sf0.001 and 0.60 at sf0.01 (see the curve in Similarity.scala).
     val recall = exact.count(ivf.contains).toDouble / exact.size
-    assert(recall >= 0.4, s"IVF recall@10 = $recall")
+    assert(recall >= 0.55, s"IVF recall@10 = $recall")
   }
 
   test("hyperplanes are deterministic across invocations") {
