@@ -25,7 +25,8 @@ object SparkEntry {
       operators.TextAnalysis.queries ++
       operators.Multimodal.queries ++
       operators.SqlSurface.queries ++
-      operators.Extended.queries
+      operators.Extended.queries ++
+      pipeline.MlPipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops (the
@@ -41,5 +42,6 @@ object SparkEntry {
       operators.TextAnalysis.oracle ++
       operators.Multimodal.oracle ++
       operators.SqlSurface.oracle ++
-      operators.Extended.oracle
+      operators.Extended.oracle ++
+      pipeline.MlPipeline.oracle
 }

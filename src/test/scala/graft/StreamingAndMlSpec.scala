@@ -157,4 +157,36 @@ class StreamingAndMlSpec extends GraftSuite {
     val rollup = MlPipeline.metricRollup(preds).collect()
     assert(rollup.length == 1 && rollup.head.getString(0) == "linear_regression")
   }
+
+  test("model comparison trains all four candidates with usable metrics") {
+    val rows = SparkEntry.queries("ml_model_compare")(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("decision_tree", "gbt", "linear_regression", "random_forest_cv"))
+    // Same deterministic test split for every model.
+    assert(rows.map(_.getLong(1)).distinct.length == 1 && rows.head.getLong(1) > 0)
+    rows.foreach { r =>
+      val (rmse, mae, r2) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(rmse > 0 && rmse.isFinite && mae > 0 && mae <= rmse,
+        s"${r.getString(0)}: rmse=$rmse mae=$mae")
+      assert(r2 > 0.1 && r2 <= 1.0, s"${r.getString(0)}: r2=$r2")
+    }
+  }
+
+  test("fitted pipeline save/load round-trips predictions exactly (K4)") {
+    val feat = operators.Windows.features(spark, sf)
+      .na.drop(Seq("d_value", "z_value"))
+    val Seq((_, est)) = MlPipeline
+      .candidateModels(Seq("mean5_value", "z_value"), "rul")
+      .filter(_._1 == "decision_tree")
+    val model = est.fit(feat)
+      .asInstanceOf[org.apache.spark.ml.PipelineModel]
+    val dir = Files.createTempDirectory("graft_model").toString + "/dt"
+    MlPipeline.saveModel(model, dir)
+    val back = MlPipeline.loadModel(dir)
+    val a = model.transform(feat).select("event_id", "prediction")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    val b = back.transform(feat).select("event_id", "prediction")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(a.length > 0 && a.sameElements(b))
+  }
 }
