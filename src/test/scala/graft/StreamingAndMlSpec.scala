@@ -189,4 +189,47 @@ class StreamingAndMlSpec extends GraftSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
     assert(a.length > 0 && a.sameElements(b))
   }
+
+  test("pipeline runner retries transient failures and skips after exhaustion") {
+    import graft.pipeline.PipelineRunner
+    import graft.pipeline.PipelineRunner.{Failed, Stage}
+    var flaky = 0
+    var ran = List.empty[String]
+    val slept = collection.mutable.ArrayBuffer.empty[Long]
+    val report = PipelineRunner.run(Seq(
+      Stage("etl", retries = 2, () => { ran ::= "etl" }),
+      Stage("train", retries = 2, () => {
+        flaky += 1
+        if (flaky <= 2) sys.error("transient") else ran ::= "train"
+      }),
+      Stage("score", retries = 2, () => { ran ::= "score" })),
+      retryDelayMs = 60000, sleep = slept.append(_))
+    assert(report.succeeded)
+    assert(report.stages.map(r => (r.name, r.attempts)) ==
+      Seq(("etl", 1), ("train", 3), ("score", 1)))
+    assert(slept.toSeq == Seq(60000L, 60000L)) // delay before each retry
+    assert(ran.reverse == List("etl", "train", "score"))
+
+    val failing = PipelineRunner.run(Seq(
+      Stage("etl", retries = 1, () => sys.error("disk on fire")),
+      Stage("train", retries = 2, () => fail("must not run"))))
+    assert(!failing.succeeded)
+    assert(failing.stages.map(_.outcome match {
+      case Failed(e) => s"failed:${e.contains("disk on fire")}"
+      case o => o.toString
+    }) == Seq("failed:true", "Skipped"))
+    assert(failing.stages.head.attempts == 2)
+  }
+
+  test("daily flow runs etl -> validate -> train -> score through the warehouse") {
+    import graft.pipeline.PipelineRunner
+    val wh = Files.createTempDirectory("graft_wh").toString
+    val report = PipelineRunner.run(PipelineRunner.dailyFlow(spark, sf, wh))
+    assert(report.succeeded, report.stages.mkString("; "))
+    val preds = spark.read.parquet(s"$wh/predictions")
+    assert(preds.count() > 0)
+    assert(preds.filter(col("predicted_rul") < 0).count() == 0)
+    assert(preds.columns.sorted.toSeq ==
+      Seq("event_id", "predicted_rul", "user_id"))
+  }
 }
