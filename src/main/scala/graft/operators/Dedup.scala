@@ -36,6 +36,31 @@ object Dedup {
        | ELSE [] END)""".stripMargin.replace("\n", "")
   }
 
+  /** DuckDB twin of the PPJoin candidate generation in [[ngramJaccard]]
+    * (prefix + size + positional prunes): expects a CTE `t2(doc_id, sh)`
+    * in scope and yields `cand(doc_a, doc_b)`. The naive all-shingle
+    * self-join oracle is quadratic on common shingles and times out at
+    * sf0.1; this one mirrors the scalable plan, and since candidate
+    * generation only needs to be a superset of the true pairs (the exact
+    * Jaccard verify follows), both formulations provably agree.
+    */
+  private[graft] def prefixCandSql(tau: Double): String = {
+    val overlap = tau / (1 + tau)
+    s"""e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM t2),
+       |freq AS (SELECT s, count(*) AS f FROM e GROUP BY s),
+       |pp AS (SELECT e.doc_id, e.s, e.n,
+       |  row_number() OVER (PARTITION BY e.doc_id ORDER BY f.f, e.s) AS rnk
+       |  FROM e JOIN freq f USING (s)),
+       |pref AS (SELECT doc_id, s, n, rnk FROM pp
+       |  WHERE rnk <= n - ceil($tau * n) + 1),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM pref x JOIN pref y ON x.s = y.s
+       |  WHERE x.doc_id < y.doc_id
+       |    AND least(x.n, y.n) >= ceil($tau * greatest(x.n, y.n))
+       |    AND least(x.n - x.rnk, y.n - y.rnk) + 1 >=
+       |      ceil($overlap * (x.n + y.n)))""".stripMargin
+  }
+
   // -------------------------------------------------------- exact dedup
 
   /** Exact dedup via hash-groupBy (one shuffle on md5(text); the text
@@ -571,9 +596,7 @@ object Dedup {
       s"""WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |t AS (SELECT doc_id, ${shinglesSql(3)} AS sh FROM w0),
          |t2 AS (SELECT doc_id, sh FROM t WHERE len(sh) > 0),
-         |e AS (SELECT doc_id, unnest(sh) AS s FROM t2),
-         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM e x JOIN e y ON x.s = y.s AND x.doc_id < y.doc_id),
+         |${prefixCandSql(JaccardTau)},
          |j AS (SELECT doc_a, doc_b,
          |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
          |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
@@ -604,9 +627,7 @@ object Dedup {
       s"""WITH RECURSIVE w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |t AS (SELECT doc_id, ${shinglesSql(3)} AS sh FROM w0),
          |t2 AS (SELECT doc_id, sh FROM t WHERE len(sh) > 0),
-         |e AS (SELECT doc_id, unnest(sh) AS s FROM t2),
-         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM e x JOIN e y ON x.s = y.s AND x.doc_id < y.doc_id),
+         |${prefixCandSql(JaccardTau)},
          |j AS (SELECT doc_a, doc_b,
          |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
          |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac

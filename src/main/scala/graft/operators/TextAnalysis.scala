@@ -195,9 +195,7 @@ object TextAnalysis {
       }
       s"""WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |t2 AS (SELECT doc_id, $sh3 AS sh FROM w0 WHERE len($sh3) > 0),
-         |e AS (SELECT doc_id, unnest(sh) AS s FROM t2),
-         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM e x JOIN e y ON x.s = y.s AND x.doc_id < y.doc_id),
+         |${Dedup.prefixCandSql(0.6)},
          |j AS (SELECT doc_a, doc_b,
          |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
          |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
