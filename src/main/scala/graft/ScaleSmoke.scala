@@ -114,7 +114,28 @@ object ScaleSmoke {
         SparkEntry.queries("ta_bigrams")(spark, docScratch).count()
       })
 
-    val qs = (results ++ dedupResults)
+    // Streaming dedup throughput at the same 10x dup-heavy scale: the
+    // replicated documents dir becomes a file-source stream (8 files per
+    // trigger → several micro-batches), state = one flag per distinct
+    // digest. Measures end-to-end micro-batch throughput including state
+    // store maintenance.
+    val streamResults = Seq(
+      time("stream_dedup_10x") {
+        import spark.implicits._
+        val src = spark.readStream
+          .option("maxFilesPerTrigger", 8)
+          .schema("doc_id LONG, text STRING")
+          .parquet(s"$docScratch/documents.parquet")
+          .as[streaming.StreamingDedup.Doc]
+        val q = streaming.StreamingDedup.firstSeen(src)
+          .writeStream.outputMode("append")
+          .format("memory").queryName("scale_stream_dedup").start()
+        q.processAllAvailable()
+        q.stop()
+        spark.table("scale_stream_dedup").count()
+      })
+
+    val qs = (results ++ dedupResults ++ streamResults)
       .map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
     val pairCounts = dedupResults.map { case (k, _, n) => s""""$k":$n""" }
       .mkString("{", ",", "}")

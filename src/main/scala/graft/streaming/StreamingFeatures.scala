@@ -82,12 +82,15 @@ object StreamingFeatures {
     // "left_outer" emits the unmatched (error_id null) row only once the
     // watermark proves no matching error can still arrive — the
     // completeness-vs-latency tradeoff every outer stream join makes.
+    // "full_outer" additionally finalizes errors that never saw an event
+    // (event_id null) when their join-window state is evicted; user_id is
+    // coalesced so unmatched rows from either side keep their key.
     e.join(r,
       expr("e.user_id = r.user_id AND " +
         "r.ts BETWEEN e.ts - INTERVAL 1 HOUR AND e.ts"),
       joinType)
       .select(col("e.event_id").as("event_id"),
-        col("e.user_id").as("user_id"),
+        coalesce(col("e.user_id"), col("r.user_id")).as("user_id"),
         col("r.event_id").as("error_id"),
         col("r.ts").as("error_ts"))
   }

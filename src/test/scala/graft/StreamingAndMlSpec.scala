@@ -139,6 +139,41 @@ class StreamingAndMlSpec extends GraftSuite {
     assert(out == Set((1L, Some(100L)), (2L, None)))
   }
 
+  test("full-outer stream-stream join finalizes both unmatched sides") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val evs = MemoryStream[StreamingFeatures.Event]
+    val ers = MemoryStream[StreamingFeatures.Event]
+    val joined = StreamingFeatures.joinRecentErrors(
+      evs.toDF(), ers.toDF(), joinType = "full_outer")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("stream_fjoin").start()
+    def ev(id: Long, uid: Long, t: String) = StreamingFeatures.Event(
+      id, java.sql.Timestamp.valueOf(t), uid, "t", 0.0)
+    ers.addData(ev(100, 1, "2024-01-01 10:00:00"), // matches event 1
+      ev(101, 5, "2024-01-01 10:00:00")) // no event for user 5
+    evs.addData(ev(1, 1, "2024-01-01 10:30:00"),
+      ev(2, 2, "2024-01-01 10:30:00")) // no error for user 2
+    q.processAllAvailable()
+    // Advance both watermarks far enough to evict the join-window state
+    // and finalize the unmatched rows on both sides.
+    evs.addData(ev(8, 99, "2024-02-01 00:00:00"))
+    ers.addData(ev(9, 99, "2024-02-01 00:00:00"))
+    q.processAllAvailable()
+    evs.addData(ev(10, 99, "2024-03-01 00:00:00"))
+    ers.addData(ev(11, 99, "2024-03-01 00:00:00"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("stream_fjoin").filter(col("user_id") < 99)
+      .collect()
+      .map(r => (Option(r.get(0)), r.getLong(1), Option(r.get(2)))).toSet
+    assert(out == Set(
+      (Some(1L), 1L, Some(100L)), // matched
+      (Some(2L), 2L, None),       // event with no error
+      (None, 5L, Some(101L))))    // error with no event
+  }
+
   test("ml pipeline trains, clamps and evaluates on CMAPSS features") {
     assume(new java.io.File("/root/reference/data/raw/train_FD001.txt").exists())
     val raw = pipeline.CmapssReader.read(spark,
