@@ -56,6 +56,22 @@ object Extended {
         col("event_type")))
       .orderBy("event_id")
 
+  /** The same as-of semantics through the custom whole-operator path
+    * ([[graft.plans.AsOfJoinPlan]] + strategy + merge exec) instead of
+    * the composed union-window plan — both are oracle-checked against
+    * DuckDB's ASOF LEFT JOIN, and a spec asserts they agree bit-for-bit.
+    */
+  private def j7AsofCustom(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), tsUs(col("ts")).as("tus"))
+    val errs = Tables.events(s, d)
+      .filter(col("event_type") === "error")
+      .select(col("user_id").as("err_user"), tsUs(col("ts")).as("err_tus"))
+    graft.plans.AsOf.lastMatch(ev, errs,
+      "user_id", "tus", "err_user", "err_tus", "last_err_us")
+      .orderBy("event_id")
+  }
+
   /** Range join: events binned into value intervals from a (tiny) ranges
     * dimension. The dimension is broadcast, so the theta-join is a
     * broadcast nested loop over 4 rows per event — no shuffle of the fact
@@ -500,6 +516,7 @@ object Extended {
     "tpch_q18" -> tpchQ18 _,
     "w11_range_frame" -> w11RangeFrame _,
     "j5_asof_join" -> j5AsofJoin _,
+    "j7_asof_custom" -> j7AsofCustom _,
     "j6_range_join" -> j6RangeJoin _,
     "p13_pivot" -> p13Pivot _,
     "a17_distinct_agg" -> a17DistinctAgg _,
@@ -683,6 +700,14 @@ object Extended {
     // TIMESTAMP(NANOS), which Spark truncates to µs on read — comparing
     // at ns in DuckDB could order a sub-µs-later error before an event.
     "j5_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events),
+        |r AS (SELECT user_id, epoch_us(ts) AS err_us FROM events
+        |      WHERE event_type = 'error')
+        |SELECT e.event_id, e.user_id, e.tus, r.err_us AS last_err_us
+        |FROM e ASOF LEFT JOIN r
+        |  ON e.user_id = r.user_id AND e.tus >= r.err_us
+        |ORDER BY event_id""".stripMargin,
+    "j7_asof_custom" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events),
         |r AS (SELECT user_id, epoch_us(ts) AS err_us FROM events
         |      WHERE event_type = 'error')

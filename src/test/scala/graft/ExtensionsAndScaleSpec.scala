@@ -62,6 +62,34 @@ class ExtensionsAndScaleSpec extends GraftSuite {
     assert(exchanges == 1, s"expected exactly 1 hash exchange, got $exchanges:\n$plan")
   }
 
+  test("custom as-of operator agrees bit-for-bit with the composed plan") {
+    val composed = SparkEntry.queries("j5_asof_join")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+    val custom = SparkEntry.queries("j7_asof_custom")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+    assert(composed.nonEmpty && custom.toSeq == composed.toSeq)
+    // Some events predate every error of their user → real null coverage.
+    assert(custom.exists(_._4.isEmpty) && custom.exists(_._4.nonEmpty))
+  }
+
+  test("custom as-of plans one exchange per side and no generic Join") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), tsUs(col("ts")).as("tus"))
+    val errs = Tables.events(spark, sf)
+      .filter(col("event_type") === "error")
+      .select(col("user_id").as("err_user"), tsUs(col("ts")).as("err_tus"))
+    val plan = plans.AsOf.lastMatch(ev, errs,
+      "user_id", "tus", "err_user", "err_tus", "last_err_us")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"plan was:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 2, s"expected 2 hash exchanges, got $exchanges:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"plan was:\n$plan")
+  }
+
   test("dedup/minhash joins read the persisted signature table") {
     val plan = SparkEntry.queries("dd_minhash_lsh")(spark, sf)
       .queryExecution.executedPlan.toString
