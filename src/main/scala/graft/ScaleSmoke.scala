@@ -121,17 +121,9 @@ object ScaleSmoke {
     // store maintenance.
     val streamResults = Seq(
       time("stream_dedup_10x") {
-        import spark.implicits._
-        val src = spark.readStream
-          .option("maxFilesPerTrigger", 8)
-          .schema("doc_id LONG, text STRING")
-          .parquet(s"$docScratch/documents.parquet")
-          .as[streaming.StreamingDedup.Doc]
-        val q = streaming.StreamingDedup.firstSeen(src)
-          .writeStream.outputMode("append")
-          .format("memory").queryName("scale_stream_dedup").start()
-        q.processAllAvailable()
-        q.stop()
+        streaming.StreamingDedup.runToMemory(spark,
+          s"$docScratch/documents.parquet", "scale_stream_dedup",
+          maxFilesPerTrigger = 8)
         spark.table("scale_stream_dedup").count()
       })
 

@@ -26,16 +26,22 @@ object MlPipeline {
     * ml_pipeline.py:440), and emit the ml_predictions-shaped frame +
     * metrics.
     */
-  def trainAndScore(train: DataFrame, test: DataFrame, featureCols: Seq[String],
-      labelCol: String, modelName: String = "linear_regression")
-      : (DataFrame, Metrics) = {
-    val pipe = new Pipeline().setStages(Array(
+  /** The canonical scaled linear-regression pipeline — shared by
+    * [[trainAndScore]] and the model-comparison table so both always
+    * train the same "linear_regression".
+    */
+  private def lrPipeline(featureCols: Seq[String], labelCol: String): Pipeline =
+    new Pipeline().setStages(Array(
       new VectorAssembler().setInputCols(featureCols.toArray)
         .setOutputCol("rawFeatures").setHandleInvalid("skip"),
       new StandardScaler().setInputCol("rawFeatures").setOutputCol("features"),
       new LinearRegression().setFeaturesCol("features").setLabelCol(labelCol)
         .setSolver("normal").setRegParam(0.0)))
-    val model = pipe.fit(train)
+
+  def trainAndScore(train: DataFrame, test: DataFrame, featureCols: Seq[String],
+      labelCol: String, modelName: String = "linear_regression")
+      : (DataFrame, Metrics) = {
+    val model = lrPipeline(featureCols, labelCol).fit(train)
     val scored = model.transform(test)
       .withColumn("predicted", greatest(col("prediction"), lit(0.0)))
     val metrics = Metrics(
@@ -86,12 +92,7 @@ object MlPipeline {
   def candidateModels(featureCols: Seq[String], labelCol: String)
       : Seq[(String, org.apache.spark.ml.Estimator[_])] = {
     val asm = assembler(featureCols)
-    val lr = new Pipeline().setStages(Array(
-      new VectorAssembler().setInputCols(featureCols.toArray)
-        .setOutputCol("rawFeatures").setHandleInvalid("skip"),
-      new StandardScaler().setInputCol("rawFeatures").setOutputCol("features"),
-      new LinearRegression().setFeaturesCol("features").setLabelCol(labelCol)
-        .setSolver("normal").setRegParam(0.0)))
+    val lr = lrPipeline(featureCols, labelCol)
     val dt = new Pipeline().setStages(Array(asm,
       new DecisionTreeRegressor().setFeaturesCol("features")
         .setLabelCol(labelCol).setMaxDepth(8).setSeed(42)))
@@ -154,18 +155,21 @@ object MlPipeline {
       .na.drop(Seq("d_value", "z_value"))
     val bucket = conv(substring(md5(col("event_id").cast("string")), 1, 4),
       16, 10).cast("long") % 100
-    val withB = feat.withColumn("b", bucket)
-    // Persist the split once: ten-plus fits (CV folds × grid + the other
+    // Persist the bucketed slice ONCE (train and test filter the same
+    // cached frame): ten-plus fits (CV folds × grid + the other
     // candidates) would each re-execute the window-feature plan
-    // otherwise. The tuning slice is small by construction, so a handful
-    // of partitions also cuts the per-tree-iteration job overhead that
-    // dominates ensemble training on tiny data.
-    val train = withB.filter(col("b") < 80).drop("b").coalesce(4).persist()
-    val test = withB.filter(col("b") >= 80).drop("b").coalesce(4).persist()
+    // otherwise, and two separate persisted filters would still
+    // materialize that plan twice. The tuning slice is small by
+    // construction, so a handful of partitions also cuts the
+    // per-tree-iteration job overhead that dominates ensemble training
+    // on tiny data.
+    val withB = feat.withColumn("b", bucket).coalesce(4).persist()
+    val train = withB.filter(col("b") < 80).drop("b")
+    val test = withB.filter(col("b") >= 80).drop("b")
     try modelCompare(train, test,
       Seq("mean5_value", "mean20_value", "d_value", "z_value"),
       labelCol = "rul")
-    finally { train.unpersist(); test.unpersist() }
+    finally withB.unpersist()
   }
 
   /** K4 model persistence (scripts/ml_pipeline.py:600-630 pickles models
