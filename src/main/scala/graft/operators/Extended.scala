@@ -314,6 +314,53 @@ object Extended {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** TPC-H Q10 (returned-item revenue): customers who returned items in
+    * a quarter, ranked by lost revenue. Fact-side filters (returnflag,
+    * order-date window) push to the scans; nation is broadcast (25 rows
+    * at any scale); customer/orders join is left to AQE — the same
+    * scale-honest hint policy as q5/q18.
+    */
+  private def tpchQ10(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1996-04-01")))
+      .select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val c = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("n_name"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"),
+        r6(col("c_acctbal")).as("c_acctbal"), col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q14 (promotion effect): promo revenue share over one month —
+    * a broadcast part join + single conditional-aggregate pass (no
+    * shuffle of lineitem beyond the final one-row agg).
+    */
+  private def tpchQ14(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1996-02-01")))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+    val p = Tables.part(s, d).select(col("p_partkey"), col("p_type"))
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .agg(r6(lit(100.0) *
+        sum(when(col("p_type").startsWith("PROMO"), rev).otherwise(lit(0.0))
+          .cast("decimal(38,6)")).cast("double") /
+        dsum(rev)).as("promo_revenue_pct"),
+        count(lit(1)).as("n"))
+  }
+
   /** TPC-H Q18 (large-volume customers): a grouped HAVING filter feeding
     * a join back onto orders/customer. The qualifying key set is
     * genuinely small at ANY scale (HAVING > threshold keeps outliers), so
@@ -511,6 +558,8 @@ object Extended {
     "ta_normalize" -> taNormalize _,
     "tpch_q1" -> tpchQ1 _,
     "tpch_q3" -> tpchQ3 _,
+    "tpch_q10" -> tpchQ10 _,
+    "tpch_q14" -> tpchQ14 _,
     "tpch_q5" -> tpchQ5 _,
     "tpch_q6" -> tpchQ6 _,
     "tpch_q18" -> tpchQ18 _,
@@ -669,6 +718,30 @@ object Extended {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+    "tpch_q10" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 6) AS c_acctbal, n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, round(c_acctbal, 6), n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "tpch_q14" ->
+      """SELECT round(100.0 *
+        |  CAST(sum(CAST(CASE WHEN p_type LIKE 'PROMO%'
+        |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
+        |    AS DECIMAL(38,6))) AS DOUBLE) /
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(38,6))) AS DOUBLE), 6) AS promo_revenue_pct,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-02-01'""".stripMargin,
     "w11_range_frame" ->
       """SELECT event_id,
         |  count(*) OVER w AS n_in_band,
