@@ -112,7 +112,7 @@ object MlPipeline {
       .setEvaluator(new RegressionEvaluator().setLabelCol(labelCol)
         .setPredictionCol("prediction").setMetricName("rmse"))
       .setEstimatorParamMaps(rfGrid).setNumFolds(3).setSeed(42)
-      .setParallelism(2)
+      .setParallelism(6)
     val gbt = new Pipeline().setStages(Array(asm,
       new GBTRegressor().setFeaturesCol("features").setLabelCol(labelCol)
         .setMaxIter(10).setMaxDepth(4).setSeed(42)))
@@ -128,13 +128,25 @@ object MlPipeline {
       featureCols: Seq[String], labelCol: String): DataFrame = {
     val s = train.sparkSession
     import s.implicits._
-    val rows = candidateModels(featureCols, labelCol).map { case (name, est) =>
-      val model = est.fit(train).asInstanceOf[org.apache.spark.ml.Model[_]]
-      val scored = model.transform(test)
-        .withColumn("predicted", greatest(col("prediction"), lit(0.0)))
-      def m(metric: String) = evalMetric(scored, labelCol, metric)
-      (name, scored.count(), m("rmse"), m("mae"), m("r2"))
-    }
+    // The four candidates are independent: train them concurrently from
+    // driver threads (Spark schedules the jobs side by side — the same
+    // pattern CrossValidator.parallelism uses internally), so wall time
+    // is the slowest candidate, not the sum.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val rows =
+      try Await.result(
+        Future.sequence(candidateModels(featureCols, labelCol).map {
+          case (name, est) => Future {
+            val model = est.fit(train).asInstanceOf[org.apache.spark.ml.Model[_]]
+            val scored = model.transform(test)
+              .withColumn("predicted", greatest(col("prediction"), lit(0.0)))
+            def m(metric: String) = evalMetric(scored, labelCol, metric)
+            (name, scored.count(), m("rmse"), m("mae"), m("r2"))
+          }
+        }), scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
     rows.toDF("model_name", "n", "rmse", "mae", "r2")
       .select(col("model_name"), col("n"),
         round(col("rmse"), 6).as("rmse"), round(col("mae"), 6).as("mae"),
