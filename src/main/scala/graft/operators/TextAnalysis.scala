@@ -162,7 +162,62 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style repetition ratios (Rae et al. 2021 §A1.1, the
+    * duplicate-n-gram curation rules): per document, the fraction of
+    * tokens claimed by the most frequent unigram and bigram and the
+    * distinct-bigram ratio, plus the keep flag at the published
+    * thresholds. Per-doc aggregates over exploded n-grams — shuffles on
+    * doc_id only, no cross-document state, so it scales like any
+    * grouped aggregation.
+    */
+  private def repNgrams(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val w = split(col("text"), " ")
+    // NON-distinct bigrams — repetition is exactly what dedup's
+    // distinct shingles erase.
+    val bigrams = transform(sequence(lit(1), size(w) - 1),
+      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1)))
+    val uni = docs.select(col("doc_id"), explode(w).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(r6(max(col("c")).cast("double") / sum(col("c")))
+        .as("top_uni_frac"))
+    val bi = docs.filter(size(w) >= 2)
+      .select(col("doc_id"), explode(bigrams).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(r6(max(col("c")).cast("double") / sum(col("c")))
+        .as("top_bi_frac"),
+        r6(count(lit(1)).cast("double") / sum(col("c")))
+          .as("uniq_bi_ratio"))
+    uni.join(bi, Seq("doc_id"), "left")
+      .withColumn("keep",
+        (col("top_uni_frac") <= 0.2 &&
+          coalesce(col("top_bi_frac") <= 0.2, lit(true))).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** URL parsing for web-corpus normalization: host / path / query-param
+    * extraction with Spark's codegen'd parse_url. URLs are synthesized
+    * deterministically from document metadata, so the DuckDB oracle
+    * reconstructs the expected fields from the same metadata — the
+    * parser is checked against ground truth by construction.
+    */
+  private def urlParse(s: SparkSession, d: String): DataFrame = {
+    val url = concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+      col("doc_id"), lit("?lang="), col("lang"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      url.as("url"),
+      parse_url(url, lit("HOST")).as("host"),
+      parse_url(url, lit("PATH")).as("path"),
+      parse_url(url, lit("QUERY"), lit("lang")).as("q_lang"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Query] = Map(
+    "ta_rep_ngrams" -> repNgrams _,
+    "f11_url" -> urlParse _,
     "ta_unigram_logprob" -> unigramLogprob _,
     "ta_langid" -> langid _,
     "ta_quality" -> quality _,
@@ -172,6 +227,34 @@ object TextAnalysis {
     "pipe_curate" -> curate _)
 
   val oracle: Map[String, String] = Map(
+    "ta_rep_ngrams" ->
+      """WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ut AS (SELECT doc_id, unnest(w) AS t FROM w0),
+        |uc AS (SELECT doc_id, t, count(*) AS c FROM ut GROUP BY doc_id, t),
+        |uni AS (SELECT doc_id,
+        |  round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_uni_frac
+        |  FROM uc GROUP BY doc_id),
+        |b0 AS (SELECT doc_id,
+        |  unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))
+        |    AS b FROM w0 WHERE len(w) >= 2),
+        |bc AS (SELECT doc_id, b, count(*) AS c FROM b0 GROUP BY doc_id, b),
+        |bi AS (SELECT doc_id,
+        |  round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_bi_frac,
+        |  round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS uniq_bi_ratio
+        |  FROM bc GROUP BY doc_id)
+        |SELECT uni.doc_id, top_uni_frac, top_bi_frac, uniq_bi_ratio,
+        |  CAST(top_uni_frac <= 0.2 AND
+        |    coalesce(top_bi_frac <= 0.2, TRUE) AS INT) AS keep
+        |FROM uni LEFT JOIN bi ON uni.doc_id = bi.doc_id
+        |ORDER BY uni.doc_id""".stripMargin,
+    "f11_url" ->
+      """SELECT doc_id,
+        |  'https://' || source || '.example.com/docs/' || doc_id
+        |    || '?lang=' || lang AS url,
+        |  source || '.example.com' AS host,
+        |  '/docs/' || doc_id AS path,
+        |  lang AS q_lang
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "ta_unigram_logprob" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
         |             FROM documents),
