@@ -57,6 +57,38 @@ object UpsertSink {
     require(fs.rename(tmp, cur), s"rename $tmp -> $cur failed")
   }
 
+  /** Partition-scoped upsert — the 100 TB shape the plain [[upsert]]
+    * documents as its upgrade path: only partitions containing the
+    * batch's keys are rewritten (Spark's dynamic partition overwrite),
+    * untouched partition directories are left byte-identical. The merged
+    * frame is localCheckpoint-ed before the write because Spark (rightly)
+    * refuses to overwrite a path its own plan is still reading from;
+    * the materialized state is bounded by the touched partitions, not
+    * the table.
+    */
+  def upsertPartitioned(batch: DataFrame, tablePath: String,
+      keyCol: String, partCol: String): Unit = {
+    val spark = batch.sparkSession
+    val cur = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val source = batch.dropDuplicates(Seq(keyCol))
+    if (!fs.exists(cur)) {
+      source.write.partitionBy(partCol).parquet(tablePath)
+      return
+    }
+    // Touched partitions: a tiny distinct over the batch side only.
+    val touched = source.select(partCol).distinct().collect().map(_.get(0))
+    val existing = spark.read.parquet(tablePath)
+      .filter(col(partCol).isInCollection(touched))
+    val merged = existing
+      .join(source.select(keyCol), Seq(keyCol), "left_anti")
+      .unionByName(source)
+      .localCheckpoint(true)
+    merged.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol).parquet(tablePath)
+  }
+
   /** Attach as a foreachBatch sink: each micro-batch merges on `keyCol`.
     * Usage:
     * {{{

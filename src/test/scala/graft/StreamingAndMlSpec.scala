@@ -225,6 +225,26 @@ class StreamingAndMlSpec extends GraftSuite {
     assert(a.length > 0 && a.sameElements(b))
   }
 
+  test("partition-scoped upsert rewrites only the touched partitions") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_up_part").toString + "/tbl"
+    val init = Seq((1L, 0L, "a"), (2L, 0L, "b"), (3L, 1L, "c"), (4L, 2L, "d"))
+      .toDF("id", "p", "v")
+    streaming.UpsertSink.upsertPartitioned(init, dir, "id", "p")
+    // Parquet file names are unique per write job: identical name sets
+    // prove the partition directory was not rewritten.
+    def filesIn(p: Int) = new java.io.File(s"$dir/p=$p").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    val (f0, f2) = (filesIn(0), filesIn(2))
+    val batch = Seq((3L, 1L, "c2"), (5L, 1L, "e")).toDF("id", "p", "v")
+    streaming.UpsertSink.upsertPartitioned(batch, dir, "id", "p")
+    assert(filesIn(0) == f0 && filesIn(2) == f2)
+    assert(filesIn(1) != Set.empty[String])
+    val rows = spark.read.parquet(dir).select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((1L, "a"), (2L, "b"), (3L, "c2"), (4L, "d"), (5L, "e")))
+  }
+
   test("pipeline runner retries transient failures and skips after exhaustion") {
     import graft.pipeline.PipelineRunner
     import graft.pipeline.PipelineRunner.{Failed, Stage}
