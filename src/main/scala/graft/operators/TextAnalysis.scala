@@ -215,7 +215,38 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-document top-3 TF-IDF terms: tf = in-doc frequency ratio,
+    * idf = ln(N/df) from a document-frequency dictionary. The df
+    * dictionary is a stats table bounded by the vocabulary — broadcast
+    * to the term-frequency side, so the only shuffles are the two
+    * grouped aggregations; the corpus-size N is a scalar literal
+    * (one count job), never a per-row subquery.
+    */
+  private def tfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val n = docs.count()
+    val terms = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+    val tf = terms.groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .withColumn("len", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+    val df = terms.select("doc_id", "t").distinct()
+      .groupBy("t").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), "t")
+      .withColumn("tfidf",
+        r6(col("c").cast("double") / col("len") *
+          log(lit(n.toDouble) / col("df"))))
+    scored
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("tfidf").desc, col("t"))))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("t").as("term"), col("tfidf"))
+      .orderBy("doc_id", "rnk")
+  }
+
   val queries: Map[String, Query] = Map(
+    "ta_tfidf" -> tfidf _,
     "ta_rep_ngrams" -> repNgrams _,
     "f11_url" -> urlParse _,
     "ta_unigram_logprob" -> unigramLogprob _,
@@ -227,6 +258,22 @@ object TextAnalysis {
     "pipe_curate" -> curate _)
 
   val oracle: Map[String, String] = Map(
+    "ta_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |             FROM documents),
+        |tf AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t),
+        |tl AS (SELECT doc_id, t, c, sum(c) OVER (PARTITION BY doc_id) AS len
+        |       FROM tf),
+        |df AS (SELECT t, count(DISTINCT doc_id) AS df FROM tok GROUP BY t),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |scored AS (SELECT doc_id, t,
+        |  round(CAST(c AS DOUBLE) / len * ln(n / df), 6) AS tfidf
+        |  FROM tl JOIN df USING (t), n),
+        |ranked AS (SELECT doc_id, t, tfidf,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, t) AS INT) AS rnk FROM scored)
+        |SELECT doc_id, rnk, t AS term, tfidf FROM ranked WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
     "ta_rep_ngrams" ->
       """WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |ut AS (SELECT doc_id, unnest(w) AS t FROM w0),
