@@ -361,6 +361,55 @@ object Extended {
         count(lit(1)).as("n"))
   }
 
+  /** TPC-H Q7 (volume shipping): bilateral trade between two nations by
+    * year. Both nation filters are broadcast; the supplier/customer
+    * sides reduce lineitem/orders before the fact join, and the yearly
+    * rollup is one grouped aggregate.
+    */
+  private def tpchQ7(s: SparkSession, d: String): DataFrame = {
+    val n1 = "NATION_1"
+    val n2 = "NATION_2"
+    val nat = Tables.nation(s, d)
+      .filter(col("n_name").isin(n1, n2)).select("n_nationkey", "n_name")
+    val sup = Tables.supplier(s, d)
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(s, d)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1995-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-01-01")))
+      .select("l_orderkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount")
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === n1 && col("cust_nation") === n2) ||
+        (col("supp_nation") === n2 && col("cust_nation") === n1))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** W13: the distribution-window family (ntile, percent_rank,
+    * cume_dist) — completes the rank family of w9 with the quantile-
+    * bucket/empirical-CDF shapes used for per-group score calibration.
+    */
+  private def w13Distribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("value"), col("event_id"))
+    Tables.events(s, d).select(
+      col("event_id"),
+      ntile(4).over(w).as("quartile"),
+      r6(percent_rank().over(w)).as("pct_rank"),
+      r6(cume_dist().over(w)).as("cdf"))
+      .orderBy("event_id")
+  }
+
   /** TPC-H Q18 (large-volume customers): a grouped HAVING filter feeding
     * a join back onto orders/customer. The qualifying key set is
     * genuinely small at ANY scale (HAVING > threshold keeps outliers), so
@@ -560,6 +609,8 @@ object Extended {
     "tpch_q3" -> tpchQ3 _,
     "tpch_q10" -> tpchQ10 _,
     "tpch_q14" -> tpchQ14 _,
+    "tpch_q7" -> tpchQ7 _,
+    "w13_distribution" -> w13Distribution _,
     "tpch_q5" -> tpchQ5 _,
     "tpch_q6" -> tpchQ6 _,
     "tpch_q18" -> tpchQ18 _,
@@ -718,6 +769,33 @@ object Extended {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+    "tpch_q7" ->
+      """WITH nat AS (SELECT n_nationkey, n_name FROM nation
+        |             WHERE n_name IN ('NATION_1', 'NATION_2'))
+        |SELECT s.n_name AS supp_nation, c.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nat s ON s_nationkey = s.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nat c ON c_nationkey = c.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND ((s.n_name = 'NATION_1' AND c.n_name = 'NATION_2') OR
+        |       (s.n_name = 'NATION_2' AND c.n_name = 'NATION_1'))
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "w13_distribution" ->
+      """SELECT event_id,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cdf
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+        |ORDER BY event_id""".stripMargin,
     "tpch_q10" ->
       """SELECT c_custkey, c_name, round(c_acctbal, 6) AS c_acctbal, n_name,
         |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
