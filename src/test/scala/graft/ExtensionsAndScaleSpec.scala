@@ -90,6 +90,43 @@ class ExtensionsAndScaleSpec extends GraftSuite {
       s"plan was:\n$plan")
   }
 
+  test("custom as-of over bucketed+sorted tables plans ZERO exchanges") {
+    // The headline claim of the custom operator: declared requirements
+    // let EnsureRequirements ELIDE the exchange and sort when the input
+    // is already bucketed on the key and sorted by (key, time) — a
+    // composed union-window as-of can never do this.
+    try {
+      spark.sql("DROP TABLE IF EXISTS b_ev")
+      spark.sql("DROP TABLE IF EXISTS b_err")
+      val ev = Tables.events(spark, sf)
+        .select(col("event_id"), col("user_id"), tsUs(col("ts")).as("tus"),
+          col("event_type"))
+      ev.write.bucketBy(4, "user_id").sortBy("user_id", "tus")
+        .saveAsTable("b_ev")
+      ev.filter(col("event_type") === "error")
+        .select(col("user_id").as("err_user"), col("tus").as("err_tus"))
+        .write.bucketBy(4, "err_user").sortBy("err_user", "err_tus")
+        .saveAsTable("b_err")
+      val asof = plans.AsOf.lastMatch(
+        spark.table("b_ev").select("event_id", "user_id", "tus"),
+        spark.table("b_err"),
+        "user_id", "tus", "err_user", "err_tus", "last_err_us")
+      val plan = asof.queryExecution.executedPlan.toString
+      assert(plan.contains("AsOfJoin"), plan.take(1500))
+      assert(!plan.contains("Exchange"),
+        "bucketed as-of still shuffles:\n" + plan.take(1500))
+      // And it still computes the right thing.
+      val expected = SparkEntry.queries("j5_asof_join")(spark, sf).collect()
+        .map(r => (r.getLong(0), Option(r.get(3)))).toMap
+      val got = asof.collect()
+        .map(r => (r.getLong(0), Option(r.get(3)))).toMap
+      assert(got == expected)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_ev")
+      spark.sql("DROP TABLE IF EXISTS b_err")
+    }
+  }
+
   test("dedup/minhash joins read the persisted signature table") {
     val plan = SparkEntry.queries("dd_minhash_lsh")(spark, sf)
       .queryExecution.executedPlan.toString
