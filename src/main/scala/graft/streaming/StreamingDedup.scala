@@ -41,6 +41,23 @@ object StreamingDedup {
       }
   }
 
+  /** TTL-bounded first-seen filter for UNBOUNDED key spaces: dedup state
+    * for a content hash is kept only while the watermark is within
+    * `delay` of its event time, then evicted — so state is
+    * O(hashes per TTL window), not O(all hashes ever). The tradeoff is
+    * explicit: a duplicate arriving after its original's state was
+    * evicted is re-emitted (at 100 TB/day of web crawl this is the only
+    * viable contract; exact forever-dedup is the batch operator's job).
+    * Built on dropDuplicatesWithinWatermark so eviction rides the
+    * engine's own watermark bookkeeping.
+    */
+  def firstSeenWithinTtl(docs: org.apache.spark.sql.DataFrame,
+      delay: String): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), col("ts"), md5(col("text")).as("text_hash"))
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("text_hash")
+
   /** Drive a stream of documents from `srcDir` (parquet drops) into an
     * in-memory table and block until all available input is processed.
     * `maxFilesPerTrigger` > 0 splits the backlog into several

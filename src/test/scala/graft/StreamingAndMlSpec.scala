@@ -225,6 +225,43 @@ class StreamingAndMlSpec extends GraftSuite {
     assert(a.length > 0 && a.sameElements(b))
   }
 
+  test("TTL dedup suppresses within the watermark, re-emits after eviction") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    case class TDoc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+    val mem = MemoryStream[StreamingFeatures.Event]
+    val docs = mem.toDF().select(col("event_id").as("doc_id"), col("ts"),
+      col("event_type").as("text"))
+    val q = streaming.StreamingDedup.firstSeenWithinTtl(docs, "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ttl_dedup").start()
+    def ev(id: Long, t: String, text: String) = StreamingFeatures.Event(
+      id, java.sql.Timestamp.valueOf(t), 0L, text, 0.0)
+    // Batch 1: duplicate within the hour → one emission.
+    mem.addData(ev(1, "2024-01-01 10:00:00", "aaa"),
+      ev(2, "2024-01-01 10:30:00", "aaa"), ev(3, "2024-01-01 10:10:00", "bbb"))
+    q.processAllAvailable()
+    // Advance the watermark far past 11:00 so "aaa" state is evicted.
+    mem.addData(ev(4, "2024-01-02 00:00:00", "ccc"))
+    q.processAllAvailable()
+    mem.addData(ev(5, "2024-01-03 00:00:00", "ddd"))
+    q.processAllAvailable()
+    // Same content arrives again after eviction → re-emitted.
+    mem.addData(ev(6, "2024-01-03 01:00:00", "aaa"))
+    q.processAllAvailable()
+    q.stop()
+    // Output carries the content HASH; "aaa" arrived as ids 1, 2, 6.
+    val emitted = spark.table("ttl_dedup").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    val ids = emitted.map(_._1)
+    assert(ids == Set(1L, 3L, 4L, 5L, 6L), emitted.toString)
+    // id 2 (in-window duplicate) suppressed; id 6 re-emitted with the
+    // SAME hash as id 1 after its state was evicted.
+    val hashOf = emitted.toMap
+    assert(hashOf(1L) == hashOf(6L))
+  }
+
   test("partition-scoped upsert rewrites only the touched partitions") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_up_part").toString + "/tbl"
