@@ -127,6 +127,33 @@ class ExtensionsAndScaleSpec extends GraftSuite {
     }
   }
 
+  test("dataset-partitioned warehouse prunes partitions, statically and via DPP") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_dpp").toString + "/t"
+    Tables.events(spark, sf)
+      .withColumn("dataset",
+        concat(lit("FD"), (col("user_id") % 4).cast("string")))
+      .write.partitionBy("dataset").parquet(wh)
+    // Static pruning: a literal dataset filter reaches PartitionFilters.
+    val static = spark.read.parquet(wh).filter(col("dataset") === "FD1")
+    val sPlan = static.queryExecution.executedPlan.toString
+    assert(sPlan.contains("PartitionFilters") && sPlan.contains("FD1"),
+      sPlan.take(1200))
+    // Dynamic partition pruning: joining a filtered dim on the partition
+    // column inserts a runtime pruning subquery on the fact scan. The
+    // dim must be file-backed — a local relation folds the filter away
+    // and leaves no selective predicate for DPP to latch onto.
+    val dimPath = wh + "_dim"
+    Seq(("FD1", "keep"), ("FD9", "ghost")).toDF("dataset", "tag")
+      .write.parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("tag") === "keep")
+    val j = spark.read.parquet(wh).join(dim, "dataset")
+    val dPlan = j.queryExecution.executedPlan.toString
+    assert(dPlan.contains("dynamicpruning"), dPlan.take(1500))
+    assert(j.select("dataset").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("FD1"))
+  }
+
   test("dedup/minhash joins read the persisted signature table") {
     val plan = SparkEntry.queries("dd_minhash_lsh")(spark, sf)
       .queryExecution.executedPlan.toString
