@@ -135,7 +135,46 @@ object SqlSurface {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 
+  /** Correlated LATERAL subquery: per-user top-2 events by value —
+    * Catalyst decorrelates the ordered-limit subquery into a windowed
+    * rank over a single join, not a per-row re-execution.
+    */
+  private def lateralTopk(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql(
+      """SELECT u.user_id, s.event_id, s.value
+        |FROM (SELECT DISTINCT user_id FROM events) u,
+        |LATERAL (SELECT event_id, round(value, 6) AS value FROM events e
+        |         WHERE e.user_id = u.user_id
+        |         ORDER BY e.value DESC, event_id LIMIT 2) s
+        |ORDER BY u.user_id, s.value DESC, s.event_id""".stripMargin)
+  }
+
+  /** Recursive-CTE date spine (the dbt calendar-spine pattern): generate
+    * every month in the order-date range, then left-join monthly counts
+    * so gap months surface as zeros. 80 iterations — comfortably inside
+    * Spark's default recursion level limit of 100.
+    */
+  private def dateSpine(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql(
+      """WITH RECURSIVE m(mo) AS (
+        |  SELECT DATE '1995-01-01'
+        |  UNION ALL SELECT add_months(mo, 1) FROM m
+        |  WHERE mo < DATE '2001-07-01'
+        |)
+        |SELECT date_format(mo, 'yyyy-MM') AS month,
+        |  coalesce(n, 0) AS n_orders
+        |FROM m LEFT JOIN (
+        |  SELECT trunc(o_orderdate, 'MM') AS om, count(*) AS n
+        |  FROM orders GROUP BY trunc(o_orderdate, 'MM')
+        |) o ON mo = o.om
+        |ORDER BY month""".stripMargin)
+  }
+
   val queries: Map[String, Query] = Map(
+    "sql_lateral" -> lateralTopk _,
+    "sql_date_spine" -> dateSpine _,
     "sql_dbt_features" -> dbtFeatures _,
     "sql_grouping_sets" -> groupingSets _,
     "sql_exists" -> existsSubquery _,
@@ -144,6 +183,27 @@ object SqlSurface {
     "ml_ols" -> olsRegression _)
 
   val oracle: Map[String, String] = Map(
+    "sql_lateral" ->
+      """SELECT u.user_id, s.event_id, s.value
+        |FROM (SELECT DISTINCT user_id FROM events) u,
+        |LATERAL (SELECT event_id, round(value, 6) AS value FROM events e
+        |         WHERE e.user_id = u.user_id
+        |         ORDER BY e.value DESC, event_id LIMIT 2) s
+        |ORDER BY u.user_id, s.value DESC, s.event_id""".stripMargin,
+    "sql_date_spine" ->
+      """WITH RECURSIVE m(mo) AS (
+        |  SELECT DATE '1995-01-01'
+        |  UNION ALL SELECT CAST(mo + INTERVAL 1 MONTH AS DATE) FROM m
+        |  WHERE mo < DATE '2001-07-01'
+        |)
+        |SELECT strftime(mo, '%Y-%m') AS month,
+        |  coalesce(n, 0) AS n_orders
+        |FROM m LEFT JOIN (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS om,
+        |    count(*) AS n
+        |  FROM orders GROUP BY 1
+        |) o ON mo = o.om
+        |ORDER BY month""".stripMargin,
     // Same semantics as wf_features — the oracle is shared by construction.
     "sql_dbt_features" -> Windows.oracle("wf_features"),
     "sql_grouping_sets" ->
