@@ -410,6 +410,28 @@ object Extended {
       .orderBy("event_id")
   }
 
+  /** Map-typed column surface: per-user event_type → mean-value map
+    * built with map_from_entries over a collected struct list, then
+    * consumed with element_at / map_keys. The map stays internal to the
+    * Spark plan; the output is plain columns, so the oracle recomputes
+    * the same values with conditional aggregation — map construction is
+    * checked against semantics ground truth rather than an
+    * engine-specific map rendering.
+    */
+  private def f12Map(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d)
+      .groupBy("user_id", "event_type")
+      .agg(r6(avg(col("value"))).as("v"))
+      .groupBy("user_id")
+      .agg(map_from_entries(array_sort(collect_list(
+        struct(col("event_type"), col("v"))))).as("m"))
+      .select(col("user_id"),
+        size(map_keys(col("m"))).as("n_types"),
+        element_at(col("m"), "click").as("click_avg"),
+        element_at(col("m"), "error").as("error_avg"))
+      .orderBy("user_id")
+  }
+
   /** TPC-H Q18 (large-volume customers): a grouped HAVING filter feeding
     * a join back onto orders/customer. The qualifying key set is
     * genuinely small at ANY scale (HAVING > threshold keeps outliers), so
@@ -611,6 +633,7 @@ object Extended {
     "tpch_q14" -> tpchQ14 _,
     "tpch_q7" -> tpchQ7 _,
     "w13_distribution" -> w13Distribution _,
+    "f12_map" -> f12Map _,
     "tpch_q5" -> tpchQ5 _,
     "tpch_q6" -> tpchQ6 _,
     "tpch_q18" -> tpchQ18 _,
@@ -769,6 +792,14 @@ object Extended {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+    "f12_map" ->
+      """WITH pa AS (SELECT user_id, event_type,
+        |  round(avg(value), 6) AS v FROM events GROUP BY user_id, event_type)
+        |SELECT user_id,
+        |  CAST(count(*) AS INT) AS n_types,
+        |  max(CASE WHEN event_type = 'click' THEN v END) AS click_avg,
+        |  max(CASE WHEN event_type = 'error' THEN v END) AS error_avg
+        |FROM pa GROUP BY user_id ORDER BY user_id""".stripMargin,
     "tpch_q7" ->
       """WITH nat AS (SELECT n_nationkey, n_name FROM nation
         |             WHERE n_name IN ('NATION_1', 'NATION_2'))
