@@ -432,6 +432,29 @@ object Extended {
       .orderBy("user_id")
   }
 
+  /** Per-group top-k through the custom typed Aggregator
+    * ([[graft.functions.TopKAggregator]]): only k-row buffers shuffle
+    * (map-side partial heaps), unlike the window row_number form that
+    * sorts and shuffles every row — oracle-checked against exactly that
+    * window form in DuckDB.
+    */
+  private def a24TopkAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ds = Tables.events(s, d)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .as[(String, Double, Long)]
+    ds.groupByKey(_._1)
+      .mapValues(v => graft.functions.ScoredId(v._2, v._3))
+      .agg(new graft.functions.TopKAggregator(3).toColumn)
+      .flatMap { case (et, top) =>
+        top.zipWithIndex.map { case (r, i) => (et, i + 1, r.id, r.score) }
+      }
+      .toDF("event_type", "rnk", "event_id", "value")
+      .select(col("event_type"), col("rnk"), col("event_id"),
+        r6(col("value")).as("value"))
+      .orderBy("event_type", "rnk")
+  }
+
   /** TPC-H Q18 (large-volume customers): a grouped HAVING filter feeding
     * a join back onto orders/customer. The qualifying key set is
     * genuinely small at ANY scale (HAVING > threshold keeps outliers), so
@@ -634,6 +657,7 @@ object Extended {
     "tpch_q7" -> tpchQ7 _,
     "w13_distribution" -> w13Distribution _,
     "f12_map" -> f12Map _,
+    "a24_topk_agg" -> a24TopkAgg _,
     "tpch_q5" -> tpchQ5 _,
     "tpch_q6" -> tpchQ6 _,
     "tpch_q18" -> tpchQ18 _,
@@ -792,6 +816,13 @@ object Extended {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+    "a24_topk_agg" ->
+      """WITH ranked AS (SELECT event_type, event_id, value,
+        |  CAST(row_number() OVER (PARTITION BY event_type
+        |    ORDER BY value DESC, event_id) AS INT) AS rnk FROM events)
+        |SELECT event_type, rnk, event_id, round(value, 6) AS value
+        |FROM ranked WHERE rnk <= 3
+        |ORDER BY event_type, rnk""".stripMargin,
     "f12_map" ->
       """WITH pa AS (SELECT user_id, event_type,
         |  round(avg(value), 6) AS v FROM events GROUP BY user_id, event_type)

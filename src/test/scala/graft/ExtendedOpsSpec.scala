@@ -133,6 +133,21 @@ class ExtendedOpsSpec extends GraftSuite {
     }
   }
 
+  test("TopKAggregator: bounded buffer, deterministic ties, split-invariant merge") {
+    import graft.functions.{ScoredId, TopKAggregator}
+    val a = new TopKAggregator(3)
+    val xs = Seq(ScoredId(1.0, 5), ScoredId(2.0, 4), ScoredId(2.0, 6),
+      ScoredId(0.5, 1), ScoredId(3.0, 9), ScoredId(2.0, 2))
+    val all = xs.foldLeft(a.zero)(a.reduce)
+    assert(all == Seq(ScoredId(3.0, 9), ScoredId(2.0, 2), ScoredId(2.0, 4)))
+    // Partial aggregation correctness: any split merges to the same top-k.
+    for (i <- 0 to xs.length) {
+      val (l, r) = xs.splitAt(i)
+      assert(a.merge(l.foldLeft(a.zero)(a.reduce),
+        r.foldLeft(a.zero)(a.reduce)) == all, s"split at $i")
+    }
+  }
+
   test("blocked cosine kernel is bit-identical to the composed plan") {
     // Lower tau than the query's 0.45 so the comparison covers real pairs.
     val kernel = operators.Dedup.blockedCosinePairs(spark, sf, 0.3)
