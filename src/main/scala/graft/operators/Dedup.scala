@@ -484,18 +484,9 @@ object Dedup {
   private val corpusCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.SparkContext, String),
       org.apache.spark.broadcast.Broadcast[(Array[(Long, Array[Double])], Array[Double])]]
-  private val evictionHooked = scala.collection.concurrent.TrieMap
-    .empty[org.apache.spark.SparkContext, Unit]
   private def hookEviction(sc: org.apache.spark.SparkContext): Unit =
-    evictionHooked.getOrElseUpdate(sc, {
-      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-          corpusCache.filterInPlace { case ((c, _), _) => c ne sc }
-          evictionHooked.remove(sc)
-        }
-      })
-    })
+    ContextCaches.evictOnStop(sc, "dedup-corpus")(() =>
+      corpusCache.filterInPlace { case ((c, _), _) => c ne sc })
 
   /** The per-partition inner loop shared by the single-tile and tiled
     * kernels: score one scan row against one broadcast corpus block.

@@ -194,7 +194,9 @@ object Similarity {
   // argument as the dedup corpus cache — a production vector store
   // serves queries against a materialized index, it does not re-run
   // Lloyd per query). Entries are driver-side Seqs of cells×dim doubles
-  // — negligible memory, deterministic by construction.
+  // — negligible memory, deterministic by construction. Same caveats as
+  // the corpus cache: dirs are assumed immutable for the context's
+  // lifetime, and entries are evicted when the context stops.
   private val centroidCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.SparkContext, String, Int, Int),
       Seq[(Long, Seq[Double])]]
@@ -203,6 +205,9 @@ object Similarity {
       cells: Int, probes: Int, iters: Int): DataFrame = {
     import s.implicits._
     val v = normalized(s, d)
+    graft.ContextCaches.evictOnStop(s.sparkContext, "ivf-centroids")(() =>
+      centroidCache.filterInPlace { case ((c, _, _, _), _) =>
+        c ne s.sparkContext })
     val trained = centroidCache.getOrElseUpdate(
       (s.sparkContext, d, cells, iters), trainCentroids(s, d, cells, iters))
     val cent = trained.toDF("cell", "cu")

@@ -65,9 +65,17 @@ object UpsertSink {
     * refuses to overwrite a path its own plan is still reading from;
     * the materialized state is bounded by the touched partitions, not
     * the table.
+    *
+    * A key may MOVE partitions between batches: by default a key-locator
+    * pass (a column-pruned (key, partition) scan of the table,
+    * semi-joined against the batch's keys) widens the touched set so the
+    * old copy is dropped too. Callers whose keys never change partition
+    * can skip that scan with `keysArePartitionStable = true` — then only
+    * the batch's own partitions are read and rewritten.
     */
   def upsertPartitioned(batch: DataFrame, tablePath: String,
-      keyCol: String, partCol: String): Unit = {
+      keyCol: String, partCol: String,
+      keysArePartitionStable: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val cur = new org.apache.hadoop.fs.Path(tablePath)
     val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -76,17 +84,42 @@ object UpsertSink {
       source.write.partitionBy(partCol).parquet(tablePath)
       return
     }
-    // Touched partitions: a tiny distinct over the batch side only.
-    val touched = source.select(partCol).distinct().collect().map(_.get(0))
-    val existing = spark.read.parquet(tablePath)
-      .filter(col(partCol).isInCollection(touched))
-    val merged = existing
+    val table = spark.read.parquet(tablePath)
+    // Touched partitions: the batch's own, plus (unless the caller
+    // vouches for partition-stable keys) every partition currently
+    // holding one of the batch's keys — otherwise a moved key's stale
+    // copy would survive in a partition this write never rewrites.
+    val batchParts = source.select(partCol).distinct().collect().map(_.get(0))
+    val staleParts =
+      if (keysArePartitionStable) Array.empty[Any]
+      else table.select(keyCol, partCol)
+        .join(source.select(keyCol), Seq(keyCol), "left_semi")
+        .select(partCol).distinct().collect().map(_.get(0))
+    val touched = (batchParts ++ staleParts).distinct
+    // Null-safe partition predicate: isInCollection never matches a NULL
+    // partition value, which would silently drop the null partition's
+    // pre-existing rows when the batch writes into it.
+    val inTouched = touched.map(v => col(partCol) <=> lit(v))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val merged = table.filter(inTouched)
       .join(source.select(keyCol), Seq(keyCol), "left_anti")
       .unionByName(source)
       .localCheckpoint(true)
     merged.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCol).parquet(tablePath)
+    // Dynamic overwrite only rewrites partitions PRESENT in the output:
+    // a touched partition vacated by the merge (its only rows were moved
+    // keys) would keep its stale directory — drop it explicitly.
+    val remaining = merged.select(partCol).distinct().collect()
+      .map(_.get(0)).toSet
+    touched.filterNot(remaining.contains).foreach { v =>
+      val dirName = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .getPartitionPathString(partCol, if (v == null) null else v.toString)
+      val p = new org.apache.hadoop.fs.Path(cur, dirName)
+      if (fs.exists(p)) require(fs.delete(p, true),
+        s"delete of vacated partition $p failed")
+    }
   }
 
   /** Attach as a foreachBatch sink: each micro-batch merges on `keyCol`.

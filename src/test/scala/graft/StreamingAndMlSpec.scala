@@ -229,7 +229,6 @@ class StreamingAndMlSpec extends GraftSuite {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
-    case class TDoc(doc_id: Long, ts: java.sql.Timestamp, text: String)
     val mem = MemoryStream[StreamingFeatures.Event]
     val docs = mem.toDF().select(col("event_id").as("doc_id"), col("ts"),
       col("event_type").as("text"))
@@ -280,6 +279,24 @@ class StreamingAndMlSpec extends GraftSuite {
     val rows = spark.read.parquet(dir).select("id", "v").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(rows == Set((1L, "a"), (2L, "b"), (3L, "c2"), (4L, "d"), (5L, "e")))
+  }
+
+  test("partition-scoped upsert handles moved keys and vacated partitions") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_up_move").toString + "/tbl"
+    // Partition 9's ONLY row is key 7; partition 0 has two keys.
+    val init = Seq((1L, 0L, "a"), (2L, 0L, "b"), (7L, 9L, "x"))
+      .toDF("id", "p", "v")
+    streaming.UpsertSink.upsertPartitioned(init, dir, "id", "p")
+    // Key 7 moves 9 -> 1 and key 2 moves 0 -> 1: old copies must go,
+    // and the vacated p=9 directory must disappear entirely.
+    val batch = Seq((7L, 1L, "x2"), (2L, 1L, "b2")).toDF("id", "p", "v")
+    streaming.UpsertSink.upsertPartitioned(batch, dir, "id", "p")
+    // Partition values read back through directory-name inference (int).
+    val rows = spark.read.parquet(dir).select("id", "p", "v").collect()
+      .map(r => (r.getLong(0), r.get(1).toString.toLong, r.getString(2))).toSet
+    assert(rows == Set((1L, 0L, "a"), (2L, 1L, "b2"), (7L, 1L, "x2")))
+    assert(!new java.io.File(s"$dir/p=9").exists())
   }
 
   test("pipeline runner retries transient failures and skips after exhaustion") {
