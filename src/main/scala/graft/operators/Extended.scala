@@ -455,6 +455,67 @@ object Extended {
       .orderBy("event_type", "rnk")
   }
 
+  /** TPC-H Q8 (national market share): the widest feasible join tree on
+    * this schema — lineitem × part × supplier × orders × customer ×
+    * nation² × region — with the share computed as a conditional-sum
+    * ratio per year. Bounded dims (region, nation) broadcast; the fact
+    * chain is left to AQE.
+    */
+  private def tpchQ8(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(s, d).filter(col("r_name") === "EUROPE")
+    val n1 = Tables.nation(s, d)
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cnk"))
+    val n2 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+    val c = Tables.customer(s, d)
+      .join(broadcast(n1), col("c_nationkey") === col("cnk"))
+      .select("c_custkey")
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1995-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val p = Tables.part(s, d).filter(col("p_type") === "STANDARD")
+      .select("p_partkey")
+    val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount")
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n2), col("s_nationkey") === col("snk"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(r6(
+        sum(when(col("supp_nation") === "NATION_3", vol).otherwise(lit(0.0))
+          .cast("decimal(38,6)")).cast("double") /
+        sum(vol.cast("decimal(38,6)")).cast("double")).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q15 (top supplier): revenue per supplier over a quarter, then
+    * the supplier(s) achieving the scalar max — the HAVING-equals-
+    * subquery shape; the per-supplier revenue aggregate is computed once
+    * and self-joined against its own max (broadcast one-row).
+    */
+  private def tpchQ15(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1996-04-01")))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("mx"))
+    rev.join(broadcast(mx), col("total_revenue") === col("mx"))
+      .join(Tables.supplier(s, d),
+        col("supplier_no") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        r6(col("total_revenue")).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
   /** TPC-H Q18 (large-volume customers): a grouped HAVING filter feeding
     * a join back onto orders/customer. The qualifying key set is
     * genuinely small at ANY scale (HAVING > threshold keeps outliers), so
@@ -655,6 +716,8 @@ object Extended {
     "tpch_q10" -> tpchQ10 _,
     "tpch_q14" -> tpchQ14 _,
     "tpch_q7" -> tpchQ7 _,
+    "tpch_q8" -> tpchQ8 _,
+    "tpch_q15" -> tpchQ15 _,
     "w13_distribution" -> w13Distribution _,
     "f12_map" -> f12Map _,
     "a24_topk_agg" -> a24TopkAgg _,
@@ -831,6 +894,38 @@ object Extended {
         |  max(CASE WHEN event_type = 'click' THEN v END) AS click_avg,
         |  max(CASE WHEN event_type = 'error' THEN v END) AS error_avg
         |FROM pa GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "tpch_q8" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |  round(
+        |    CAST(sum(CAST(CASE WHEN sn.n_name = 'NATION_3'
+        |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
+        |      AS DECIMAL(38,6))) AS DOUBLE) /
+        |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(38,6))) AS DOUBLE), 6) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region ON cn.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE r_name = 'EUROPE' AND p_type = 'STANDARD'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "tpch_q15" ->
+      """WITH rev AS (SELECT l_suppkey AS supplier_no,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(38,6))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, round(total_revenue, 6) AS total_revenue
+        |FROM rev JOIN supplier ON supplier_no = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
     "tpch_q7" ->
       """WITH nat AS (SELECT n_nationkey, n_name FROM nation
         |             WHERE n_name IN ('NATION_1', 'NATION_2'))
