@@ -132,6 +132,16 @@ object UpsertSink {
       : (DataFrame, Long) => Unit =
     (batch, _) => upsert(batch, tablePath, keyCol)
 
+  /** Partition-scoped streaming variant of [[foreachBatch]]: each
+    * micro-batch merges through [[upsertPartitioned]], rewriting only
+    * the partitions its keys touch.
+    */
+  def foreachBatchPartitioned(tablePath: String, keyCol: String,
+      partCol: String, keysArePartitionStable: Boolean = false)
+      : (DataFrame, Long) => Unit =
+    (batch, _) => upsertPartitioned(batch, tablePath, keyCol, partCol,
+      keysArePartitionStable)
+
   /** Drive a parquet-drop stream through the upsert sink until all
     * available input is processed (test/dev entry).
     */

@@ -281,6 +281,23 @@ class StreamingAndMlSpec extends GraftSuite {
     assert(rows == Set((1L, "a"), (2L, "b"), (3L, "c2"), (4L, "d"), (5L, "e")))
   }
 
+  test("partitioned upsert sink drives from a real stream") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_up_src").toString
+    val tbl = Files.createTempDirectory("graft_up_tbl").toString + "/tbl"
+    Seq((1L, 0L, "a"), (2L, 1L, "b")).toDF("id", "p", "v")
+      .coalesce(1).write.mode("overwrite").parquet(src)
+    val q = spark.readStream.schema("id LONG, p LONG, v STRING").parquet(src)
+      .writeStream
+      .foreachBatch(streaming.UpsertSink.foreachBatchPartitioned(
+        tbl, "id", "p", keysArePartitionStable = true))
+      .option("checkpointLocation", tbl + ".chk")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(tbl).count() == 2)
+  }
+
   test("partition-scoped upsert handles moved keys and vacated partitions") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_up_move").toString + "/tbl"
