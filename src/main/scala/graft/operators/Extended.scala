@@ -455,6 +455,28 @@ object Extended {
       .orderBy("event_type", "rnk")
   }
 
+  /** Binary encode/decode surface: base64 and hex round-trips over the
+    * utf-8 payload — the wire formats multimodal binary columns cross
+    * system boundaries in. Round-trip equality is asserted IN the query
+    * (rt_ok) so the oracle checks both directions.
+    */
+  private def f13Encode(s: SparkSession, d: String): DataFrame = {
+    val payload = encode(col("text"), "UTF-8")
+    // Spark's base64 MIME-chunks payloads past 57 bytes (76-char lines
+    // with CRLF); DuckDB's never does. Strip the line breaks so lengths
+    // and any slice past the first line agree — unbase64 accepts both.
+    val b64 = translate(base64(payload), "\r\n", "")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      substring(b64, 1, 24).as("b64_prefix"),
+      substring(hex(payload), 1, 24).as("hex_prefix"),
+      (length(b64) % 4).cast("long").as("b64_pad_mod"),
+      (decode(unbase64(b64), "UTF-8") === col("text") &&
+        decode(unhex(hex(payload)), "UTF-8") === col("text"))
+        .cast("int").as("rt_ok"))
+      .orderBy("doc_id")
+  }
+
   /** TPC-H Q8 (national market share): the widest feasible join tree on
     * this schema — lineitem × part × supplier × orders × customer ×
     * nation² × region — with the share computed as a conditional-sum
@@ -720,6 +742,7 @@ object Extended {
     "tpch_q15" -> tpchQ15 _,
     "w13_distribution" -> w13Distribution _,
     "f12_map" -> f12Map _,
+    "f13_encode" -> f13Encode _,
     "a24_topk_agg" -> a24TopkAgg _,
     "tpch_q5" -> tpchQ5 _,
     "tpch_q6" -> tpchQ6 _,
@@ -879,6 +902,14 @@ object Extended {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+    "f13_encode" ->
+      """SELECT doc_id,
+        |  substr(base64(encode(text)), 1, 24) AS b64_prefix,
+        |  substr(hex(encode(text)), 1, 24) AS hex_prefix,
+        |  CAST(len(base64(encode(text))) % 4 AS BIGINT) AS b64_pad_mod,
+        |  CAST(decode(from_base64(base64(encode(text)))) = text
+        |    AND decode(unhex(hex(encode(text)))) = text AS INT) AS rt_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "a24_topk_agg" ->
       """WITH ranked AS (SELECT event_type, event_id, value,
         |  CAST(row_number() OVER (PARTITION BY event_type
