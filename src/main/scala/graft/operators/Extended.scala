@@ -462,9 +462,12 @@ object Extended {
     */
   private def f13Encode(s: SparkSession, d: String): DataFrame = {
     val payload = encode(col("text"), "UTF-8")
-    // Spark's base64 MIME-chunks payloads past 57 bytes (76-char lines
-    // with CRLF); DuckDB's never does. Strip the line breaks so lengths
-    // and any slice past the first line agree — unbase64 accepts both.
+    // This build chunks base64 past 57 bytes (76-char MIME lines with
+    // CRLF): spark.sql.chunkBase64String.enabled is true here
+    // (empirically verified — 100 bytes encode to 138 chars, not 136);
+    // DuckDB never chunks. Strip the line breaks so lengths and any
+    // slice past the first line agree — unbase64 accepts both forms,
+    // so this is correct whichever way the conf is set.
     val b64 = translate(base64(payload), "\r\n", "")
     Tables.documents(s, d).select(
       col("doc_id"),

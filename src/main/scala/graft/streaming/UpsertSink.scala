@@ -85,24 +85,37 @@ object UpsertSink {
       return
     }
     val table = spark.read.parquet(tablePath)
+    // ALL partition-value bookkeeping happens in the cast-to-string
+    // domain: the read side re-infers partition types from directory
+    // names (longs come back as ints, date-like strings as dates) while
+    // the batch keeps its declared types, and JVM toString of inferred
+    // values (Timestamp "…00:00:00.0") differs from Spark's own
+    // directory rendering. Casting every side to string makes the
+    // touched/remaining comparison and the directory names consistent.
+    def partsOf(df: DataFrame): Seq[String] =
+      df.select(col(partCol).cast("string")).distinct().collect()
+        .map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+    val srcKeys = source.select(col(keyCol).as("__graft_k"))
     // Touched partitions: the batch's own, plus (unless the caller
     // vouches for partition-stable keys) every partition currently
     // holding one of the batch's keys — otherwise a moved key's stale
-    // copy would survive in a partition this write never rewrites.
-    val batchParts = source.select(partCol).distinct().collect().map(_.get(0))
+    // copy would survive in a partition this write never rewrites. Key
+    // comparisons are null-safe so a null-keyed row is replaced, not
+    // duplicated.
+    val batchParts = partsOf(source)
     val staleParts =
-      if (keysArePartitionStable) Array.empty[Any]
-      else table.select(keyCol, partCol)
-        .join(source.select(keyCol), Seq(keyCol), "left_semi")
-        .select(partCol).distinct().collect().map(_.get(0))
+      if (keysArePartitionStable) Seq.empty[String]
+      else partsOf(table.join(srcKeys,
+        col(keyCol) <=> col("__graft_k"), "left_semi"))
     val touched = (batchParts ++ staleParts).distinct
-    // Null-safe partition predicate: isInCollection never matches a NULL
-    // partition value, which would silently drop the null partition's
-    // pre-existing rows when the batch writes into it.
-    val inTouched = touched.map(v => col(partCol) <=> lit(v))
-      .reduceOption(_ || _).getOrElse(lit(false))
+    val inTouched = {
+      val nonNull = touched.filter(_ != null)
+      val base = if (nonNull.isEmpty) lit(false)
+        else col(partCol).cast("string").isInCollection(nonNull)
+      if (touched.contains(null)) base || col(partCol).isNull else base
+    }
     val merged = table.filter(inTouched)
-      .join(source.select(keyCol), Seq(keyCol), "left_anti")
+      .join(srcKeys, col(keyCol) <=> col("__graft_k"), "left_anti")
       .unionByName(source)
       .localCheckpoint(true)
     merged.write.mode(SaveMode.Overwrite)
@@ -111,11 +124,12 @@ object UpsertSink {
     // Dynamic overwrite only rewrites partitions PRESENT in the output:
     // a touched partition vacated by the merge (its only rows were moved
     // keys) would keep its stale directory — drop it explicitly.
-    val remaining = merged.select(partCol).distinct().collect()
-      .map(_.get(0)).toSet
+    val remaining = partsOf(merged).toSet
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     touched.filterNot(remaining.contains).foreach { v =>
-      val dirName = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .getPartitionPathString(partCol, if (v == null) null else v.toString)
+      val dirName = partCol + "=" + (if (v == null || v.isEmpty)
+        ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+      else ExternalCatalogUtils.escapePathName(v))
       val p = new org.apache.hadoop.fs.Path(cur, dirName)
       if (fs.exists(p)) require(fs.delete(p, true),
         s"delete of vacated partition $p failed")

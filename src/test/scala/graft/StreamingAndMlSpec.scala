@@ -316,6 +316,32 @@ class StreamingAndMlSpec extends GraftSuite {
     assert(!new java.io.File(s"$dir/p=9").exists())
   }
 
+  test("partitioned upsert survives re-inferred partition types and null keys") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_up_infer").toString + "/tbl"
+    // Date-like STRING partition values: the table read re-infers the
+    // partition column as DateType, which must not confuse the
+    // touched/remaining bookkeeping into deleting a live partition.
+    val init = Seq((Option(1L), "2024-01-01", "a"),
+      (Option(2L), "2024-01-02", "b"),
+      (Option.empty[Long], "2024-01-02", "n"))
+      .toDF("id", "p", "v")
+    streaming.UpsertSink.upsertPartitioned(init, dir, "id", "p")
+    // In-place updates, including the null key (replaced, not duplicated).
+    val batch = Seq((Option(1L), "2024-01-01", "a2"),
+      (Option.empty[Long], "2024-01-02", "n2")).toDF("id", "p", "v")
+    streaming.UpsertSink.upsertPartitioned(batch, dir, "id", "p")
+    val rows = spark.read.parquet(dir)
+      .select(col("id"), col("p").cast("string"), col("v")).collect()
+      .map(r => (Option(r.get(0)), r.getString(1), r.getString(2))).toSet
+    assert(rows == Set(
+      (Some(1L), "2024-01-01", "a2"),
+      (Some(2L), "2024-01-02", "b"),
+      (None, "2024-01-02", "n2")))
+    assert(new java.io.File(s"$dir/p=2024-01-01").exists())
+    assert(new java.io.File(s"$dir/p=2024-01-02").exists())
+  }
+
   test("pipeline runner retries transient failures and skips after exhaustion") {
     import graft.pipeline.PipelineRunner
     import graft.pipeline.PipelineRunner.{Failed, Stage}
