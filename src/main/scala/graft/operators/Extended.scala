@@ -541,6 +541,31 @@ object Extended {
       .orderBy("s_suppkey")
   }
 
+  /** TPC-H Q22 (global sales opportunity), adapted: country code comes
+    * from c_nationkey (the schema has no phone column). Customers with
+    * above-average positive balance and NO orders — a broadcast scalar
+    * subquery threshold plus a left-anti join against recent orders
+    * (the full order history covers nearly every customer at any SF, so
+    * the classic formulation is vacuous here), grouped per country.
+    */
+  private def tpchQ22(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .filter(col("c_nationkey") < 10)
+      .select(col("c_custkey"), col("c_nationkey").as("cntrycode"),
+        col("c_acctbal"))
+    val avgBal = c.filter(col("c_acctbal") > 0)
+      .agg(avg(col("c_acctbal")).as("ab"))
+    c.join(broadcast(avgBal), col("c_acctbal") > col("ab"))
+      .join(Tables.orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit("2000-01-01")))
+        .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("cntrycode")
+      .agg(count(lit(1)).as("numcust"),
+        dsum(col("c_acctbal")).as("totacctbal"))
+      .orderBy("cntrycode")
+  }
+
   /** TPC-H Q18 (large-volume customers): a grouped HAVING filter feeding
     * a join back onto orders/customer. The qualifying key set is
     * genuinely small at ANY scale (HAVING > threshold keeps outliers), so
@@ -743,6 +768,7 @@ object Extended {
     "tpch_q7" -> tpchQ7 _,
     "tpch_q8" -> tpchQ8 _,
     "tpch_q15" -> tpchQ15 _,
+    "tpch_q22" -> tpchQ22 _,
     "w13_distribution" -> w13Distribution _,
     "f12_map" -> f12Map _,
     "f13_encode" -> f13Encode _,
@@ -928,6 +954,17 @@ object Extended {
         |  max(CASE WHEN event_type = 'click' THEN v END) AS click_avg,
         |  max(CASE WHEN event_type = 'error' THEN v END) AS error_avg
         |FROM pa GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "tpch_q22" ->
+      """SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+        |    AS totacctbal
+        |FROM customer
+        |WHERE c_nationkey < 10
+        |  AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+        |                   WHERE c_acctbal > 0 AND c_nationkey < 10)
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin,
     "tpch_q8" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
         |  round(
