@@ -455,6 +455,23 @@ object Extended {
       .orderBy("event_type", "rnk")
   }
 
+  /** Rolling distinct count over a BOUNDED frame: Spark has no
+    * count(DISTINCT) window, so the idiom is a set aggregate over the
+    * frame — size(array_distinct(collect_list(...))) — which is
+    * scale-safe exactly because the ROWS frame bounds the collected
+    * state to 5 elements per row (never do this over an unbounded
+    * frame).
+    */
+  private def w14RollingDistinct(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(tsUs(col("ts")), col("event_id")).rowsBetween(-4, 0)
+    Tables.events(s, d).select(
+      col("event_id"),
+      size(array_distinct(collect_list(col("event_type")).over(w)))
+        .as("d_types_5"))
+      .orderBy("event_id")
+  }
+
   /** Binary encode/decode surface: base64 and hex round-trips over the
     * utf-8 payload — the wire formats multimodal binary columns cross
     * system boundaries in. Round-trip equality is asserted IN the query
@@ -770,6 +787,7 @@ object Extended {
     "tpch_q15" -> tpchQ15 _,
     "tpch_q22" -> tpchQ22 _,
     "w13_distribution" -> w13Distribution _,
+    "w14_rolling_distinct" -> w14RollingDistinct _,
     "f12_map" -> f12Map _,
     "f13_encode" -> f13Encode _,
     "a24_topk_agg" -> a24TopkAgg _,
@@ -931,6 +949,15 @@ object Extended {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+    "w14_rolling_distinct" ->
+      """SELECT event_id,
+        |  CAST(len(list_distinct(list(event_type) OVER w)) AS INT)
+        |    AS d_types_5
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY epoch_us(ts), event_id
+        |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "f13_encode" ->
       """SELECT doc_id,
         |  substr(base64(encode(text)), 1, 24) AS b64_prefix,
