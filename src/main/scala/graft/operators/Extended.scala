@@ -990,7 +990,7 @@ object Extended {
         |  AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
         |                   WHERE c_acctbal > 0 AND c_nationkey < 10)
         |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
-                        WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+        |                   WHERE o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin,
     "tpch_q8" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year,

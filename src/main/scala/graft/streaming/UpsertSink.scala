@@ -84,17 +84,26 @@ object UpsertSink {
       source.write.partitionBy(partCol).parquet(tablePath)
       return
     }
-    val table = spark.read.parquet(tablePath)
-    // ALL partition-value bookkeeping happens in the cast-to-string
-    // domain: the read side re-infers partition types from directory
-    // names (longs come back as ints, date-like strings as dates) while
-    // the batch keeps its declared types, and JVM toString of inferred
-    // values (Timestamp "…00:00:00.0") differs from Spark's own
-    // directory rendering. Casting every side to string makes the
-    // touched/remaining comparison and the directory names consistent.
+    // Read the table through a session clone with partition-type
+    // inference OFF: the partition column then comes back as the RAW
+    // directory string (what Spark actually wrote), not a re-inferred
+    // type whose re-rendering can differ from the original ("01" infers
+    // to int 1, date-like strings to DateType, Timestamp toString grows
+    // a ".0"). With raw strings on the table side and cast-to-string on
+    // the batch side, every comparison and directory name lives in one
+    // consistent domain — the same cast Spark's own partition-path
+    // rendering uses.
+    val noInfer = spark.newSession()
+    noInfer.conf
+      .set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    val table = noInfer.read.parquet(tablePath)
+    // Empty string and null both live in __HIVE_DEFAULT_PARTITION__ —
+    // normalize "" to null so they are tracked as the one partition
+    // they are.
     def partsOf(df: DataFrame): Seq[String] =
       df.select(col(partCol).cast("string")).distinct().collect()
-        .map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+        .map(r => if (r.isNullAt(0) || r.getString(0).isEmpty) null
+          else r.getString(0)).distinct.toSeq
     val srcKeys = source.select(col(keyCol).as("__graft_k"))
     // Touched partitions: the batch's own, plus (unless the caller
     // vouches for partition-stable keys) every partition currently
@@ -125,11 +134,12 @@ object UpsertSink {
     // a touched partition vacated by the merge (its only rows were moved
     // keys) would keep its stale directory — drop it explicitly.
     val remaining = partsOf(merged).toSet
-    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     touched.filterNot(remaining.contains).foreach { v =>
-      val dirName = partCol + "=" + (if (v == null || v.isEmpty)
-        ExternalCatalogUtils.DEFAULT_PARTITION_NAME
-      else ExternalCatalogUtils.escapePathName(v))
+      // getPartitionPathString handles null/empty → DEFAULT_PARTITION
+      // and escapes both the column name and the value, matching the
+      // directory Spark wrote.
+      val dirName = org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.getPartitionPathString(partCol, v)
       val p = new org.apache.hadoop.fs.Path(cur, dirName)
       if (fs.exists(p)) require(fs.delete(p, true),
         s"delete of vacated partition $p failed")
