@@ -342,6 +342,24 @@ class StreamingAndMlSpec extends GraftSuite {
     assert(new java.io.File(s"$dir/p=2024-01-02").exists())
   }
 
+  test("partitioned upsert preserves non-canonical string partition values") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_up_canon").toString + "/tbl"
+    // Zero-padded month strings: inference would read p=01 back as
+    // int 1, whose re-rendering "1" never matches "01".
+    val init = Seq((1L, "01", "a"), (2L, "02", "b")).toDF("id", "p", "v")
+    streaming.UpsertSink.upsertPartitioned(init, dir, "id", "p")
+    val batch = Seq((3L, "01", "c")).toDF("id", "p", "v") // NEW key
+    streaming.UpsertSink.upsertPartitioned(batch, dir, "id", "p")
+    val rows = spark.read.parquet(dir)
+      .select(col("id"), col("p").cast("string"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    // id=1 must survive the rewrite of its partition.
+    assert(rows.map(t => (t._1, t._3)) ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(new java.io.File(s"$dir/p=01").exists())
+  }
+
   test("pipeline runner retries transient failures and skips after exhaustion") {
     import graft.pipeline.PipelineRunner
     import graft.pipeline.PipelineRunner.{Failed, Stage}
