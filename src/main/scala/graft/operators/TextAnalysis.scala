@@ -171,26 +171,28 @@ object TextAnalysis {
     * grouped aggregation.
     */
   private def repNgrams(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
     val w = split(col("text"), " ")
-    // NON-distinct bigrams — repetition is exactly what dedup's
-    // distinct shingles erase.
-    val bigrams = transform(sequence(lit(1), size(w) - 1),
-      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1)))
-    val uni = docs.select(col("doc_id"), explode(w).as("t"))
-      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(r6(max(col("c")).cast("double") / sum(col("c")))
-        .as("top_uni_frac"))
-    val bi = docs.filter(size(w) >= 2)
-      .select(col("doc_id"), explode(bigrams).as("b"))
-      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(r6(max(col("c")).cast("double") / sum(col("c")))
-        .as("top_bi_frac"),
-        r6(count(lit(1)).cast("double") / sum(col("c")))
-          .as("uniq_bi_ratio"))
-    uni.join(bi, Seq("doc_id"), "left")
+    // Per-doc frequency statistics ([max run, distinct, total]) via the
+    // native kernels — unigrams over the sorted token array, bigrams
+    // paired and sorted INSIDE the kernel (repetition needs the
+    // NON-distinct n-grams dedup's distinct shingles erase). The
+    // composed explode→groupBy(doc, gram)→groupBy(doc) form shuffles
+    // every n-gram twice, and a transform()-built bigram array runs an
+    // interpreted lambda per element; this is one narrow scan, no
+    // shuffle. The `when` keeps single-token docs at null like the
+    // grouped form's left join did.
+    val us = graft.functions.FreqFunctions.sortedFreqStats(array_sort(w))
+    val bs = when(size(w) >= 2,
+      graft.functions.FreqFunctions.bigramFreqStats(w))
+    Tables.documents(s, d)
+      .select(col("doc_id"), us.as("us"), bs.as("bs"))
+      .select(col("doc_id"),
+        r6(element_at(col("us"), 1).cast("double") /
+          element_at(col("us"), 3)).as("top_uni_frac"),
+        r6(element_at(col("bs"), 1).cast("double") /
+          element_at(col("bs"), 3)).as("top_bi_frac"),
+        r6(element_at(col("bs"), 2).cast("double") /
+          element_at(col("bs"), 3)).as("uniq_bi_ratio"))
       .withColumn("keep",
         (col("top_uni_frac") <= 0.2 &&
           coalesce(col("top_bi_frac") <= 0.2, lit(true))).cast("int"))
