@@ -1,6 +1,7 @@
 package graft
 
-import graft.functions.{DotProduct, MinHashSigs, SimHash60, SortedIntersectCount}
+import graft.functions.{BigramFreqStats, DotProduct, MinHashSigs, SimHash60,
+  SortedFreqStats, SortedIntersectCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -37,6 +38,14 @@ object GraftExtensions {
       new ExpressionInfo(classOf[SortedIntersectCount].getName,
         "graft_sorted_intersect_count"),
       (es: Seq[Expression]) => SortedIntersectCount(es(0), es(1))),
+    ("graft_sorted_freq_stats",
+      new ExpressionInfo(classOf[SortedFreqStats].getName,
+        "graft_sorted_freq_stats"),
+      (es: Seq[Expression]) => SortedFreqStats(es.head)),
+    ("graft_bigram_freq_stats",
+      new ExpressionInfo(classOf[BigramFreqStats].getName,
+        "graft_bigram_freq_stats"),
+      (es: Seq[Expression]) => BigramFreqStats(es.head)),
     // graft_minhash_sigs(packed_hashes, k): k must be a literal int.
     // Validated here so a misuse surfaces as a clear analysis error, not
     // an internal eval()/cast exception.
