@@ -39,25 +39,33 @@ case class SortedFreqStats(child: Expression) extends UnaryExpression {
 }
 
 object SortedFreqStats {
-  /** One run-length pass over a sorted array; called from codegen. */
+  /** One run-length pass over a sorted array; called from codegen.
+    * Null elements are skipped (they count toward none of the three
+    * statistics): the expression is SQL-registered, so a caller can
+    * hand it array('a', NULL) and must get an answer, not an NPE.
+    * array_sort groups equal non-null elements adjacently regardless
+    * of where it places nulls, which is all the walk relies on.
+    */
   def compute(a: ArrayData): ArrayData = {
     val n = a.numElements()
-    if (n == 0) return new GenericArrayData(Array(0L, 0L, 0L))
-    var maxRun = 1L
-    var run = 1L
-    var distinct = 1L
-    var i = 1
+    var maxRun = 0L
+    var run = 0L
+    var distinct = 0L
+    var total = 0L
+    var prev: org.apache.spark.unsafe.types.UTF8String = null
+    var i = 0
     while (i < n) {
-      if (a.getUTF8String(i).compareTo(a.getUTF8String(i - 1)) == 0) {
-        run += 1
+      if (!a.isNullAt(i)) {
+        val cur = a.getUTF8String(i)
+        total += 1
+        if (prev != null && cur.compareTo(prev) == 0) run += 1
+        else { distinct += 1; run = 1 }
         if (run > maxRun) maxRun = run
-      } else {
-        distinct += 1
-        run = 1
+        prev = cur
       }
       i += 1
     }
-    new GenericArrayData(Array(maxRun, distinct, n.toLong))
+    new GenericArrayData(Array(maxRun, distinct, total))
   }
 }
 
@@ -90,15 +98,25 @@ case class BigramFreqStats(child: Expression) extends UnaryExpression {
 }
 
 object BigramFreqStats {
-  /** Pair, sort, run-length — all kernel-side; called from codegen. */
+  /** Pair, sort, run-length — all kernel-side; called from codegen.
+    * Null tokens are dropped before pairing (SQL callers can pass
+    * arrays with nulls; a null token is no token, not an NPE).
+    */
   def compute(a: ArrayData): ArrayData = {
-    val n = a.numElements()
-    if (n < 2) return new GenericArrayData(Array(0L, 0L, 0L))
-    val pairs = new Array[String](n - 1)
+    val n0 = a.numElements()
+    val toks = new Array[String](n0)
+    var m = 0
+    var j = 0
+    while (j < n0) {
+      if (!a.isNullAt(j)) { toks(m) = a.getUTF8String(j).toString; m += 1 }
+      j += 1
+    }
+    if (m < 2) return new GenericArrayData(Array(0L, 0L, 0L))
+    val pairs = new Array[String](m - 1)
     var i = 0
-    var prev = a.getUTF8String(0).toString
-    while (i < n - 1) {
-      val next = a.getUTF8String(i + 1).toString
+    var prev = toks(0)
+    while (i < m - 1) {
+      val next = toks(i + 1)
       pairs(i) = prev + " " + next
       prev = next
       i += 1
@@ -118,7 +136,7 @@ object BigramFreqStats {
       }
       i += 1
     }
-    new GenericArrayData(Array(maxRun, distinct, (n - 1).toLong))
+    new GenericArrayData(Array(maxRun, distinct, (m - 1).toLong))
   }
 }
 

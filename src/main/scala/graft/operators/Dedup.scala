@@ -538,20 +538,37 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  // Scratch dirs holding tiled-kernel pair output, deleted when their
+  // context stops (the returned DataFrame reads them lazily, so they
+  // must outlive the call).
+  private val tileScratch = scala.collection.concurrent.TrieMap
+    .empty[org.apache.spark.SparkContext, List[java.nio.file.Path]]
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   /** Tiled form of [[blockedCosinePairs]] — the 100 TB path: when the
     * corpus exceeds one broadcast, split the vec_id domain into `tiles`
     * ranges and run one block-scan JOB per tile, sequentially: filtered
     * collect of the tile (a Column-level range predicate, so the parquet
-    * reader prunes row groups), broadcast, scan, collect the (tiny)
-    * near-dup pairs, destroy the broadcast. The driver and the block
-    * managers hold at most ONE tile at a time — never the full corpus —
-    * and nothing leaks after the call. Every (i < j) pair lands in
-    * exactly one tile's scan, so the concatenation is exact
-    * (spec-asserted equal to the single-tile kernel). Tile boundaries
-    * come from approximate vec_id quantiles: boundaries only balance
-    * memory, never affect which pairs are emitted, so approximation is
-    * safe. Total scan work (tiles × corpus reads of the probe side) is
-    * the same as the single-plan form.
+    * reader prunes row groups), broadcast, scan, APPEND the tile's pairs
+    * to a scratch parquet dir straight from the executors, destroy the
+    * broadcast. Pair rows never land on the driver — on a dup-heavy
+    * corpus (the LLM-dedup case) near-dup pair counts grow superlinearly
+    * and would not fit driver memory; here they stream to storage and
+    * the returned DataFrame reads them back lazily. The driver and the
+    * block managers hold at most ONE tile's vectors at a time — never
+    * the full corpus — and the scratch dir is deleted when the context
+    * stops. Every (i < j) pair lands in exactly one tile's scan, so the
+    * union is exact (spec-asserted equal to the single-tile kernel).
+    * Tile boundaries come from approximate vec_id quantiles: boundaries
+    * only balance memory, never affect which pairs are emitted, so
+    * approximation is safe. Total scan work (tiles × corpus reads of the
+    * probe side) is the same as the single-plan form.
     */
   private[graft] def blockedCosinePairsTiled(s: SparkSession, d: String,
       tau: Double, tiles: Int): DataFrame = {
@@ -565,7 +582,15 @@ object Dedup {
         "vec_id", (1 until tiles).map(_.toDouble / tiles).toArray, 0.001)
     val bounds = (Long.MinValue +: cuts.toSeq.map(_.toLong) :+
       Long.MaxValue).distinct.sliding(2).toSeq
-    val pairs = bounds.flatMap { case Seq(lo, hi) =>
+    val scratch =
+      java.nio.file.Files.createTempDirectory("graft-cosine-tiles-")
+    tileScratch.updateWith(s.sparkContext) {
+      prev => Some(scratch :: prev.getOrElse(Nil))
+    }
+    ContextCaches.evictOnStop(s.sparkContext, "cosine-tile-scratch")(() =>
+      tileScratch.remove(s.sparkContext).getOrElse(Nil)
+        .foreach(deleteRecursively))
+    bounds.foreach { case Seq(lo, hi) =>
       val tile = vDf.filter(col("vec_id") > lo && col("vec_id") <= hi)
         .as[(Long, Array[Double])].collect().sortBy(_._1)
       val bc = s.sparkContext.broadcast(
@@ -573,10 +598,14 @@ object Dedup {
       try v.mapPartitions { it =>
         val (bv, bn) = bc.value
         kernelScore(it, bv, bn, tau)
-      }.collect()
+      }.toDF("id_a", "id_b", "cos")
+        .write.mode("append").parquet(scratch.toString)
       finally bc.destroy()
     }
-    pairs.toSeq.toDF("id_a", "id_b", "cos").orderBy("id_a", "id_b")
+    // Explicit schema: a corpus with zero near-dup pairs may leave the
+    // scratch dir without data files, and schema inference would fail.
+    s.read.schema("id_a BIGINT, id_b BIGINT, cos DOUBLE")
+      .parquet(scratch.toString).orderBy("id_a", "id_b")
   }
 
   // ------------------------------------------------------------ registry

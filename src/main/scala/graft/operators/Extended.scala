@@ -427,8 +427,11 @@ object Extended {
         struct(col("event_type"), col("v"))))).as("m"))
       .select(col("user_id"),
         size(map_keys(col("m"))).as("n_types"),
-        element_at(col("m"), "click").as("click_avg"),
-        element_at(col("m"), "error").as("error_avg"))
+        // try_element_at: under ANSI mode (Spark 4 default) element_at
+        // THROWS on a missing map key; a user with no 'click' events
+        // must yield null here, as the oracle's conditional aggregate does.
+        try_element_at(col("m"), lit("click")).as("click_avg"),
+        try_element_at(col("m"), lit("error")).as("error_avg"))
       .orderBy("user_id")
   }
 
@@ -601,6 +604,56 @@ object Extended {
         r6(col("o_totalprice")).as("o_totalprice"), col("total_qty"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(100)
+  }
+
+  /** TPC-H Q13 (customer distribution), adapted: the `o_comment NOT LIKE`
+    * filter becomes `o_orderpriority <> '1-URGENT'` (testdata carries no
+    * comment column — same adaptation standard as Q22's
+    * c_phone→c_nationkey). The filter lives in the JOIN CONDITION, not a
+    * WHERE: a customer whose every order is urgent must survive with
+    * count 0 — the archetypal LEFT OUTER JOIN semantics (count(col)
+    * skips the null-extended rows). Scale shape: orders shuffles on
+    * o_custkey once; the count-distribution re-aggregate is over at most
+    * |distinct counts| rows.
+    */
+  private def tpchQ13(s: SparkSession, d: String): DataFrame = {
+    val perCust = Tables.customer(s, d)
+      .select(col("c_custkey"))
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust.groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q17 (small-quantity-order revenue), adapted: `p_container`
+    * becomes `p_type` (testdata has brand+type). The correlated
+    * avg-quantity subquery decorrelates to a grouped aggregate over the
+    * SAME part-filtered lineitem slice (per-partkey avg is unchanged by
+    * the semi-filtering join — every lineitem row of a qualifying part
+    * survives it), joined back per partkey: one aggregate of a few rows
+    * per qualifying part, broadcast back — not a re-scan per row. The
+    * threshold is computed decimal-exact then rounded identically on
+    * both engines so the `<` comparison can't flip on float noise.
+    */
+  private def tpchQ17(s: SparkSession, d: String): DataFrame = {
+    val pf = Tables.part(s, d)
+      .filter(col("p_brand") === "Brand#13" && col("p_type") === "MEDIUM")
+      .select(col("p_partkey"))
+    val cand = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(pf, col("l_partkey") === col("p_partkey"))
+    val thresh = cand.groupBy(col("l_partkey").as("t_partkey"))
+      .agg(r6(lit(0.2) * (dsum(col("l_quantity")) / count(lit(1))))
+        .as("qty_cut"))
+    cand.join(thresh, col("l_partkey") === col("t_partkey"))
+      .filter(col("l_quantity") < col("qty_cut"))
+      .agg(r6(dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"),
+        count(lit(1)).as("n"))
   }
 
   /** Value-RANGE window frame: per-user trailing band [v-10, v] over the
@@ -793,6 +846,8 @@ object Extended {
     "a24_topk_agg" -> a24TopkAgg _,
     "tpch_q5" -> tpchQ5 _,
     "tpch_q6" -> tpchQ6 _,
+    "tpch_q13" -> tpchQ13 _,
+    "tpch_q17" -> tpchQ17 _,
     "tpch_q18" -> tpchQ18 _,
     "w11_range_frame" -> w11RangeFrame _,
     "j5_asof_join" -> j5AsofJoin _,
@@ -981,6 +1036,29 @@ object Extended {
         |  max(CASE WHEN event_type = 'click' THEN v END) AS click_avg,
         |  max(CASE WHEN event_type = 'error' THEN v END) AS error_avg
         |FROM pa GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders
+        |        ON c_custkey = o_custkey
+        |        AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey) c_orders
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "tpch_q17" ->
+      """WITH pf AS (SELECT p_partkey FROM part
+        |    WHERE p_brand = 'Brand#13' AND p_type = 'MEDIUM'),
+        |  cand AS (SELECT l_partkey, l_quantity, l_extendedprice
+        |    FROM lineitem JOIN pf ON l_partkey = p_partkey),
+        |  th AS (SELECT l_partkey AS t_partkey,
+        |      round(0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(38,6)))
+        |        AS DOUBLE) / count(*)), 6) AS qty_cut
+        |    FROM cand GROUP BY l_partkey)
+        |SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6)))
+        |    AS DOUBLE) / 7.0, 6) AS avg_yearly,
+        |  count(*) AS n
+        |FROM cand JOIN th ON l_partkey = t_partkey
+        |WHERE l_quantity < qty_cut""".stripMargin,
     "tpch_q22" ->
       """SELECT c_nationkey AS cntrycode, count(*) AS numcust,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)

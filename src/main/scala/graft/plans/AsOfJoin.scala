@@ -143,10 +143,19 @@ case class AsOfJoinExec(
   * analog of `SparkSessionExtensions.injectPlannerStrategy`).
   */
 object AsOf {
+  /** Synchronized on the session: extraStrategies is a plain var, so an
+    * unsynchronized check-then-append from two driver threads (the repo
+    * trains models from thread pools) could lose one thread's update and
+    * leave the strategy unregistered — planning would then fail.
+    * Duplicate appends are merely wasteful; a LOST append is a bug, so
+    * the whole read-modify-write is one critical section.
+    */
   private def ensureStrategy(spark: org.apache.spark.sql.SparkSession): Unit =
-    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    spark.synchronized {
+      if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
 
   def lastMatch(left: DataFrame, right: DataFrame,
       key: String, time: String, rightKeyCol: String, rightTimeCol: String,
