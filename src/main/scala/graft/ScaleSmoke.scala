@@ -86,6 +86,63 @@ object ScaleSmoke {
             session_window(col("ts"), "24 hours"))
           .agg(count(lit(1)).as("n"), sum(col("value")).as("sv")))
       })
+    // Skew stress: collapse every even user_id onto ONE key, putting
+    // ≥50% of all rows on it, then join against a dim too large to
+    // broadcast (one row per distinct key). Three measurements tell the
+    // whole story the Skew scaladoc claims:
+    //   skew_join_aqe     — plain shuffle join, AQE skew split ON
+    //                       (default): the runtime fix.
+    //   skew_join_noaqe   — same plan with skew splitting OFF: the
+    //                       single-straggler baseline, i.e. what happens
+    //                       in the shapes AQE cannot rewrite.
+    //   skew_join_salted  — Skew.saltedJoin under the same OFF setting:
+    //                       the explicit fallback must recover the AQE
+    //                       time despite replicating the dim `buckets`×.
+    // Result equality of all three is spec-pinned (ExtensionsAndScale);
+    // here only wall time matters. The salted-agg pair shows why
+    // saltedSum is a FALLBACK: map-side partial aggregation already
+    // collapses a hot sum/count key per task, so plain≈salted for
+    // decomposable aggregates even at 50% skew.
+    val skewed = big.withColumn("hk",
+      when(pmod(col("user_id"), lit(2)) === 0, lit(-1L))
+        .otherwise(col("user_id")))
+      .select(col("event_id"), col("hk"), col("value"))
+    val skewDim = skewed.select(col("hk")).distinct()
+      .withColumn("key_tag", md5(col("hk").cast("string")))
+    def withSkewSplit[T](on: Boolean)(f: => T): T = {
+      val k = "spark.sql.adaptive.skewJoin.enabled"
+      val prev = spark.conf.get(k)
+      spark.conf.set(k, on.toString)
+      try f finally spark.conf.set(k, prev)
+    }
+    val skewResults = Seq(
+      // hint("merge") pins the sort-merge shape the experiment is about:
+      // at 100 TB this dim does not broadcast, and letting AQE demote
+      // the small local stand-in to a broadcast join would measure
+      // nothing.
+      time("skew_join_aqe") {
+        withSkewSplit(on = true) {
+          full(skewed.join(skewDim.hint("merge"), "hk"))
+        }
+      },
+      time("skew_join_noaqe") {
+        withSkewSplit(on = false) {
+          full(skewed.join(skewDim.hint("merge"), "hk"))
+        }
+      },
+      time("skew_join_salted") {
+        withSkewSplit(on = false) {
+          full(operators.Skew.saltedJoin(skewed, skewDim, "hk"))
+        }
+      },
+      time("skew_agg_plain") {
+        full(skewed.groupBy("hk")
+          .agg(sum(col("value")).as("s"), count(lit(1)).as("c")))
+      },
+      time("skew_agg_salted") {
+        full(operators.Skew.saltedSum(skewed, Seq("hk"), "value"))
+      })
+
     // Dedup stress: replicate documents 10x with unique ids — every text
     // becomes a 10-doc duplicate cluster, the worst (pair-heavy) shape a
     // dup-laden corpus produces. Uses a scratch table dir; the dedup
@@ -127,7 +184,7 @@ object ScaleSmoke {
         spark.table("scale_stream_dedup").count()
       })
 
-    val qs = (results ++ dedupResults ++ streamResults)
+    val qs = (results ++ skewResults ++ dedupResults ++ streamResults)
       .map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
     val pairCounts = dedupResults.map { case (k, _, n) => s""""$k":$n""" }
       .mkString("{", ",", "}")

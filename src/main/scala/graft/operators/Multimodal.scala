@@ -22,23 +22,50 @@ object Multimodal {
   case class MediaRow(media_id: Long, payload: Array[Byte], format: String,
       width: Int, height: Int)
 
-  /** Extracted feature row (what a real decoder+featurizer would emit). */
+  /** Extracted feature row (what a real decoder+featurizer would emit).
+    * The header fields come from the REAL byte parser; only `feature`
+    * is the stub decoder's output.
+    */
   case class MediaFeatures(media_id: Long, n_bytes: Int, mean_byte: Double,
-      entropy_bucket: Int, feature: Array[Float])
+      entropy_bucket: Int, detected_format: String, parsed_width: Int,
+      parsed_height: Int, feature: Array[Float])
 
-  /** Builds the media table from documents: payload = utf-8 bytes (a
-    * deterministic stand-in for image bytes), metadata derived from size.
+  /** A REAL media header for the declared format/dimensions — the byte
+    * layouts [[MediaHeaders]] parses (PNG signature+IHDR, GIF89a logical
+    * screen, JPEG SOI+SOF0). Width/height are encoded at the genuine
+    * offsets in the genuine endianness, so parsing the payload is a real
+    * decode of real header bytes, not a tautology.
+    */
+  private[graft] def mediaHeader(fmt: String, w: Int, h: Int): Array[Byte] =
+    (fmt match {
+      case "png" => Array[Int](0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A,
+        0, 0, 0, 13, 'I', 'H', 'D', 'R',
+        w >>> 24, (w >>> 16) & 0xFF, (w >>> 8) & 0xFF, w & 0xFF,
+        h >>> 24, (h >>> 16) & 0xFF, (h >>> 8) & 0xFF, h & 0xFF)
+      case "gif" => Array[Int]('G', 'I', 'F', '8', '9', 'a',
+        w & 0xFF, (w >>> 8) & 0xFF, h & 0xFF, (h >>> 8) & 0xFF)
+      case _ => Array[Int](0xFF, 0xD8, 0xFF, 0xC0, 0x00, 0x0B, 8,
+        (h >>> 8) & 0xFF, h & 0xFF, (w >>> 8) & 0xFF, w & 0xFF)
+    }).map(_.toByte)
+
+  /** Builds the media table from documents: payload = a real media
+    * header (declared format + dims at the correct offsets) followed by
+    * the utf-8 text bytes standing in for pixel data. Deterministic, and
+    * header-parseable by the same code a real corpus would use.
     */
   def mediaTable(s: SparkSession, d: String): Dataset[MediaRow] = {
     import s.implicits._
     Tables.documents(s, d)
-      .select(col("doc_id").as("media_id"),
-        encode(col("text"), "UTF-8").as("payload"),
+      .select(col("doc_id"), col("text"),
         when(col("doc_id") % 3 === 0, "png")
-          .when(col("doc_id") % 3 === 1, "jpeg").otherwise("webp").as("format"),
+          .when(col("doc_id") % 3 === 1, "jpeg").otherwise("gif").as("format"),
         (col("n_chars") % 64 + 1).cast("int").as("width"),
         (col("n_chars") % 48 + 1).cast("int").as("height"))
-      .as[MediaRow]
+      .as[(Long, String, String, Int, Int)]
+      .map { case (id, text, fmt, w, h) =>
+        MediaRow(id, mediaHeader(fmt, w, h) ++ text.getBytes("UTF-8"),
+          fmt, w, h)
+      }
   }
 
   /** STUB decoder: the real implementation would decode the payload with
@@ -72,6 +99,7 @@ object Multimodal {
         // A real decoder would process `batch` as one vectorized call.
         batch.iterator.map { r =>
           val f = fakeDecode(r.payload, FeatureDim)
+          val info = MediaHeaders.parse(r.payload)
           val n = r.payload.length
           // Long accumulator: an Int sum of unsigned bytes overflows past
           // ~8.4 MB (2^31 / 255) of payload.
@@ -79,7 +107,7 @@ object Multimodal {
             if (n == 0) 0.0
             else r.payload.foldLeft(0L)((acc, b) => acc + (b & 0xFF)).toDouble / n
           MediaFeatures(r.media_id, n, math.floor(mean * 1e6) / 1e6,
-            (mean / 32).toInt, f)
+            (mean / 32).toInt, info.format, info.width, info.height, f)
         }
       }
     }
@@ -111,10 +139,21 @@ object Multimodal {
     import s.implicits._
     extractFeatures(mediaTable(s, d))
       .select(col("media_id"), col("n_bytes"), col("mean_byte"),
-        col("entropy_bucket"),
+        col("entropy_bucket"), col("detected_format"),
+        col("parsed_width"), col("parsed_height"),
         r6(element_at(col("feature"), 1).cast("double")).as("f0"))
       .orderBy("media_id")
   }
+
+  /** The oracle-checkable half of the feature pipeline split out: header
+    * parse over the constructed payloads. The oracle recomputes the
+    * EXPECTED format/dims from the generating formula over `documents` —
+    * the Spark side must recover the same values by actually walking the
+    * header bytes, so a parser regression (offset, endianness, marker
+    * walk) breaks the hash match.
+    */
+  private def parse(s: SparkSession, d: String): DataFrame =
+    parseHeaders(mediaTable(s, d)).orderBy("media_id")
 
   /** Frame sampling over an opaque binary payload: slice fixed 256-byte
     * "frames", keep every 2nd (the sample stride a video pipeline uses
@@ -149,6 +188,7 @@ object Multimodal {
   val queries: Map[String, Query] = Map(
     "mm_meta" -> meta _,
     "mm_features" -> features _,
+    "mm_parse" -> parse _,
     "mm_frames" -> frames _)
 
   /** mm_features exercises the stub decoder → rows-only check. */
@@ -157,6 +197,14 @@ object Multimodal {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |  substr(hex(encode(text)), 1, 16) AS hex_prefix
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_parse" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'png'
+        |       WHEN doc_id % 3 = 1 THEN 'jpeg'
+        |       ELSE 'gif' END AS detected_format,
+        |  CAST(n_chars % 64 + 1 AS INT) AS parsed_width,
+        |  CAST(n_chars % 48 + 1 AS INT) AS parsed_height
+        |FROM documents ORDER BY media_id""".stripMargin,
     "mm_frames" ->
       s"""WITH p AS (SELECT doc_id, hex(encode(text)) AS ph,
          |        octet_length(encode(text)) AS nb FROM documents),

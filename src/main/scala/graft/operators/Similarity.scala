@@ -204,13 +204,21 @@ object Similarity {
   private[graft] def annTopkIvfTuned(s: SparkSession, d: String,
       cells: Int, probes: Int, iters: Int): DataFrame = {
     import s.implicits._
-    val v = normalized(s, d)
     graft.ContextCaches.evictOnStop(s.sparkContext, "ivf-centroids")(() =>
       centroidCache.filterInPlace { case ((c, _, _, _), _) =>
         c ne s.sparkContext })
     val trained = centroidCache.getOrElseUpdate(
       (s.sparkContext, d, cells, iters), trainCentroids(s, d, cells, iters))
-    val cent = trained.toDF("cell", "cu")
+    ivfSearch(s, d, trained.toDF("cell", "cu"), probes)
+  }
+
+  /** Probe-and-rerank against a given centroid table — shared by the
+    * train-resident path and the persisted-index path, so a reloaded
+    * index answers bit-identically to the session that trained it.
+    */
+  private def ivfSearch(s: SparkSession, d: String, cent: DataFrame,
+      probes: Int): DataFrame = {
+    val v = normalized(s, d)
     val assign = assignCells(v, cent)
     val qcells = v.filter(col("vec_id") < NumQueries).crossJoin(broadcast(cent))
       .withColumn("cs", dot(col("u"), col("cu")))
@@ -229,6 +237,36 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos"))
       .orderBy("query_id", "rnk")
   }
+
+  // ------------------------------------------------- index persistence
+
+  /** Persist the trained IVF index (the centroid table — the entire
+    * model state, exactly what spark.ml KMeans persists) as parquet,
+    * mirroring the PipelineModel save/load round-trip. A production
+    * vector store serves from a saved index rather than re-running
+    * Lloyd on restart; this also retires the resident cache's
+    * dir-immutability caveat for any caller that pins an index version
+    * on disk. Training is deterministic (DECIMAL means, sorted collect),
+    * so save → load → search is bit-identical to the training session.
+    */
+  def saveIvfIndex(s: SparkSession, d: String, path: String,
+      cells: Int = IvfCells, iters: Int = IvfIters): Unit = {
+    import s.implicits._
+    val trained = centroidCache.getOrElseUpdate(
+      (s.sparkContext, d, cells, iters), trainCentroids(s, d, cells, iters))
+    // cells × dim doubles — a single tiny file, readable anywhere.
+    trained.toDF("cell", "cu").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Run the IVF query against a previously saved index — no training,
+    * no resident-cache dependency (a fresh session can serve
+    * immediately).
+    */
+  def annTopkIvfFrom(s: SparkSession, d: String, indexPath: String,
+      probes: Int = IvfProbes): DataFrame =
+    ivfSearch(s, d,
+      s.read.parquet(indexPath).select(col("cell"), col("cu")), probes)
 
   private def trainCentroids(s: SparkSession, d: String,
       cells: Int, iters: Int): Seq[(Long, Seq[Double])] = {

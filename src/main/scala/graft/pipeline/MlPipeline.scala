@@ -125,28 +125,70 @@ object MlPipeline {
     * the reference's README model table as a query result.
     */
   def modelCompare(train: DataFrame, test: DataFrame,
-      featureCols: Seq[String], labelCol: String): DataFrame = {
+      featureCols: Seq[String], labelCol: String): DataFrame =
+    compareCandidates(candidateModels(featureCols, labelCol),
+      train, test, labelCol)
+
+  /** The fit/score/evaluate engine behind [[modelCompare]], with the
+    * candidate list and timeout injectable (specs drive failing and
+    * hanging candidates through it). The four candidates are
+    * independent: they train concurrently from driver threads (Spark
+    * schedules the jobs side by side — the same pattern
+    * CrossValidator.parallelism uses internally), so wall time is the
+    * slowest candidate, not the sum. Failure containment: a candidate
+    * that throws, or whose fit outlives `timeout`, yields a row with
+    * null n/metrics instead of poisoning the whole comparison — one
+    * wedged fit previously meant Await(Duration.Inf) blocked the query
+    * forever. The scored frame is persisted ONCE per candidate: count +
+    * three evaluator passes would otherwise re-execute transform (and
+    * re-read the test slice) four times per model.
+    */
+  private[graft] def compareCandidates(
+      candidates: Seq[(String, org.apache.spark.ml.Estimator[_])],
+      train: DataFrame, test: DataFrame, labelCol: String,
+      timeout: scala.concurrent.duration.FiniteDuration =
+        scala.concurrent.duration.Duration(15, "min")): DataFrame = {
     val s = train.sparkSession
     import s.implicits._
-    // The four candidates are independent: train them concurrently from
-    // driver threads (Spark schedules the jobs side by side — the same
-    // pattern CrossValidator.parallelism uses internally), so wall time
-    // is the slowest candidate, not the sum.
     import scala.concurrent.{Await, ExecutionContext, Future}
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    val rows =
-      try Await.result(
-        Future.sequence(candidateModels(featureCols, labelCol).map {
-          case (name, est) => Future {
-            val model = est.fit(train).asInstanceOf[org.apache.spark.ml.Model[_]]
-            val scored = model.transform(test)
-              .withColumn("predicted", greatest(col("prediction"), lit(0.0)))
-            def m(metric: String) = evalMetric(scored, labelCol, metric)
-            (name, scored.count(), m("rmse"), m("mae"), m("r2"))
-          }
-        }), scala.concurrent.duration.Duration.Inf)
-      finally pool.shutdown()
+    // All candidates start at once; the awaits below then consume them
+    // sequentially against ONE shared deadline (the slowest candidate
+    // sets the wall time either way, so per-future slices would only
+    // loosen the bound).
+    val futures = candidates.map { case (name, est) =>
+      name -> Future {
+        val model = est.fit(train).asInstanceOf[org.apache.spark.ml.Model[_]]
+        val scored = model.transform(test)
+          .withColumn("predicted", greatest(col("prediction"), lit(0.0)))
+          .persist()
+        try {
+          def m(metric: String) = evalMetric(scored, labelCol, metric)
+          (scored.count(), Option(m("rmse")), Option(m("mae")), Option(m("r2")))
+        } finally scored.unpersist()
+      }
+    }
+    val deadline = System.nanoTime() + timeout.toNanos
+    val rows = try futures.map { case (name, f) =>
+      val left = scala.concurrent.duration.Duration.fromNanos(
+        math.max(0L, deadline - System.nanoTime()))
+      val outcome =
+        try { Await.ready(f, left); f.value.get }
+        catch {
+          case _: java.util.concurrent.TimeoutException =>
+            scala.util.Failure(new RuntimeException(
+              s"fit/score of $name exceeded $timeout"))
+        }
+      outcome match {
+        case scala.util.Success((n, rmse, mae, r2)) =>
+          (name, Option(n), rmse, mae, r2)
+        case scala.util.Failure(e) =>
+          System.err.println(s"[modelCompare] $name failed: ${e.getMessage}")
+          (name, Option.empty[Long], Option.empty[Double],
+            Option.empty[Double], Option.empty[Double])
+      }
+    } finally pool.shutdownNow() // interrupt stragglers, not just drain
     rows.toDF("model_name", "n", "rmse", "mae", "r2")
       .select(col("model_name"), col("n"),
         round(col("rmse"), 6).as("rmse"), round(col("mae"), 6).as("mae"),

@@ -96,6 +96,13 @@ object UpsertSink {
     val noInfer = spark.newSession()
     noInfer.conf
       .set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    // Crash recovery, mirroring upsert's stranded-.next heal: a previous
+    // run that died between its dynamic overwrite and its
+    // vacated-partition sweep leaves a stale directory whose old rows
+    // duplicate moved keys. Moved keys only exist when keys are not
+    // partition-stable, so the stable fast path skips the scan.
+    if (!keysArePartitionStable)
+      healVacatedPartitions(noInfer, fs, cur, tablePath, keyCol, partCol)
     val table = noInfer.read.parquet(tablePath)
     // Empty string and null both live in __HIVE_DEFAULT_PARTITION__ —
     // normalize "" to null so they are tracked as the one partition
@@ -143,6 +150,64 @@ object UpsertSink {
       val p = new org.apache.hadoop.fs.Path(cur, dirName)
       if (fs.exists(p)) require(fs.delete(p, true),
         s"delete of vacated partition $p failed")
+    }
+  }
+
+  /** Detect and delete stale vacated-partition directories left by a
+    * crashed [[upsertPartitioned]] (died after its dynamic overwrite,
+    * before its vacated-dir sweep). Such a directory is recognizable
+    * without any journal: the crashed run vacated it because the merge
+    * moved ALL of its keys elsewhere, so after the crash every one of
+    * its keys also exists in another partition. A healthy keyed table
+    * has unique keys, so no partition looks like that in normal
+    * operation; the detection pass is one column-pruned (key, partition)
+    * aggregate and finds nothing. When the batch moved every key of P
+    * into one fresh partition Q, P and Q mirror each other and BOTH
+    * qualify — candidates are therefore processed oldest-directory
+    * first, each re-checked against the not-yet-deleted remainder, so
+    * the stale (older) copy goes and the surviving copy then fails the
+    * check and stays.
+    */
+  private def healVacatedPartitions(noInfer: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, cur: org.apache.hadoop.fs.Path,
+      tablePath: String, keyCol: String, partCol: String): Unit = {
+    // One normalization for "lives in __HIVE_DEFAULT_PARTITION__":
+    // null and "" share that directory.
+    val pNorm = when(col(partCol).cast("string").isNull ||
+      col(partCol).cast("string") === "", lit(null))
+      .otherwise(col(partCol).cast("string"))
+    def keyParts() = noInfer.read.parquet(tablePath)
+      .select(col(keyCol).as("__k"), pNorm.as("__p"))
+    val kp = keyParts()
+    // Distinct partition count per key; nulls counted via a one-field
+    // struct (count(DISTINCT col) would drop the null partition).
+    val perKey = kp.groupBy(col("__k").as("__k2"))
+      .agg(countDistinct(struct(col("__p"))).as("__n"))
+    val candidates = kp.join(perKey, col("__k") <=> col("__k2"))
+      .groupBy(col("__p")).agg(min(col("__n")).as("__minn"))
+      .filter(col("__minn") >= 2)
+      .select(col("__p")).collect().map(r =>
+        if (r.isNullAt(0)) null else r.getString(0))
+    if (candidates.isEmpty) return
+    def dirOf(v: String) = new org.apache.hadoop.fs.Path(cur,
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .getPartitionPathString(partCol, v))
+    val byAge = candidates
+      .filter(v => fs.exists(dirOf(v)))
+      .sortBy(v => fs.getFileStatus(dirOf(v)).getModificationTime)
+    byAge.foreach { v =>
+      // Re-read per candidate: each delete invalidates the previous
+      // read's file listing, and the re-check must see prior deletions.
+      val cur2 = keyParts()
+      val mine = cur2.filter(col("__p") <=> v)
+      val others = cur2.filter(!(col("__p") <=> v))
+        .select(col("__k").as("__ok"))
+      val orphans = mine.join(others, col("__k") <=> col("__ok"), "left_anti")
+        .limit(1).count()
+      if (orphans == 0) {
+        require(fs.delete(dirOf(v), true),
+          s"heal: delete of stale partition ${dirOf(v)} failed")
+      }
     }
   }
 

@@ -31,26 +31,38 @@ class ExtensionsAndScaleSpec extends GraftSuite {
     assert(CatalogOps.featureCols(feat, Seq("user_id", "event_id")).size == 5)
   }
 
-  test("salted aggregation equals direct aggregation") {
-    val e = Tables.events(spark, sf)
-    val direct = e.groupBy("event_type")
+  /** Events with a synthetic hot key: every even user_id collapses onto
+    * key -1, so ONE key owns ≥50% of all rows — the distribution the
+    * salted operators exist for (ScaleSmoke times the same shape at
+    * 100×; these specs pin semantic equality on it).
+    */
+  private def hotKeyed = Tables.events(spark, sf)
+    .withColumn("hk",
+      when(pmod(col("user_id"), lit(2)) === 0, lit(-1L))
+        .otherwise(col("user_id")))
+
+  test("salted aggregation equals direct aggregation on a hot key") {
+    val e = hotKeyed
+    val hot = e.filter(col("hk") === -1L).count()
+    assert(hot * 2 >= e.count(), "test data must put >=50% of rows on one key")
+    val direct = e.groupBy("hk")
       .agg(sum(col("value")).as("sum_value"), count(lit(1)).as("cnt"))
-      .orderBy("event_type").collect()
-      .map(r => (r.getString(0), math.round(r.getDouble(1) * 1e6), r.getLong(2)))
-    val salted = operators.Skew.saltedSum(e, Seq("event_type"), "value")
-      .orderBy("event_type").collect()
-      .map(r => (r.getString(0), math.round(r.getDouble(1) * 1e6), r.getLong(2)))
-    assert(direct.toSeq == salted.toSeq)
+      .orderBy("hk").collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6), r.getLong(2)))
+    val salted = operators.Skew.saltedSum(e, Seq("hk"), "value")
+      .orderBy("hk").collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6), r.getLong(2)))
+    assert(direct.length > 1 && direct.toSeq == salted.toSeq)
   }
 
-  test("salted join equals plain join") {
-    val e = Tables.events(spark, sf).select("event_id", "user_id", "value")
-    val dim = Tables.events(spark, sf).select(col("user_id")).distinct()
-      .withColumn("user_tag", concat(lit("u"), col("user_id")))
-    val plain = e.join(dim, "user_id").select("event_id", "user_tag")
+  test("salted join equals plain join on a hot key") {
+    val e = hotKeyed.select(col("event_id"), col("hk"), col("value"))
+    val dim = e.select(col("hk")).distinct()
+      .withColumn("key_tag", concat(lit("u"), col("hk")))
+    val plain = e.join(dim, "hk").select("event_id", "key_tag")
       .orderBy("event_id").collect().map(r => (r.getLong(0), r.getString(1)))
-    val salted = operators.Skew.saltedJoin(e, dim, "user_id")
-      .select("event_id", "user_tag")
+    val salted = operators.Skew.saltedJoin(e, dim, "hk")
+      .select("event_id", "key_tag")
       .orderBy("event_id").collect().map(r => (r.getLong(0), r.getString(1)))
     assert(plain.toSeq == salted.toSeq)
   }
@@ -72,6 +84,38 @@ class ExtensionsAndScaleSpec extends GraftSuite {
     assert(composed.nonEmpty && custom.toSeq == composed.toSeq)
     // Some events predate every error of their user → real null coverage.
     assert(custom.exists(_._4.isEmpty) && custom.exists(_._4.nonEmpty))
+  }
+
+  test("as-of strategy install is safe under concurrent sessions") {
+    // Many driver threads race lastMatch on fresh session clones of one
+    // SparkSession family (the repo trains models from thread pools):
+    // with the unsynchronized check-then-append this could lose the
+    // strategy registration and fail planning; every call must plan and
+    // the strategy must appear exactly once per session.
+    val sessions = (1 to 8).map(_ => spark.newSession())
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val results =
+      try sessions.map { s =>
+        pool.submit(new java.util.concurrent.Callable[String] {
+          override def call(): String = {
+            val ev = Tables.events(s, sf)
+              .select(col("event_id"), col("user_id"), tsUs(col("ts")).as("tus"))
+            val errs = Tables.events(s, sf)
+              .filter(col("event_type") === "error")
+              .select(col("user_id").as("err_user"),
+                tsUs(col("ts")).as("err_tus"))
+            plans.AsOf.lastMatch(ev, errs,
+              "user_id", "tus", "err_user", "err_tus", "last_err_us")
+              .queryExecution.executedPlan.toString
+          }
+        })
+      }.map(_.get())
+      finally pool.shutdown()
+    assert(results.forall(_.contains("AsOfJoin")))
+    sessions.foreach { s =>
+      assert(s.experimental.extraStrategies
+        .count(_ == plans.AsOfJoinStrategy) == 1)
+    }
   }
 
   test("custom as-of plans one exchange per side and no generic Join") {

@@ -42,4 +42,18 @@ class SimilaritySpec extends GraftSuite {
     assert(p1.flatten.toSeq == p2.flatten.toSeq)
     assert(p1.flatten.forall(v => v >= -1 && v <= 1))
   }
+
+  test("IVF index save/load: a fresh session answers identically from disk") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val trained = rows(SparkEntry.queries("ann_topk_ivf")(spark, sf))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf").toString + "/index"
+    operators.Similarity.saveIvfIndex(spark, sf, dir)
+    // newSession: separate session state; the loaded path must not rely
+    // on the training session's resident centroid cache.
+    val loaded = rows(
+      operators.Similarity.annTopkIvfFrom(spark.newSession(), sf, dir))
+    assert(trained.nonEmpty && loaded == trained)
+  }
 }

@@ -207,6 +207,33 @@ class StreamingAndMlSpec extends GraftSuite {
     }
   }
 
+  test("a failing or hanging candidate yields a null-metrics row, not a poisoned query") {
+    import scala.concurrent.duration._
+    val feat = operators.Windows.features(spark, sf)
+      .na.drop(Seq("d_value", "z_value"))
+      .filter(col("user_id") % 13 === 0)
+    val good = MlPipeline.candidateModels(Seq("mean5_value", "z_value"), "rul")
+      .filter(_._1 == "decision_tree")
+    // One healthy candidate, one that throws at fit (bad column), one
+    // that hangs past the timeout: exactly one full row and two
+    // null-metric rows must come back, in deterministic order.
+    val bad = "broken" -> MlPipeline
+      .candidateModels(Seq("no_such_column"), "rul").head._2
+    val hang = "hanging" -> new SleepyEstimator(5.minutes.toMillis)
+    val rows = MlPipeline.compareCandidates(good :+ bad :+ hang,
+      feat, feat, "rul", timeout = 30.seconds)
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("broken", "decision_tree", "hanging"))
+    val byName = rows.map(r => r.getString(0) -> r).toMap
+    assert(!byName("decision_tree").isNullAt(1) &&
+      byName("decision_tree").getDouble(2) > 0)
+    Seq("broken", "hanging").foreach { n =>
+      (1 to 4).foreach(i => assert(byName(n).isNullAt(i),
+        s"$n col $i should be null"))
+    }
+  }
+
   test("fitted pipeline save/load round-trips predictions exactly (K4)") {
     val feat = operators.Windows.features(spark, sf)
       .na.drop(Seq("d_value", "z_value"))
@@ -316,6 +343,32 @@ class StreamingAndMlSpec extends GraftSuite {
     assert(!new java.io.File(s"$dir/p=9").exists())
   }
 
+  test("partitioned upsert heals a stale vacated partition from a crashed run") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_up_heal").toString + "/tbl"
+    val init = Seq((1L, 0L, "a"), (2L, 0L, "b"), (7L, 9L, "x"))
+      .toDF("id", "p", "v")
+    streaming.UpsertSink.upsertPartitioned(init, dir, "id", "p")
+    // Simulate the crash window: the dynamic overwrite landed key 7's
+    // new copy in p=1, but the run died BEFORE sweeping the vacated p=9
+    // dir — rebuild exactly that state by writing the new copy directly.
+    Seq((7L, "x2")).toDF("id", "v")
+      .write.parquet(s"$dir/p=1")
+    assert(new java.io.File(s"$dir/p=9").exists()) // stale dup of key 7
+    // Ensure the stale dir is strictly older than the new copy, as it
+    // is after a real crash.
+    new java.io.File(s"$dir/p=9").setLastModified(
+      new java.io.File(s"$dir/p=1").lastModified() - 60000)
+    // Any later batch (touching an unrelated key) must first heal: the
+    // duplicate disappears and only the NEW copy of key 7 survives.
+    val batch = Seq((1L, 0L, "a2")).toDF("id", "p", "v")
+    streaming.UpsertSink.upsertPartitioned(batch, dir, "id", "p")
+    val rows = spark.read.parquet(dir).select("id", "p", "v").collect()
+      .map(r => (r.getLong(0), r.get(1).toString.toLong, r.getString(2))).toSet
+    assert(rows == Set((1L, 0L, "a2"), (2L, 0L, "b"), (7L, 1L, "x2")))
+    assert(!new java.io.File(s"$dir/p=9").exists())
+  }
+
   test("partitioned upsert survives re-inferred partition types and null keys") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_up_infer").toString + "/tbl"
@@ -402,4 +455,21 @@ class StreamingAndMlSpec extends GraftSuite {
     assert(preds.columns.sorted.toSeq ==
       Seq("event_id", "predicted_rul", "user_id"))
   }
+}
+
+/** A candidate whose fit never returns within any reasonable timeout —
+  * drives [[MlPipeline.compareCandidates]]'s deadline path. Sleeps in
+  * interruptible chunks so pool.shutdownNow() can reap it.
+  */
+class SleepyEstimator(ms: Long)
+    extends org.apache.spark.ml.Estimator[org.apache.spark.ml.PipelineModel] {
+  override val uid = "sleepy"
+  override def fit(ds: org.apache.spark.sql.Dataset[_])
+      : org.apache.spark.ml.PipelineModel = {
+    Thread.sleep(ms)
+    throw new IllegalStateException("sleepy fit was not interrupted")
+  }
+  override def copy(extra: org.apache.spark.ml.param.ParamMap): this.type = this
+  override def transformSchema(schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = schema
 }

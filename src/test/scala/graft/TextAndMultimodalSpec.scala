@@ -72,13 +72,20 @@ class TextAndMultimodalSpec extends GraftSuite {
     assert(MediaHeaders.parse(Array.emptyByteArray).format == "unknown")
   }
 
-  test("media headers run distributed over the media table") {
+  test("media headers run distributed and recover the declared format+dims") {
     val media = operators.Multimodal.mediaTable(spark, sf)
     val parsed = operators.Multimodal.parseHeaders(media)
     assert(parsed.count() == media.count())
-    // utf-8 text payloads are not valid media → all unknown, parsed safely
-    assert(parsed.filter(col("detected_format") === "unknown").count() ==
-      media.count())
+    // Every payload now carries a REAL header: the byte-walk parser must
+    // recover exactly the declared metadata for every row and format.
+    val joined = parsed.join(media.toDF(), "media_id")
+    assert(joined.filter(col("detected_format") =!= col("format") ||
+      col("parsed_width") =!= col("width") ||
+      col("parsed_height") =!= col("height")).count() == 0)
+    assert(parsed.select(col("detected_format")).distinct().count() == 3)
+    // A headerless payload still parses safely to unknown.
+    assert(operators.MediaHeaders.parse("plain text".getBytes).format ==
+      "unknown")
   }
 
   test("multimodal: partitioning is preserved (no implicit coalesce)") {
