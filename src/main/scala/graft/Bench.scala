@@ -68,18 +68,37 @@ object Bench {
     // retry masking.
     val passes = 3
     var failed = Set.empty[String]
+    var fatal = false
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
-    for (_ <- 1 to passes; name <- names if !failed(name)) {
-      val t0 = System.nanoTime()
-      try {
-        runFull(name)
-        samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples.getOrElse(name, Nil)
-      } catch {
-        case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          failed += name
+    val loop = new scala.util.control.Breaks
+    loop.breakable {
+      for (_ <- 1 to passes; name <- names if !failed(name)) {
+        val t0 = System.nanoTime()
+        try {
+          runFull(name)
+          samples(name) =
+            ((System.nanoTime() - t0) / 1e9) :: samples.getOrElse(name, Nil)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            failed += name
+          case e: Throwable =>
+            // Fatal (OOM-class): the JVM is poisoned — any further
+            // timings would be garbage. Stop measuring, but still fall
+            // through and EMIT the artifact (value:-1 + this query in
+            // "failed"); dying here with no summary line would
+            // reproduce the parsed:null failure mode this protocol
+            // exists to prevent.
+            System.err.println(s"[bench] $name FATAL: $e")
+            failed += name
+            fatal = true
+            loop.break()
+        }
       }
     }
+    // After a fatal abort, queries never reached in the first pass have
+    // no samples at all — report them as failed, not as timings.
+    if (fatal) failed ++= names.filterNot(samples.contains)
     def median(xs: List[Double]): Double = {
       val s = xs.sorted
       s(s.size / 2)
@@ -127,11 +146,12 @@ object Bench {
     }
     val fullLine =
       s"""{"metric":"total","value":$value,"unit":"sec","n":${names.size},"completed":${names.size - failed.size},"total_sec":${f3(total)},"passes":$passes,"stat":"median","max_spread_sec":${f3(maxSpread)},"queries":${qJson(results)},"spread":${qJson(spreads)},"failed":$failedJson,"sf":"$sfDir"}"""
-    spark.stop()
-    // Complete results on disk survive any stdout truncation.
+    // Complete results on disk survive any stdout truncation — written
+    // BEFORE spark.stop(), which may itself wedge in a poisoned JVM.
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_results.json"),
       (fullLine + "\n").getBytes("UTF-8"))
+    spark.stop()
     // After spark.stop() so no stray executor logging lands after it; the
     // short summary line goes LAST so the tail window always contains it.
     chunks.zipWithIndex.foreach { case (c, i) =>

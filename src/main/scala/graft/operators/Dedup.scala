@@ -540,15 +540,27 @@ object Dedup {
 
   // Scratch dirs holding tiled-kernel pair output, deleted when their
   // context stops (the returned DataFrame reads them lazily, so they
-  // must outlive the call).
+  // must outlive the call). Paths live on the SAME filesystem Spark
+  // writes/reads through (warehouse dir → defaultFS on a cluster): a
+  // driver-local java.io.tmpdir path would silently scatter executor
+  // appends across local disks on a multi-node cluster, and a java.nio
+  // cleanup would miss data written to HDFS/object storage.
   private val tileScratch = scala.collection.concurrent.TrieMap
-    .empty[org.apache.spark.SparkContext, List[java.nio.file.Path]]
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    .empty[org.apache.spark.SparkContext, List[String]]
+  private val scratchNonce = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def newScratchDir(s: SparkSession): String = {
+    val root = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), "_graft_scratch")
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(root,
+      s"cosine-tiles-${s.sparkContext.applicationId}-${scratchNonce.incrementAndGet()}")
+    fs.mkdirs(dir)
+    dir.toString
+  }
+  private def deleteScratch(s: org.apache.spark.SparkContext, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
   }
 
   /** Tiled form of [[blockedCosinePairs]] — the 100 TB path: when the
@@ -582,14 +594,14 @@ object Dedup {
         "vec_id", (1 until tiles).map(_.toDouble / tiles).toArray, 0.001)
     val bounds = (Long.MinValue +: cuts.toSeq.map(_.toLong) :+
       Long.MaxValue).distinct.sliding(2).toSeq
-    val scratch =
-      java.nio.file.Files.createTempDirectory("graft-cosine-tiles-")
+    val scratch = newScratchDir(s)
     tileScratch.updateWith(s.sparkContext) {
       prev => Some(scratch :: prev.getOrElse(Nil))
     }
-    ContextCaches.evictOnStop(s.sparkContext, "cosine-tile-scratch")(() =>
-      tileScratch.remove(s.sparkContext).getOrElse(Nil)
-        .foreach(deleteRecursively))
+    ContextCaches.evictOnStop(s.sparkContext, "cosine-tile-scratch")(() => {
+      val sc = s.sparkContext
+      tileScratch.remove(sc).getOrElse(Nil).foreach(deleteScratch(sc, _))
+    })
     bounds.foreach { case Seq(lo, hi) =>
       val tile = vDf.filter(col("vec_id") > lo && col("vec_id") <= hi)
         .as[(Long, Array[Double])].collect().sortBy(_._1)
@@ -599,13 +611,13 @@ object Dedup {
         val (bv, bn) = bc.value
         kernelScore(it, bv, bn, tau)
       }.toDF("id_a", "id_b", "cos")
-        .write.mode("append").parquet(scratch.toString)
+        .write.mode("append").parquet(scratch)
       finally bc.destroy()
     }
     // Explicit schema: a corpus with zero near-dup pairs may leave the
     // scratch dir without data files, and schema inference would fail.
     s.read.schema("id_a BIGINT, id_b BIGINT, cos DOUBLE")
-      .parquet(scratch.toString).orderBy("id_a", "id_b")
+      .parquet(scratch).orderBy("id_a", "id_b")
   }
 
   // ------------------------------------------------------------ registry

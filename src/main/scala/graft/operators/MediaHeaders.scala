@@ -27,12 +27,16 @@ object MediaHeaders {
       MediaInfo("gif", le16(6), le16(8))
     } else if (u(0) == 0xFF && u(1) == 0xD8) {
       // JPEG: walk marker segments to the first SOF0-SOF3 frame header.
+      // An SOF read touches bytes[i+5..i+8], so the walk may continue
+      // while i+9 <= length — a minimal 11-byte SOI+SOF0 header (the
+      // smallest payload mediaTable can construct, for an empty text)
+      // parses; requiring one spare byte would mis-read it as (-1,-1).
       var i = 2
-      while (i + 9 < bytes.length) {
+      while (i + 9 <= bytes.length) {
         if (u(i) != 0xFF) return MediaInfo("jpeg", -1, -1)
         // Markers may be preceded by any number of 0xFF fill bytes.
         while (i + 1 < bytes.length && u(i + 1) == 0xFF) i += 1
-        if (i + 9 >= bytes.length) return MediaInfo("jpeg", -1, -1)
+        if (i + 9 > bytes.length) return MediaInfo("jpeg", -1, -1)
         val marker = u(i + 1)
         if (marker >= 0xC0 && marker <= 0xC3) {
           return MediaInfo("jpeg", be16(i + 7), be16(i + 5))

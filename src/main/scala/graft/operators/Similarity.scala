@@ -252,6 +252,12 @@ object Similarity {
   def saveIvfIndex(s: SparkSession, d: String, path: String,
       cells: Int = IvfCells, iters: Int = IvfIters): Unit = {
     import s.implicits._
+    // Same eviction hook as the query path: a save-only caller (train
+    // here, serve elsewhere) must not leave its cache entry — keyed by
+    // a soon-stopped SparkContext — resident for the JVM lifetime.
+    graft.ContextCaches.evictOnStop(s.sparkContext, "ivf-centroids")(() =>
+      centroidCache.filterInPlace { case ((c, _, _, _), _) =>
+        c ne s.sparkContext })
     val trained = centroidCache.getOrElseUpdate(
       (s.sparkContext, d, cells, iters), trainCentroids(s, d, cells, iters))
     // cells × dim doubles — a single tiny file, readable anywhere.

@@ -157,16 +157,26 @@ object MlPipeline {
     // sequentially against ONE shared deadline (the slowest candidate
     // sets the wall time either way, so per-future slices would only
     // loosen the bound).
+    // Every candidate's Spark jobs run under a dedicated job group:
+    // interrupting the driver thread alone (shutdownNow) would leave a
+    // timed-out fit's already-submitted stages running on the executors,
+    // contending with whatever the caller measures next.
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    def groupOf(name: String) = s"graft-modelCompare-$nonce-$name"
     val futures = candidates.map { case (name, est) =>
       name -> Future {
-        val model = est.fit(train).asInstanceOf[org.apache.spark.ml.Model[_]]
-        val scored = model.transform(test)
-          .withColumn("predicted", greatest(col("prediction"), lit(0.0)))
-          .persist()
+        s.sparkContext.setJobGroup(groupOf(name),
+          s"modelCompare candidate $name", interruptOnCancel = true)
         try {
-          def m(metric: String) = evalMetric(scored, labelCol, metric)
-          (scored.count(), Option(m("rmse")), Option(m("mae")), Option(m("r2")))
-        } finally scored.unpersist()
+          val model = est.fit(train).asInstanceOf[org.apache.spark.ml.Model[_]]
+          val scored = model.transform(test)
+            .withColumn("predicted", greatest(col("prediction"), lit(0.0)))
+            .persist()
+          try {
+            def m(metric: String) = evalMetric(scored, labelCol, metric)
+            (scored.count(), Option(m("rmse")), Option(m("mae")), Option(m("r2")))
+          } finally scored.unpersist()
+        } finally s.sparkContext.clearJobGroup()
       }
     }
     val deadline = System.nanoTime() + timeout.toNanos
@@ -177,6 +187,7 @@ object MlPipeline {
         try { Await.ready(f, left); f.value.get }
         catch {
           case _: java.util.concurrent.TimeoutException =>
+            s.sparkContext.cancelJobGroup(groupOf(name))
             scala.util.Failure(new RuntimeException(
               s"fit/score of $name exceeded $timeout"))
         }
@@ -188,7 +199,14 @@ object MlPipeline {
           (name, Option.empty[Long], Option.empty[Double],
             Option.empty[Double], Option.empty[Double])
       }
-    } finally pool.shutdownNow() // interrupt stragglers, not just drain
+    } finally {
+      pool.shutdownNow() // interrupt stragglers, not just drain
+      // Reap any executor-side work of candidates that never finished.
+      candidates.foreach { case (name, _) =>
+        if (!futures.find(_._1 == name).get._2.isCompleted)
+          s.sparkContext.cancelJobGroup(groupOf(name))
+      }
+    }
     rows.toDF("model_name", "n", "rmse", "mae", "r2")
       .select(col("model_name"), col("n"),
         round(col("rmse"), 6).as("rmse"), round(col("mae"), 6).as("mae"),

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Keyed upsert sink for micro-batches — the streaming mirror of the
@@ -178,29 +178,50 @@ object UpsertSink {
       .otherwise(col(partCol).cast("string"))
     def keyParts() = noInfer.read.parquet(tablePath)
       .select(col(keyCol).as("__k"), pNorm.as("__p"))
-    val kp = keyParts()
-    // Distinct partition count per key; nulls counted via a one-field
-    // struct (count(DISTINCT col) would drop the null partition).
-    val perKey = kp.groupBy(col("__k").as("__k2"))
-      .agg(countDistinct(struct(col("__p"))).as("__n"))
-    val candidates = kp.join(perKey, col("__k") <=> col("__k2"))
-      .groupBy(col("__p")).agg(min(col("__n")).as("__minn"))
-      .filter(col("__minn") >= 2)
-      .select(col("__p")).collect().map(r =>
-        if (r.isNullAt(0)) null else r.getString(0))
+    // Persisted for the detection self-join: without it the (key,
+    // partition) projection would scan the table parquet twice on every
+    // healthy-path entry.
+    val kp = keyParts().persist()
+    val candidates = try {
+      // Distinct partition count per key; nulls counted via a one-field
+      // struct (count(DISTINCT col) would drop the null partition).
+      val perKey = kp.groupBy(col("__k").as("__k2"))
+        .agg(countDistinct(struct(col("__p"))).as("__n"))
+      kp.join(perKey, col("__k") <=> col("__k2"))
+        .groupBy(col("__p")).agg(min(col("__n")).as("__minn"))
+        .filter(col("__minn") >= 2)
+        .select(col("__p")).collect().map(r =>
+          if (r.isNullAt(0)) null else r.getString(0))
+    } finally kp.unpersist()
     if (candidates.isEmpty) return
     def dirOf(v: String) = new org.apache.hadoop.fs.Path(cur,
       org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         .getPartitionPathString(partCol, v))
-    val byAge = candidates
-      .filter(v => fs.exists(dirOf(v)))
-      .sortBy(v => fs.getFileStatus(dirOf(v)).getModificationTime)
+    val present = candidates.filter(v => fs.exists(dirOf(v)))
+    val mtimeOf = present.map(v =>
+      v -> fs.getFileStatus(dirOf(v)).getModificationTime).toMap
+    val byAge = present.sortBy(mtimeOf)
+    def inSet(c: Column, vs: Seq[String]): Column = {
+      val nonNull = vs.filter(_ != null)
+      val base = if (nonNull.isEmpty) lit(false)
+        else c.isInCollection(nonNull)
+      if (vs.contains(null)) base || c.isNull else base
+    }
     byAge.foreach { v =>
+      // A key copy only legitimizes deleting v if it lives somewhere
+      // that will itself SURVIVE: a non-candidate partition, or a
+      // candidate STRICTLY newer than v. Mirrored partitions with tied
+      // directory mtimes (coarse-granularity filesystems) therefore
+      // protect each other — duplicates persist until a batch touches
+      // the key, instead of a nondeterministic order deleting the NEW
+      // copy and silently reverting data.
+      val notSafe = byAge.filter(w => w != v && mtimeOf(w) <= mtimeOf(v))
       // Re-read per candidate: each delete invalidates the previous
       // read's file listing, and the re-check must see prior deletions.
       val cur2 = keyParts()
       val mine = cur2.filter(col("__p") <=> v)
-      val others = cur2.filter(!(col("__p") <=> v))
+      val others = cur2
+        .filter(!(col("__p") <=> v) && !inSet(col("__p"), notSafe))
         .select(col("__k").as("__ok"))
       val orphans = mine.join(others, col("__k") <=> col("__ok"), "left_anti")
         .limit(1).count()

@@ -87,23 +87,27 @@ class ExtensionsAndScaleSpec extends GraftSuite {
   }
 
   test("as-of strategy install is safe under concurrent sessions") {
-    // Many driver threads race lastMatch on fresh session clones of one
-    // SparkSession family (the repo trains models from thread pools):
-    // with the unsynchronized check-then-append this could lose the
-    // strategy registration and fail planning; every call must plan and
-    // the strategy must appear exactly once per session.
-    val sessions = (1 to 8).map(_ => spark.newSession())
+    // Many driver threads race lastMatch on ONE shared session (the repo
+    // trains models from thread pools): extraStrategies is per-session
+    // state, so the race the synchronized ensureStrategy guards against
+    // — a lost check-then-append — only exists when the threads share
+    // the session. Every call must plan, and the strategy must end up
+    // registered exactly once (a lost update would fail planning; an
+    // unsynchronized interleaving could also double-append).
+    val shared = spark.newSession()
+    val barrier = new java.util.concurrent.CyclicBarrier(8)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     val results =
-      try sessions.map { s =>
+      try (1 to 8).map { _ =>
         pool.submit(new java.util.concurrent.Callable[String] {
           override def call(): String = {
-            val ev = Tables.events(s, sf)
+            val ev = Tables.events(shared, sf)
               .select(col("event_id"), col("user_id"), tsUs(col("ts")).as("tus"))
-            val errs = Tables.events(s, sf)
+            val errs = Tables.events(shared, sf)
               .filter(col("event_type") === "error")
               .select(col("user_id").as("err_user"),
                 tsUs(col("ts")).as("err_tus"))
+            barrier.await() // maximize contention on the install
             plans.AsOf.lastMatch(ev, errs,
               "user_id", "tus", "err_user", "err_tus", "last_err_us")
               .queryExecution.executedPlan.toString
@@ -112,10 +116,8 @@ class ExtensionsAndScaleSpec extends GraftSuite {
       }.map(_.get())
       finally pool.shutdown()
     assert(results.forall(_.contains("AsOfJoin")))
-    sessions.foreach { s =>
-      assert(s.experimental.extraStrategies
-        .count(_ == plans.AsOfJoinStrategy) == 1)
-    }
+    assert(shared.experimental.extraStrategies
+      .count(_ == plans.AsOfJoinStrategy) == 1)
   }
 
   test("custom as-of plans one exchange per side and no generic Join") {

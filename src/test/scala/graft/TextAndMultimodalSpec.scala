@@ -70,6 +70,10 @@ class TextAndMultimodalSpec extends GraftSuite {
     // Garbage → unknown, no crash
     assert(MediaHeaders.parse("not an image".getBytes).format == "unknown")
     assert(MediaHeaders.parse(Array.emptyByteArray).format == "unknown")
+    // Minimal 11-byte SOI+SOF0 (what mediaHeader builds for an empty
+    // text): the walk must read the dims from the header's last bytes.
+    assert(MediaHeaders.parse(operators.Multimodal.mediaHeader("jpeg", 200, 100))
+      == MediaHeaders.MediaInfo("jpeg", 200, 100))
   }
 
   test("media headers run distributed and recover the declared format+dims") {
