@@ -656,6 +656,31 @@ object Extended {
         count(lit(1)).as("n"))
   }
 
+  /** First-class FULL OUTER JOIN: daily error/purchase reconciliation
+    * per user. At the (user_id, day) grain the testdata genuinely
+    * exercises all three match states (sf0.01: 1026 error-only days,
+    * 1018 purchase-only, 586 both), so the null-extension on BOTH sides
+    * is load-bearing, not decorative. The join keys pass as a Seq so
+    * Spark emits the coalesced USING-style key columns; both sides are
+    * same-table aggregates, so the planner shares one scan and the join
+    * shuffles on the (already aggregated, small) day grain.
+    */
+  private def j8FullOuter(s: SparkSession, d: String): DataFrame = {
+    def side(t: String, cnt: String) = Tables.events(s, d)
+      .filter(col("event_type") === t)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as(cnt))
+    side("error", "n_err")
+      .join(side("purchase", "n_pur"), Seq("user_id", "day"), "full_outer")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_err"), lit(0L)).as("n_err"),
+        coalesce(col("n_pur"), lit(0L)).as("n_pur"))
+      .withColumn("status",
+        when(col("n_err") > 0 && col("n_pur") > 0, "both")
+          .when(col("n_err") > 0, "error_only").otherwise("purchase_only"))
+      .orderBy("user_id", "day")
+  }
+
   /** Value-RANGE window frame: per-user trailing band [v-10, v] over the
     * value order — frames defined by the ORDER key's values, not row
     * counts (the other half of the SQL window-frame spec; W1/W2 cover
@@ -853,6 +878,7 @@ object Extended {
     "j5_asof_join" -> j5AsofJoin _,
     "j7_asof_custom" -> j7AsofCustom _,
     "j6_range_join" -> j6RangeJoin _,
+    "j8_full_outer" -> j8FullOuter _,
     "p13_pivot" -> p13Pivot _,
     "a17_distinct_agg" -> a17DistinctAgg _,
     "a18_corr" -> a18Corr _,
@@ -1036,6 +1062,24 @@ object Extended {
         |  max(CASE WHEN event_type = 'click' THEN v END) AS click_avg,
         |  max(CASE WHEN event_type = 'error' THEN v END) AS error_avg
         |FROM pa GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "j8_full_outer" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |    count(*) AS n_err FROM events
+        |    WHERE event_type = 'error' GROUP BY 1, 2),
+        |  p AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |    count(*) AS n_pur FROM events
+        |    WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT coalesce(e.user_id, p.user_id) AS user_id,
+        |  coalesce(e.day, p.day) AS day,
+        |  coalesce(n_err, 0) AS n_err,
+        |  coalesce(n_pur, 0) AS n_pur,
+        |  CASE WHEN coalesce(n_err, 0) > 0 AND coalesce(n_pur, 0) > 0
+        |         THEN 'both'
+        |       WHEN coalesce(n_err, 0) > 0 THEN 'error_only'
+        |       ELSE 'purchase_only' END AS status
+        |FROM e FULL OUTER JOIN p
+        |  ON e.user_id = p.user_id AND e.day = p.day
+        |ORDER BY user_id, day""".stripMargin,
     "tpch_q13" ->
       """SELECT c_count, count(*) AS custdist
         |FROM (SELECT c_custkey, count(o_orderkey) AS c_count

@@ -102,7 +102,15 @@ object Similarity {
     * ≈ 0.76 single-probe — while the corpus-side index and shuffle are
     * unchanged; only the (tiny) query side fans out 4×.
     */
-  def annTopkLsh(s: SparkSession, d: String): DataFrame = {
+  def annTopkLsh(s: SparkSession, d: String): DataFrame =
+    lshSearch(signedCorpus(s, d))
+
+  /** The LSH "index": every corpus vector with its normalized form and
+    * sign-bit signature — the enriched-row layout a production vector
+    * store persists (id, vector, signature) so serving never recomputes
+    * the NumPlanes dot products per vector.
+    */
+  private def signedCorpus(s: SparkSession, d: String): DataFrame = {
     val dim = Tables.embeddings(s, d).select(size(col("embedding")))
       .first().getInt(0)
     val pl = planes(dim)
@@ -111,7 +119,13 @@ object Similarity {
       val w = typedlit(pl(p).toSeq)
       when(dot(col("u"), w) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val sig = v.withColumn("sig", sigBits)
+    v.withColumn("sig", sigBits)
+  }
+
+  /** Banded probe + rerank over a (vec_id, u, sig) frame — shared by
+    * the in-session path and the persisted-index path.
+    */
+  private def lshSearch(sig: DataFrame): DataFrame = {
     val banded = sig.select(col("vec_id"), col("u"),
       posexplode(array((0 until LshBands).map(b =>
         shiftrightunsigned(col("sig"), b * BandBits)
@@ -273,6 +287,21 @@ object Similarity {
       probes: Int = IvfProbes): DataFrame =
     ivfSearch(s, d,
       s.read.parquet(indexPath).select(col("cell"), col("cu")), probes)
+
+  /** Persist the LSH index: the full signed corpus (vec_id, normalized
+    * vector, signature) — unlike IVF's tiny centroid table this index
+    * scales WITH the corpus, so it persists as a distributed write and
+    * serves as a distributed read; signatures are deterministic
+    * (md5-derived planes), so save → load → search is bit-identical.
+    */
+  def saveLshIndex(s: SparkSession, d: String, path: String): Unit =
+    signedCorpus(s, d).write.mode("overwrite").parquet(path)
+
+  /** Serve the LSH query straight from a saved index — the NumPlanes
+    * signature dot products per corpus vector never recompute.
+    */
+  def annTopkLshFrom(s: SparkSession, indexPath: String): DataFrame =
+    lshSearch(s.read.parquet(indexPath))
 
   private def trainCentroids(s: SparkSession, d: String,
       cells: Int, iters: Int): Seq[(Long, Seq[Double])] = {

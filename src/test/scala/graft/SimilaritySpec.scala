@@ -43,6 +43,18 @@ class SimilaritySpec extends GraftSuite {
     assert(p1.flatten.forall(v => v >= -1 && v <= 1))
   }
 
+  test("LSH index save/load: a fresh session answers identically from disk") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val inSession = rows(SparkEntry.queries("ann_topk_lsh")(spark, sf))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lsh").toString + "/index"
+    operators.Similarity.saveLshIndex(spark, sf, dir)
+    val loaded = rows(
+      operators.Similarity.annTopkLshFrom(spark.newSession(), dir))
+    assert(inSession.nonEmpty && loaded == inSession)
+  }
+
   test("IVF index save/load: a fresh session answers identically from disk") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
