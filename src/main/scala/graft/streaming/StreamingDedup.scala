@@ -41,6 +41,26 @@ object StreamingDedup {
       }
   }
 
+  /** Streaming curation: the per-row quality gate of the batch
+    * `pipe_curate` query (n_words >= 30, type-token ratio >= 0.3) fused
+    * IN FRONT of the first-seen dedup state — rejected documents never
+    * touch the state store, so state stays O(distinct hashes of
+    * documents worth keeping). This is the streaming half of an
+    * LLM-ingest pipeline; near-dup pruning (LSH candidates are global
+    * by nature) remains the batch operator's job downstream.
+    */
+  def curatedFirstSeen(docs: Dataset[Doc]): Dataset[SeenDoc] = {
+    import docs.sparkSession.implicits._
+    val words = split(col("text"), " ")
+    val filtered = docs.toDF()
+      .withColumn("n_words", size(words))
+      .withColumn("ttr",
+        size(array_distinct(words)).cast("double") / size(words))
+      .filter(col("n_words") >= 30 && col("ttr") >= 0.3)
+      .select(col("doc_id"), col("text")).as[Doc]
+    firstSeen(filtered)
+  }
+
   /** TTL-bounded first-seen filter for UNBOUNDED key spaces: dedup state
     * for a content hash is kept only while the watermark is within
     * `delay` of its event time, then evicted — so state is

@@ -199,6 +199,37 @@ class ExtendedOpsSpec extends GraftSuite {
     assert(out.map(_._1).distinct.length == 3)
   }
 
+  test("streaming curation matches the batch quality gate + exact dedup") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // Real documents, streamed in two arbitrary halves.
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[StreamingDedup.Doc].collect()
+    val (h1, h2) = docs.splitAt(docs.length / 2)
+    val mem = MemoryStream[StreamingDedup.Doc]
+    val q = StreamingDedup.curatedFirstSeen(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_curate").start()
+    mem.addData(h1.toSeq); q.processAllAvailable()
+    mem.addData(h2.toSeq); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("stream_curate").collect()
+      .map(r => r.getString(0)).toSeq
+    // Batch twin: same per-row gate, then distinct content hashes.
+    val words = split(col("text"), " ")
+    val batch = Tables.documents(spark, sf)
+      .withColumn("n_words", size(words))
+      .withColumn("ttr",
+        size(array_distinct(words)).cast("double") / size(words))
+      .filter(col("n_words") >= 30 && col("ttr") >= 0.3)
+      .select(md5(col("text")).as("h")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(batch.nonEmpty && batch.size < docs.length) // gate + dedup bite
+    assert(streamed.length == streamed.distinct.length) // exactly-once
+    assert(streamed.toSet == batch)
+  }
+
   test("upsert sink merges on key: replaced rows do not duplicate") {
     import spark.implicits._
     val table = Files.createTempDirectory("graft_upsert").toString + "/t"
