@@ -620,9 +620,49 @@ object Dedup {
       .parquet(scratch).orderBy("id_a", "id_b")
   }
 
+  // Span-coverage n-gram order (word 8-grams — the passage-level grain
+  // of Lee et al. 2022's substring dedup, shifted to word tokens).
+  private val SpanK = 8
+
+  /** Duplicated-passage coverage (the signal behind substring-level
+    * dedup, Lee et al. 2022 "Deduplicating Training Data Makes Language
+    * Models Better"): every positional word 8-gram of every document is
+    * a span; a span is *duplicated* if its gram also occurs in at least
+    * one other document. Per document: total spans, duplicated spans,
+    * and the duplicated fraction — the per-doc score a curation pass
+    * thresholds to drop boilerplate-heavy pages.
+    *
+    * Scale shape: the gram→document-frequency dictionary is built by a
+    * grouped count over the exploded spans and joined back BY GRAM — a
+    * plain shuffle equi-join on the derived key (never broadcast: the
+    * dictionary grows with the corpus), then a per-doc aggregation.
+    * Both shuffles partition by their natural keys; no all-pairs stage
+    * anywhere. Docs shorter than [[SpanK]] words have no spans and are
+    * absent from the output (same as the oracle's WHERE).
+    */
+  private def spanCoverage(s: SparkSession, d: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val grams = Tables.documents(s, d)
+      .filter(size(w) >= SpanK)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(w) - (SpanK - 1)),
+        i => concat_ws(" ", (0 until SpanK).map(j => element_at(w, i + j)): _*)))
+        .as("gram"))
+    val df = grams.select("doc_id", "gram").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("nd"))
+    grams.join(df, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum((col("nd") >= 2).cast("int")).as("n_dup_spans"))
+      .withColumn("dup_frac",
+        r6(col("n_dup_spans").cast("double") / col("n_spans")))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Query] = Map(
+    "dd_span_coverage" -> spanCoverage _,
     "dd_exact" -> exact _,
     "dd_ngram_jaccard" -> ngramJaccard _,
     "dd_minhash_lsh" -> minhashLsh _,
@@ -634,6 +674,22 @@ object Dedup {
     "dd_cosine_neardup" -> cosineNearDup _)
 
   val oracle: Map[String, String] = Map(
+    "dd_span_coverage" -> {
+      val parts = (0 until SpanK).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+      s"""WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |g AS (SELECT doc_id,
+         |  unnest(list_transform(range(1, len(w) - ${SpanK - 2}), i -> $parts))
+         |    AS gram
+         |  FROM w0 WHERE len(w) >= $SpanK),
+         |df AS (SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY gram)
+         |SELECT doc_id, count(*) AS n_spans,
+         |  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_spans,
+         |  round(CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS dup_frac
+         |FROM g JOIN df USING (gram)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "dd_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
         |  count(*) AS n_copies

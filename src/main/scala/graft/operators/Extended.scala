@@ -811,6 +811,33 @@ object Extended {
       .orderBy("lang", "split")
   }
 
+  /** Stratified deterministic downsampling: per-language keep rates
+    * (the language-rebalancing pass a multilingual corpus pipeline runs
+    * before training) applied through the same md5-bucket scheme as
+    * [[ppHashSplit]] — bucket 0..999 under rate×1000 keeps the row.
+    * Hash-gated, so the sample is reproducible across engines and
+    * re-partitionings, membership is stable under corpus growth, and
+    * the filter is a pure scan-side predicate (no shuffle, no
+    * sampling state). Emits the kept rows; the survival rate per
+    * language converges on the configured rate by the hash-uniformity
+    * of md5.
+    */
+  private def ppStratified(s: SparkSession, d: String): DataFrame = {
+    val rates = Seq("en" -> 900, "es" -> 700, "de" -> 500, "fr" -> 300,
+      "zh" -> 100) // per-mille keep rates
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 5, 4),
+      16, 10).cast("long") % 1000
+    val rate = rates.foldRight(lit(0): org.apache.spark.sql.Column) {
+      case ((l, r), rest) =>
+      when(col("lang") === l, lit(r)).otherwise(rest)
+    }
+    Tables.documents(s, d)
+      .withColumn("bucket", bucket)
+      .filter(col("bucket") < rate)
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
   /** Inverse-frequency class weights (total / (k·n) per label) — the
     * standard imbalance correction, computed as one tiny agg + broadcast
     * of the per-class stats.
@@ -854,6 +881,7 @@ object Extended {
     "f10_string" -> f10String _,
     "o4_offset" -> o4Offset _,
     "pp_hash_split" -> ppHashSplit _,
+    "pp_stratified" -> ppStratified _,
     "ml_class_weights" -> mlClassWeights _,
     "ta_normalize" -> taNormalize _,
     "tpch_q1" -> tpchQ1 _,
@@ -955,6 +983,16 @@ object Extended {
         |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
         |  count(*) AS n
         |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+    "pp_stratified" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 5, 4))::BIGINT % 1000
+        |    AS bucket
+        |FROM documents)
+        |SELECT doc_id, lang, bucket FROM b
+        |WHERE bucket < CASE lang WHEN 'en' THEN 900 WHEN 'es' THEN 700
+        |  WHEN 'de' THEN 500 WHEN 'fr' THEN 300 WHEN 'zh' THEN 100
+        |  ELSE 0 END
+        |ORDER BY doc_id""".stripMargin,
     "ml_class_weights" ->
       """WITH c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
         |t AS (SELECT CAST(sum(n) AS DOUBLE) AS total, count(*) AS k FROM c)

@@ -338,7 +338,56 @@ object Similarity {
     cent.as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
   }
 
+  /** Per-label embedding centroids (the class-prototype computation
+    * behind centroid classifiers, cluster summaries, and IVF-style
+    * coarse quantizers), emitted at the (label, component) grain.
+    * Component means accumulate in DECIMAL — the same
+    * partition-order-independence argument as [[trainCentroids]] — so
+    * the result is bit-stable across partitionings. One explode + one
+    * grouped aggregation with map-side partial combine: the shuffle
+    * carries labels × dim partial sums, not vectors, at any corpus
+    * scale.
+    */
+  private def centroids(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos0", "x")))
+      .groupBy("label", "pos0")
+      .agg((sum(col("x").cast("decimal(38,18)")).cast("double") /
+        count(lit(1))).as("m"),
+        count(lit(1)).as("n_vecs"))
+      .select(col("label"), (col("pos0") + 1).as("pos"), r6(col("m")).as("c"),
+        col("n_vecs"))
+      .orderBy("label", "pos")
+
+  /** Exact 1-NN self-join: every corpus vector's single nearest
+    * neighbor by cosine. The corpus side is broadcast and scored with
+    * the codegen'd native dot product; the per-vector argmax folds in
+    * the aggregate itself (max over (cos, -neighbor) structs), so
+    * partial aggregation collapses each vector's candidates MAP-SIDE —
+    * the shuffle carries one row per vector, never the N² scored pairs.
+    * Ties break to the smallest neighbor id on the round6 cosine,
+    * mirroring the oracle's rank order. Beyond broadcast range the same
+    * kernel runs tiled over corpus blocks (the
+    * [[Dedup.blockedCosinePairsTiled]] pattern) with a final max-merge —
+    * the argmax aggregate is associative, so tiling composes exactly.
+    */
+  private def knnSelf(s: SparkSession, d: String): DataFrame = {
+    val v = normalized(s, d)
+    val c = v.select(col("vec_id").as("nid"), col("u").as("nu"))
+    v.join(broadcast(c), col("vec_id") =!= col("nid"))
+      .select(col("vec_id"), col("nid"),
+        r6(dot(col("u"), col("nu"))).as("cos"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cos"), (-col("nid")).as("neg"))).as("b"))
+      .select(col("vec_id"), (-col("b.neg")).as("neighbor_id"),
+        col("b.cos").as("cos"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Query] = Map(
+    "sim_centroids" -> (centroids _),
+    "sim_knn_self" -> (knnSelf _),
     "ann_topk_exact" -> (annTopkExact _),
     "ann_topk_lsh" -> (annTopkLsh _),
     "ann_topk_ivf" -> (annTopkIvf _),
@@ -346,6 +395,26 @@ object Similarity {
 
   /** ann_topk_lsh is approximate by construction → rows-only check. */
   val oracle: Map[String, String] = Map(
+    "sim_centroids" ->
+      """WITH e AS (SELECT label,
+        |  unnest(range(1, len(embedding) + 1)) AS pos,
+        |  unnest(CAST(embedding AS DOUBLE[])) AS x FROM embeddings)
+        |SELECT label, CAST(pos AS INT) AS pos,
+        |  round(sum(x) / count(*), 6) AS c, count(*) AS n_vecs
+        |FROM e GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+    "sim_knn_self" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> x /
+        |      sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |        y -> y * y)))) AS u
+        |  FROM embeddings),
+        |s AS (SELECT a.vec_id AS vec_id, b.vec_id AS nid,
+        |  round(list_dot_product(a.u, b.u), 6) AS cos
+        |  FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT vec_id, nid, cos, row_number() OVER (
+        |  PARTITION BY vec_id ORDER BY cos DESC, nid) AS rn FROM s)
+        |SELECT vec_id, nid AS neighbor_id, cos FROM r WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin,
     "sim_quantize" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
         |           FROM embeddings),

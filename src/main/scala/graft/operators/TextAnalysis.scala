@@ -247,7 +247,65 @@ object TextAnalysis {
       .orderBy("doc_id", "rnk")
   }
 
+  // Chunking geometry: 64-token windows advancing by 48 (16-token
+  // overlap) — the context-window packing shape an LLM pre-training
+  // pipeline runs over every document.
+  private val ChunkLen = 64
+  private val ChunkStride = 48
+
+  /** Overlapping fixed-token chunking: each document becomes
+    * ceil(max(n-overlap,1)/stride) chunks of up to [[ChunkLen]]
+    * whitespace tokens starting every [[ChunkStride]] tokens. One narrow
+    * generator per row (posexplode over the start sequence, slice +
+    * array_join per chunk) — no shuffle, no cross-document state, so it
+    * scales exactly like the scan. The final chunk may be short; every
+    * token lands in ≥1 chunk and start positions are data-independent.
+    */
+  private def chunk(s: SparkSession, d: String): DataFrame = {
+    val w = split(col("text"), " ")
+    Tables.documents(s, d)
+      .select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"), col("w"), posexplode(
+        sequence(lit(0), greatest(size(col("w")) - 1, lit(0)), lit(ChunkStride)))
+        .as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"), col("chunk_idx"),
+        least(lit(ChunkLen), size(col("w")) - col("start")).as("n_tokens"),
+        array_join(slice(col("w"), col("start") + 1, lit(ChunkLen)), " ")
+          .as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** PII redaction: emails and phone-shaped tokens are scrubbed with
+    * global regex replacement. The testdata corpus contains no PII, so
+    * the query injects a deterministic contact line synthesized from
+    * document metadata (the same ground-truth-by-construction standard
+    * as f11_url) and then redacts it — the redaction regexes do real
+    * work on every row and the oracle recomputes both the injection and
+    * the scrub. Patterns stay in the Java∩RE2 common dialect so both
+    * engines match identical spans. Pure codegen'd string expressions:
+    * scan-shaped, no shuffle.
+    */
+  private def pii(s: SparkSession, d: String): DataFrame = {
+    val EmailRe = "[a-z0-9._]+@[a-z0-9.]+"
+    val PhoneRe = "555-[0-9]{4}"
+    val withPii = concat(col("text"), lit(" contact "), col("source"),
+      lit("_"), col("doc_id").cast("string"),
+      lit("@mail.example.com or 555-"),
+      lpad(col("doc_id").cast("string"), 4, "0"))
+    val redacted = regexp_replace(
+      regexp_replace(withPii, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(regexp_extract_all(withPii, lit(EmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(withPii, lit(PhoneRe), lit(0))).as("n_phones"),
+      (length(withPii) - length(redacted)).as("removed_chars"),
+      md5(redacted).as("redacted_hash"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Query] = Map(
+    "ta_chunks" -> chunk _,
+    "ta_pii" -> pii _,
     "ta_tfidf" -> tfidf _,
     "ta_rep_ngrams" -> repNgrams _,
     "f11_url" -> urlParse _,
@@ -260,6 +318,31 @@ object TextAnalysis {
     "pipe_curate" -> curate _)
 
   val oracle: Map[String, String] = Map(
+    "ta_chunks" ->
+      s"""WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |st AS (SELECT doc_id, w,
+         |  unnest(range(1, len(w) + 1, $ChunkStride)) AS s FROM w0)
+         |SELECT doc_id, CAST((s - 1) // $ChunkStride AS INT) AS chunk_idx,
+         |  CAST(least($ChunkLen, len(w) - s + 1) AS INT) AS n_tokens,
+         |  array_to_string(list_slice(w, s, s + ${ChunkLen - 1}), ' ')
+         |    AS chunk_text
+         |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
+    "ta_pii" ->
+      """WITH p AS (SELECT doc_id,
+        |  text || ' contact ' || source || '_' || doc_id
+        |    || '@mail.example.com or 555-'
+        |    || lpad(CAST(doc_id AS VARCHAR), 4, '0') AS wp FROM documents),
+        |r AS (SELECT doc_id, wp,
+        |  regexp_replace(regexp_replace(wp,
+        |    '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        |    '555-[0-9]{4}', '<PHONE>', 'g') AS red FROM p)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(wp, '[a-z0-9._]+@[a-z0-9.]+')) AS INT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(wp, '555-[0-9]{4}')) AS INT) AS n_phones,
+        |  CAST(len(wp) - len(red) AS INT) AS removed_chars,
+        |  md5(red) AS redacted_hash
+        |FROM r ORDER BY doc_id""".stripMargin,
     "ta_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
         |             FROM documents),

@@ -75,6 +75,28 @@ class DedupSpec extends GraftSuite {
       .foreach { case (id, c) => assert(id == c, s"singleton $id got label $c") }
   }
 
+  test("span coverage matches a brute-force recomputation") {
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val grams = texts.toSeq.flatMap { case (id, t) =>
+      val w = t.split(" ", -1)
+      (0 to w.length - 8).map(i => id -> w.slice(i, i + 8).mkString(" "))
+    }
+    val docsPerGram = grams.distinct.groupBy(_._2).view.mapValues(_.size)
+    val expected = grams.groupBy(_._1).view.mapValues { gs =>
+      (gs.size.toLong, gs.count(g => docsPerGram(g._2) >= 2).toLong)
+    }.toMap
+    val rows = SparkEntry.queries("dd_span_coverage")(spark, sf).collect()
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val (n, dup) = expected(r.getLong(0))
+      assert(r.getLong(1) == n && r.getLong(2) == dup, s"doc ${r.getLong(0)}")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // the corpus genuinely contains duplicated passages (near-dup docs)
+    assert(rows.exists(_.getLong(2) > 0))
+  }
+
   test("cosine near-dup pairs are symmetric-free and above threshold") {
     val rows = run("dd_cosine_neardup").collect()
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))

@@ -274,6 +274,23 @@ class ExtendedOpsSpec extends GraftSuite {
     }
   }
 
+  test("stratified sample keeps per-lang fractions near the configured rates") {
+    val docs = Tables.documents(spark, sf).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = SparkEntry.queries("pp_stratified")(spark, sf).collect()
+    val keptBy = kept.groupBy(_.getString(1)).view.mapValues(_.length.toLong)
+    val rates = Map("en" -> 0.9, "es" -> 0.7, "de" -> 0.5,
+      "fr" -> 0.3, "zh" -> 0.1)
+    rates.foreach { case (l, r) =>
+      val frac = keptBy.getOrElse(l, 0L).toDouble / docs(l)
+      // md5 uniformity: ~100 docs/lang at sf0.001 → generous ±0.15
+      assert(math.abs(frac - r) <= 0.15, s"$l kept $frac vs rate $r")
+    }
+    // deterministic: the kept id set is identical across invocations
+    val again = SparkEntry.queries("pp_stratified")(spark, sf).collect()
+    assert(kept.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
+  }
+
   test("upsert stream drives micro-batches through the merge") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_upsrc").toString

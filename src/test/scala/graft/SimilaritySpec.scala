@@ -36,6 +36,32 @@ class SimilaritySpec extends GraftSuite {
     assert(recall >= 0.55, s"IVF recall@10 = $recall")
   }
 
+  test("1-NN self-join agrees with the exact top-k baseline at rank 1") {
+    val top1 = SparkEntry.queries("ann_topk_exact")(spark, sf).collect()
+      .filter(_.getInt(1) == 1).map(r => (r.getLong(0), r.getLong(2))).toMap
+    val knn = SparkEntry.queries("sim_knn_self")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    top1.foreach { case (q, n) => assert(knn(q) == n, s"query $q") }
+    // every corpus vector has exactly one neighbor row
+    val total = Tables.embeddings(spark, sf).count()
+    assert(knn.size.toLong == total)
+  }
+
+  test("per-label centroids cover labels x dim and count every vector") {
+    val rows = SparkEntry.queries("sim_centroids")(spark, sf).collect()
+    val dim = Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("embedding"))).first().getInt(0)
+    val labels = rows.map(_.getInt(0)).distinct
+    assert(rows.length == labels.length * dim)
+    // components are means of unit-magnitude-ish floats
+    assert(rows.forall(r => math.abs(r.getDouble(2)) <= 10.0))
+    // for any fixed pos, per-label vector counts sum to the corpus size
+    val total = Tables.embeddings(spark, sf).count()
+    val atPos1 = rows.filter(_.getInt(1) == 1).map(_.getLong(3)).sum
+    assert(atPos1 == total)
+  }
+
   test("hyperplanes are deterministic across invocations") {
     val p1 = operators.Similarity.planes(64)
     val p2 = operators.Similarity.planes(64)

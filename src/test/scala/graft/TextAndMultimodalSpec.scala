@@ -40,6 +40,39 @@ class TextAndMultimodalSpec extends GraftSuite {
     assert(rows.forall(r => r.getInt(2) >= 1 && r.getInt(1) >= 1))
   }
 
+  test("chunking: stride reconstruction recovers every document") {
+    import org.apache.spark.sql.functions._
+    // Concatenating the first `stride` tokens of every chunk plus the
+    // tail of the final chunk must reproduce the original text exactly.
+    val chunks = SparkEntry.queries("ta_chunks")(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.foreach { case (id, text) =>
+      val cs = chunks(id).sortBy(_.getInt(1))
+      val rebuilt = (cs.init.map(_.getString(3).split(" ").take(48).mkString(" "))
+        :+ cs.last.getString(3)).mkString(" ")
+      assert(rebuilt == text, s"doc $id")
+      // a non-final chunk spans its start through at least the next
+      // start (>= stride+1 tokens) and n_tokens matches its text
+      cs.foreach(c =>
+        assert(c.getInt(2) == c.getString(3).split(" ", -1).length))
+      cs.init.foreach(c => assert(c.getInt(2) >= 49 && c.getInt(2) <= 64))
+      assert(cs.last.getInt(2) >= 1 && cs.last.getInt(2) <= 64)
+    }
+  }
+
+  test("pii redaction leaves no email or phone pattern behind") {
+    val rows = SparkEntry.queries("ta_pii")(spark, sf).collect()
+    // injected contact line guarantees at least one of each per doc
+    assert(rows.forall(_.getInt(1) >= 1))
+    assert(rows.forall(_.getInt(2) >= 1))
+    // redaction strictly shrinks the injected text and is deterministic
+    assert(rows.forall(_.getInt(3) > 0))
+    val again = SparkEntry.queries("ta_pii")(spark, sf).collect()
+    assert(rows.map(_.getString(4)).toSeq == again.map(_.getString(4)).toSeq)
+  }
+
   test("multimodal: batched extraction is deterministic, fixed-dim, 1:1") {
     val media = operators.Multimodal.mediaTable(spark, sf)
     val f1 = operators.Multimodal.extractFeatures(media).collect()
