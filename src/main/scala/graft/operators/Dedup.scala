@@ -407,6 +407,28 @@ object Dedup {
     labels.orderBy("doc_id")
   }
 
+  /** Canonical-representative selection: for every near-dup cluster
+    * (from [[clusters]]), keep the longest document (word count, ties to
+    * the smallest doc_id) — the "keep best, not first" policy a curation
+    * pipeline applies so boilerplate-trimmed copies lose to the fullest
+    * version. One join of the label frame against per-doc stats + a
+    * per-cluster window; both shuffle on their natural keys and the
+    * window state is one row per cluster.
+    */
+  private def keepBest(s: SparkSession, d: String): DataFrame = {
+    val nw = Tables.documents(s, d).select(col("doc_id"),
+      size(split(col("text"), " ")).as("n_words"))
+    val w = Window.partitionBy("cluster")
+    clusters(s, d).join(nw, "doc_id")
+      .withColumn("n_docs", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("n_words").desc, col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("doc_id").as("keep_id"),
+        col("n_docs"), col("n_words"))
+      .orderBy("cluster")
+  }
+
   // ------------------------------------------- embedding cosine near-dup
 
   private val CosTau = 0.45
@@ -670,8 +692,30 @@ object Dedup {
     "dd_simhash" -> simhashSigs _,
     "dd_simhash_pairs" -> simhashPairs _,
     "dd_clusters" -> clusters _,
+    "dd_keep_best" -> keepBest _,
     "dd_edit_distance" -> editDistance _,
     "dd_cosine_neardup" -> cosineNearDup _)
+
+  /** The recursive connected-components CTE shared by the dd_clusters
+    * and dd_keep_best oracles: yields `reach(src, dst)` whose per-src
+    * minimum is the cluster label.
+    */
+  private def clustersReachSql: String =
+    s"""WITH RECURSIVE w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |t AS (SELECT doc_id, ${shinglesSql(3)} AS sh FROM w0),
+       |t2 AS (SELECT doc_id, sh FROM t WHERE len(sh) > 0),
+       |${prefixCandSql(JaccardTau)},
+       |j AS (SELECT doc_a, doc_b,
+       |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+       |  FROM cand JOIN t2 a ON a.doc_id = doc_a JOIN t2 b ON b.doc_id = doc_b),
+       |edges0 AS (SELECT doc_a, doc_b FROM j WHERE round(jac, 6) >= $JaccardTau),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM edges0
+       |  UNION ALL SELECT doc_b, doc_a FROM edges0),
+       |reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "dd_span_coverage" -> {
@@ -726,23 +770,22 @@ object Dedup {
          |WHERE levenshtein(a.text, b.text) <= $EditMax
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dd_clusters" ->
-      s"""WITH RECURSIVE w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |t AS (SELECT doc_id, ${shinglesSql(3)} AS sh FROM w0),
-         |t2 AS (SELECT doc_id, sh FROM t WHERE len(sh) > 0),
-         |${prefixCandSql(JaccardTau)},
-         |j AS (SELECT doc_a, doc_b,
-         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
-         |  FROM cand JOIN t2 a ON a.doc_id = doc_a JOIN t2 b ON b.doc_id = doc_b),
-         |edges0 AS (SELECT doc_a, doc_b FROM j WHERE round(jac, 6) >= $JaccardTau),
-         |edges AS (SELECT doc_a AS a, doc_b AS b FROM edges0
-         |  UNION ALL SELECT doc_b, doc_a FROM edges0),
-         |reach(src, dst) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a)
+      s"""$clustersReachSql
          |SELECT src AS doc_id, min(dst) AS cluster FROM reach
          |GROUP BY src ORDER BY doc_id""".stripMargin,
+    "dd_keep_best" ->
+      s"""$clustersReachSql,
+         |lab AS (SELECT src AS doc_id, min(dst) AS cluster FROM reach
+         |  GROUP BY src),
+         |nw AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT)
+         |  AS n_words FROM documents),
+         |r AS (SELECT cluster, lab.doc_id, n_words,
+         |  count(*) OVER (PARTITION BY cluster) AS n_docs,
+         |  row_number() OVER (PARTITION BY cluster
+         |    ORDER BY n_words DESC, lab.doc_id) AS rn
+         |  FROM lab JOIN nw USING (doc_id))
+         |SELECT cluster, doc_id AS keep_id, n_docs, n_words
+         |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin,
     "dd_simhash" -> simhashSql,
     "dd_simhash_pairs" -> simhashPairsOracle,
     "dd_cosine_neardup" ->

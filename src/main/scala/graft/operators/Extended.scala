@@ -811,6 +811,54 @@ object Extended {
       .orderBy("lang", "split")
   }
 
+  // Round-trip scratch dirs live on the warehouse filesystem (the same
+  // rationale as the tiled-cosine scratch: executor-side part writes
+  // must land on the shared FS, not driver-local tmp) and are deleted
+  // when their context stops. App-id-scoped paths + overwrite mode keep
+  // re-runs idempotent within a session.
+  private def roundtripScratch(s: SparkSession, leaf: String): String = {
+    val p = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), "_graft_scratch"),
+      s"$leaf-${s.sparkContext.applicationId}")
+    val sc = s.sparkContext
+    ContextCaches.evictOnStop(sc, s"roundtrip-$leaf")(() => {
+      val fs = p.getFileSystem(sc.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    })
+    p.toString
+  }
+
+  private val DocumentsSchema =
+    "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+
+  /** JSONL corpus round-trip — the interchange format LLM corpus
+    * pipelines actually exchange (gzipped JSON lines, one document per
+    * line). The query writes the documents table as distributed
+    * gzip-JSONL part files and reads it back with an explicit schema;
+    * the oracle is the source table itself, so the differential check
+    * proves the write→read cycle is lossless byte-for-byte on every
+    * field. Scale shape: a distributed write (one part per task, no
+    * coalesce) and a parallel scan back — both embarrassingly parallel.
+    */
+  private def ioJsonl(s: SparkSession, d: String): DataFrame = {
+    val dir = roundtripScratch(s, "jsonl")
+    Tables.documents(s, d).write.mode("overwrite")
+      .option("compression", "gzip").json(dir)
+    s.read.schema(DocumentsSchema).json(dir).orderBy("doc_id")
+  }
+
+  /** CSV round-trip over the same contract (header, explicit schema on
+    * read): exercises quoting/escaping and string↔number re-parse — the
+    * K2 export surface upgraded from spec-only to oracle-checked.
+    */
+  private def ioCsv(s: SparkSession, d: String): DataFrame = {
+    val dir = roundtripScratch(s, "csv")
+    Tables.documents(s, d).write.mode("overwrite")
+      .option("header", "true").csv(dir)
+    s.read.schema(DocumentsSchema).option("header", "true").csv(dir)
+      .orderBy("doc_id")
+  }
+
   /** Stratified deterministic downsampling: per-language keep rates
     * (the language-rebalancing pass a multilingual corpus pipeline runs
     * before training) applied through the same md5-bucket scheme as
@@ -882,6 +930,8 @@ object Extended {
     "o4_offset" -> o4Offset _,
     "pp_hash_split" -> ppHashSplit _,
     "pp_stratified" -> ppStratified _,
+    "io_jsonl_roundtrip" -> ioJsonl _,
+    "io_csv_roundtrip" -> ioCsv _,
     "ml_class_weights" -> mlClassWeights _,
     "ta_normalize" -> taNormalize _,
     "tpch_q1" -> tpchQ1 _,
@@ -983,6 +1033,12 @@ object Extended {
         |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
         |  count(*) AS n
         |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+    "io_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "io_csv_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "pp_stratified" ->
       """WITH b AS (SELECT doc_id, lang,
         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 5, 4))::BIGINT % 1000

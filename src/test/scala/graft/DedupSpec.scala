@@ -97,6 +97,25 @@ class DedupSpec extends GraftSuite {
     assert(rows.exists(_.getLong(2) > 0))
   }
 
+  test("keep-best picks the longest member of every cluster") {
+    val labels = SparkEntry.queries("dd_clusters")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val nWords = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).length).toMap
+    val byCluster = labels.groupBy(_._2).view.mapValues(_.map(_._1))
+    val kept = SparkEntry.queries("dd_keep_best")(spark, sf).collect()
+    assert(kept.length == byCluster.size)
+    kept.foreach { r =>
+      val members = byCluster(r.getLong(0))
+      val best = members.minBy(id => (-nWords(id), id))
+      assert(r.getLong(1) == best, s"cluster ${r.getLong(0)}")
+      assert(r.getLong(2) == members.length.toLong)
+      assert(r.getInt(3) == nWords(best))
+    }
+    // at least one multi-doc cluster exercises the argmax
+    assert(kept.exists(_.getLong(2) > 1))
+  }
+
   test("cosine near-dup pairs are symmetric-free and above threshold") {
     val rows = run("dd_cosine_neardup").collect()
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))

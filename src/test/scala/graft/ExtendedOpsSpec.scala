@@ -274,6 +274,21 @@ class ExtendedOpsSpec extends GraftSuite {
     }
   }
 
+  test("jsonl round-trip writes distributed gzip parts and loses nothing") {
+    val out = SparkEntry.queries("io_jsonl_roundtrip")(spark, sf)
+    val src = Tables.documents(spark, sf).orderBy("doc_id")
+    assert(out.collect().toSeq == src.collect().toSeq)
+    // the scratch dir holds gzipped JSONL part files (not a single blob)
+    val root = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "_graft_scratch")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith("jsonl-")).head
+    val parts = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.endsWith(".json.gz"))
+    assert(parts.nonEmpty)
+  }
+
   test("stratified sample keeps per-lang fractions near the configured rates") {
     val docs = Tables.documents(spark, sf).groupBy("lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
