@@ -26,6 +26,7 @@ object SparkEntry {
       operators.Multimodal.queries ++
       operators.SqlSurface.queries ++
       operators.Extended.queries ++
+      operators.Layout.queries ++
       pipeline.MlPipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -43,5 +44,6 @@ object SparkEntry {
       operators.Multimodal.oracle ++
       operators.SqlSurface.oracle ++
       operators.Extended.oracle ++
+      operators.Layout.oracle ++
       pipeline.MlPipeline.oracle
 }

@@ -663,19 +663,29 @@ object Dedup {
     * absent from the output (same as the oracle's WHERE).
     */
   private def spanCoverage(s: SparkSession, d: String): DataFrame = {
-    val w = split(col("text"), " ")
-    val grams = Tables.documents(s, d)
-      .filter(size(w) >= SpanK)
+    // Materialize the token array once per row (a column reference in
+    // the gram lambda, so the split never re-evaluates per element),
+    // explode ONCE, and pre-aggregate to (doc, gram, multiplicity)
+    // before anything joins: the dictionary and the join both consume
+    // the aggregated frame, so the raw span stream exists exactly once
+    // and the gram-keyed join moves one row per distinct (doc, gram),
+    // not one per position.
+    val dg = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= SpanK)
       .select(col("doc_id"), explode(transform(
-        sequence(lit(1), size(w) - (SpanK - 1)),
-        i => concat_ws(" ", (0 until SpanK).map(j => element_at(w, i + j)): _*)))
+        sequence(lit(1), size(col("w")) - (SpanK - 1)),
+        i => concat_ws(" ",
+          (0 until SpanK).map(j => element_at(col("w"), i + j)): _*)))
         .as("gram"))
-    val df = grams.select("doc_id", "gram").distinct()
-      .groupBy("gram").agg(count(lit(1)).as("nd"))
-    grams.join(df, "gram")
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .persist() // two consumers: the df dictionary and the join side
+    val df = dg.groupBy("gram").agg(count(lit(1)).as("nd"))
+    dg.join(df, "gram")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_spans"),
-        sum((col("nd") >= 2).cast("int")).as("n_dup_spans"))
+      .agg(sum(col("c")).as("n_spans"),
+        sum(when(col("nd") >= 2, col("c")).otherwise(lit(0L)))
+          .as("n_dup_spans"))
       .withColumn("dup_frac",
         r6(col("n_dup_spans").cast("double") / col("n_spans")))
       .orderBy("doc_id")

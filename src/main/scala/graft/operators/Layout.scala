@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout operators: Z-order (Morton) clustering for
+  * multi-dimensional data skipping.
+  *
+  * At 100 TB the scan is the dominant cost, and min/max stats (parquet
+  * row groups, file footers) are the cheapest pruning lever. A single
+  * sort key gives tight stats on ONE column and useless full-range
+  * stats on every other; interleaving the bits of two (or more) keys
+  * gives every file/row-group a bounded range on BOTH — a box
+  * predicate then skips all but the touched tiles. Keys are min-max
+  * scaled to a common bit width before interleaving (the same reason
+  * production z-order implementations interleave range-partition ids,
+  * not raw values: with unequal domains the wider key's high bits
+  * dominate the curve and the narrow dimension never clusters). The
+  * whole key is a pure codegen'd bitwise expression (no UDF, no custom
+  * Expression), so it rides inside WholeStageCodegen.
+  */
+object Layout {
+
+  private val Bits = 16
+  private val Mask = (1L << Bits) - 1
+
+  /** Exact integer division for non-negative operands: the numerator is
+    * first reduced to an exact multiple of the divisor, so the double
+    * division is exact (never off-by-one at a truncation boundary, and
+    * bit-identical to an engine computing floor division in integers).
+    */
+  private def idiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /** Min-max scale a key into the [[Bits]]-bit domain: 0 at mn, Mask at
+    * mx, floor-linear in between. Constant columns scale to 0.
+    */
+  def scaleKey(c: Column, mn: Column, mx: Column): Column = {
+    val cl = c.cast("long"); val ml = mn.cast("long"); val xl = mx.cast("long")
+    when(xl > ml, idiv((cl - ml) * Mask, xl - ml)).otherwise(lit(0L))
+  }
+
+  /** Morton interleave of two pre-scaled [[Bits]]-bit keys: bit i of
+    * `a` lands at position 2i, bit i of `b` at 2i+1. Each term masks
+    * one source bit and shifts it into place — a branch-free fold of
+    * AND/SHIFT/OR.
+    */
+  def zorderKey(a: Column, b: Column): Column = {
+    val am = a.cast("long").bitwiseAND(lit(Mask))
+    val bm = b.cast("long").bitwiseAND(lit(Mask))
+    (0 until Bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(am.bitwiseAND(lit(1L << i)), i))
+        .bitwiseOR(shiftleft(bm.bitwiseAND(lit(1L << i)), i + 1))
+    }
+  }
+
+  /** Write `df` Z-order-clustered on (a, b): min-max scale both keys
+    * (one tiny stats job — driver-side constants, like any optimizer
+    * statistic), range-partition by the Morton key so each output file
+    * owns a contiguous curve segment (= a bounded tile in (a, b)
+    * space), sort within partitions, drop the helpers. `buckets`
+    * bounds the file count; at cluster scale choose it so each file is
+    * a few hundred MB.
+    */
+  def zorderWrite(df: DataFrame, a: String, b: String, buckets: Int,
+      path: String): Unit = {
+    val mm = df.agg(min(a).cast("long"), max(a).cast("long"),
+      min(b).cast("long"), max(b).cast("long")).first()
+    // Scaled keys become real projected columns BEFORE the interleave:
+    // the 2·Bits fold terms then reference a cheap attribute instead of
+    // re-embedding (and re-evaluating) the whole scaling arithmetic per
+    // term.
+    df.withColumn("_za", scaleKey(col(a), lit(mm.getLong(0)), lit(mm.getLong(1))))
+      .withColumn("_zb", scaleKey(col(b), lit(mm.getLong(2)), lit(mm.getLong(3))))
+      .withColumn("_zkey", zorderKey(col("_za"), col("_zb")))
+      .repartitionByRange(buckets, col("_zkey"))
+      .sortWithinPartitions("_zkey")
+      .drop("_za", "_zb", "_zkey")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** The scaled Morton key over lineitem's (partkey, suppkey) — the
+    * two-dimensional clustering key a part+supplier workload would lay
+    * the fact table out on. The min/max scaling constants come from one
+    * global aggregate (a broadcast scalar, never a per-row subquery);
+    * oracle-checked bit-for-bit including the scaling arithmetic.
+    */
+  private def zorder(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val mm = li.agg(min("l_partkey").as("pmn"), max("l_partkey").as("pmx"),
+      min("l_suppkey").as("smn"), max("l_suppkey").as("smx"))
+    li.crossJoin(broadcast(mm))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        scaleKey(col("l_partkey"), col("pmn"), col("pmx")).as("sa"),
+        scaleKey(col("l_suppkey"), col("smn"), col("smx")).as("sb"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        zorderKey(col("sa"), col("sb")).as("zkey"))
+      .orderBy("zkey", "l_orderkey", "l_linenumber")
+  }
+
+  val queries: Map[String, Query] = Map(
+    "o5_zorder" -> zorder _)
+
+  val oracle: Map[String, String] = Map(
+    "o5_zorder" -> {
+      val terms =
+        (0 until Bits).map(i =>
+          s"((sa & ${1L << i}) << $i)") ++
+        (0 until Bits).map(i =>
+          s"((sb & ${1L << i}) << ${i + 1})")
+      s"""WITH mm AS (SELECT min(l_partkey) AS pmn, max(l_partkey) AS pmx,
+         |  min(l_suppkey) AS smn, max(l_suppkey) AS smx FROM lineitem),
+         |sc AS (SELECT l_orderkey, l_linenumber,
+         |  CASE WHEN pmx > pmn
+         |    THEN ((l_partkey - pmn) * $Mask) // (pmx - pmn) ELSE 0 END AS sa,
+         |  CASE WHEN smx > smn
+         |    THEN ((l_suppkey - smn) * $Mask) // (smx - smn) ELSE 0 END AS sb
+         |  FROM lineitem, mm)
+         |SELECT l_orderkey, l_linenumber,
+         |  ${terms.mkString(" | ")} AS zkey
+         |FROM sc
+         |ORDER BY zkey, l_orderkey, l_linenumber""".stripMargin
+    })
+}

@@ -379,8 +379,12 @@ object Similarity {
       .select(col("vec_id"), col("nid"),
         r6(dot(col("u"), col("nu"))).as("cos"))
       .groupBy("vec_id")
-      .agg(max(struct(col("cos"), (-col("nid")).as("neg"))).as("b"))
-      .select(col("vec_id"), (-col("b.neg")).as("neighbor_id"),
+      // max_by over a (cos, -nid) ordering key; struct-buffered
+      // aggregates plan sort-based either way, but the PARTIAL phase
+      // still collapses candidates map-side — the scale property.
+      .agg(max_by(struct(col("cos"), col("nid")),
+        struct(col("cos"), (-col("nid")).as("neg"))).as("b"))
+      .select(col("vec_id"), col("b.nid").as("neighbor_id"),
         col("b.cos").as("cos"))
       .orderBy("vec_id")
   }

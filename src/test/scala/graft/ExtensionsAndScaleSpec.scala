@@ -173,6 +173,50 @@ class ExtensionsAndScaleSpec extends GraftSuite {
     }
   }
 
+  test("z-order layout bounds BOTH key ranges per file; 1-D sort does not") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val base = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    // Same data, two layouts: Morton-clustered on (orderkey, partkey)
+    // vs range-sorted on orderkey alone.
+    operators.Layout.zorderWrite(li, "l_orderkey", "l_partkey", 16, s"$base/z")
+    li.repartitionByRange(16, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(s"$base/p")
+    // Per-file min/max stats (what footer-level skipping sees).
+    def stats(path: String) =
+      spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("l_orderkey").as("olo"), max("l_orderkey").as("ohi"),
+          min("l_partkey").as("plo"), max("l_partkey").as("phi"))
+        .collect()
+    // A file is scanned iff its stats intersect the predicate range.
+    // The 1-D sort wins on its own key but cannot skip AT ALL on the
+    // other; z-order's claim is the bounded WORST CASE across the
+    // dimensions a mixed workload filters on.
+    def touchedO(path: String, lo: Long, hi: Long) = stats(path).count(r =>
+      r.getLong(1) <= hi && r.getLong(2) >= lo)
+    def touchedP(path: String, lo: Long, hi: Long) = stats(path).count(r =>
+      r.getLong(3) <= hi && r.getLong(4) >= lo)
+    // quarter-range predicate on each dimension alone
+    val zO = touchedO(s"$base/z", 0L, 374L); val pO = touchedO(s"$base/p", 0L, 374L)
+    val zP = touchedP(s"$base/z", 0L, 49L); val pP = touchedP(s"$base/p", 0L, 49L)
+    // on the second dimension the 1-D layout is blind (every file has
+    // full-range partkey stats), z-order skips most files
+    assert(pP == 16, s"1-D sort should touch all files on partkey, got $pP")
+    assert(zP <= 8, s"z-order should skip most files on partkey, touched $zP")
+    // worst case over both dimensions is strictly better clustered
+    assert(math.max(zO, zP) < math.max(pO, pP),
+      s"z worst ${math.max(zO, zP)} vs 1-D worst ${math.max(pO, pP)}")
+    // and the layouts are lossless: the same box rows come back
+    def boxRows(path: String) = spark.read.parquet(path)
+      .filter(col("l_orderkey").between(0, 374) &&
+        col("l_partkey").between(0, 49))
+      .orderBy("l_orderkey", "l_partkey", "l_quantity").collect().toSeq
+    assert(boxRows(s"$base/z") == boxRows(s"$base/p"))
+  }
+
   test("dataset-partitioned warehouse prunes partitions, statically and via DPP") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("graft_dpp").toString + "/t"

@@ -47,6 +47,19 @@ class SimilaritySpec extends GraftSuite {
     assert(knn.size.toLong == total)
   }
 
+  test("1-NN argmax collapses map-side: partial max_by before the exchange") {
+    // The scale claim: the shuffle carries one row per vector, never
+    // the N^2 scored rows — a partial max_by aggregate sits BELOW the
+    // hash exchange in the physical plan.
+    val plan = SparkEntry.queries("sim_knn_self")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max_by"), plan.take(800))
+    val partialIdx = plan.indexOf("partial_max_by")
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
+    assert(exchangeIdx >= 0 && exchangeIdx < partialIdx,
+      "partial aggregate must feed the exchange (appear below it)")
+  }
+
   test("per-label centroids cover labels x dim and count every vector") {
     val rows = SparkEntry.queries("sim_centroids")(spark, sf).collect()
     val dim = Tables.embeddings(spark, sf)
