@@ -407,6 +407,55 @@ object Dedup {
     labels.orderBy("doc_id")
   }
 
+  /** Incremental-ingestion dedup — the shape a 100 TB corpus actually
+    * runs day to day: a NEW batch of documents screens against the
+    * historical corpus without ever joining it in full. The historical
+    * side aggregates its fingerprint digests into a fixed-size bloom
+    * filter (Spark's own BloomFilterAggregate — a distributed
+    * partial/merge aggregate whose state is the bitset, built exactly
+    * like the optimizer's runtime filters; driver holds one bitset,
+    * never the digests). Incoming docs test membership with
+    * BloomFilterMightContain — a pure codegen'd expression — and ONLY
+    * the maybe-dup survivors (true dups + the configured false-positive
+    * rate) reach the exact semi-join verify, so the join input shrinks
+    * from |batch| to |hits| while the OUTPUT stays exact: the bloom is
+    * a pre-filter, never the answer, which is why the query is
+    * oracle-checkable bit-for-bit. Fingerprints are the min-shingle
+    * digest (ta_fingerprint), so "dup" here means near-dup by
+    * construction. The 80/20 historical/incoming split is the same
+    * md5-bucket scheme as pp_hash_split (deterministic, cross-engine).
+    */
+  private def incremental(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.graftglue.Glue
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal => CatLit}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    // Persisted: four consumers (bloom build, membership filter, verify
+    // join, final outcome join) would otherwise each re-run the full
+    // shingle+md5 scan; the cached frame is three narrow columns.
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      array_min(transform(shingles(col("text"), 5), md5(_))).as("h"))
+      .persist()
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 9, 4),
+      16, 10).cast("long") % 100
+    val hist = docs.filter(bucket < 80).select(col("h"))
+    val inc = docs.filter(bucket >= 80)
+    val bloomAgg = new BloomFilterAggregate(
+      Glue.expression(xxhash64(col("h"))),
+      CatLit(1000000L), CatLit(1L << 23)).toAggregateExpression()
+    val bloomBytes = hist.select(Glue.column(bloomAgg).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val mightContain = Glue.column(new BloomFilterMightContain(
+      CatLit.create(bloomBytes),
+      Glue.expression(xxhash64(col("h")))))
+    val candDup = inc.filter(mightContain)
+      .join(hist.distinct(), Seq("h"), "left_semi")
+      .select(col("doc_id"), lit(1).as("is_dup"))
+    inc.join(candDup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("is_dup"), lit(0)).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
   /** Canonical-representative selection: for every near-dup cluster
     * (from [[clusters]]), keep the longest document (word count, ties to
     * the smallest doc_id) — the "keep best, not first" policy a curation
@@ -703,6 +752,7 @@ object Dedup {
     "dd_simhash_pairs" -> simhashPairs _,
     "dd_clusters" -> clusters _,
     "dd_keep_best" -> keepBest _,
+    "dd_incremental" -> incremental _,
     "dd_edit_distance" -> editDistance _,
     "dd_cosine_neardup" -> cosineNearDup _)
 
@@ -743,6 +793,25 @@ object Dedup {
          |    / count(*), 6) AS dup_frac
          |FROM g JOIN df USING (gram)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    "dd_incremental" -> {
+      val sh5 = {
+        val parts = (0 until 5).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+        s"""list_distinct(CASE WHEN len(w) >= 5
+           | THEN list_transform(range(1, len(w) - 3), i -> $parts)
+           | ELSE [] END)""".stripMargin.replace("\n", "")
+      }
+      s"""WITH w0 AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+         |  FROM documents),
+         |f AS (SELECT doc_id, lang,
+         |  list_min(list_transform($sh5, x -> md5(x))) AS h,
+         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 4))::BIGINT % 100
+         |    AS b FROM w0),
+         |hist AS (SELECT h FROM f WHERE b < 80),
+         |inc AS (SELECT doc_id, lang, h FROM f WHERE b >= 80)
+         |SELECT doc_id, lang,
+         |  CASE WHEN h IN (SELECT h FROM hist) THEN 1 ELSE 0 END AS is_dup
+         |FROM inc ORDER BY doc_id""".stripMargin
     },
     "dd_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,

@@ -97,6 +97,37 @@ class DedupSpec extends GraftSuite {
     assert(rows.exists(_.getLong(2) > 0))
   }
 
+  test("incremental dedup is exact and applies the bloom before the verify join") {
+    import org.apache.spark.sql.functions._
+    // Exact twin computed driver-side from fingerprints.
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def fp(text: String): Option[String] = {
+      val w = text.split(" ", -1)
+      if (w.length < 5) None
+      else Some((0 to w.length - 5)
+        .map(i => w.slice(i, i + 5).mkString(" ")).distinct.map(md5hex).min)
+    }
+    def bucket(id: Long) =
+      java.lang.Long.parseLong(md5hex(id.toString).substring(8, 12), 16) % 100
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> fp(r.getString(1)))
+    val histFps = docs.collect { case (id, Some(h)) if bucket(id) < 80 => h }.toSet
+    val expected = docs.collect { case (id, h) if bucket(id) >= 80 =>
+      id -> (if (h.exists(histFps)) 1 else 0) }.toMap
+    val out = SparkEntry.queries("dd_incremental")(spark, sf).collect()
+    assert(out.length == expected.size)
+    out.foreach(r => assert(r.getInt(2) == expected(r.getLong(0)),
+      s"doc ${r.getLong(0)}"))
+    assert(out.count(_.getInt(2) == 1) > 0, "some incoming docs are near-dups")
+    // scale claim: the bloom membership test sits in the plan as a
+    // codegen'd filter feeding the exact semi-join
+    val plan = SparkEntry.queries("dd_incremental")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan.take(600))
+  }
+
   test("keep-best picks the longest member of every cluster") {
     val labels = SparkEntry.queries("dd_clusters")(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
