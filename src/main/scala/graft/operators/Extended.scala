@@ -475,6 +475,34 @@ object Extended {
       .orderBy("event_id")
   }
 
+  /** Gap-fill with forward interpolation — the time-series
+    * regularization every metrics/feature pipeline runs before
+    * windowed modeling: a (user × day) grid from the global date spine,
+    * daily aggregates left-joined on, and missing days forward-filled
+    * with the last observed value (`last(ignoreNulls)` over a growing
+    * frame — O(1) state per row). The spine is a generated axis
+    * (min/max scalar job + sequence), the grid a broadcast cross join
+    * of a bounded dimension; the only data shuffle is the daily
+    * aggregation and the grid join on (user, day). Leading days before
+    * a user's first event stay null on both engines.
+    */
+  private def w15GapFill(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+    val daily = ev.groupBy("user_id", "day").agg(r6(avg("value")).as("v"))
+    val spine = ev.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"),
+        expr("interval 1 day"))).as("day"))
+    val grid = ev.select("user_id").distinct().crossJoin(broadcast(spine))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("was_gap", col("v").isNull.cast("int"))
+      .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
+      .select("user_id", "day", "v_filled", "was_gap")
+      .orderBy("user_id", "day")
+  }
+
   /** Binary encode/decode surface: base64 and hex round-trips over the
     * utf-8 payload — the wire formats multimodal binary columns cross
     * system boundaries in. Round-trip equality is asserted IN the query
@@ -944,6 +972,7 @@ object Extended {
     "tpch_q22" -> tpchQ22 _,
     "w13_distribution" -> w13Distribution _,
     "w14_rolling_distinct" -> w14RollingDistinct _,
+    "w15_gap_fill" -> w15GapFill _,
     "f12_map" -> f12Map _,
     "f13_encode" -> f13Encode _,
     "a24_topk_agg" -> a24TopkAgg _,
@@ -1033,6 +1062,23 @@ object Extended {
         |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
         |  count(*) AS n
         |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+    "w15_gap_fill" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, value
+        |  FROM events),
+        |daily AS (SELECT user_id, day, round(avg(value), 6) AS v
+        |  FROM ev GROUP BY user_id, day),
+        |mm AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+        |spine AS (SELECT CAST(unnest(generate_series(d0, d1,
+        |  INTERVAL 1 DAY)) AS DATE) AS day FROM mm),
+        |grid AS (SELECT user_id, day
+        |  FROM (SELECT DISTINCT user_id FROM ev), spine)
+        |SELECT g.user_id, g.day,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY g.user_id
+        |    ORDER BY g.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS v_filled,
+        |  CAST(v IS NULL AS INT) AS was_gap
+        |FROM grid g LEFT JOIN daily USING (user_id, day)
+        |ORDER BY user_id, day""".stripMargin,
     "io_jsonl_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -173,6 +173,49 @@ class ExtensionsAndScaleSpec extends GraftSuite {
     }
   }
 
+  test("runtime bloom filter injects might_contain on the probe side") {
+    // The optimizer's runtime-filter machinery (the cluster-scale lever
+    // for selective dim joins that are too big or too late to
+    // broadcast): with a selective filter on the creation side and a
+    // shuffle join, the probe side's scan gains a bloom pre-filter.
+    // Thresholds are tuned down because test data is tiny; on a real
+    // cluster the defaults (10MB creation / 10GB probe) gate it.
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val li = Tables.lineitem(spark, sf)
+      val p = Tables.part(spark, sf).filter(col("p_brand") === "Brand#19")
+      val plan = li.join(p, li("l_partkey") === p("p_partkey"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"), plan.take(1200))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("parquet schema evolution: mergeSchema unions columns across files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+      .write.mode("append").parquet(dir)
+    Seq((3L, 30.0, "x"), (4L, 40.0, "y")).toDF("id", "v", "tag")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("id", "tag", "v"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows.length == 4)
+    // rows written before the column existed read back as null
+    assert(rows.take(2).forall(_.isNullAt(merged.columns.indexOf("tag"))))
+    assert(rows.drop(2).map(_.getAs[String]("tag")).toSeq == Seq("x", "y"))
+  }
+
   test("z-order layout bounds BOTH key ranges per file; 1-D sort does not") {
     import org.apache.spark.sql.functions._
     val li = Tables.lineitem(spark, sf)
