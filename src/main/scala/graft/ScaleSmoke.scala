@@ -85,6 +85,13 @@ object ScaleSmoke {
         full(big.groupBy(col("user_id"),
             session_window(col("ts"), "24 hours"))
           .agg(count(lit(1)).as("n"), sum(col("value")).as("sv")))
+      },
+      // Round-4: gap-fill at 100× — the grid is users × days (at
+      // factor=100 that is ~1.5M users, so the grid itself is tens of
+      // millions of rows) and the fill window is one pass per user.
+      time("gap_fill") {
+        full(operators.Extended.gapFill(big.select(col("user_id"),
+          to_date(col("ts")).as("day"), col("value"))))
       })
     // Skew stress: collapse every even user_id onto ONE key, putting
     // ≥50% of all rows on it, then join against a dim too large to
@@ -169,6 +176,17 @@ object ScaleSmoke {
       },
       time("ta_bigrams_10x") {
         SparkEntry.queries("ta_bigrams")(spark, docScratch).count()
+      },
+      // Round-4 ops on the same dup-heavy corpus: passage coverage
+      // (every doc fully duplicated → the dictionary join carries the
+      // worst case) and incremental screening (nearly every incoming
+      // doc is a true dup → the bloom prefilter passes ~everything and
+      // the verify join sees its maximum input).
+      time("dd_span_coverage_10x") {
+        SparkEntry.queries("dd_span_coverage")(spark, docScratch).count()
+      },
+      time("dd_incremental_10x") {
+        SparkEntry.queries("dd_incremental")(spark, docScratch).count()
       })
 
     // Streaming dedup throughput at the same 10x dup-heavy scale: the

@@ -478,6 +478,25 @@ object Dedup {
       .orderBy("cluster")
   }
 
+  /** Contamination-safe train/val/test assignment: the split is decided
+    * by the near-dup CLUSTER label, not the document id, so near-dup
+    * documents can never straddle train and test — the
+    * split-by-document scheme (pp_hash_split) leaks test content into
+    * training whenever near-dups exist, the failure mode LLM eval
+    * decontamination exists to prevent. Same md5-bucket arithmetic as
+    * pp_hash_split, applied to the cluster label; one extra column on
+    * the label-propagation output, no new shuffle.
+    */
+  private def clusterSplit(s: SparkSession, d: String): DataFrame = {
+    val bucket = conv(substring(md5(col("cluster").cast("string")), 1, 4),
+      16, 10).cast("long") % 100
+    val split = when(bucket < 80, "train").when(bucket < 90, "val")
+      .otherwise("test")
+    clusters(s, d)
+      .select(col("doc_id"), col("cluster"), split.as("split"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------- embedding cosine near-dup
 
   private val CosTau = 0.45
@@ -753,6 +772,7 @@ object Dedup {
     "dd_clusters" -> clusters _,
     "dd_keep_best" -> keepBest _,
     "dd_incremental" -> incremental _,
+    "pp_cluster_split" -> clusterSplit _,
     "dd_edit_distance" -> editDistance _,
     "dd_cosine_neardup" -> cosineNearDup _)
 
@@ -852,6 +872,17 @@ object Dedup {
       s"""$clustersReachSql
          |SELECT src AS doc_id, min(dst) AS cluster FROM reach
          |GROUP BY src ORDER BY doc_id""".stripMargin,
+    "pp_cluster_split" ->
+      s"""$clustersReachSql,
+         |lab AS (SELECT src AS doc_id, min(dst) AS cluster FROM reach
+         |  GROUP BY src),
+         |b AS (SELECT doc_id, cluster,
+         |  ('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 4))::BIGINT % 100
+         |    AS bucket FROM lab)
+         |SELECT doc_id, cluster,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
     "dd_keep_best" ->
       s"""$clustersReachSql,
          |lab AS (SELECT src AS doc_id, min(dst) AS cluster FROM reach

@@ -475,6 +475,26 @@ object Extended {
       .orderBy("event_id")
   }
 
+  /** Rolling median over a bounded 5-row frame — the robust smoother
+    * (outlier-resistant, unlike the rolling mean w1/w2 family). Frame
+    * state is 5 values per row; never do this over an unbounded frame.
+    */
+  private def w16RollingMedian(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(tsUs(col("ts")), col("event_id")).rowsBetween(-4, 0)
+    // median() rejects window frames, so take the frame's values
+    // (bounded: 5 per row) and interpolate the middle explicitly —
+    // even-count frames average the two middles, matching SQL median.
+    val arr = sort_array(collect_list(col("value")).over(w))
+    val n = size(arr)
+    val med = when(n % 2 === 1, element_at(arr, ((n + 1) / 2).cast("int")))
+      .otherwise((element_at(arr, (n / 2).cast("int")) +
+        element_at(arr, (n / 2 + 1).cast("int"))) / 2.0)
+    Tables.events(s, d).select(
+      col("event_id"), r6(med).as("med5"))
+      .orderBy("event_id")
+  }
+
   /** Gap-fill with forward interpolation — the time-series
     * regularization every metrics/feature pipeline runs before
     * windowed modeling: a (user × day) grid from the global date spine,
@@ -486,9 +506,15 @@ object Extended {
     * aggregation and the grid join on (user, day). Leading days before
     * a user's first event stay null on both engines.
     */
-  private def w15GapFill(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
-      .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+  private def w15GapFill(s: SparkSession, d: String): DataFrame =
+    gapFill(Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("value")))
+      .orderBy("user_id", "day")
+
+  /** The gap-fill plan over an (user_id, day, value) frame — shared by
+    * the query and the 100× scale smoke.
+    */
+  private[graft] def gapFill(ev: DataFrame): DataFrame = {
     val daily = ev.groupBy("user_id", "day").agg(r6(avg("value")).as("v"))
     val spine = ev.agg(min("day").as("d0"), max("day").as("d1"))
       .select(explode(sequence(col("d0"), col("d1"),
@@ -500,7 +526,6 @@ object Extended {
       .withColumn("was_gap", col("v").isNull.cast("int"))
       .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
       .select("user_id", "day", "v_filled", "was_gap")
-      .orderBy("user_id", "day")
   }
 
   /** Binary encode/decode surface: base64 and hex round-trips over the
@@ -973,6 +998,7 @@ object Extended {
     "w13_distribution" -> w13Distribution _,
     "w14_rolling_distinct" -> w14RollingDistinct _,
     "w15_gap_fill" -> w15GapFill _,
+    "w16_rolling_median" -> w16RollingMedian _,
     "f12_map" -> f12Map _,
     "f13_encode" -> f13Encode _,
     "a24_topk_agg" -> a24TopkAgg _,
@@ -1062,6 +1088,12 @@ object Extended {
         |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
         |  count(*) AS n
         |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+    "w16_rolling_median" ->
+      """SELECT event_id,
+        |  round(median(value) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS med5
+        |FROM events ORDER BY event_id""".stripMargin,
     "w15_gap_fill" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, value
         |  FROM events),

@@ -97,6 +97,28 @@ class DedupSpec extends GraftSuite {
     assert(rows.exists(_.getLong(2) > 0))
   }
 
+  test("cluster split never separates a near-dup pair (no eval contamination)") {
+    val split = SparkEntry.queries("pp_cluster_split")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val pairs = SparkEntry.queries("dd_ngram_jaccard")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(split(a) == split(b), s"pair ($a,$b) straddles splits") }
+    // the per-doc scheme DOES leak on this corpus — the property is real
+    val bucket = (id: Long) => {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 4), 16) % 100
+    }
+    val leaky = pairs.exists { case (a, b) =>
+      val s1 = bucket(a); val s2 = bucket(b)
+      def name(x: Long) = if (x < 80) "train" else if (x < 90) "val" else "test"
+      name(s1) != name(s2)
+    }
+    assert(leaky, "expected at least one per-doc-split leak to motivate the op")
+  }
+
   test("incremental dedup is exact and applies the bloom before the verify join") {
     import org.apache.spark.sql.functions._
     // Exact twin computed driver-side from fingerprints.
