@@ -252,6 +252,137 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  // -------------------------------------------------------- PQ variant
+
+  // Product quantization (Jégou et al. 2011, "Product Quantization for
+  // Nearest Neighbor Search"): split each vector into PqM subvectors,
+  // vector-quantize each subspace to PqK centroids, store each vector
+  // as PqM small codes (here 8 × 4 bits = 4 bytes per 64-dim vector, a
+  // 64× compression over float32). Queries score candidates with
+  // asymmetric distance computation (ADC): per-subspace lookup tables
+  // of query·centroid dots, summed over the codes — no full vector is
+  // touched until the exact rerank of a small shortlist.
+  private val PqM = 8
+  private val PqK = 16
+  private val PqIters = 3
+  private val PqRerank = 50
+
+  /** (vec_id, m, sv): the PqM subvectors of every normalized vector. */
+  private def subvectors(v: DataFrame, dim: Int): DataFrame = {
+    val sub = dim / PqM
+    v.select(col("vec_id"), posexplode(array((0 until PqM).map(m =>
+      slice(col("u"), m * sub + 1, sub)): _*)).as(Seq("m", "sv")))
+  }
+
+  private def l2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Nearest-centroid code per (vector, subspace) against a broadcast
+    * (m, cell, cu) codebook — ties to the smallest cell.
+    */
+  private def pqAssign(sv: DataFrame, cent: DataFrame): DataFrame =
+    sv.join(broadcast(cent), Seq("m"))
+      .withColumn("d2", l2(col("sv"), col("cu")))
+      .withColumn("rn", row_number().over(Window.partitionBy("vec_id", "m")
+        .orderBy(col("d2"), col("cell"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("cell"))
+
+  // Trained PQ codebooks, keyed like the IVF cache: model state is
+  // PqM × PqK × (dim/PqM) doubles on the driver.
+  private val pqCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.SparkContext, String), Seq[(Int, Long, Seq[Double])]]
+
+  /** All-subspace Lloyd training in ONE distributed pass per iteration:
+    * the (vec_id, m, sv) frame assigns against the full (m, cell)
+    * codebook at once, and the update is a single grouped DECIMAL mean
+    * over (m, cell, component) — deterministic across partitionings,
+    * like the IVF trainer. Seeds are the first PqK non-query vectors'
+    * subvectors.
+    */
+  private def trainPq(s: SparkSession, d: String): Seq[(Int, Long, Seq[Double])] = {
+    import s.implicits._
+    val v = normalized(s, d)
+    val dim = Tables.embeddings(s, d).select(size(col("embedding")))
+      .first().getInt(0)
+    val sv = subvectors(v, dim).persist()
+    var cent = sv.filter(col("vec_id") >= NumQueries &&
+      col("vec_id") < NumQueries + PqK)
+      .select(col("m"), (col("vec_id") - NumQueries).as("cell"),
+        col("sv").as("cu"))
+    for (_ <- 1 to PqIters) {
+      val comp = pqAssign(sv, cent)
+        .join(sv, Seq("vec_id", "m"))
+        .select(col("m"), col("cell"), posexplode(col("sv")).as(Seq("i", "x")))
+        .groupBy("m", "cell", "i")
+        .agg((sum(col("x").cast("decimal(38,18)")).cast("double") /
+          count(lit(1))).as("mu"))
+      val next = comp.groupBy("m", "cell")
+        .agg(array_sort(collect_list(struct(col("i"), col("mu")))).as("sm"))
+        .select(col("m"), col("cell"),
+          transform(col("sm"), e => e.getField("mu")).as("cu"))
+        .as[(Int, Long, Seq[Double])].collect()
+        .sortBy { case (m, c, _) => (m, c) }
+      cent = next.toSeq.toDF("m", "cell", "cu")
+    }
+    val out = cent.as[(Int, Long, Seq[Double])].collect()
+      .sortBy { case (m, c, _) => (m, c) }.toSeq
+    sv.unpersist()
+    out
+  }
+
+  /** ANN via product quantization + ADC + exact rerank: corpus vectors
+    * participate only through their 4-byte codes until the final
+    * [[PqRerank]]-deep exact pass. The ADC join is
+    * codes ⨝ broadcast(query tables) — the shuffle after the map-side
+    * partial sum carries one (query, vec) row per candidate, and the
+    * lookup tables are queries × PqM × PqK rows (tiny, broadcast). At
+    * 100 TB the codes table IS the serving index: 64× smaller than the
+    * vectors, scanned linearly, with the full vectors fetched only for
+    * the shortlist. Approximate by construction → spec floor vs the
+    * exact baseline, rows-only driver check.
+    */
+  def annTopkPq(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.ContextCaches.evictOnStop(s.sparkContext, "pq-codebooks")(() =>
+      pqCache.filterInPlace { case ((c, _), _) => c ne s.sparkContext })
+    val trained = pqCache.getOrElseUpdate((s.sparkContext, d), trainPq(s, d))
+    val cent = trained.toDF("m", "cell", "cu")
+    val v = normalized(s, d)
+    val dim = Tables.embeddings(s, d).select(size(col("embedding")))
+      .first().getInt(0)
+    val codes = pqAssign(subvectors(v, dim), cent)
+    val q = v.filter(col("vec_id") < NumQueries)
+    val tables = subvectors(q, dim)
+      .select(col("vec_id").as("query_id"), col("m"), col("sv").as("qsv"))
+      .join(cent, Seq("m"))
+      .select(col("query_id"), col("m"), col("cell"),
+        dot(col("qsv"), col("cu")).as("w"))
+    val adc = codes.join(broadcast(tables), Seq("m", "cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("w")).as("adc"), count(lit(1)).as("nm"))
+      // only vectors scored in ALL subspaces (always true, defensive)
+      .filter(col("nm") === PqM)
+    val shortlist = adc.withColumn("rn",
+      row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("adc").desc, col("vec_id"))))
+      .filter(col("rn") <= PqRerank)
+      .select(col("query_id"), col("vec_id"))
+    shortlist
+      .join(v, "vec_id")
+      .join(broadcast(q.select(col("vec_id").as("query_id"),
+        col("u").as("qu"))), Seq("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        r6(dot(col("qu"), col("u"))).as("cos"))
+      .withColumn("rnk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id"))))
+      .filter(col("rnk") <= K)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos"))
+      .orderBy("query_id", "rnk")
+  }
+
   // ------------------------------------------------- index persistence
 
   /** Persist the trained IVF index (the centroid table — the entire
@@ -395,6 +526,7 @@ object Similarity {
     "ann_topk_exact" -> (annTopkExact _),
     "ann_topk_lsh" -> (annTopkLsh _),
     "ann_topk_ivf" -> (annTopkIvf _),
+    "ann_topk_pq" -> (annTopkPq _),
     "sim_quantize" -> (quantize _))
 
   /** ann_topk_lsh is approximate by construction → rows-only check. */
