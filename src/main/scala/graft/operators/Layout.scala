@@ -25,20 +25,35 @@ object Layout {
   private val Bits = 16
   private val Mask = (1L << Bits) - 1
 
-  /** Exact integer division for non-negative operands: the numerator is
-    * first reduced to an exact multiple of the divisor, so the double
-    * division is exact (never off-by-one at a truncation boundary, and
-    * bit-identical to an engine computing floor division in integers).
+  /** True integral division (SQL `div`, Catalyst IntegralDivide) over
+    * DECIMAL operands: exact for the whole long range. A double-based
+    * floor (`(a/b).cast("long")`, or reducing the numerator with pmod
+    * first) goes off-by-one once the numerator passes 2^53 — a
+    * property test over random trillion-scale ranges caught exactly
+    * that — and key domains at warehouse scale (timestamps, 64-bit
+    * surrogate ids) sit far beyond it.
     */
   private def idiv(a: Column, b: Column): Column =
-    ((a - pmod(a, b)) / b).cast("long")
+    org.apache.spark.sql.graftglue.Glue.column(
+      new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graftglue.Glue.expression(a),
+        org.apache.spark.sql.graftglue.Glue.expression(b)))
 
   /** Min-max scale a key into the [[Bits]]-bit domain: 0 at mn, Mask at
-    * mx, floor-linear in between. Constant columns scale to 0.
+    * mx, floor-linear in between. Constant columns scale to 0. Two
+    * exact paths: plain long arithmetic while (mx−mn)·Mask fits int64
+    * (every realistic key domain), DECIMAL(38,0) beyond — both through
+    * true integral division, so the result is floor-exact everywhere.
     */
   def scaleKey(c: Column, mn: Column, mx: Column): Column = {
     val cl = c.cast("long"); val ml = mn.cast("long"); val xl = mx.cast("long")
-    when(xl > ml, idiv((cl - ml) * Mask, xl - ml)).otherwise(lit(0L))
+    val range = xl - ml
+    when(xl > ml && range <= Long.MaxValue / Mask,
+      idiv((cl - ml) * Mask, range))
+      .when(xl > ml,
+        idiv((cl - ml).cast("decimal(38,0)") * lit(Mask),
+          range.cast("decimal(38,0)")))
+      .otherwise(lit(0L))
   }
 
   /** Morton interleave of two pre-scaled [[Bits]]-bit keys: bit i of

@@ -352,7 +352,46 @@ object Similarity {
     val v = normalized(s, d)
     val dim = Tables.embeddings(s, d).select(size(col("embedding")))
       .first().getInt(0)
-    val codes = pqAssign(subvectors(v, dim), cent)
+    pqSearch(s, d, cent, pqAssign(subvectors(v, dim), cent))
+  }
+
+  /** Persist the full PQ index: the codebooks (tiny, one file) and the
+    * per-vector codes (the 4-byte-per-vector serving table — scales
+    * with the corpus, written distributed like the LSH index). Training
+    * and assignment are deterministic, so save → load → search is
+    * bit-identical to the training session.
+    */
+  def savePqIndex(s: SparkSession, d: String, path: String): Unit = {
+    import s.implicits._
+    graft.ContextCaches.evictOnStop(s.sparkContext, "pq-codebooks")(() =>
+      pqCache.filterInPlace { case ((c, _), _) => c ne s.sparkContext })
+    val trained = pqCache.getOrElseUpdate((s.sparkContext, d), trainPq(s, d))
+    val cent = trained.toDF("m", "cell", "cu")
+    cent.coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    val dim = Tables.embeddings(s, d).select(size(col("embedding")))
+      .first().getInt(0)
+    pqAssign(subvectors(normalized(s, d), dim), cent)
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Serve the PQ query from a saved index: codes are scanned as-is (no
+    * re-assignment, no training); full vectors are touched only for the
+    * query side and the shortlist rerank — exactly a vector store's
+    * serving path.
+    */
+  def annTopkPqFrom(s: SparkSession, d: String, indexPath: String): DataFrame =
+    pqSearch(s, d,
+      s.read.parquet(s"$indexPath/codebooks").select("m", "cell", "cu"),
+      s.read.parquet(s"$indexPath/codes").select("vec_id", "m", "cell"))
+
+  /** ADC + rerank over given codebooks and codes — shared by the
+    * train-resident and persisted-index paths.
+    */
+  private def pqSearch(s: SparkSession, d: String, cent: DataFrame,
+      codes: DataFrame): DataFrame = {
+    val v = normalized(s, d)
+    val dim = Tables.embeddings(s, d).select(size(col("embedding")))
+      .first().getInt(0)
     val q = v.filter(col("vec_id") < NumQueries)
     val tables = subvectors(q, dim)
       .select(col("vec_id").as("query_id"), col("m"), col("sv").as("qsv"))

@@ -125,4 +125,17 @@ class SimilaritySpec extends GraftSuite {
       operators.Similarity.annTopkIvfFrom(spark.newSession(), sf, dir))
     assert(trained.nonEmpty && loaded == trained)
   }
+
+  test("PQ index round-trip: a fresh session serves bit-identically from disk") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val trained = rows(SparkEntry.queries("ann_topk_pq")(spark, sf))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pq").toString + "/index"
+    operators.Similarity.savePqIndex(spark, sf, dir)
+    val loaded = rows(
+      operators.Similarity.annTopkPqFrom(spark.newSession(), sf, dir))
+    assert(trained.nonEmpty && loaded == trained)
+  }
 }
