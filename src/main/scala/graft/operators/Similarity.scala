@@ -113,8 +113,14 @@ object Similarity {
   private def signedCorpus(s: SparkSession, d: String): DataFrame = {
     val dim = Tables.embeddings(s, d).select(size(col("embedding")))
       .first().getInt(0)
+    signFrame(normalized(s, d), dim)
+  }
+
+  /** Sign an arbitrary (vec_id, u) frame with the deterministic planes
+    * — shared by index construction and streaming query batches.
+    */
+  private[graft] def signFrame(v: DataFrame, dim: Int): DataFrame = {
     val pl = planes(dim)
-    val v = normalized(s, d)
     val sigBits: Column = (0 until NumPlanes).map { p =>
       val w = typedlit(pl(p).toSeq)
       when(dot(col("u"), w) >= 0, lit(1L << p)).otherwise(lit(0L))
@@ -122,10 +128,38 @@ object Similarity {
     v.withColumn("sig", sigBits)
   }
 
+  /** L2-normalize an arbitrary (vec_id, embedding) frame. */
+  private[graft] def normalizeFrame(q: DataFrame): DataFrame =
+    q.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", sqrt(aggregate(col("e"), lit(0.0), (a, x) => a + x * x)))
+      .select(col("vec_id"), transform(col("e"), x => x / col("nrm")).as("u"))
+
+  /** Top-k for an EXTERNAL query batch against a persisted LSH index —
+    * the serving entry a vector store exposes: the index is a static
+    * table, the batch is whatever arrived (e.g. one micro-batch of a
+    * stream), and nothing about the call keeps state. Queries matching
+    * a corpus vec_id are excluded from their own results, mirroring the
+    * self-query semantics of the batch variants.
+    */
+  def topkAgainstLshIndex(queries: DataFrame, indexPath: String): DataFrame = {
+    val idx = queries.sparkSession.read.parquet(indexPath)
+    val dim = idx.select(size(col("u"))).first().getInt(0)
+    val qs = signFrame(normalizeFrame(queries), dim)
+      .select(col("vec_id").as("query_id"), col("u").as("qu"), col("sig"))
+    lshSearchWith(idx, qs)
+  }
+
   /** Banded probe + rerank over a (vec_id, u, sig) frame — shared by
     * the in-session path and the persisted-index path.
     */
-  private def lshSearch(sig: DataFrame): DataFrame = {
+  private def lshSearch(sig: DataFrame): DataFrame =
+    lshSearchWith(sig, sig.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("u").as("qu"), col("sig")))
+
+  /** Banded probe + rerank of an arbitrary signed query frame
+    * (query_id, qu, sig) against a signed corpus (vec_id, u, sig).
+    */
+  private[graft] def lshSearchWith(sig: DataFrame, qsig: DataFrame): DataFrame = {
     val banded = sig.select(col("vec_id"), col("u"),
       posexplode(array((0 until LshBands).map(b =>
         shiftrightunsigned(col("sig"), b * BandBits)
@@ -141,8 +175,8 @@ object Similarity {
       val bucket = if (f < 0) base else base.bitwiseXOR(lit(1L << f))
       struct(lit(b).as("band_idx"), bucket.as("bucket"))
     }
-    val q = sig.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("u").as("qu"),
+    val q = qsig
+      .select(col("query_id"), col("qu"),
         explode(array(probeStructs: _*)).as("bb"))
       .select(col("query_id"), col("qu"),
         col("bb.band_idx").as("band_idx"), col("bb.bucket").as("bucket"))

@@ -126,6 +126,30 @@ class SimilaritySpec extends GraftSuite {
     assert(trained.nonEmpty && loaded == trained)
   }
 
+  test("streaming LSH serving equals the batch answer across micro-batches") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_serve").toString
+    operators.Similarity.saveLshIndex(spark, sf, s"$base/index")
+    // 4 source files → 4 micro-batches with maxFilesPerTrigger=1
+    Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .repartition(4).write.parquet(s"$base/src")
+    streaming.StreamingSimilarity.serveTopk(spark, s"$base/src",
+      s"$base/index", s"$base/out", maxFilesPerTrigger = 1)
+    val streamed = spark.read.parquet(s"$base/out")
+      .orderBy("query_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    // batch twin: the same serving entry fed the whole table at once
+    val batch = operators.Similarity.topkAgainstLshIndex(
+      Tables.embeddings(spark, sf).select("vec_id", "embedding"),
+      s"$base/index")
+      .orderBy("query_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+    // every corpus vector was answered
+    assert(streamed.map(_._1).distinct.length ==
+      Tables.embeddings(spark, sf).count())
+  }
+
   test("PQ index round-trip: a fresh session serves bit-identically from disk") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
