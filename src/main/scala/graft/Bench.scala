@@ -56,8 +56,21 @@ object Bench {
         }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.isEmpty || only(n))
-    names.foreach { n => // warmup (failures re-surface in the measured pass)
-      try runFull(n) catch { case scala.util.control.NonFatal(_) => }
+    // Warmup: non-fatal failures re-surface in the measured pass; a
+    // FATAL here (OOM-class) must not kill the process before any
+    // artifact exists — same contract as the measured-pass fatal path,
+    // so the measured loop (skipping nothing) reproduces the fatal and
+    // emits the artifact with value:-1.
+    val warm = new scala.util.control.Breaks
+    warm.breakable {
+      names.foreach { n =>
+        try runFull(n) catch {
+          case scala.util.control.NonFatal(_) =>
+          case e: Throwable =>
+            System.err.println(s"[bench] warmup $n FATAL: $e")
+            warm.break()
+        }
+      }
     }
     // A crashed query must NOT be reported as a near-zero timing: record
     // -1 for it and list it in "failed" so the driver sees the signal.

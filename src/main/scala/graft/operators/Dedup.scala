@@ -447,8 +447,11 @@ object Dedup {
     val mightContain = Glue.column(new BloomFilterMightContain(
       CatLit.create(bloomBytes),
       Glue.expression(xxhash64(col("h")))))
+    // No distinct() on the build side: a semi join already emits each
+    // probe row at most once, and deduplicating 100 TB of historical
+    // fingerprints first would be a full aggregation bought for nothing.
     val candDup = inc.filter(mightContain)
-      .join(hist.distinct(), Seq("h"), "left_semi")
+      .join(hist, Seq("h"), "left_semi")
       .select(col("doc_id"), lit(1).as("is_dup"))
     inc.join(candDup, Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"),

@@ -485,9 +485,12 @@ object Extended {
     // median() rejects window frames, so take the frame's values
     // (bounded: 5 per row) and interpolate the middle explicitly —
     // even-count frames average the two middles, matching SQL median.
+    // collect_list drops nulls, so an all-null frame gives n=0: guard
+    // it to NULL (element_at(_, 0) would throw; SQL median is NULL).
     val arr = sort_array(collect_list(col("value")).over(w))
     val n = size(arr)
-    val med = when(n % 2 === 1, element_at(arr, ((n + 1) / 2).cast("int")))
+    val med = when(n === 0, lit(null).cast("double"))
+      .when(n % 2 === 1, element_at(arr, ((n + 1) / 2).cast("int")))
       .otherwise((element_at(arr, (n / 2).cast("int")) +
         element_at(arr, (n / 2 + 1).cast("int"))) / 2.0)
     Tables.events(s, d).select(
@@ -697,9 +700,13 @@ object Extended {
     val pf = Tables.part(s, d)
       .filter(col("p_brand") === "Brand#13" && col("p_type") === "MEDIUM")
       .select(col("p_partkey"))
+    // Persisted: both the threshold aggregate and the final join
+    // consume the part-filtered slice — without this the dominant
+    // lineitem scan runs twice.
     val cand = Tables.lineitem(s, d)
       .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
       .join(pf, col("l_partkey") === col("p_partkey"))
+      .persist()
     val thresh = cand.groupBy(col("l_partkey").as("t_partkey"))
       .agg(r6(lit(0.2) * (dsum(col("l_quantity")) / count(lit(1))))
         .as("qty_cut"))
@@ -714,9 +721,10 @@ object Extended {
     * exercises all three match states (sf0.01: 1026 error-only days,
     * 1018 purchase-only, 586 both), so the null-extension on BOTH sides
     * is load-bearing, not decorative. The join keys pass as a Seq so
-    * Spark emits the coalesced USING-style key columns; both sides are
-    * same-table aggregates, so the planner shares one scan and the join
-    * shuffles on the (already aggregated, small) day grain.
+    * Spark emits the coalesced USING-style key columns; the two sides
+    * are independently filtered aggregates (two scans of the fact
+    * table — no subplan sharing applies), and the join itself shuffles
+    * only the already-aggregated day grain.
     */
   private def j8FullOuter(s: SparkSession, d: String): DataFrame = {
     def side(t: String, cnt: String) = Tables.events(s, d)
@@ -908,7 +916,13 @@ object Extended {
     val dir = roundtripScratch(s, "csv")
     Tables.documents(s, d).write.mode("overwrite")
       .option("header", "true").csv(dir)
-    s.read.schema(DocumentsSchema).option("header", "true").csv(dir)
+    // multiLine: the writer quotes embedded newlines, but the DEFAULT
+    // reader still splits records on them — a text field with a
+    // newline would silently corrupt the round-trip. The cost is
+    // per-file (not per-line-split) read parallelism, the correct
+    // trade for quoted text columns.
+    s.read.schema(DocumentsSchema)
+      .option("header", "true").option("multiLine", "true").csv(dir)
       .orderBy("doc_id")
   }
 

@@ -47,12 +47,16 @@ object Layout {
     */
   def scaleKey(c: Column, mn: Column, mx: Column): Column = {
     val cl = c.cast("long"); val ml = mn.cast("long"); val xl = mx.cast("long")
-    val range = xl - ml
-    when(xl > ml && range <= Long.MaxValue / Mask,
-      idiv((cl - ml) * Mask, range))
-      .when(xl > ml,
-        idiv((cl - ml).cast("decimal(38,0)") * lit(Mask),
-          range.cast("decimal(38,0)")))
+    // The span itself is computed in DECIMAL: a full-domain key range
+    // (mx-mn spanning more than Long.MaxValue) would overflow a long
+    // subtraction — ANSI mode dies, non-ANSI silently picks the wrong
+    // branch. Long arithmetic appears only inside the fast branch,
+    // where the guard proves it cannot overflow.
+    val dec = "decimal(38,0)"
+    val rangeD = xl.cast(dec) - ml.cast(dec)
+    when(xl > ml && rangeD <= lit(Long.MaxValue / Mask).cast(dec),
+      idiv((cl - ml) * Mask, xl - ml))
+      .when(xl > ml, idiv((cl.cast(dec) - ml.cast(dec)) * lit(Mask), rangeD))
       .otherwise(lit(0L))
   }
 

@@ -26,11 +26,7 @@ object Similarity {
     * should run once (CacheManager dedups the plan across invocations).
     */
   private def normalized(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      .withColumn("nrm", sqrt(aggregate(col("e"), lit(0.0), (a, x) => a + x * x)))
-      .select(col("vec_id"), transform(col("e"), x => x / col("nrm")).as("u"))
-      .persist()
+    normalizeFrame(Tables.embeddings(s, d)).persist()
 
   /** Codegen'd native dot product (see [[graft.functions.DotProduct]]). */
   def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.dot(a, b)
@@ -313,14 +309,16 @@ object Similarity {
       lit(0.0), (acc, x) => acc + x)
 
   /** Nearest-centroid code per (vector, subspace) against a broadcast
-    * (m, cell, cu) codebook — ties to the smallest cell.
+    * (m, cell, cu) codebook — ties to the smallest cell. min_by folds
+    * the argmin into the aggregate so the PqK-way candidate fan-out
+    * collapses MAP-SIDE; a window row_number would shuffle and sort all
+    * N·PqM·PqK scored rows instead of N·PqM.
     */
   private def pqAssign(sv: DataFrame, cent: DataFrame): DataFrame =
     sv.join(broadcast(cent), Seq("m"))
       .withColumn("d2", l2(col("sv"), col("cu")))
-      .withColumn("rn", row_number().over(Window.partitionBy("vec_id", "m")
-        .orderBy(col("d2"), col("cell"))))
-      .filter(col("rn") === 1)
+      .groupBy("vec_id", "m")
+      .agg(min_by(col("cell"), struct(col("d2"), col("cell"))).as("cell"))
       .select(col("vec_id"), col("m"), col("cell"))
 
   // Trained PQ codebooks, keyed like the IVF cache: model state is

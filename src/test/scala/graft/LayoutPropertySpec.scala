@@ -59,6 +59,16 @@ class LayoutPropertySpec extends GraftSuite {
     val const = Seq((5L, 5L, 5L)).toDF("x", "mn", "mx")
       .select(Layout.scaleKey(col("x"), col("mn"), col("mx"))).collect()
     assert(const.head.getLong(0) == 0L)
+    // full-domain span: (mx-mn) overflows a long subtraction — the
+    // DECIMAL path must engage (no ANSI overflow, no wrong branch)
+    val mn = Long.MinValue / 2 - 1; val mx = Long.MaxValue / 2 + 1
+    val wide = Seq((0L, mn, mx), (mn, mn, mx), (mx, mn, mx))
+      .toDF("x", "mn", "mx")
+      .select(Layout.scaleKey(col("x"), col("mn"), col("mx"))).collect()
+      .map(_.getLong(0)).toSeq
+    val wideExpect = Seq(0L, mn, mx).map(x =>
+      (BigInt(x) - BigInt(mn)) * mask / (BigInt(mx) - BigInt(mn))).map(_.toLong)
+    assert(wide == wideExpect, s"$wide vs $wideExpect")
   }
 
   test("curve locality: nearby (a,b) boxes occupy contiguous key ranges") {
