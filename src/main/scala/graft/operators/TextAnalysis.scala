@@ -303,7 +303,54 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // Heavy-hitter sketch width for the corpus query. The pinned corpus
+  // has a 31-token vocabulary, so k=40 > vocab makes the sketch
+  // lossless (an MG property: with fewer distinct items than counters
+  // nothing ever decrements); the guarantee UNDER PRESSURE
+  // (vocab >> k) is spec-proved on synthetic Zipf data.
+  private val HhK = 40
+
+  /** Exact heavy hitters through a bounded-memory sketch: a Misra-Gries
+    * pass (k counters per partition, mergeable, only ≤k-entry maps ever
+    * shuffle) yields a candidate set guaranteed to contain every token
+    * with frequency > total/k; the candidates — never the full
+    * vocabulary — are then counted exactly and filtered on the true
+    * threshold. Same architecture as dd_incremental's bloom: the sketch
+    * shrinks the problem at bounded memory, the exact pass makes the
+    * answer exact, so the query is oracle-checkable even though a
+    * sketch sits in the middle. A full-vocabulary groupBy by contrast
+    * shuffles one row per distinct token — unbounded on a 100 TB
+    * corpus; this shuffles k-entry maps plus one bounded candidate
+    * aggregation. Threshold compares in integers (n·k > total): no
+    * float boundary to flip cross-engine.
+    */
+  private def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tok = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token")).as[String]
+    heavyHittersOf(tok, HhK)
+  }
+
+  /** The sketch→verify pipeline over any token stream (shared with the
+    * Zipf-pressure spec).
+    */
+  private[graft] def heavyHittersOf(
+      tok: org.apache.spark.sql.Dataset[String], k: Int): DataFrame = {
+    import tok.sparkSession.implicits._
+    val summary: Map[String, Long] = tok
+      .select(new graft.functions.MisraGriesAggregator(k).toColumn)
+      .head()
+    val cands = summary.keys.toSeq.sorted
+    val total = tok.count()
+    tok.toDF("token")
+      .filter(col("token").isin(cands: _*))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .filter(col("n") * k > lit(total))
+      .orderBy(col("n").desc, col("token"))
+  }
+
   val queries: Map[String, Query] = Map(
+    "ta_heavy_hitters" -> heavyHitters _,
     "ta_chunks" -> chunk _,
     "ta_pii" -> pii _,
     "ta_tfidf" -> tfidf _,
@@ -318,6 +365,13 @@ object TextAnalysis {
     "pipe_curate" -> curate _)
 
   val oracle: Map[String, String] = Map(
+    "ta_heavy_hitters" ->
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+         |  FROM documents),
+         |c AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+         |t AS (SELECT count(*) AS total FROM tok)
+         |SELECT token, n FROM c, t WHERE n * $HhK > total
+         |ORDER BY n DESC, token""".stripMargin,
     "ta_chunks" ->
       s"""WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |st AS (SELECT doc_id, w,

@@ -40,6 +40,34 @@ class TextAndMultimodalSpec extends GraftSuite {
     assert(rows.forall(r => r.getInt(2) >= 1 && r.getInt(1) >= 1))
   }
 
+  test("Misra-Gries heavy hitters: guarantee holds under vocab >> k pressure") {
+    import spark.implicits._
+    // Zipf-ish stream: token i appears ~50000/i times over 5000
+    // distinct tokens — vocabulary 78x the sketch width, so counters
+    // genuinely decrement and evict.
+    val tokens = (1 to 5000).flatMap(i =>
+      Seq.fill(50000 / i)(f"tok$i%04d"))
+    val rnd = new scala.util.Random(7)
+    val shuffled = rnd.shuffle(tokens)
+    val k = 64
+    val total = shuffled.length.toLong
+    val exact = shuffled.groupBy(identity).view.mapValues(_.length.toLong)
+    val trueHh = exact.filter { case (_, n) => n * k > total }.toMap
+    assert(trueHh.nonEmpty && trueHh.size < 40 && exact.size > 4000)
+    // the full sketch->verify pipeline returns exactly the true set
+    for (parts <- Seq(1, 13)) {
+      val ds = spark.createDataset(shuffled).repartition(parts).as[String]
+      val got = operators.TextAnalysis.heavyHittersOf(ds, k).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == trueHh, s"parts=$parts")
+    }
+    // and the raw summary is bounded and contains every true heavy hitter
+    val summary = spark.createDataset(shuffled).repartition(13).as[String]
+      .select(new functions.MisraGriesAggregator(k).toColumn).head()
+    assert(summary.size < k)
+    trueHh.keys.foreach(t => assert(summary.contains(t), s"lost $t"))
+  }
+
   test("chunking: stride reconstruction recovers every document") {
     import org.apache.spark.sql.functions._
     // Concatenating the first `stride` tokens of every chunk plus the
