@@ -953,6 +953,51 @@ object Extended {
       .orderBy("doc_id")
   }
 
+  // Sequence packing geometry: 2048-token training sequences, 16
+  // parallel pack shards.
+  private val PackSeqLen = 2048
+  private val PackShards = 16
+
+  /** Training-sequence packing — the last hop before an LLM consumes
+    * the corpus: documents are concatenated in order and split at
+    * fixed [[PackSeqLen]]-token boundaries (the concat-then-split
+    * scheme GPT-style pretraining uses). Packing is inherently
+    * sequential, so it runs per SHARD: documents hash into
+    * [[PackShards]] deterministic shards (md5 of doc_id, stable under
+    * corpus growth), and within a shard a running-total window assigns
+    * each document its sequence index and offset. One window pass per
+    * shard — shards pack in parallel and no shard ever sees another's
+    * state; a global pack would serialize the corpus through one
+    * partition. Offsets/indices are pure integer arithmetic on the
+    * cumulative sum: deterministic and oracle-checkable.
+    */
+  private def ppPack(s: SparkSession, d: String): DataFrame =
+    packDocs(Tables.documents(s, d))
+
+  private[graft] def packDocs(docs: DataFrame): DataFrame = {
+    val shard = conv(substring(md5(col("doc_id").cast("string")), 13, 4),
+      16, 10).cast("long") % PackShards
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), shard.as("shard"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("shard"), col("doc_id"), col("n_tokens"),
+        ((col("cum") - col("n_tokens")) / PackSeqLen).cast("long")
+          .as("seq_idx"),
+        ((col("cum") - col("n_tokens")) % PackSeqLen).as("seq_offset"))
+      .orderBy("shard", "doc_id")
+  }
+
+  /** Spec hook: pack only the doc_id prefix (growth-stability proof —
+    * per-shard ordering is by doc_id, so appending docs never moves an
+    * existing one).
+    */
+  private[graft] def packPrefixForSpec(s: SparkSession, d: String,
+      cut: Long): DataFrame =
+    packDocs(Tables.documents(s, d).filter(col("doc_id") <= cut))
+
   /** Inverse-frequency class weights (total / (k·n) per label) — the
     * standard imbalance correction, computed as one tiny agg + broadcast
     * of the per-class stats.
@@ -997,6 +1042,7 @@ object Extended {
     "o4_offset" -> o4Offset _,
     "pp_hash_split" -> ppHashSplit _,
     "pp_stratified" -> ppStratified _,
+    "pp_pack" -> ppPack _,
     "io_jsonl_roundtrip" -> ioJsonl _,
     "io_csv_roundtrip" -> ioCsv _,
     "ml_class_weights" -> mlClassWeights _,
@@ -1125,6 +1171,20 @@ object Extended {
         |  CAST(v IS NULL AS INT) AS was_gap
         |FROM grid g LEFT JOIN daily USING (user_id, day)
         |ORDER BY user_id, day""".stripMargin,
+    "pp_pack" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 13, 4))::BIGINT
+         |    % $PackShards AS shard,
+         |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+         |FROM documents),
+         |c AS (SELECT shard, doc_id, n_tokens,
+         |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t)
+         |SELECT shard, doc_id, n_tokens,
+         |  CAST((cum - n_tokens) // $PackSeqLen AS BIGINT) AS seq_idx,
+         |  CAST((cum - n_tokens) % $PackSeqLen AS BIGINT) AS seq_offset
+         |FROM c ORDER BY shard, doc_id""".stripMargin,
     "io_jsonl_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -289,6 +289,33 @@ class ExtendedOpsSpec extends GraftSuite {
     assert(parts.nonEmpty)
   }
 
+  test("sequence packing: contiguous fill per shard, growth-stable prefix") {
+    val rows = SparkEntry.queries("pp_pack")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    // within a shard, each doc starts exactly where the previous ended
+    rows.groupBy(_._1).values.foreach { docs =>
+      val sorted = docs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, _, n1, s1, o1), (_, _, _, s2, o2)) =>
+          val nextPos = s1 * 2048 + o1 + n1
+          assert(s2 * 2048 + o2 == nextPos, "gap or overlap in packing")
+        case _ =>
+      }
+      // first doc of a shard starts at (0, 0)
+      assert(sorted.head._4 == 0L && sorted.head._5 == 0L)
+    }
+    // growth stability: packing only a doc_id prefix of the corpus
+    // yields identical rows for those docs (appending never repacks)
+    val ids = rows.map(_._2).sorted
+    val cut = ids(ids.length / 2)
+    val prefix = rows.filter(_._2 <= cut).sortBy(r => (r._1, r._2)).toSeq
+    val repacked = operators.Extended.packPrefixForSpec(spark, sf, cut)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(repacked == prefix)
+  }
+
   test("stratified sample keeps per-lang fractions near the configured rates") {
     val docs = Tables.documents(spark, sf).groupBy("lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
