@@ -5,10 +5,13 @@ import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.expressions.Aggregator
 
 /** Misra-Gries heavy-hitter summary (Misra & Gries 1982, "Finding
-  * repeated elements") as a typed [[Aggregator]]: at most `k` counters
-  * per buffer, with the classic guarantee that every item whose true
-  * frequency exceeds total/k survives in the final summary (merging
-  * summaries preserves it — Agarwal et al. 2013, "Mergeable summaries").
+  * repeated elements") as a typed [[Aggregator]]: at most `k-1`
+  * counters per buffer (the classic k-counter scheme inserts while
+  * fewer than k-1 are held and decrements otherwise), guaranteeing
+  * that every item whose true frequency exceeds total/k survives in
+  * the final summary (merging summaries preserves it — Agarwal et al.
+  * 2013, "Mergeable summaries"). Callers' thresholds must use the same
+  * k (the n·k > total filter downstream matches this bound).
   * Counts in the summary are under-estimates with error ≤ total/k, so
   * callers that need exact figures re-count the surviving CANDIDATES
   * exactly (a bounded set) rather than trusting the sketch — the

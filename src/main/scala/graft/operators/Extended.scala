@@ -975,6 +975,8 @@ object Extended {
     packDocs(Tables.documents(s, d))
 
   private[graft] def packDocs(docs: DataFrame): DataFrame = {
+    require((PackSeqLen & (PackSeqLen - 1)) == 0,
+      "PackSeqLen must be a power of two (bitwise split below)")
     val shard = conv(substring(md5(col("doc_id").cast("string")), 13, 4),
       16, 10).cast("long") % PackShards
     val w = Window.partitionBy("shard").orderBy("doc_id")
@@ -983,10 +985,14 @@ object Extended {
       .select(col("doc_id"), shard.as("shard"),
         size(split(col("text"), " ")).as("n_tokens"))
       .withColumn("cum", sum(col("n_tokens")).over(w))
+      // PackSeqLen is a power of two, so the split is exact bitwise
+      // arithmetic — a double-pathed division would go off-by-one once
+      // a shard's cumulative count passes 2^53 (the scaleKey lesson).
       .select(col("shard"), col("doc_id"), col("n_tokens"),
-        ((col("cum") - col("n_tokens")) / PackSeqLen).cast("long")
-          .as("seq_idx"),
-        ((col("cum") - col("n_tokens")) % PackSeqLen).as("seq_offset"))
+        shiftright(col("cum") - col("n_tokens"),
+          java.lang.Long.numberOfTrailingZeros(PackSeqLen)).as("seq_idx"),
+        (col("cum") - col("n_tokens")).bitwiseAND(lit(PackSeqLen - 1L))
+          .as("seq_offset"))
       .orderBy("shard", "doc_id")
   }
 

@@ -139,7 +139,17 @@ object Similarity {
     */
   def topkAgainstLshIndex(queries: DataFrame, indexPath: String): DataFrame = {
     val idx = queries.sparkSession.read.parquet(indexPath)
-    val dim = idx.select(size(col("u"))).first().getInt(0)
+    topkAgainstLshIndex(queries, idx,
+      idx.select(size(col("u"))).first().getInt(0))
+  }
+
+  /** Frame-accepting overload: callers serving many batches (streaming)
+    * load the index and its dimension ONCE and reuse them — the
+    * path-based entry would re-read parquet footers and run a dim probe
+    * job per batch.
+    */
+  def topkAgainstLshIndex(queries: DataFrame, idx: DataFrame,
+      dim: Int): DataFrame = {
     val qs = signFrame(normalizeFrame(queries), dim)
       .select(col("vec_id").as("query_id"), col("u").as("qu"), col("sig"))
     lshSearchWith(idx, qs)

@@ -336,14 +336,19 @@ object TextAnalysis {
     */
   private[graft] def heavyHittersOf(
       tok: org.apache.spark.sql.Dataset[String], k: Int): DataFrame = {
-    import tok.sparkSession.implicits._
-    val summary: Map[String, Long] = tok
-      .select(new graft.functions.MisraGriesAggregator(k).toColumn)
+    // Persisted: the sketch pass and the candidate re-count both
+    // consume the exploded token stream; total folds into the sketch
+    // job (one agg, two columns) so the stream is scanned exactly
+    // twice, not three times.
+    val t = tok.toDF("token").persist()
+    val mg = udaf(new graft.functions.MisraGriesAggregator(k),
+      org.apache.spark.sql.Encoders.STRING)
+    val first = t.agg(mg(col("token")).as("mg"), count(lit(1)).as("total"))
       .head()
+    val summary = first.getAs[Map[String, Long]]("mg")
+    val total = first.getAs[Long]("total")
     val cands = summary.keys.toSeq.sorted
-    val total = tok.count()
-    tok.toDF("token")
-      .filter(col("token").isin(cands: _*))
+    t.filter(col("token").isin(cands: _*))
       .groupBy("token").agg(count(lit(1)).as("n"))
       .filter(col("n") * k > lit(total))
       .orderBy(col("n").desc, col("token"))

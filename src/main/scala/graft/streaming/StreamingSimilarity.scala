@@ -19,21 +19,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object StreamingSimilarity {
 
   /** Drive a (vec_id, embedding) parquet-drop stream against the index;
-    * each micro-batch's top-k rows append to `outDir` as parquet —
-    * results are written as they are computed, never buffered on the
-    * driver. Blocks until all available input is processed.
+    * each micro-batch's top-k rows land under `outDir/batch=<id>` —
+    * written as they are computed, never buffered on the driver, and
+    * OVERWRITTEN per batch id so a failed-then-rerun invocation (which
+    * replays the source from scratch, batch ids restarting at 0)
+    * converges to the same output instead of appending duplicates.
+    * The index frame and its dimension load ONCE, outside the loop.
+    * Blocks until all available input is processed.
     */
   def serveTopk(spark: SparkSession, srcDir: String, indexPath: String,
       outDir: String, maxFilesPerTrigger: Int = 0): Unit = {
+    import org.apache.spark.sql.functions._
+    val idx = spark.read.parquet(indexPath)
+    val dim = idx.select(size(col("u"))).first().getInt(0)
     val reader = spark.readStream
       .schema("vec_id LONG, embedding ARRAY<FLOAT>")
     val src = (if (maxFilesPerTrigger > 0)
       reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader)
       .parquet(srcDir)
     val q = src.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.Similarity.topkAgainstLshIndex(batch, indexPath)
-          .write.mode("append").parquet(outDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Similarity.topkAgainstLshIndex(batch, idx, dim)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
       }
       .start()
     q.processAllAvailable()
