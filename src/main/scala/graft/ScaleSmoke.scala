@@ -187,6 +187,15 @@ object ScaleSmoke {
       },
       time("dd_incremental_10x") {
         SparkEntry.queries("dd_incremental")(spark, docScratch).count()
+      },
+      // Bounded-state sketch and shard-parallel packing on the same
+      // corpus: the sketch shuffles k-entry maps regardless of scale;
+      // packing windows run one pass per md5 shard.
+      time("ta_heavy_hitters_10x") {
+        SparkEntry.queries("ta_heavy_hitters")(spark, docScratch).count()
+      },
+      time("pp_pack_10x") {
+        SparkEntry.queries("pp_pack")(spark, docScratch).count()
       })
 
     // Streaming dedup throughput at the same 10x dup-heavy scale: the
