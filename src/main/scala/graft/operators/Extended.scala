@@ -911,6 +911,9 @@ object Extended {
   /** CSV round-trip over the same contract (header, explicit schema on
     * read): exercises quoting/escaping and string↔number re-parse — the
     * K2 export surface upgraded from spec-only to oracle-checked.
+    * Known format limitation (inherent to CSV, spec-pinned): an EMPTY
+    * string field reads back as null — the wire format cannot
+    * distinguish them; JSONL preserves the distinction.
     */
   private def ioCsv(s: SparkSession, d: String): DataFrame = {
     val dir = roundtripScratch(s, "csv")

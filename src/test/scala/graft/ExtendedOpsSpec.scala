@@ -274,6 +274,35 @@ class ExtendedOpsSpec extends GraftSuite {
     }
   }
 
+  test("csv/jsonl round-trips survive newlines, quotes and commas in text") {
+    import spark.implicits._
+    // The pinned corpus has none of these, so the quoting/multiLine
+    // handling would otherwise be dead code until a real corpus hits it.
+    // row 5 differs per format: JSONL round-trips an empty string,
+    // CSV inherently collapses empty to null (documented on ioCsv) —
+    // so CSV gets a null to prove THAT round-trips.
+    def data(row5: String) = Seq(
+      (1L, "plain words", "en", "s0", 11L),
+      (2L, "line one\nline two\nline three", "en", "s0", 27L),
+      (3L, "a \"quoted\" phrase, with commas", "es", "s1", 30L),
+      (4L, "trailing backslash \\ and \"quote\"\nnewline", "de", "s2", 40L),
+      (5L, row5, "fr", "s3", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    for ((q, gnarly) <- Seq(
+        "io_csv_roundtrip" -> data(null),
+        "io_jsonl_roundtrip" -> data(""))) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_gnarly").toString
+      gnarly.write.parquet(s"$dir/documents.parquet")
+      val back = SparkEntry.queries(q)(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq
+      val src = gnarly.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq
+      assert(back == src, q)
+    }
+  }
+
   test("jsonl round-trip writes distributed gzip parts and loses nothing") {
     val out = SparkEntry.queries("io_jsonl_roundtrip")(spark, sf)
     val src = Tables.documents(spark, sf).orderBy("doc_id")
