@@ -1,0 +1,125 @@
+package graft.operators
+
+/** Codec-free BMP (Windows bitmap) encode + decode.
+  *
+  * Uncompressed 24-bit BMP is the one mainstream raster format that
+  * needs no codec library: a fixed 54-byte header (BITMAPFILEHEADER +
+  * BITMAPINFOHEADER) followed by raw BGR pixel rows, each row padded to
+  * a 4-byte boundary, stored bottom-up. That makes REAL pixel decode
+  * possible in this container — a plain byte walk, same standard-layout
+  * approach as [[MediaHeaders]] — so the pixel half of the multimodal
+  * pipeline is an actual decoder, not a stub, and its output is
+  * recomputable by the DuckDB oracle from the generating formula.
+  *
+  * [[encode]] builds a spec-conformant BMP whose pixel at storage row
+  * `s` (0 = bottom row, per the BMP bottom-up convention), column `c`,
+  * channel `ch` (0=B 1=G 2=R, the BMP byte order) is
+  * [[pixelValue]](docId, s, c, ch). [[decode]] knows nothing about the
+  * formula: it validates the magic/bpp/compression fields, reads the
+  * pixel-data offset and dimensions from the header, and walks the
+  * padded rows — so a decoder bug (offset, row padding, channel order,
+  * endianness) produces stats that fail the differential check.
+  */
+object BmpCodec {
+
+  /** Per-channel pixel statistics of one decoded image (B, G, R order). */
+  case class BmpStats(width: Int, height: Int,
+      sums: Array[Long], mins: Array[Int], maxs: Array[Int])
+
+  val HeaderBytes = 54
+
+  /** BMP rows are padded to 4-byte boundaries. */
+  def rowSize(w: Int): Int = ((w * 3 + 3) / 4) * 4
+
+  /** Deterministic pixel formula (mod a prime so no channel is constant
+    * and min/max genuinely vary per image). Defined in STORAGE order —
+    * the decoder never sees the formula, and sums/mins/maxs are
+    * order-free, so bottom-up vs top-down reading cannot mask a bug.
+    */
+  def pixelValue(docId: Long, s: Int, c: Int, ch: Int): Int =
+    ((docId + s * 7L + c * 13L + ch * 29L) % 251).toInt
+
+  /** A complete, valid 24bpp uncompressed BMP with formula pixels. */
+  def encode(docId: Long, w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"invalid BMP dims ${w}x$h")
+    val rs = rowSize(w)
+    val size = HeaderBytes + h * rs
+    val b = new Array[Byte](size) // zero-init → row padding bytes are 0
+    def le32(i: Int, v: Int): Unit = {
+      b(i) = (v & 0xFF).toByte; b(i + 1) = ((v >>> 8) & 0xFF).toByte
+      b(i + 2) = ((v >>> 16) & 0xFF).toByte; b(i + 3) = ((v >>> 24) & 0xFF).toByte
+    }
+    def le16(i: Int, v: Int): Unit = {
+      b(i) = (v & 0xFF).toByte; b(i + 1) = ((v >>> 8) & 0xFF).toByte
+    }
+    b(0) = 'B'; b(1) = 'M'
+    le32(2, size)          // file size
+    le32(10, HeaderBytes)  // pixel-data offset
+    le32(14, 40)           // BITMAPINFOHEADER size
+    le32(18, w); le32(22, h)
+    le16(26, 1)            // color planes
+    le16(28, 24)           // bits per pixel
+    le32(30, 0)            // BI_RGB (uncompressed)
+    le32(34, h * rs)       // raw image size
+    var s = 0
+    while (s < h) {
+      val base = HeaderBytes + s * rs
+      var c = 0
+      while (c < w) {
+        var ch = 0
+        while (ch < 3) {
+          b(base + c * 3 + ch) = pixelValue(docId, s, c, ch).toByte
+          ch += 1
+        }
+        c += 1
+      }
+      s += 1
+    }
+    b
+  }
+
+  /** Decode per-channel sum/min/max by walking the pixel rows at the
+    * header-declared offset. Fails loudly on anything this decoder does
+    * not handle (non-BMP magic, bpp ≠ 24, compression, top-down
+    * negative-height images, truncated pixel data) — a curation
+    * pipeline routes such rows to a dead-letter side output rather than
+    * silently fabricating stats.
+    */
+  def decode(bytes: Array[Byte]): BmpStats = {
+    require(bytes != null && bytes.length >= HeaderBytes, "truncated BMP header")
+    def u(i: Int): Int = bytes(i) & 0xFF
+    def le32(i: Int): Int = u(i) | (u(i + 1) << 8) | (u(i + 2) << 16) | (u(i + 3) << 24)
+    def le16(i: Int): Int = u(i) | (u(i + 1) << 8)
+    require(u(0) == 'B' && u(1) == 'M', "not a BMP payload")
+    val off = le32(10)
+    val w = le32(18)
+    val h = le32(22)
+    require(w > 0 && h > 0, s"unsupported BMP geometry ${w}x$h")
+    require(le16(28) == 24, s"unsupported bpp ${le16(28)} (24bpp only)")
+    require(le32(30) == 0, "compressed BMP not supported")
+    val rs = rowSize(w)
+    require(off >= HeaderBytes && bytes.length >= off + h.toLong * rs,
+      "truncated BMP pixel data")
+    val sums = new Array[Long](3)
+    val mins = Array.fill(3)(255)
+    val maxs = Array.fill(3)(0)
+    var s = 0
+    while (s < h) {
+      val base = off + s * rs
+      var c = 0
+      while (c < w) {
+        var ch = 0
+        while (ch < 3) {
+          val v = u(base + c * 3 + ch)
+          sums(ch) += v
+          if (v < mins(ch)) mins(ch) = v
+          if (v > maxs(ch)) maxs(ch) = v
+          ch += 1
+        }
+        c += 1
+      }
+      s += 1
+    }
+    BmpStats(w, h, sums, mins, maxs)
+  }
+}

@@ -5,7 +5,8 @@ package graft.operators
   * part of the multimodal decode path that needs no image library —
   * PNG IHDR and GIF logical-screen dimensions are plain big/little-endian
   * ints at fixed offsets; JPEG needs a marker walk to the SOF segment.
-  * Full pixel decode stays stubbed ([[Multimodal.fakeDecode]]).
+  * Full pixel decode is real for uncompressed BMP ([[BmpCodec]]); the
+  * compressed formats would need codec libraries this container lacks.
   */
 object MediaHeaders {
 
@@ -49,6 +50,11 @@ object MediaHeaders {
     } else if (bytes.length >= 12 && u(0) == 'R' && u(1) == 'I' &&
       u(2) == 'F' && u(3) == 'F' && u(8) == 'W' && u(9) == 'A') {
       MediaInfo("wav", -1, -1) // audio: no spatial dims
+    } else if (bytes.length >= 26 && u(0) == 'B' && u(1) == 'M') {
+      // BMP: BITMAPINFOHEADER width/height at offsets 18/22, LE32.
+      def le32(i: Int): Int =
+        u(i) | (u(i + 1) << 8) | (u(i + 2) << 16) | (u(i + 3) << 24)
+      MediaInfo("bmp", le32(18), le32(22))
     } else MediaInfo("unknown", -1, -1)
   }
 }

@@ -6,15 +6,17 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media as opaque binary columns with typed
   * metadata, batch feature extraction with real Spark plumbing (schema,
-  * partitioning, batch shape) and a STUBBED decoder.
+  * partitioning, batch shape) and a REAL pixel decoder.
   *
-  * The container has no image/audio codecs, so [[fakeDecode]] stands in
-  * for the real decoder behind the same signature — it is deterministic
-  * (derived from the bytes) so the pipeline is testable end-to-end. The
-  * Spark-side contract is what matters at 100 TB: binary payloads never
-  * become join/group keys, feature extraction is mapPartitions in bounded
-  * batches (the Scala analog of mapInPandas with a batch size), and
-  * metadata travels in a typed struct column.
+  * The container has no image/audio codec libraries, so the compressed
+  * formats (PNG/GIF/JPEG) decode headers only ([[MediaHeaders]], a real
+  * byte walk). Pixel decode is real for uncompressed 24bpp BMP
+  * ([[BmpCodec]] — BMP needs no codec), so per-channel pixel statistics
+  * are genuine decoder output, oracle-checked against the generating
+  * formula. The Spark-side contract is what matters at 100 TB: binary
+  * payloads never become join/group keys, feature extraction is
+  * mapPartitions in bounded batches (the Scala analog of mapInPandas
+  * with a batch size), and metadata travels in typed columns.
   */
 object Multimodal {
 
@@ -22,13 +24,16 @@ object Multimodal {
   case class MediaRow(media_id: Long, payload: Array[Byte], format: String,
       width: Int, height: Int)
 
-  /** Extracted feature row (what a real decoder+featurizer would emit).
-    * The header fields come from the REAL byte parser; only `feature`
-    * is the stub decoder's output.
+  /** Extracted feature row: header fields from the REAL byte parser
+    * ([[MediaHeaders]]), pixel statistics from the REAL BMP decoder
+    * ([[BmpCodec.decode]]) — integer sums/extrema per B/G/R channel, so
+    * the whole row is exact and cross-engine checkable.
     */
-  case class MediaFeatures(media_id: Long, n_bytes: Int, mean_byte: Double,
-      entropy_bucket: Int, detected_format: String, parsed_width: Int,
-      parsed_height: Int, feature: Array[Float])
+  case class MediaFeatures(media_id: Long, n_bytes: Int,
+      detected_format: String, parsed_width: Int, parsed_height: Int,
+      b_sum: Long, g_sum: Long, r_sum: Long,
+      b_min: Int, b_max: Int, g_min: Int, g_max: Int,
+      r_min: Int, r_max: Int)
 
   /** A REAL media header for the declared format/dimensions — the byte
     * layouts [[MediaHeaders]] parses (PNG signature+IHDR, GIF89a logical
@@ -68,46 +73,50 @@ object Multimodal {
       }
   }
 
-  /** STUB decoder: the real implementation would decode the payload with
-    * an image/audio codec (not available in this container). This fake is
-    * deterministic in the bytes so tests and oracles are stable; the
-    * signature (bytes → fixed-size float feature) is the real contract.
-    */
-  private[graft] def fakeDecode(payload: Array[Byte], dim: Int): Array[Float] = {
-    val out = new Array[Float](dim)
-    var i = 0
-    while (i < payload.length) {
-      out(i % dim) += (payload(i) & 0xFF) / 255.0f
-      i += 1
-    }
-    out
-  }
-
-  private val FeatureDim = 8
   private val BatchSize = 64
 
+  /** The BMP media table: every document gets a complete, spec-valid
+    * uncompressed 24bpp BMP payload whose dimensions derive from
+    * `n_chars` and whose pixels follow [[BmpCodec.pixelValue]] — so the
+    * oracle can recompute pixel statistics from the formula while the
+    * Spark side must recover them by actually decoding the bytes.
+    */
+  def bmpTable(s: SparkSession, d: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        (col("n_chars") % 64 + 1).cast("int").as("width"),
+        (col("n_chars") % 48 + 1).cast("int").as("height"))
+      .as[(Long, Int, Int)]
+      .map { case (id, w, h) =>
+        MediaRow(id, BmpCodec.encode(id, w, h), "bmp", w, h)
+      }
+  }
+
   /** Batch feature extraction: mapPartitions over bounded batches (the
-    * batch shape a vectorized decoder needs), never materializing a whole
-    * partition. Header metadata (format/dims) comes from the REAL
-    * byte-level parser ([[MediaHeaders]]); pixel features from the stub.
-    * Output is a typed Dataset with a fixed-dim feature column.
+    * batch shape a vectorized decoder needs), never materializing a
+    * whole partition. Header metadata comes from the real byte-level
+    * parser ([[MediaHeaders]]); pixel statistics from the real BMP
+    * decoder ([[BmpCodec.decode]]). Undecodable payloads fail loudly
+    * (format mismatch, truncation) rather than fabricating stats — the
+    * dead-letter routing a production pipeline would add sits outside
+    * this kernel.
     */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.grouped(BatchSize).flatMap { batch =>
-        // A real decoder would process `batch` as one vectorized call.
+        // A real vectorized decoder would process `batch` in one call.
         batch.iterator.map { r =>
-          val f = fakeDecode(r.payload, FeatureDim)
           val info = MediaHeaders.parse(r.payload)
-          val n = r.payload.length
-          // Long accumulator: an Int sum of unsigned bytes overflows past
-          // ~8.4 MB (2^31 / 255) of payload.
-          val mean =
-            if (n == 0) 0.0
-            else r.payload.foldLeft(0L)((acc, b) => acc + (b & 0xFF)).toDouble / n
-          MediaFeatures(r.media_id, n, math.floor(mean * 1e6) / 1e6,
-            (mean / 32).toInt, info.format, info.width, info.height, f)
+          require(info.format == "bmp",
+            s"media ${r.media_id}: cannot pixel-decode '${info.format}'")
+          val st = BmpCodec.decode(r.payload)
+          MediaFeatures(r.media_id, r.payload.length, info.format,
+            st.width, st.height,
+            st.sums(0), st.sums(1), st.sums(2),
+            st.mins(0), st.maxs(0), st.mins(1), st.maxs(1),
+            st.mins(2), st.maxs(2))
         }
       }
     }
@@ -132,17 +141,37 @@ object Multimodal {
       substring(hex(encode(col("text"), "UTF-8")), 1, 16).as("hex_prefix"))
       .orderBy("doc_id")
 
-  /** Rows-only query exposing the full stubbed pipeline (media table →
-    * batched feature extraction) through the driver contract.
+  /** Fully oracle-checked feature pipeline: BMP media table → batched
+    * real decode → per-channel pixel means plus header metadata. The
+    * oracle recomputes every column from the generating formula over
+    * `documents`; the Spark side recovers them only by walking the
+    * actual BMP bytes, so file-size arithmetic, header parsing, row
+    * padding, and channel order are all differentially verified.
     */
   private def features(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    extractFeatures(mediaTable(s, d))
-      .select(col("media_id"), col("n_bytes"), col("mean_byte"),
-        col("entropy_bucket"), col("detected_format"),
+    val px = (col("parsed_width") * col("parsed_height")).cast("double")
+    extractFeatures(bmpTable(s, d)).toDF()
+      .select(col("media_id"), col("n_bytes"), col("detected_format"),
         col("parsed_width"), col("parsed_height"),
-        r6(element_at(col("feature"), 1).cast("double")).as("f0"))
+        r6(col("b_sum") / px).as("b_mean"),
+        r6(col("g_sum") / px).as("g_mean"),
+        r6(col("r_sum") / px).as("r_mean"))
       .orderBy("media_id")
+  }
+
+  /** Integer-exact per-channel pixel statistics at the (media, channel)
+    * grain — the hash-exact complement to [[features]]' rounded means
+    * (no float division anywhere in the row).
+    */
+  private def pixels(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    extractFeatures(bmpTable(s, d))
+      .flatMap(f => Seq(
+        (f.media_id, 0, f.b_sum, f.b_min, f.b_max),
+        (f.media_id, 1, f.g_sum, f.g_min, f.g_max),
+        (f.media_id, 2, f.r_sum, f.r_min, f.r_max)))
+      .toDF("media_id", "channel", "px_sum", "px_min", "px_max")
+      .orderBy("media_id", "channel")
   }
 
   /** The oracle-checkable half of the feature pipeline split out: header
@@ -188,15 +217,50 @@ object Multimodal {
   val queries: Map[String, Query] = Map(
     "mm_meta" -> meta _,
     "mm_features" -> features _,
+    "mm_pixels" -> pixels _,
     "mm_parse" -> parse _,
     "mm_frames" -> frames _)
 
-  /** mm_features exercises the stub decoder → rows-only check. */
+  // The shared formula-recompute CTE chain for the BMP oracles. DuckDB
+  // unnests ZIP in one SELECT, so each range layer gets its own CTE to
+  // genuinely cross-join rows × cols × channels.
+  private val BmpDims =
+    """dims AS (SELECT doc_id, CAST(n_chars % 64 + 1 AS BIGINT) AS w,
+      |    CAST(n_chars % 48 + 1 AS BIGINT) AS h FROM documents),
+      |rws AS (SELECT doc_id, w, h, unnest(range(0, h)) AS s FROM dims),
+      |cls AS (SELECT doc_id, w, h, s, unnest(range(0, w)) AS c FROM rws),
+      |chs AS (SELECT doc_id, s, c, unnest(range(0, 3)) AS ch FROM cls),
+      |v AS (SELECT doc_id, ch,
+      |    (doc_id + s * 7 + c * 13 + ch * 29) % 251 AS val FROM chs)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "mm_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |  substr(hex(encode(text)), 1, 16) AS hex_prefix
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_features" ->
+      s"""WITH $BmpDims,
+         |st AS (SELECT doc_id, ch, sum(val) AS sm FROM v GROUP BY doc_id, ch),
+         |wide AS (SELECT doc_id,
+         |    sum(CASE WHEN ch = 0 THEN sm END) AS bs,
+         |    sum(CASE WHEN ch = 1 THEN sm END) AS gs,
+         |    sum(CASE WHEN ch = 2 THEN sm END) AS rs
+         |  FROM st GROUP BY doc_id)
+         |SELECT d.doc_id AS media_id,
+         |  CAST(54 + d.h * (((d.w * 3 + 3) // 4) * 4) AS INT) AS n_bytes,
+         |  'bmp' AS detected_format,
+         |  CAST(d.w AS INT) AS parsed_width, CAST(d.h AS INT) AS parsed_height,
+         |  round(w.bs / CAST(d.w * d.h AS DOUBLE), 6) AS b_mean,
+         |  round(w.gs / CAST(d.w * d.h AS DOUBLE), 6) AS g_mean,
+         |  round(w.rs / CAST(d.w * d.h AS DOUBLE), 6) AS r_mean
+         |FROM dims d JOIN wide w ON d.doc_id = w.doc_id
+         |ORDER BY media_id""".stripMargin,
+    "mm_pixels" ->
+      s"""WITH $BmpDims
+         |SELECT doc_id AS media_id, CAST(ch AS INT) AS channel,
+         |  CAST(sum(val) AS BIGINT) AS px_sum,
+         |  CAST(min(val) AS INT) AS px_min, CAST(max(val) AS INT) AS px_max
+         |FROM v GROUP BY doc_id, ch ORDER BY media_id, channel""".stripMargin,
     "mm_parse" ->
       """SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'png'

@@ -101,16 +101,50 @@ class TextAndMultimodalSpec extends GraftSuite {
     assert(rows.map(_.getString(4)).toSeq == again.map(_.getString(4)).toSeq)
   }
 
-  test("multimodal: batched extraction is deterministic, fixed-dim, 1:1") {
-    val media = operators.Multimodal.mediaTable(spark, sf)
+  test("multimodal: batched extraction is deterministic, real-decoded, 1:1") {
+    val media = operators.Multimodal.bmpTable(spark, sf)
     val f1 = operators.Multimodal.extractFeatures(media).collect()
       .sortBy(_.media_id)
     val f2 = operators.Multimodal.extractFeatures(media).collect()
       .sortBy(_.media_id)
     assert(f1.length == media.count())
-    assert(f1.forall(_.feature.length == 8))
-    assert(f1.zip(f2).forall { case (a, b) =>
-      a.media_id == b.media_id && a.feature.toSeq == b.feature.toSeq })
+    assert(f1.toSeq == f2.toSeq)
+    // decoded stats are internally consistent with the decoded geometry
+    f1.foreach { f =>
+      val px = f.parsed_width.toLong * f.parsed_height
+      assert(f.detected_format == "bmp")
+      assert(f.b_min.toLong * px <= f.b_sum && f.b_sum <= f.b_max.toLong * px)
+      assert(f.n_bytes ==
+        54 + f.parsed_height * operators.BmpCodec.rowSize(f.parsed_width))
+    }
+  }
+
+  test("BMP codec: encode→decode round-trips the pixel formula exactly") {
+    import operators.BmpCodec
+    // widths 1..5 cover every row-padding residue (w*3 mod 4)
+    for (w <- 1 to 5; h <- Seq(1, 3, 48); id <- Seq(0L, 7L, 499L)) {
+      val st = BmpCodec.decode(BmpCodec.encode(id, w, h))
+      assert(st.width == w && st.height == h)
+      for (ch <- 0 until 3) {
+        val vals = for (s <- 0 until h; c <- 0 until w)
+          yield BmpCodec.pixelValue(id, s, c, ch)
+        assert(st.sums(ch) == vals.map(_.toLong).sum, s"sum w=$w h=$h ch=$ch")
+        assert(st.mins(ch) == vals.min && st.maxs(ch) == vals.max)
+      }
+    }
+    // hostile inputs fail loudly instead of fabricating stats
+    intercept[IllegalArgumentException](BmpCodec.decode("BMgarbage".getBytes))
+    intercept[IllegalArgumentException](BmpCodec.decode("not a bmp at all, not even close.........................".getBytes))
+    val truncated = BmpCodec.encode(1L, 8, 8).take(60)
+    intercept[IllegalArgumentException](BmpCodec.decode(truncated))
+    // MediaHeaders recognizes the BMP magic + dims
+    val info = operators.MediaHeaders.parse(BmpCodec.encode(2L, 31, 17))
+    assert(info == operators.MediaHeaders.MediaInfo("bmp", 31, 17))
+    // non-BMP media refuses pixel decode through the extraction kernel
+    intercept[Exception] {
+      operators.Multimodal.extractFeatures(
+        operators.Multimodal.mediaTable(spark, sf)).collect()
+    }
   }
 
   test("media headers: PNG/GIF/JPEG dimensions parsed from real bytes") {
@@ -154,7 +188,7 @@ class TextAndMultimodalSpec extends GraftSuite {
   }
 
   test("multimodal: partitioning is preserved (no implicit coalesce)") {
-    val media = operators.Multimodal.mediaTable(spark, sf).repartition(7)
+    val media = operators.Multimodal.bmpTable(spark, sf).repartition(7)
     val out = operators.Multimodal.extractFeatures(media)
     assert(out.rdd.getNumPartitions == 7)
   }
