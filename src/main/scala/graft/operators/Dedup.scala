@@ -101,9 +101,9 @@ object Dedup {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), array_sort(shingles(col("text"), 3)).as("sh"))
       .filter(size(col("sh")) > 0)
-      .persist()
+      .pinned()
     val ex = docs.select(col("doc_id"), size(col("sh")).as("n"),
-      explode(col("sh")).as("s")).persist()
+      explode(col("sh")).as("s")).pinned()
     val freq = ex.groupBy("s").agg(count(lit(1)).as("f"))
     val prefixLen = (col("n") - ceil(lit(JaccardTau) * col("n")) + 1).cast("int")
     // The shingle-frequency dictionary is a stats table (bounded by the
@@ -172,7 +172,7 @@ object Dedup {
           .cast("long") % MinhashP
         shiftleft(h1, 31) + h2
       }).as("hp"))
-      .persist()
+      .pinned()
     // All 16 minima in one native pass (graft.functions.MinHashSigs),
     // identical per-i to array_min(transform(hp, v -> (h1+i*h2) mod P)).
     packed.select(col("doc_id"),
@@ -189,7 +189,7 @@ object Dedup {
     // signatures for both sides.
     val bl = sigs.select(col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
-      .persist()
+      .pinned()
     bl.as("x").join(bl.as("y"), Seq("band_idx", "band_val"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -310,7 +310,7 @@ object Dedup {
         transform(split(col("text"), " "), w => md5(w)).as("wh"))
       .select(col("doc_id"),
         graft.functions.SimHashFunctions.simhash60(col("wh")).as("simhash"))
-      .persist()
+      .pinned()
 
   /** Single-document SimHash (composed-expression form; kept as the
     * readable reference implementation and for API use).
@@ -382,9 +382,9 @@ object Dedup {
   private def clusters(s: SparkSession, d: String): DataFrame = {
     val pairs = ngramJaccard(s, d).select("doc_a", "doc_b")
     val edges = pairs.union(
-      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).persist()
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).pinned()
     var labels = Tables.documents(s, d)
-      .select(col("doc_id"), col("doc_id").as("cluster")).persist()
+      .select(col("doc_id"), col("doc_id").as("cluster")).pinned()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 20) {
@@ -397,7 +397,7 @@ object Dedup {
         .select(col("doc_id"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
             .as("cluster"))
-        .persist()
+        .pinned()
       changed = next.join(labels.withColumnRenamed("cluster", "prev"), "doc_id")
         .filter(col("cluster") =!= col("prev")).count()
       labels.unpersist()
@@ -434,7 +434,7 @@ object Dedup {
     // shingle+md5 scan; the cached frame is three narrow columns.
     val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
       array_min(transform(shingles(col("text"), 5), md5(_))).as("h"))
-      .persist()
+      .pinned()
     val bucket = conv(substring(md5(col("doc_id").cast("string")), 9, 4),
       16, 10).cast("long") % 100
     val hist = docs.filter(bucket < 80).select(col("h"))
@@ -540,7 +540,7 @@ object Dedup {
     * string repr) — reused inside the kernel so rounded values are
     * bit-identical to the composed plan and the DuckDB oracle.
     */
-  private def round6d(x: Double): Double =
+  private[graft] def round6d(x: Double): Double =
     if (x.isNaN || x.isInfinite) x
     else java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
@@ -631,31 +631,6 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  // Scratch dirs holding tiled-kernel pair output, deleted when their
-  // context stops (the returned DataFrame reads them lazily, so they
-  // must outlive the call). Paths live on the SAME filesystem Spark
-  // writes/reads through (warehouse dir → defaultFS on a cluster): a
-  // driver-local java.io.tmpdir path would silently scatter executor
-  // appends across local disks on a multi-node cluster, and a java.nio
-  // cleanup would miss data written to HDFS/object storage.
-  private val tileScratch = scala.collection.concurrent.TrieMap
-    .empty[org.apache.spark.SparkContext, List[String]]
-  private val scratchNonce = new java.util.concurrent.atomic.AtomicLong(0L)
-  private def newScratchDir(s: SparkSession): String = {
-    val root = new org.apache.hadoop.fs.Path(
-      s.conf.get("spark.sql.warehouse.dir"), "_graft_scratch")
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val dir = new org.apache.hadoop.fs.Path(root,
-      s"cosine-tiles-${s.sparkContext.applicationId}-${scratchNonce.incrementAndGet()}")
-    fs.mkdirs(dir)
-    dir.toString
-  }
-  private def deleteScratch(s: org.apache.spark.SparkContext, path: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(s.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
-  }
-
   /** Tiled form of [[blockedCosinePairs]] — the 100 TB path: when the
     * corpus exceeds one broadcast, split the vec_id domain into `tiles`
     * ranges and run one block-scan JOB per tile, sequentially: filtered
@@ -687,14 +662,7 @@ object Dedup {
         "vec_id", (1 until tiles).map(_.toDouble / tiles).toArray, 0.001)
     val bounds = (Long.MinValue +: cuts.toSeq.map(_.toLong) :+
       Long.MaxValue).distinct.sliding(2).toSeq
-    val scratch = newScratchDir(s)
-    tileScratch.updateWith(s.sparkContext) {
-      prev => Some(scratch :: prev.getOrElse(Nil))
-    }
-    ContextCaches.evictOnStop(s.sparkContext, "cosine-tile-scratch")(() => {
-      val sc = s.sparkContext
-      tileScratch.remove(sc).getOrElse(Nil).foreach(deleteScratch(sc, _))
-    })
+    val scratch = TileScratch.newDir(s, "cosine-tiles")
     bounds.foreach { case Seq(lo, hi) =>
       val tile = vDf.filter(col("vec_id") > lo && col("vec_id") <= hi)
         .as[(Long, Array[Double])].collect().sortBy(_._1)
@@ -750,7 +718,7 @@ object Dedup {
           (0 until SpanK).map(j => element_at(col("w"), i + j)): _*)))
         .as("gram"))
       .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
-      .persist() // two consumers: the df dictionary and the join side
+      .pinned() // two consumers: the df dictionary and the join side
     val df = dg.groupBy("gram").agg(count(lit(1)).as("nd"))
     dg.join(df, "gram")
       .groupBy("doc_id")

@@ -26,7 +26,7 @@ object Similarity {
     * should run once (CacheManager dedups the plan across invocations).
     */
   private def normalized(s: SparkSession, d: String): DataFrame =
-    normalizeFrame(Tables.embeddings(s, d)).persist()
+    normalizeFrame(Tables.embeddings(s, d)).pinned()
 
   /** Codegen'd native dot product (see [[graft.functions.DotProduct]]). */
   def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.dot(a, b)
@@ -309,6 +309,11 @@ object Similarity {
 
   /** (vec_id, m, sv): the PqM subvectors of every normalized vector. */
   private def subvectors(v: DataFrame, dim: Int): DataFrame = {
+    // Fail loudly on a non-divisible dimension: integer division below
+    // would silently drop the trailing dim % PqM components from PQ
+    // assignment and ADC scoring, quietly degrading recall.
+    require(dim % PqM == 0,
+      s"PQ requires embedding dim divisible by PqM=$PqM, got $dim")
     val sub = dim / PqM
     v.select(col("vec_id"), posexplode(array((0 until PqM).map(m =>
       slice(col("u"), m * sub + 1, sub)): _*)).as(Seq("m", "sv")))
@@ -572,33 +577,109 @@ object Similarity {
         col("n_vecs"))
       .orderBy("label", "pos")
 
+  // Corpus-size cutoff for the broadcast 1-NN kernel: beyond this many
+  // vectors the corpus no longer fits one broadcast and the SAME argmax
+  // runs tiled over broadcast-sized blocks.
+  private val KnnTileVectors = 200000L
+
   /** Exact 1-NN self-join: every corpus vector's single nearest
-    * neighbor by cosine. The corpus side is broadcast and scored with
-    * the codegen'd native dot product; the per-vector argmax folds in
-    * the aggregate itself (max over (cos, -neighbor) structs), so
-    * partial aggregation collapses each vector's candidates MAP-SIDE —
-    * the shuffle carries one row per vector, never the N² scored pairs.
-    * Ties break to the smallest neighbor id on the round6 cosine,
-    * mirroring the oracle's rank order. Beyond broadcast range the same
-    * kernel runs tiled over corpus blocks (the
-    * [[Dedup.blockedCosinePairsTiled]] pattern) with a final max-merge —
-    * the argmax aggregate is associative, so tiling composes exactly.
+    * neighbor by cosine. Within broadcast range ([[KnnTileVectors]])
+    * the corpus side is broadcast and scored with the codegen'd native
+    * dot product; the per-vector argmax folds in the aggregate itself
+    * (max over (cos, -neighbor) structs), so partial aggregation
+    * collapses each vector's candidates MAP-SIDE — the shuffle carries
+    * one row per vector, never the N² scored pairs. Beyond the cutoff
+    * the query dispatches to [[knnSelfTiled]] — argmax is associative,
+    * so tiling composes exactly (spec-asserted bit-equal). Ties break
+    * to the smallest neighbor id on the round6 cosine, mirroring the
+    * oracle's rank order.
     */
   private def knnSelf(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.embeddings(s, d).count()
+    if (n <= KnnTileVectors) knnSelfBroadcast(s, d)
+    else knnSelfTiled(s, d, math.ceil(n.toDouble / KnnTileVectors).toInt)
+  }
+
+  private[graft] def knnSelfBroadcast(s: SparkSession, d: String): DataFrame = {
     val v = normalized(s, d)
     val c = v.select(col("vec_id").as("nid"), col("u").as("nu"))
-    v.join(broadcast(c), col("vec_id") =!= col("nid"))
+    mergeBestNeighbor(v.join(broadcast(c), col("vec_id") =!= col("nid"))
       .select(col("vec_id"), col("nid"),
-        r6(dot(col("u"), col("nu"))).as("cos"))
-      .groupBy("vec_id")
-      // max_by over a (cos, -nid) ordering key; struct-buffered
-      // aggregates plan sort-based either way, but the PARTIAL phase
-      // still collapses candidates map-side — the scale property.
+        r6(dot(col("u"), col("nu"))).as("cos")))
+  }
+
+  /** Final argmax over (cos, -nid) — associative, so it merges raw
+    * candidates (broadcast path) and per-tile winners (tiled path)
+    * identically; the partial phase collapses map-side either way.
+    */
+  private def mergeBestNeighbor(scored: DataFrame): DataFrame =
+    scored.groupBy("vec_id")
       .agg(max_by(struct(col("cos"), col("nid")),
         struct(col("cos"), (-col("nid")).as("neg"))).as("b"))
       .select(col("vec_id"), col("b.nid").as("neighbor_id"),
         col("b.cos").as("cos"))
       .orderBy("vec_id")
+
+  /** Tiled exact 1-NN — the 100 TB path (the
+    * [[Dedup.blockedCosinePairsTiled]] pattern): split the vec_id
+    * domain into `tiles` broadcast-sized blocks; per tile, broadcast
+    * the block and stream the WHOLE corpus past it in one mapPartitions
+    * job, emitting each probe vector's best neighbor WITHIN the tile —
+    * one row per (probe, tile), never the N²/tiles scored pairs. Tile
+    * winners append to warehouse-FS scratch straight from the
+    * executors; a final one-row-per-vector argmax merges them. Exact:
+    * every candidate lands in exactly one tile and argmax over
+    * (cos, -nid) is associative. The kernel's arithmetic matches the
+    * composed plan's (ascending-index dot over the same normalized
+    * arrays, then HALF_UP round6), so the result is bit-equal to
+    * [[knnSelfBroadcast]] — spec-asserted. Driver and block managers
+    * hold at most ONE tile's vectors at a time.
+    */
+  private[graft] def knnSelfTiled(s: SparkSession, d: String,
+      tiles: Int): DataFrame = {
+    import s.implicits._
+    val vDf = normalized(s, d)
+    val v = vDf.as[(Long, Array[Double])]
+    val cuts =
+      if (tiles <= 1) Array.empty[Double]
+      else vDf.stat.approxQuantile(
+        "vec_id", (1 until tiles).map(_.toDouble / tiles).toArray, 0.001)
+    val bounds = (Long.MinValue +: cuts.toSeq.map(_.toLong) :+
+      Long.MaxValue).distinct.sliding(2).toSeq
+    val scratch = TileScratch.newDir(s, "knn-tiles")
+    bounds.foreach { case Seq(lo, hi) =>
+      val tile = vDf.filter(col("vec_id") > lo && col("vec_id") <= hi)
+        .as[(Long, Array[Double])].collect().sortBy(_._1)
+      val bc = s.sparkContext.broadcast(tile)
+      try v.mapPartitions { it =>
+        val bv = bc.value
+        it.flatMap { case (id, u) =>
+          var bestN = -1L
+          var bestC = Double.NegativeInfinity
+          var j = 0
+          while (j < bv.length) {
+            val (nid, nu) = bv(j)
+            if (nid != id) {
+              var dp = 0.0
+              var i = 0
+              while (i < u.length) { dp += u(i) * nu(i); i += 1 }
+              val c = Dedup.round6d(dp)
+              if (c > bestC || (c == bestC && nid < bestN)) {
+                bestC = c; bestN = nid
+              }
+            }
+            j += 1
+          }
+          if (bestN >= 0) Iterator.single((id, bestN, bestC))
+          else Iterator.empty
+        }
+      }.toDF("vec_id", "nid", "cos")
+        .write.mode("append").parquet(scratch)
+      finally bc.destroy()
+    }
+    // Explicit schema: a single-vector corpus leaves no data files.
+    mergeBestNeighbor(s.read
+      .schema("vec_id BIGINT, nid BIGINT, cos DOUBLE").parquet(scratch))
   }
 
   val queries: Map[String, Query] = Map(

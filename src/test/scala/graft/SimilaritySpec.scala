@@ -65,6 +65,18 @@ class SimilaritySpec extends GraftSuite {
     assert(knn.size.toLong == total)
   }
 
+  test("1-NN tiled kernel is bit-equal to the broadcast plan") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val broadcastPlan = rows(operators.Similarity.knnSelfBroadcast(spark, sf))
+    // 4 tiles: several genuine block boundaries at this corpus size
+    val tiled = rows(operators.Similarity.knnSelfTiled(spark, sf, 4))
+    assert(broadcastPlan.nonEmpty && tiled == broadcastPlan)
+    // degenerate single tile also agrees
+    val oneTile = rows(operators.Similarity.knnSelfTiled(spark, sf, 1))
+    assert(oneTile == broadcastPlan)
+  }
+
   test("1-NN argmax collapses map-side: partial max_by before the exchange") {
     // The scale claim: the shuffle carries one row per vector, never
     // the N^2 scored rows — a partial max_by aggregate sits BELOW the
