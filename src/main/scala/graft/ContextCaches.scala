@@ -22,4 +22,24 @@ object ContextCaches {
         }
       })
     })
+
+  private val pinned = scala.collection.concurrent.TrieMap
+    .empty[SparkContext, List[org.apache.spark.sql.DataFrame]]
+
+  /** `df.persist()` with a release path: the pin is registered against
+    * the owning SparkContext and unpersisted when the context stops, so
+    * no query-internal cache entry outlives the application. Within a
+    * session, Spark's CacheManager dedups identical plans, so repeated
+    * invocations of the same query on the same dir share one entry —
+    * the list only grows with genuinely distinct plans (new data dirs,
+    * novel ad-hoc datasets), each of which the caller wanted resident.
+    */
+  def pin(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    df.persist()
+    pinned.updateWith(sc)(p => Some(df :: p.getOrElse(Nil)))
+    evictOnStop(sc, "pinned-plans")(() =>
+      pinned.remove(sc).getOrElse(Nil).foreach(_.unpersist()))
+    df
+  }
 }

@@ -706,7 +706,7 @@ object Extended {
     val cand = Tables.lineitem(s, d)
       .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
       .join(pf, col("l_partkey") === col("p_partkey"))
-      .persist()
+      .pinned()
     val thresh = cand.groupBy(col("l_partkey").as("t_partkey"))
       .agg(r6(lit(0.2) * (dsum(col("l_quantity")) / count(lit(1))))
         .as("qty_cut"))
@@ -918,7 +918,14 @@ object Extended {
   private def ioCsv(s: SparkSession, d: String): DataFrame = {
     val dir = roundtripScratch(s, "csv")
     Tables.documents(s, d).write.mode("overwrite")
-      .option("header", "true").csv(dir)
+      .option("header", "true")
+      // The CSV WRITER defaults both to true and would silently trim
+      // padded text fields — the reader defaults to false, so without
+      // these the round-trip is lossy exactly for leading/trailing
+      // whitespace (spec-pinned alongside the empty→null limitation).
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(dir)
     // multiLine: the writer quotes embedded newlines, but the DEFAULT
     // reader still splits records on them — a text field with a
     // newline would silently corrupt the round-trip. The cost is

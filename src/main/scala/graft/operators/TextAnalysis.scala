@@ -102,7 +102,7 @@ object TextAnalysis {
     val fp = Tables.documents(s, d)
       .select(col("doc_id"),
         array_min(transform(Dedup.shingles(col("text"), 5), md5(_))).as("fingerprint"))
-      .persist() // reused by the group-size branch and the final join
+      .pinned() // reused by the group-size branch and the final join
     val grp = fp.groupBy("fingerprint").agg(count(lit(1)).as("n_docs"))
     fp.join(grp, Seq("fingerprint"))
       .select("doc_id", "fingerprint", "n_docs")
@@ -136,7 +136,7 @@ object TextAnalysis {
     // dedups it with any other consumer of the same pair set.
     val dupTails = Dedup.queries("dd_ngram_jaccard")(s, d)
       .select(col("doc_b").as("doc_id")).distinct()
-      .persist()
+      .pinned()
     q.join(dupTails, Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "n_chars")
       .orderBy("doc_id")
@@ -336,22 +336,30 @@ object TextAnalysis {
     */
   private[graft] def heavyHittersOf(
       tok: org.apache.spark.sql.Dataset[String], k: Int): DataFrame = {
-    // Persisted: the sketch pass and the candidate re-count both
-    // consume the exploded token stream; total folds into the sketch
-    // job (one agg, two columns) so the stream is scanned exactly
-    // twice, not three times.
+    // Persisted for the call's lifetime only: the sketch pass and the
+    // candidate re-count both consume the exploded token stream (so it
+    // is scanned exactly twice, not three times), and the final result
+    // is BOUNDED (< k rows by the Misra-Gries guarantee) — so it
+    // materializes eagerly into a local relation and the cache entry
+    // releases before return. Callers with novel ad-hoc token streams
+    // (specs, exploratory sessions) therefore leak nothing.
     val t = tok.toDF("token").persist()
-    val mg = udaf(new graft.functions.MisraGriesAggregator(k),
-      org.apache.spark.sql.Encoders.STRING)
-    val first = t.agg(mg(col("token")).as("mg"), count(lit(1)).as("total"))
-      .head()
-    val summary = first.getAs[Map[String, Long]]("mg")
-    val total = first.getAs[Long]("total")
-    val cands = summary.keys.toSeq.sorted
-    t.filter(col("token").isin(cands: _*))
-      .groupBy("token").agg(count(lit(1)).as("n"))
-      .filter(col("n") * k > lit(total))
-      .orderBy(col("n").desc, col("token"))
+    try {
+      val mg = udaf(new graft.functions.MisraGriesAggregator(k),
+        org.apache.spark.sql.Encoders.STRING)
+      val first = t.agg(mg(col("token")).as("mg"), count(lit(1)).as("total"))
+        .head()
+      val summary = first.getAs[Map[String, Long]]("mg")
+      val total = first.getAs[Long]("total")
+      val cands = summary.keys.toSeq.sorted
+      val out = t.filter(col("token").isin(cands: _*))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .filter(col("n") * k > lit(total))
+        .orderBy(col("n").desc, col("token"))
+      val rows = out.collect() // < k rows, bounded model-size state
+      tok.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), out.schema)
+    } finally t.unpersist()
   }
 
   val queries: Map[String, Query] = Map(

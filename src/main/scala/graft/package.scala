@@ -31,4 +31,13 @@ package object graft {
 
   /** Timestamp → epoch microseconds (matches DuckDB epoch_us). */
   def tsUs(c: Column): Column = unix_micros(c)
+
+  implicit class PinOps(private val df: DataFrame) extends AnyVal {
+    /** `persist()` with a context-stop release path — every
+      * query-internal cache entry must go through this (or carry its
+      * own explicit unpersist) so nothing stays pinned past the
+      * application. See [[ContextCaches.pin]].
+      */
+    def pinned(): DataFrame = ContextCaches.pin(df)
+  }
 }

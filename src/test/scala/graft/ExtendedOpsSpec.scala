@@ -286,6 +286,9 @@ class ExtendedOpsSpec extends GraftSuite {
       (2L, "line one\nline two\nline three", "en", "s0", 27L),
       (3L, "a \"quoted\" phrase, with commas", "es", "s1", 30L),
       (4L, "trailing backslash \\ and \"quote\"\nnewline", "de", "s2", 40L),
+      // padded whitespace: the CSV WRITER trims it unless
+      // ignoreLeading/TrailingWhiteSpace are disabled on write
+      (6L, "  leading and trailing pad \t ", "en", "s4", 29L),
       (5L, row5, "fr", "s3", 0L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     for ((q, gnarly) <- Seq(

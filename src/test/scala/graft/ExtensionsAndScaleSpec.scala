@@ -294,4 +294,27 @@ class ExtensionsAndScaleSpec extends GraftSuite {
     // (doc_id, band digest) instead of recomputing the md5 pipeline.
     assert(plan.contains("InMemoryTableScan"), s"plan was:\n$plan")
   }
+
+  test("persist hygiene: repeated query runs never grow the cache") {
+    import spark.implicits._
+    def run(q: String): Unit = SparkEntry.queries(q)(spark, sf)
+      .queryExecution.toRdd.foreachPartition(it => while (it.hasNext) it.next())
+    // queries with internal persist() sites — CacheManager must dedup
+    // their plans across invocations, so the second sweep adds nothing
+    val qs = Seq("tpch_q17", "sim_knn_self", "dd_ngram_jaccard",
+      "dd_span_coverage", "ta_heavy_hitters", "ta_fingerprint")
+    qs.foreach(run)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    qs.foreach(run)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after == before, s"cache grew across repeated runs: $before -> $after")
+    // a NOVEL ad-hoc token stream releases its cache entry before return
+    // (bounded-output collect + unpersist inside heavyHittersOf)
+    val base = spark.sparkContext.getPersistentRDDs.size
+    val got = operators.TextAnalysis
+      .heavyHittersOf((1 to 500).map(i => s"t${i % 5}").toDS(), 8).collect()
+    assert(got.nonEmpty)
+    assert(spark.sparkContext.getPersistentRDDs.size == base,
+      "ad-hoc heavy-hitter call left a pinned cache entry")
+  }
 }
