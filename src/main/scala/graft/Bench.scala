@@ -24,9 +24,16 @@ import org.apache.spark.sql.SparkSession
   * query reports the MEDIAN of its three timings. Round 3's single
   * measured pass recorded a 1.5x phantom regression when a co-tenant
   * spiked during the driver's run — a median absorbs one bad pass.
-  * Per-query spread (max-min over the three passes) goes to
-  * bench_results.json; the summary line carries the worst spread so a
-  * noisy capture is visible in the artifact itself.
+  * Queries whose spread still exceeds max(1s, 2× median) get up to two
+  * extra samples, and their stats come from the `passes` samples
+  * nearest the median — so one co-tenant burst cannot dominate
+  * max_spread_sec (round 4 carried a 19s spread from a single burst);
+  * re-measured query names are recorded in "remeasured". Per-query
+  * spread goes to bench_results.json; the summary line carries the
+  * worst spread so a noisy capture is visible in the artifact itself.
+  * The artifact also carries recall@10 of each approximate ANN variant
+  * vs the exact baseline ("recall") and any queries left unwarmed by a
+  * fatal warmup break ("cold").
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -60,7 +67,11 @@ object Bench {
     // FATAL here (OOM-class) must not kill the process before any
     // artifact exists — same contract as the measured-pass fatal path,
     // so the measured loop (skipping nothing) reproduces the fatal and
-    // emits the artifact with value:-1.
+    // emits the artifact with value:-1. Queries left unwarmed by an
+    // early break run COLD in the measured pass — their timings are not
+    // comparable across rounds, so they are listed in the artifact's
+    // "cold" field for the cross-round reader to discount.
+    var cold = Seq.empty[String]
     val warm = new scala.util.control.Breaks
     warm.breakable {
       names.foreach { n =>
@@ -68,6 +79,7 @@ object Bench {
           case scala.util.control.NonFatal(_) =>
           case e: Throwable =>
             System.err.println(s"[bench] warmup $n FATAL: $e")
+            cold = names.dropWhile(_ != n)
             warm.break()
         }
       }
@@ -116,13 +128,71 @@ object Bench {
       val s = xs.sorted
       s(s.size / 2)
     }
+    // Spread-triggered re-measure: a query whose three samples spread
+    // wider than max(1s, 2× its median) was hit by co-tenant noise —
+    // one more sample per extra pass (at most 2) tightens ITS stats
+    // without re-running the whole inventory. The final median/spread
+    // for a re-measured query come from the `passes` samples closest
+    // to its overall median, so one absorbed burst no longer dominates
+    // max_spread_sec while every raw sample stays in the artifact.
+    def noisy(name: String): Boolean =
+      !failed(name) && samples.get(name).exists { xs =>
+        xs.size >= passes && (xs.max - xs.min) > math.max(1.0, 2 * median(xs))
+      }
+    var remeasured = Set.empty[String]
+    if (!fatal) {
+      for (_ <- 1 to 2) {
+        for (name <- names if noisy(name)) {
+          remeasured += name
+          val t0 = System.nanoTime()
+          try {
+            runFull(name)
+            samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[bench] $name FAILED on re-measure: ${e.getMessage}")
+              failed += name
+          }
+        }
+      }
+    }
+    // The `passes` samples nearest the overall median (trimmed set).
+    def trimmed(name: String): List[Double] = {
+      val xs = samples(name)
+      val m = median(xs)
+      xs.sortBy(x => math.abs(x - m)).take(passes)
+    }
     val results = names.map { name =>
-      name -> (if (failed(name)) -1.0 else median(samples(name)))
+      name -> (if (failed(name)) -1.0 else median(trimmed(name)))
     }
     val spreads = names.collect {
-      case name if !failed(name) && samples(name).size == passes =>
-        name -> (samples(name).max - samples(name).min)
+      case name if !failed(name) && samples(name).size >= passes =>
+        val t = trimmed(name)
+        name -> (t.max - t.min)
     }
+    // ANN quality: recall@10 of each approximate index vs the exact
+    // baseline, computed inside the bench run — row counts (the only
+    // driver-side signal for the no-oracle ANN queries) cannot catch an
+    // approximate-index regression; this number can. Tiny collects:
+    // 10 queries × k=10 rows per variant.
+    val annVariants = Seq("ann_topk_lsh", "ann_topk_ivf", "ann_topk_pq")
+    val recall: Seq[(String, Double)] =
+      if (!fatal && !failed("ann_topk_exact") && names.contains("ann_topk_exact"))
+        try {
+          def pairs(q: String): Set[(Long, Long)] =
+            SparkEntry.queries(q)(spark, sfDir)
+              .select("query_id", "neighbor_id").collect()
+              .map(r => (r.getLong(0), r.getLong(1))).toSet
+          val exact = pairs("ann_topk_exact")
+          annVariants.filter(v => names.contains(v) && !failed(v)).map { q =>
+            q -> pairs(q).count(exact.contains).toDouble / exact.size
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] recall computation failed: ${e.getMessage}")
+            Seq.empty
+        }
+      else Seq.empty
     // Locale.ROOT: f"%.3f" uses the JVM default locale, and a
     // comma-decimal locale would emit invalid JSON.
     def f3(v: Double): String =
@@ -140,8 +210,12 @@ object Bench {
     // Worst per-query spread: if this rivals the query timings themselves
     // the capture was noisy and the total shouldn't be trusted blindly.
     val maxSpread = if (spreads.isEmpty) 0.0 else spreads.map(_._2).max
+    val recallJson = qJson(recall)
+    val coldJson = cold.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val remeasuredJson =
+      remeasured.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val summary =
-      s"""{"metric":"total","value":$value,"unit":"sec","n":${names.size},"completed":${names.size - failed.size},"total_sec":${f3(total)},"passes":$passes,"stat":"median","max_spread_sec":${f3(maxSpread)},"failed":$failedJson,"sf":"$sfDir","detail":"bench_results.json"}"""
+      s"""{"metric":"total","value":$value,"unit":"sec","n":${names.size},"completed":${names.size - failed.size},"total_sec":${f3(total)},"passes":$passes,"stat":"median","max_spread_sec":${f3(maxSpread)},"recall":$recallJson,"failed":$failedJson,"sf":"$sfDir","detail":"bench_results.json"}"""
     // Chunk timings into standalone JSON lines of ~600 bytes each.
     val chunks = {
       val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Double)]]
@@ -158,7 +232,7 @@ object Bench {
       buf.toSeq
     }
     val fullLine =
-      s"""{"metric":"total","value":$value,"unit":"sec","n":${names.size},"completed":${names.size - failed.size},"total_sec":${f3(total)},"passes":$passes,"stat":"median","max_spread_sec":${f3(maxSpread)},"queries":${qJson(results)},"spread":${qJson(spreads)},"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$value,"unit":"sec","n":${names.size},"completed":${names.size - failed.size},"total_sec":${f3(total)},"passes":$passes,"stat":"median","max_spread_sec":${f3(maxSpread)},"queries":${qJson(results)},"spread":${qJson(spreads)},"recall":$recallJson,"remeasured":$remeasuredJson,"cold":$coldJson,"failed":$failedJson,"sf":"$sfDir"}"""
     // Complete results on disk survive any stdout truncation — written
     // BEFORE spark.stop(), which may itself wedge in a poisoned JVM.
     java.nio.file.Files.write(
