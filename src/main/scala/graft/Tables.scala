@@ -15,6 +15,13 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** The documents table's DDL schema — shared by the corpus
+    * interchange readers (JSONL/CSV round-trips) and the corpus
+    * pipeline's ingest stage, which must parse exactly these columns.
+    */
+  val DocumentsSchema =
+    "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")

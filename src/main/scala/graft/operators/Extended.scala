@@ -889,9 +889,6 @@ object Extended {
     p.toString
   }
 
-  private val DocumentsSchema =
-    "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
-
   /** JSONL corpus round-trip — the interchange format LLM corpus
     * pipelines actually exchange (gzipped JSON lines, one document per
     * line). The query writes the documents table as distributed
@@ -905,7 +902,7 @@ object Extended {
     val dir = roundtripScratch(s, "jsonl")
     Tables.documents(s, d).write.mode("overwrite")
       .option("compression", "gzip").json(dir)
-    s.read.schema(DocumentsSchema).json(dir).orderBy("doc_id")
+    s.read.schema(Tables.DocumentsSchema).json(dir).orderBy("doc_id")
   }
 
   /** CSV round-trip over the same contract (header, explicit schema on
@@ -931,7 +928,7 @@ object Extended {
     // newline would silently corrupt the round-trip. The cost is
     // per-file (not per-line-split) read parallelism, the correct
     // trade for quoted text columns.
-    s.read.schema(DocumentsSchema)
+    s.read.schema(Tables.DocumentsSchema)
       .option("header", "true").option("multiLine", "true").csv(dir)
       .orderBy("doc_id")
   }

@@ -124,12 +124,19 @@ object TextAnalysis {
     * jaccard pair) — the filter→dedup composition an LLM corpus pass
     * runs, as one declarative plan (filter, anti-join on the pair set).
     */
-  private def curate(s: SparkSession, d: String): DataFrame = {
+  /** The corpus quality gate (length + type-token ratio), shared by the
+    * batch `pipe_curate` query, the streaming `curatedFirstSeen` twin,
+    * and the corpus pipeline's curate stage — ONE definition so the
+    * three paths cannot drift. Keeps all input columns.
+    */
+  private[graft] def qualityGate(df: DataFrame): DataFrame = {
     val words = split(col("text"), " ")
-    val q = Tables.documents(s, d)
-      .withColumn("n_words", size(words))
-      .withColumn("ttr", size(array_distinct(words)).cast("double") / size(words))
-      .filter(col("n_words") >= 30 && col("ttr") >= 0.3)
+    df.filter(size(words) >= 30 &&
+      size(array_distinct(words)).cast("double") / size(words) >= 0.3)
+  }
+
+  private def curate(s: SparkSession, d: String): DataFrame = {
+    val q = qualityGate(Tables.documents(s, d))
     // Persisted: the tail set is tiny (distinct doc_b of near-dup pairs)
     // but its lineage is the whole candidate+verify pipeline — caching
     // here caps a cache-miss recompute at once per run, and CacheManager

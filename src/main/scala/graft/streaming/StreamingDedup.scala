@@ -51,12 +51,7 @@ object StreamingDedup {
     */
   def curatedFirstSeen(docs: Dataset[Doc]): Dataset[SeenDoc] = {
     import docs.sparkSession.implicits._
-    val words = split(col("text"), " ")
-    val filtered = docs.toDF()
-      .withColumn("n_words", size(words))
-      .withColumn("ttr",
-        size(array_distinct(words)).cast("double") / size(words))
-      .filter(col("n_words") >= 30 && col("ttr") >= 0.3)
+    val filtered = graft.operators.TextAnalysis.qualityGate(docs.toDF())
       .select(col("doc_id"), col("text")).as[Doc]
     firstSeen(filtered)
   }

@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+class CorpusPipelineSpec extends GraftSuite {
+
+  test("corpus pipeline: batch flow and streaming twin produce identical corpora") {
+    // Corpus = the pinned documents + injected exact duplicates (the
+    // pinned corpus has near-dups but no exact dups, so without the
+    // injection the dedup stage would be a no-op and prove nothing).
+    val docs = Tables.documents(spark, sf)
+    val maxId = docs.agg(max("doc_id")).first().getLong(0)
+    val dups = docs.orderBy("doc_id").limit(40)
+      .withColumn("doc_id", col("doc_id") + maxId + 1)
+    val corpus = docs.unionByName(dups)
+    val nCorpus = corpus.count()
+    val base = Files.createTempDirectory("graft_corpus").toString
+
+    // ---- batch flow from gzip JSONL
+    corpus.write.option("compression", "gzip").json(s"$base/jsonl")
+    val batchWh = s"$base/wh_batch"
+    val report = pipeline.CorpusPipeline.runBatch(spark, s"$base/jsonl", batchWh)
+    assert(report.succeeded, report.toString)
+    val nRaw = spark.read.parquet(s"$batchWh/raw/documents.parquet").count()
+    val nCur = spark.read.parquet(s"$batchWh/curated/documents.parquet").count()
+    val nUniq = spark.read.parquet(s"$batchWh/unique/documents.parquet").count()
+    assert(nRaw == nCorpus)
+    assert(nCur < nRaw, "quality gate did not drop anything")
+    assert(nUniq < nCur, "dedup did not drop the injected duplicates")
+    // keep-first: every injected copy lost to its lower-id original
+    val keptIds = spark.read.parquet(s"$batchWh/unique/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds.forall(_ <= maxId), "an injected duplicate won keep-first")
+
+    // ---- streaming twin from 4 ordered parquet drops: ascending doc_id
+    // ranges with strictly increasing mtimes (FileStreamSource processes
+    // oldest-first), so first-arrival == min doc_id == batch keep-first.
+    val ids = corpus.select("doc_id").orderBy("doc_id").collect()
+      .map(_.getLong(0))
+    val cuts = Seq(ids(ids.length / 4), ids(ids.length / 2),
+      ids(3 * ids.length / 4))
+    val dropsDir = new java.io.File(s"$base/drops")
+    assert(dropsDir.mkdirs())
+    val ranges = (Long.MinValue +: cuts :+ Long.MaxValue).sliding(2).toSeq
+    ranges.zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+      val tmp = s"$base/tmp_drop_$i"
+      corpus.filter(col("doc_id") > lo && col("doc_id") <= hi)
+        .coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(dropsDir, f"drop-$i%02d.parquet")
+      Files.copy(part.toPath, dst.toPath)
+      assert(dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    val streamWh = s"$base/wh_stream"
+    val sReport = pipeline.CorpusPipeline
+      .runStreamingTwin(spark, s"$base/drops", streamWh)
+    assert(sReport.succeeded, sReport.toString)
+
+    // ---- end-to-end equality of every shared artifact
+    def rows(p: String, order: String*) = spark.read.parquet(p)
+      .orderBy(order.map(col): _*).collect().map(_.toString).toSeq
+    assert(rows(s"$streamWh/unique/documents.parquet", "doc_id") ==
+      rows(s"$batchWh/unique/documents.parquet", "doc_id"))
+    assert(rows(s"$streamWh/splits/assignments.parquet", "doc_id") ==
+      rows(s"$batchWh/splits/assignments.parquet", "doc_id"))
+    assert(rows(s"$streamWh/packed/sequences.parquet", "shard", "doc_id") ==
+      rows(s"$batchWh/packed/sequences.parquet", "shard", "doc_id"))
+
+    // the pack stage packed exactly the train split of the unique corpus
+    val splits = spark.read.parquet(s"$batchWh/splits/assignments.parquet")
+    val trainIds = splits.filter(col("split") === "train")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val packedIds = spark.read.parquet(s"$batchWh/packed/sequences.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(packedIds == trainIds)
+    assert(splits.count() == nUniq) // every unique doc got an assignment
+  }
+}
