@@ -92,6 +92,20 @@ object ScaleSmoke {
       time("gap_fill") {
         full(operators.Extended.gapFill(big.select(col("user_id"),
           to_date(col("ts")).as("day"), col("value"))))
+      },
+      // Round-5: rolling median at 100× — same bounded 5-row frame as
+      // the w16 query; per-row state is 5 values regardless of scale.
+      time("rolling_median") {
+        val w = Window.partitionBy("user_id")
+          .orderBy(unix_micros(col("ts")), col("event_id"))
+          .rowsBetween(-4, 0)
+        val arr = sort_array(collect_list(col("value")).over(w))
+        val n = size(arr)
+        val med = when(n === 0, lit(null).cast("double"))
+          .when(n % 2 === 1, element_at(arr, ((n + 1) / 2).cast("int")))
+          .otherwise((element_at(arr, (n / 2).cast("int")) +
+            element_at(arr, (n / 2 + 1).cast("int"))) / 2.0)
+        full(big.select(col("event_id"), round(med, 6).as("med5")))
       })
     // Skew stress: collapse every even user_id onto ONE key, putting
     // ≥50% of all rows on it, then join against a dim too large to
@@ -196,6 +210,34 @@ object ScaleSmoke {
       },
       time("pp_pack_10x") {
         SparkEntry.queries("pp_pack")(spark, docScratch).count()
+      },
+      // Round-5: the cluster pipeline's tail on the same worst-case
+      // corpus — every text is a 10-doc clique, so label propagation
+      // and the per-cluster keep-best window see their densest input.
+      time("pp_cluster_split_10x") {
+        SparkEntry.queries("pp_cluster_split")(spark, docScratch).count()
+      },
+      time("dd_keep_best_10x") {
+        SparkEntry.queries("dd_keep_best")(spark, docScratch).count()
+      })
+
+    // Tiled exact 1-NN at 10× the vector corpus (20k vectors → 400M
+    // scored pairs): the per-tile kernel emits one row per (probe,
+    // tile) and the merge shuffles one row per vector — the plan shape
+    // that replaces the whole-corpus broadcast past 200k vectors.
+    val vecScratch = s"$scratch-vecs"
+    if (!new java.io.File(vecScratch).exists()) {
+      val v = Tables.embeddings(spark, src)
+      val n = v.count()
+      v.crossJoin(spark.range(0, 10).select(col("id").as("rep")))
+        .select((col("vec_id") + col("rep") * n * 10L).as("vec_id"),
+          col("embedding"), col("label"))
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$vecScratch/embeddings.parquet")
+    }
+    val knnResults = Seq(
+      time("knn_tiled_10x") {
+        operators.Similarity.knnSelfTiled(spark, vecScratch, 4).count()
       })
 
     // Streaming dedup throughput at the same 10x dup-heavy scale: the
@@ -211,7 +253,8 @@ object ScaleSmoke {
         spark.table("scale_stream_dedup").count()
       })
 
-    val qs = (results ++ skewResults ++ dedupResults ++ streamResults)
+    val qs = (results ++ skewResults ++ dedupResults ++ knnResults ++
+      streamResults)
       .map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
     val pairCounts = dedupResults.map { case (k, _, n) => s""""$k":$n""" }
       .mkString("{", ",", "}")

@@ -26,6 +26,8 @@ object SparkEntry {
       operators.Multimodal.queries ++
       operators.SqlSurface.queries ++
       operators.Extended.queries ++
+      operators.TpchQueries.queries ++
+      operators.CorpusOps.queries ++
       operators.Layout.queries ++
       pipeline.MlPipeline.queries
 
@@ -44,6 +46,8 @@ object SparkEntry {
       operators.Multimodal.oracle ++
       operators.SqlSurface.oracle ++
       operators.Extended.oracle ++
+      operators.TpchQueries.oracle ++
+      operators.CorpusOps.oracle ++
       operators.Layout.oracle ++
       pipeline.MlPipeline.oracle
 }

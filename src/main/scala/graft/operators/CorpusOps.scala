@@ -1,0 +1,221 @@
+package graft.operators
+
+import graft._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus preparation and interchange operators: deterministic
+  * hash-gated splits and sampling, shard-parallel training-sequence
+  * packing, and the gzip-JSONL / CSV round-trips LLM corpus pipelines
+  * exchange. Split out of Extended.scala for maintainability —
+  * registry semantics unchanged.
+  */
+object CorpusOps {
+
+  /** Deterministic train/val/test assignment: md5(doc_id) buckets 0..99 →
+    * 80/10/10 split. Hash-based (not seeded-random) so the assignment is
+    * stable across engines, re-runs and re-partitioning — the property a
+    * reproducible corpus pipeline needs; adding documents never moves an
+    * existing one between splits.
+    */
+  private def ppHashSplit(s: SparkSession, d: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+      16, 10).cast("long") % 100
+    val split = when(bucket < 80, "train").when(bucket < 90, "val")
+      .otherwise("test")
+    Tables.documents(s, d)
+      .select(col("lang"), split.as("split"))
+      .groupBy("lang", "split").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "split")
+  }
+
+  // Round-trip scratch dirs live on the warehouse filesystem (the same
+  // rationale as the tiled-cosine scratch: executor-side part writes
+  // must land on the shared FS, not driver-local tmp) and are deleted
+  // when their context stops. App-id-scoped paths + overwrite mode keep
+  // re-runs idempotent within a session.
+  private def roundtripScratch(s: SparkSession, leaf: String): String = {
+    val p = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), "_graft_scratch"),
+      s"$leaf-${s.sparkContext.applicationId}")
+    val sc = s.sparkContext
+    ContextCaches.evictOnStop(sc, s"roundtrip-$leaf")(() => {
+      val fs = p.getFileSystem(sc.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    })
+    p.toString
+  }
+
+  /** JSONL corpus round-trip — the interchange format LLM corpus
+    * pipelines actually exchange (gzipped JSON lines, one document per
+    * line). The query writes the documents table as distributed
+    * gzip-JSONL part files and reads it back with an explicit schema;
+    * the oracle is the source table itself, so the differential check
+    * proves the write→read cycle is lossless byte-for-byte on every
+    * field. Scale shape: a distributed write (one part per task, no
+    * coalesce) and a parallel scan back — both embarrassingly parallel.
+    */
+  private def ioJsonl(s: SparkSession, d: String): DataFrame = {
+    val dir = roundtripScratch(s, "jsonl")
+    Tables.documents(s, d).write.mode("overwrite")
+      .option("compression", "gzip").json(dir)
+    s.read.schema(Tables.DocumentsSchema).json(dir).orderBy("doc_id")
+  }
+
+  /** CSV round-trip over the same contract (header, explicit schema on
+    * read): exercises quoting/escaping and string↔number re-parse — the
+    * K2 export surface upgraded from spec-only to oracle-checked.
+    * Known format limitation (inherent to CSV, spec-pinned): an EMPTY
+    * string field reads back as null — the wire format cannot
+    * distinguish them; JSONL preserves the distinction.
+    */
+  private def ioCsv(s: SparkSession, d: String): DataFrame = {
+    val dir = roundtripScratch(s, "csv")
+    Tables.documents(s, d).write.mode("overwrite")
+      .option("header", "true")
+      // The CSV WRITER defaults both to true and would silently trim
+      // padded text fields — the reader defaults to false, so without
+      // these the round-trip is lossy exactly for leading/trailing
+      // whitespace (spec-pinned alongside the empty→null limitation).
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(dir)
+    // multiLine: the writer quotes embedded newlines, but the DEFAULT
+    // reader still splits records on them — a text field with a
+    // newline would silently corrupt the round-trip. The cost is
+    // per-file (not per-line-split) read parallelism, the correct
+    // trade for quoted text columns.
+    s.read.schema(Tables.DocumentsSchema)
+      .option("header", "true").option("multiLine", "true").csv(dir)
+      .orderBy("doc_id")
+  }
+
+  /** Stratified deterministic downsampling: per-language keep rates
+    * (the language-rebalancing pass a multilingual corpus pipeline runs
+    * before training) applied through the same md5-bucket scheme as
+    * [[ppHashSplit]] — bucket 0..999 under rate×1000 keeps the row.
+    * Hash-gated, so the sample is reproducible across engines and
+    * re-partitionings, membership is stable under corpus growth, and
+    * the filter is a pure scan-side predicate (no shuffle, no
+    * sampling state). Emits the kept rows; the survival rate per
+    * language converges on the configured rate by the hash-uniformity
+    * of md5.
+    */
+  private def ppStratified(s: SparkSession, d: String): DataFrame = {
+    val rates = Seq("en" -> 900, "es" -> 700, "de" -> 500, "fr" -> 300,
+      "zh" -> 100) // per-mille keep rates
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 5, 4),
+      16, 10).cast("long") % 1000
+    val rate = rates.foldRight(lit(0): org.apache.spark.sql.Column) {
+      case ((l, r), rest) =>
+      when(col("lang") === l, lit(r)).otherwise(rest)
+    }
+    Tables.documents(s, d)
+      .withColumn("bucket", bucket)
+      .filter(col("bucket") < rate)
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
+  // Sequence packing geometry: 2048-token training sequences, 16
+  // parallel pack shards.
+  private val PackSeqLen = 2048
+
+  private val PackShards = 16
+
+  /** Training-sequence packing — the last hop before an LLM consumes
+    * the corpus: documents are concatenated in order and split at
+    * fixed [[PackSeqLen]]-token boundaries (the concat-then-split
+    * scheme GPT-style pretraining uses). Packing is inherently
+    * sequential, so it runs per SHARD: documents hash into
+    * [[PackShards]] deterministic shards (md5 of doc_id, stable under
+    * corpus growth), and within a shard a running-total window assigns
+    * each document its sequence index and offset. One window pass per
+    * shard — shards pack in parallel and no shard ever sees another's
+    * state; a global pack would serialize the corpus through one
+    * partition. Offsets/indices are pure integer arithmetic on the
+    * cumulative sum: deterministic and oracle-checkable.
+    */
+  private def ppPack(s: SparkSession, d: String): DataFrame =
+    packDocs(Tables.documents(s, d))
+
+  private[graft] def packDocs(docs: DataFrame): DataFrame = {
+    require((PackSeqLen & (PackSeqLen - 1)) == 0,
+      "PackSeqLen must be a power of two (bitwise split below)")
+    val shard = conv(substring(md5(col("doc_id").cast("string")), 13, 4),
+      16, 10).cast("long") % PackShards
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), shard.as("shard"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      // PackSeqLen is a power of two, so the split is exact bitwise
+      // arithmetic — a double-pathed division would go off-by-one once
+      // a shard's cumulative count passes 2^53 (the scaleKey lesson).
+      .select(col("shard"), col("doc_id"), col("n_tokens"),
+        shiftright(col("cum") - col("n_tokens"),
+          java.lang.Long.numberOfTrailingZeros(PackSeqLen)).as("seq_idx"),
+        (col("cum") - col("n_tokens")).bitwiseAND(lit(PackSeqLen - 1L))
+          .as("seq_offset"))
+      .orderBy("shard", "doc_id")
+  }
+
+  /** Spec hook: pack only the doc_id prefix (growth-stability proof —
+    * per-shard ordering is by doc_id, so appending docs never moves an
+    * existing one).
+    */
+  private[graft] def packPrefixForSpec(s: SparkSession, d: String,
+      cut: Long): DataFrame =
+    packDocs(Tables.documents(s, d).filter(col("doc_id") <= cut))
+
+  val queries: Map[String, Query] = Map(
+    "pp_hash_split" -> ppHashSplit _,
+    "pp_stratified" -> ppStratified _,
+    "pp_pack" -> ppPack _,
+    "io_jsonl_roundtrip" -> ioJsonl _,
+    "io_csv_roundtrip" -> ioCsv _)
+
+  val oracle: Map[String, String] = Map(
+    "pp_hash_split" ->
+      """WITH b AS (SELECT lang,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100
+        |    AS bucket
+        |FROM documents)
+        |SELECT lang,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n
+        |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+    "pp_stratified" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 5, 4))::BIGINT % 1000
+        |    AS bucket
+        |FROM documents)
+        |SELECT doc_id, lang, bucket FROM b
+        |WHERE bucket < CASE lang WHEN 'en' THEN 900 WHEN 'es' THEN 700
+        |  WHEN 'de' THEN 500 WHEN 'fr' THEN 300 WHEN 'zh' THEN 100
+        |  ELSE 0 END
+        |ORDER BY doc_id""".stripMargin,
+    "pp_pack" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 13, 4))::BIGINT
+         |    % $PackShards AS shard,
+         |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+         |FROM documents),
+         |c AS (SELECT shard, doc_id, n_tokens,
+         |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t)
+         |SELECT shard, doc_id, n_tokens,
+         |  CAST((cum - n_tokens) // $PackSeqLen AS BIGINT) AS seq_idx,
+         |  CAST((cum - n_tokens) % $PackSeqLen AS BIGINT) AS seq_offset
+         |FROM c ORDER BY shard, doc_id""".stripMargin,
+    "io_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "io_csv_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

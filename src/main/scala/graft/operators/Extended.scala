@@ -223,177 +223,6 @@ object Extended {
       .orderBy("event_id")
   }
 
-  /** TPC-H Q1 (pricing summary): the canonical scan→partial-agg→final-agg
-    * benchmark shape. Product terms are computed per-row in double
-    * (bit-identical across engines) and summed in DECIMAL
-    * (order-independent), so the result is exact at any parallelism.
-    */
-  private def tpchQ1(s: SparkSession, d: String): DataFrame = {
-    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-    val charge = disc * (lit(1.0) + col("l_tax"))
-    Tables.lineitem(s, d)
-      .filter(col("l_shipdate") <= to_timestamp(lit("2001-09-02")))
-      .groupBy("l_returnflag", "l_linestatus")
-      .agg(
-        dsum(col("l_quantity")).as("sum_qty"),
-        dsum(col("l_extendedprice")).as("sum_base_price"),
-        dsum(disc).as("sum_disc_price"),
-        dsum(charge).as("sum_charge"),
-        r6(avg(col("l_quantity"))).as("avg_qty"),
-        r6(avg(col("l_extendedprice"))).as("avg_price"),
-        r6(avg(col("l_discount"))).as("avg_disc"),
-        count(lit(1)).as("count_order"))
-      .orderBy("l_returnflag", "l_linestatus")
-  }
-
-  /** TPC-H Q3 (shipping priority): selective dimension filter → joined
-    * fact scan → grouped revenue → top-10. No explicit broadcast hints:
-    * customer and orders SCALE with the data (hinting them broadcast
-    * would lie at 100 TB) — Catalyst/AQE auto-broadcasts them below the
-    * threshold (which it does at bench scale, spec-asserted) and falls
-    * back to shuffle joins beyond it.
-    */
-  private def tpchQ3(s: SparkSession, d: String): DataFrame = {
-    val cut = to_timestamp(lit("1998-03-15"))
-    val c = Tables.customer(s, d)
-      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
-    val o = Tables.orders(s, d).filter(col("o_orderdate") < cut)
-      .select("o_orderkey", "o_custkey", "o_orderdate")
-    val l = Tables.lineitem(s, d).filter(col("l_shipdate") > cut)
-      .select("l_orderkey", "l_extendedprice", "l_discount")
-    l.join(o.join(c, col("o_custkey") === col("c_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("l_orderkey"),
-        date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"))
-      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .as("revenue"))
-      .orderBy(col("revenue").desc, col("l_orderkey"))
-      .limit(10)
-  }
-
-  /** TPC-H Q6 (forecasting revenue change): pure filter+agg — the
-    * predicate-pushdown showcase (all four filters reach the parquet
-    * row-group stats).
-    */
-  private def tpchQ6(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
-        col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
-        col("l_discount").between(0.05, 0.07) &&
-        col("l_quantity") < 24)
-      .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
-        count(lit(1)).as("n"))
-
-  /** TPC-H Q5 (local supplier volume): the 6-table join. Only the
-    * FIXED-cardinality dimensions (nation, region) carry explicit
-    * broadcast hints — customer/orders/supplier scale with the data, so
-    * their join strategy is left to Catalyst/AQE (auto-broadcast below
-    * the threshold, shuffle join at 100 TB).
-    */
-  private def tpchQ5(s: SparkSession, d: String): DataFrame = {
-    val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
-    val n = Tables.nation(s, d)
-      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-    val c = Tables.customer(s, d)
-      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
-      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
-    val o = Tables.orders(s, d)
-      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
-        col("o_orderdate") < to_timestamp(lit("1998-01-01")))
-      .select("o_orderkey", "o_custkey")
-    val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
-    Tables.lineitem(s, d)
-      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-      .join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(c, col("o_custkey") === col("c_custkey"))
-      .join(sup, col("l_suppkey") === col("s_suppkey") &&
-        col("c_nationkey") === col("s_nationkey"))
-      .groupBy("n_name")
-      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .as("revenue"))
-      .orderBy(col("revenue").desc, col("n_name"))
-  }
-
-  /** TPC-H Q10 (returned-item revenue): customers who returned items in
-    * a quarter, ranked by lost revenue. Fact-side filters (returnflag,
-    * order-date window) push to the scans; nation is broadcast (25 rows
-    * at any scale); customer/orders join is left to AQE — the same
-    * scale-honest hint policy as q5/q18.
-    */
-  private def tpchQ10(s: SparkSession, d: String): DataFrame = {
-    val o = Tables.orders(s, d)
-      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
-        col("o_orderdate") < to_timestamp(lit("1996-04-01")))
-      .select("o_orderkey", "o_custkey")
-    val l = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
-      .select("l_orderkey", "l_extendedprice", "l_discount")
-    val c = Tables.customer(s, d)
-      .join(broadcast(Tables.nation(s, d)),
-        col("c_nationkey") === col("n_nationkey"))
-      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
-        col("n_name"))
-    l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(c, col("o_custkey") === col("c_custkey"))
-      .groupBy(col("c_custkey"), col("c_name"),
-        r6(col("c_acctbal")).as("c_acctbal"), col("n_name"))
-      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .as("revenue"))
-      .orderBy(col("revenue").desc, col("c_custkey"))
-      .limit(20)
-  }
-
-  /** TPC-H Q14 (promotion effect): promo revenue share over one month —
-    * a broadcast part join + single conditional-aggregate pass (no
-    * shuffle of lineitem beyond the final one-row agg).
-    */
-  private def tpchQ14(s: SparkSession, d: String): DataFrame = {
-    val l = Tables.lineitem(s, d)
-      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
-        col("l_shipdate") < to_timestamp(lit("1996-02-01")))
-      .select("l_partkey", "l_extendedprice", "l_discount")
-    val p = Tables.part(s, d).select(col("p_partkey"), col("p_type"))
-    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-    l.join(p, col("l_partkey") === col("p_partkey"))
-      .agg(r6(lit(100.0) *
-        sum(when(col("p_type").startsWith("PROMO"), rev).otherwise(lit(0.0))
-          .cast("decimal(38,6)")).cast("double") /
-        dsum(rev)).as("promo_revenue_pct"),
-        count(lit(1)).as("n"))
-  }
-
-  /** TPC-H Q7 (volume shipping): bilateral trade between two nations by
-    * year. Both nation filters are broadcast; the supplier/customer
-    * sides reduce lineitem/orders before the fact join, and the yearly
-    * rollup is one grouped aggregate.
-    */
-  private def tpchQ7(s: SparkSession, d: String): DataFrame = {
-    val n1 = "NATION_1"
-    val n2 = "NATION_2"
-    val nat = Tables.nation(s, d)
-      .filter(col("n_name").isin(n1, n2)).select("n_nationkey", "n_name")
-    val sup = Tables.supplier(s, d)
-      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
-      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
-    val cust = Tables.customer(s, d)
-      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
-      .select(col("c_custkey"), col("n_name").as("cust_nation"))
-    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-    Tables.lineitem(s, d)
-      .filter(col("l_shipdate") >= to_timestamp(lit("1995-01-01")) &&
-        col("l_shipdate") < to_timestamp(lit("1997-01-01")))
-      .select("l_orderkey", "l_suppkey", "l_shipdate",
-        "l_extendedprice", "l_discount")
-      .join(sup, col("l_suppkey") === col("s_suppkey"))
-      .join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(cust, col("o_custkey") === col("c_custkey"))
-      .filter((col("supp_nation") === n1 && col("cust_nation") === n2) ||
-        (col("supp_nation") === n2 && col("cust_nation") === n1))
-      .groupBy(col("supp_nation"), col("cust_nation"),
-        year(col("l_shipdate")).as("l_year"))
-      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .as("revenue"))
-      .orderBy("supp_nation", "cust_nation", "l_year")
-  }
 
   /** W13: the distribution-window family (ntile, percent_rank,
     * cume_dist) — completes the rank family of w9 with the quantile-
@@ -556,165 +385,6 @@ object Extended {
       .orderBy("doc_id")
   }
 
-  /** TPC-H Q8 (national market share): the widest feasible join tree on
-    * this schema — lineitem × part × supplier × orders × customer ×
-    * nation² × region — with the share computed as a conditional-sum
-    * ratio per year. Bounded dims (region, nation) broadcast; the fact
-    * chain is left to AQE.
-    */
-  private def tpchQ8(s: SparkSession, d: String): DataFrame = {
-    val r = Tables.region(s, d).filter(col("r_name") === "EUROPE")
-    val n1 = Tables.nation(s, d)
-      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-      .select(col("n_nationkey").as("cnk"))
-    val n2 = Tables.nation(s, d)
-      .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
-    val c = Tables.customer(s, d)
-      .join(broadcast(n1), col("c_nationkey") === col("cnk"))
-      .select("c_custkey")
-    val o = Tables.orders(s, d)
-      .filter(col("o_orderdate") >= to_timestamp(lit("1995-01-01")) &&
-        col("o_orderdate") < to_timestamp(lit("1997-01-01")))
-      .select("o_orderkey", "o_custkey", "o_orderdate")
-    val p = Tables.part(s, d).filter(col("p_type") === "STANDARD")
-      .select("p_partkey")
-    val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
-    val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-    Tables.lineitem(s, d)
-      .select("l_orderkey", "l_partkey", "l_suppkey",
-        "l_extendedprice", "l_discount")
-      .join(p, col("l_partkey") === col("p_partkey"))
-      .join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(c, col("o_custkey") === col("c_custkey"))
-      .join(sup, col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(n2), col("s_nationkey") === col("snk"))
-      .groupBy(year(col("o_orderdate")).as("o_year"))
-      .agg(r6(
-        sum(when(col("supp_nation") === "NATION_3", vol).otherwise(lit(0.0))
-          .cast("decimal(38,6)")).cast("double") /
-        sum(vol.cast("decimal(38,6)")).cast("double")).as("mkt_share"))
-      .orderBy("o_year")
-  }
-
-  /** TPC-H Q15 (top supplier): revenue per supplier over a quarter, then
-    * the supplier(s) achieving the scalar max — the HAVING-equals-
-    * subquery shape; the per-supplier revenue aggregate is computed once
-    * and self-joined against its own max (broadcast one-row).
-    */
-  private def tpchQ15(s: SparkSession, d: String): DataFrame = {
-    val rev = Tables.lineitem(s, d)
-      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
-        col("l_shipdate") < to_timestamp(lit("1996-04-01")))
-      .groupBy(col("l_suppkey").as("supplier_no"))
-      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .as("total_revenue"))
-    val mx = rev.agg(max(col("total_revenue")).as("mx"))
-    rev.join(broadcast(mx), col("total_revenue") === col("mx"))
-      .join(Tables.supplier(s, d),
-        col("supplier_no") === col("s_suppkey"))
-      .select(col("s_suppkey"), col("s_name"),
-        r6(col("total_revenue")).as("total_revenue"))
-      .orderBy("s_suppkey")
-  }
-
-  /** TPC-H Q22 (global sales opportunity), adapted: country code comes
-    * from c_nationkey (the schema has no phone column). Customers with
-    * above-average positive balance and NO orders — a broadcast scalar
-    * subquery threshold plus a left-anti join against recent orders
-    * (the full order history covers nearly every customer at any SF, so
-    * the classic formulation is vacuous here), grouped per country.
-    */
-  private def tpchQ22(s: SparkSession, d: String): DataFrame = {
-    val c = Tables.customer(s, d)
-      .filter(col("c_nationkey") < 10)
-      .select(col("c_custkey"), col("c_nationkey").as("cntrycode"),
-        col("c_acctbal"))
-    val avgBal = c.filter(col("c_acctbal") > 0)
-      .agg(avg(col("c_acctbal")).as("ab"))
-    c.join(broadcast(avgBal), col("c_acctbal") > col("ab"))
-      .join(Tables.orders(s, d)
-        .filter(col("o_orderdate") >= to_timestamp(lit("2000-01-01")))
-        .select(col("o_custkey")),
-        col("c_custkey") === col("o_custkey"), "left_anti")
-      .groupBy("cntrycode")
-      .agg(count(lit(1)).as("numcust"),
-        dsum(col("c_acctbal")).as("totacctbal"))
-      .orderBy("cntrycode")
-  }
-
-  /** TPC-H Q18 (large-volume customers): a grouped HAVING filter feeding
-    * a join back onto orders/customer. The qualifying key set is
-    * genuinely small at ANY scale (HAVING > threshold keeps outliers), so
-    * its broadcast hint is scale-honest; customer is left to AQE.
-    */
-  private def tpchQ18(s: SparkSession, d: String): DataFrame = {
-    val big = Tables.lineitem(s, d)
-      .groupBy("l_orderkey")
-      .agg(dsum(col("l_quantity")).as("total_qty"))
-      .filter(col("total_qty") > 250)
-    Tables.orders(s, d)
-      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
-      .join(Tables.customer(s, d),
-        col("o_custkey") === col("c_custkey"))
-      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
-        r6(col("o_totalprice")).as("o_totalprice"), col("total_qty"))
-      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      .limit(100)
-  }
-
-  /** TPC-H Q13 (customer distribution), adapted: the `o_comment NOT LIKE`
-    * filter becomes `o_orderpriority <> '1-URGENT'` (testdata carries no
-    * comment column — same adaptation standard as Q22's
-    * c_phone→c_nationkey). The filter lives in the JOIN CONDITION, not a
-    * WHERE: a customer whose every order is urgent must survive with
-    * count 0 — the archetypal LEFT OUTER JOIN semantics (count(col)
-    * skips the null-extended rows). Scale shape: orders shuffles on
-    * o_custkey once; the count-distribution re-aggregate is over at most
-    * |distinct counts| rows.
-    */
-  private def tpchQ13(s: SparkSession, d: String): DataFrame = {
-    val perCust = Tables.customer(s, d)
-      .select(col("c_custkey"))
-      .join(Tables.orders(s, d)
-          .filter(col("o_orderpriority") =!= "1-URGENT")
-          .select(col("o_custkey"), col("o_orderkey")),
-        col("c_custkey") === col("o_custkey"), "left_outer")
-      .groupBy(col("c_custkey"))
-      .agg(count(col("o_orderkey")).as("c_count"))
-    perCust.groupBy(col("c_count"))
-      .agg(count(lit(1)).as("custdist"))
-      .orderBy(col("custdist").desc, col("c_count").desc)
-  }
-
-  /** TPC-H Q17 (small-quantity-order revenue), adapted: `p_container`
-    * becomes `p_type` (testdata has brand+type). The correlated
-    * avg-quantity subquery decorrelates to a grouped aggregate over the
-    * SAME part-filtered lineitem slice (per-partkey avg is unchanged by
-    * the semi-filtering join — every lineitem row of a qualifying part
-    * survives it), joined back per partkey: one aggregate of a few rows
-    * per qualifying part, broadcast back — not a re-scan per row. The
-    * threshold is computed decimal-exact then rounded identically on
-    * both engines so the `<` comparison can't flip on float noise.
-    */
-  private def tpchQ17(s: SparkSession, d: String): DataFrame = {
-    val pf = Tables.part(s, d)
-      .filter(col("p_brand") === "Brand#13" && col("p_type") === "MEDIUM")
-      .select(col("p_partkey"))
-    // Persisted: both the threshold aggregate and the final join
-    // consume the part-filtered slice — without this the dominant
-    // lineitem scan runs twice.
-    val cand = Tables.lineitem(s, d)
-      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
-      .join(pf, col("l_partkey") === col("p_partkey"))
-      .pinned()
-    val thresh = cand.groupBy(col("l_partkey").as("t_partkey"))
-      .agg(r6(lit(0.2) * (dsum(col("l_quantity")) / count(lit(1))))
-        .as("qty_cut"))
-    cand.join(thresh, col("l_partkey") === col("t_partkey"))
-      .filter(col("l_quantity") < col("qty_cut"))
-      .agg(r6(dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"),
-        count(lit(1)).as("n"))
-  }
 
   /** First-class FULL OUTER JOIN: daily error/purchase reconciliation
     * per user. At the (user_id, day) grain the testdata genuinely
@@ -855,161 +525,6 @@ object Extended {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
-  /** Deterministic train/val/test assignment: md5(doc_id) buckets 0..99 →
-    * 80/10/10 split. Hash-based (not seeded-random) so the assignment is
-    * stable across engines, re-runs and re-partitioning — the property a
-    * reproducible corpus pipeline needs; adding documents never moves an
-    * existing one between splits.
-    */
-  private def ppHashSplit(s: SparkSession, d: String): DataFrame = {
-    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
-      16, 10).cast("long") % 100
-    val split = when(bucket < 80, "train").when(bucket < 90, "val")
-      .otherwise("test")
-    Tables.documents(s, d)
-      .select(col("lang"), split.as("split"))
-      .groupBy("lang", "split").agg(count(lit(1)).as("n"))
-      .orderBy("lang", "split")
-  }
-
-  // Round-trip scratch dirs live on the warehouse filesystem (the same
-  // rationale as the tiled-cosine scratch: executor-side part writes
-  // must land on the shared FS, not driver-local tmp) and are deleted
-  // when their context stops. App-id-scoped paths + overwrite mode keep
-  // re-runs idempotent within a session.
-  private def roundtripScratch(s: SparkSession, leaf: String): String = {
-    val p = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(
-      s.conf.get("spark.sql.warehouse.dir"), "_graft_scratch"),
-      s"$leaf-${s.sparkContext.applicationId}")
-    val sc = s.sparkContext
-    ContextCaches.evictOnStop(sc, s"roundtrip-$leaf")(() => {
-      val fs = p.getFileSystem(sc.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
-    })
-    p.toString
-  }
-
-  /** JSONL corpus round-trip — the interchange format LLM corpus
-    * pipelines actually exchange (gzipped JSON lines, one document per
-    * line). The query writes the documents table as distributed
-    * gzip-JSONL part files and reads it back with an explicit schema;
-    * the oracle is the source table itself, so the differential check
-    * proves the write→read cycle is lossless byte-for-byte on every
-    * field. Scale shape: a distributed write (one part per task, no
-    * coalesce) and a parallel scan back — both embarrassingly parallel.
-    */
-  private def ioJsonl(s: SparkSession, d: String): DataFrame = {
-    val dir = roundtripScratch(s, "jsonl")
-    Tables.documents(s, d).write.mode("overwrite")
-      .option("compression", "gzip").json(dir)
-    s.read.schema(Tables.DocumentsSchema).json(dir).orderBy("doc_id")
-  }
-
-  /** CSV round-trip over the same contract (header, explicit schema on
-    * read): exercises quoting/escaping and string↔number re-parse — the
-    * K2 export surface upgraded from spec-only to oracle-checked.
-    * Known format limitation (inherent to CSV, spec-pinned): an EMPTY
-    * string field reads back as null — the wire format cannot
-    * distinguish them; JSONL preserves the distinction.
-    */
-  private def ioCsv(s: SparkSession, d: String): DataFrame = {
-    val dir = roundtripScratch(s, "csv")
-    Tables.documents(s, d).write.mode("overwrite")
-      .option("header", "true")
-      // The CSV WRITER defaults both to true and would silently trim
-      // padded text fields — the reader defaults to false, so without
-      // these the round-trip is lossy exactly for leading/trailing
-      // whitespace (spec-pinned alongside the empty→null limitation).
-      .option("ignoreLeadingWhiteSpace", "false")
-      .option("ignoreTrailingWhiteSpace", "false")
-      .csv(dir)
-    // multiLine: the writer quotes embedded newlines, but the DEFAULT
-    // reader still splits records on them — a text field with a
-    // newline would silently corrupt the round-trip. The cost is
-    // per-file (not per-line-split) read parallelism, the correct
-    // trade for quoted text columns.
-    s.read.schema(Tables.DocumentsSchema)
-      .option("header", "true").option("multiLine", "true").csv(dir)
-      .orderBy("doc_id")
-  }
-
-  /** Stratified deterministic downsampling: per-language keep rates
-    * (the language-rebalancing pass a multilingual corpus pipeline runs
-    * before training) applied through the same md5-bucket scheme as
-    * [[ppHashSplit]] — bucket 0..999 under rate×1000 keeps the row.
-    * Hash-gated, so the sample is reproducible across engines and
-    * re-partitionings, membership is stable under corpus growth, and
-    * the filter is a pure scan-side predicate (no shuffle, no
-    * sampling state). Emits the kept rows; the survival rate per
-    * language converges on the configured rate by the hash-uniformity
-    * of md5.
-    */
-  private def ppStratified(s: SparkSession, d: String): DataFrame = {
-    val rates = Seq("en" -> 900, "es" -> 700, "de" -> 500, "fr" -> 300,
-      "zh" -> 100) // per-mille keep rates
-    val bucket = conv(substring(md5(col("doc_id").cast("string")), 5, 4),
-      16, 10).cast("long") % 1000
-    val rate = rates.foldRight(lit(0): org.apache.spark.sql.Column) {
-      case ((l, r), rest) =>
-      when(col("lang") === l, lit(r)).otherwise(rest)
-    }
-    Tables.documents(s, d)
-      .withColumn("bucket", bucket)
-      .filter(col("bucket") < rate)
-      .select(col("doc_id"), col("lang"), col("bucket"))
-      .orderBy("doc_id")
-  }
-
-  // Sequence packing geometry: 2048-token training sequences, 16
-  // parallel pack shards.
-  private val PackSeqLen = 2048
-  private val PackShards = 16
-
-  /** Training-sequence packing — the last hop before an LLM consumes
-    * the corpus: documents are concatenated in order and split at
-    * fixed [[PackSeqLen]]-token boundaries (the concat-then-split
-    * scheme GPT-style pretraining uses). Packing is inherently
-    * sequential, so it runs per SHARD: documents hash into
-    * [[PackShards]] deterministic shards (md5 of doc_id, stable under
-    * corpus growth), and within a shard a running-total window assigns
-    * each document its sequence index and offset. One window pass per
-    * shard — shards pack in parallel and no shard ever sees another's
-    * state; a global pack would serialize the corpus through one
-    * partition. Offsets/indices are pure integer arithmetic on the
-    * cumulative sum: deterministic and oracle-checkable.
-    */
-  private def ppPack(s: SparkSession, d: String): DataFrame =
-    packDocs(Tables.documents(s, d))
-
-  private[graft] def packDocs(docs: DataFrame): DataFrame = {
-    require((PackSeqLen & (PackSeqLen - 1)) == 0,
-      "PackSeqLen must be a power of two (bitwise split below)")
-    val shard = conv(substring(md5(col("doc_id").cast("string")), 13, 4),
-      16, 10).cast("long") % PackShards
-    val w = Window.partitionBy("shard").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
-      .select(col("doc_id"), shard.as("shard"),
-        size(split(col("text"), " ")).as("n_tokens"))
-      .withColumn("cum", sum(col("n_tokens")).over(w))
-      // PackSeqLen is a power of two, so the split is exact bitwise
-      // arithmetic — a double-pathed division would go off-by-one once
-      // a shard's cumulative count passes 2^53 (the scaleKey lesson).
-      .select(col("shard"), col("doc_id"), col("n_tokens"),
-        shiftright(col("cum") - col("n_tokens"),
-          java.lang.Long.numberOfTrailingZeros(PackSeqLen)).as("seq_idx"),
-        (col("cum") - col("n_tokens")).bitwiseAND(lit(PackSeqLen - 1L))
-          .as("seq_offset"))
-      .orderBy("shard", "doc_id")
-  }
-
-  /** Spec hook: pack only the doc_id prefix (growth-stability proof —
-    * per-shard ordering is by doc_id, so appending docs never moves an
-    * existing one).
-    */
-  private[graft] def packPrefixForSpec(s: SparkSession, d: String,
-      cut: Long): DataFrame =
-    packDocs(Tables.documents(s, d).filter(col("doc_id") <= cut))
 
   /** Inverse-frequency class weights (total / (k·n) per label) — the
     * standard imbalance correction, computed as one tiny agg + broadcast
@@ -1053,21 +568,8 @@ object Extended {
     "f9_bitwise" -> f9Bitwise _,
     "f10_string" -> f10String _,
     "o4_offset" -> o4Offset _,
-    "pp_hash_split" -> ppHashSplit _,
-    "pp_stratified" -> ppStratified _,
-    "pp_pack" -> ppPack _,
-    "io_jsonl_roundtrip" -> ioJsonl _,
-    "io_csv_roundtrip" -> ioCsv _,
     "ml_class_weights" -> mlClassWeights _,
     "ta_normalize" -> taNormalize _,
-    "tpch_q1" -> tpchQ1 _,
-    "tpch_q3" -> tpchQ3 _,
-    "tpch_q10" -> tpchQ10 _,
-    "tpch_q14" -> tpchQ14 _,
-    "tpch_q7" -> tpchQ7 _,
-    "tpch_q8" -> tpchQ8 _,
-    "tpch_q15" -> tpchQ15 _,
-    "tpch_q22" -> tpchQ22 _,
     "w13_distribution" -> w13Distribution _,
     "w14_rolling_distinct" -> w14RollingDistinct _,
     "w15_gap_fill" -> w15GapFill _,
@@ -1075,11 +577,6 @@ object Extended {
     "f12_map" -> f12Map _,
     "f13_encode" -> f13Encode _,
     "a24_topk_agg" -> a24TopkAgg _,
-    "tpch_q5" -> tpchQ5 _,
-    "tpch_q6" -> tpchQ6 _,
-    "tpch_q13" -> tpchQ13 _,
-    "tpch_q17" -> tpchQ17 _,
-    "tpch_q18" -> tpchQ18 _,
     "w11_range_frame" -> w11RangeFrame _,
     "j5_asof_join" -> j5AsofJoin _,
     "j7_asof_custom" -> j7AsofCustom _,
@@ -1151,16 +648,6 @@ object Extended {
         |SELECT user_id, arg_min(event_type, key) AS first_type,
         |  arg_max(event_type, key) AS last_type, count(*) AS n
         |FROM k GROUP BY user_id ORDER BY user_id""".stripMargin,
-    "pp_hash_split" ->
-      """WITH b AS (SELECT lang,
-        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100
-        |    AS bucket
-        |FROM documents)
-        |SELECT lang,
-        |  CASE WHEN bucket < 80 THEN 'train'
-        |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
-        |  count(*) AS n
-        |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
     "w16_rolling_median" ->
       """SELECT event_id,
         |  round(median(value) OVER (PARTITION BY user_id
@@ -1184,36 +671,6 @@ object Extended {
         |  CAST(v IS NULL AS INT) AS was_gap
         |FROM grid g LEFT JOIN daily USING (user_id, day)
         |ORDER BY user_id, day""".stripMargin,
-    "pp_pack" ->
-      s"""WITH t AS (SELECT doc_id,
-         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 13, 4))::BIGINT
-         |    % $PackShards AS shard,
-         |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
-         |FROM documents),
-         |c AS (SELECT shard, doc_id, n_tokens,
-         |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-         |  FROM t)
-         |SELECT shard, doc_id, n_tokens,
-         |  CAST((cum - n_tokens) // $PackSeqLen AS BIGINT) AS seq_idx,
-         |  CAST((cum - n_tokens) % $PackSeqLen AS BIGINT) AS seq_offset
-         |FROM c ORDER BY shard, doc_id""".stripMargin,
-    "io_jsonl_roundtrip" ->
-      """SELECT doc_id, text, lang, source, n_chars
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    "io_csv_roundtrip" ->
-      """SELECT doc_id, text, lang, source, n_chars
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    "pp_stratified" ->
-      """WITH b AS (SELECT doc_id, lang,
-        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 5, 4))::BIGINT % 1000
-        |    AS bucket
-        |FROM documents)
-        |SELECT doc_id, lang, bucket FROM b
-        |WHERE bucket < CASE lang WHEN 'en' THEN 900 WHEN 'es' THEN 700
-        |  WHEN 'de' THEN 500 WHEN 'fr' THEN 300 WHEN 'zh' THEN 100
-        |  ELSE 0 END
-        |ORDER BY doc_id""".stripMargin,
     "ml_class_weights" ->
       """WITH c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
         |t AS (SELECT CAST(sum(n) AS DOUBLE) AS total, count(*) AS k FROM c)
@@ -1226,69 +683,6 @@ object Extended {
         |  CAST(len(trim(regexp_replace(regexp_replace(lower(text),
         |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS INT) AS n_norm
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "tpch_q1" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
-        |    AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
-        |    AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
-        |    AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
-        |  round(avg(l_quantity), 6) AS avg_qty,
-        |  round(avg(l_extendedprice), 6) AS avg_price,
-        |  round(avg(l_discount), 6) AS avg_disc,
-        |  count(*) AS count_order
-        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02'
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
-    "tpch_q3" ->
-      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS od,
-        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
-        |    AS DECIMAL(38,6))) AS DOUBLE) AS revenue
-        |FROM customer JOIN orders ON c_custkey = o_custkey
-        |JOIN lineitem ON l_orderkey = o_orderkey
-        |WHERE c_mktsegment = 'BUILDING'
-        |  AND o_orderdate < TIMESTAMP '1998-03-15'
-        |  AND l_shipdate > TIMESTAMP '1998-03-15'
-        |GROUP BY l_orderkey, od
-        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
-    "tpch_q5" ->
-      """SELECT n_name,
-        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
-        |    AS DECIMAL(38,6))) AS DOUBLE) AS revenue
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN supplier ON l_suppkey = s_suppkey
-        |  AND c_nationkey = s_nationkey
-        |JOIN nation ON s_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |WHERE r_name = 'ASIA'
-        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
-        |  AND o_orderdate < TIMESTAMP '1998-01-01'
-        |GROUP BY n_name
-        |ORDER BY revenue DESC, n_name""".stripMargin,
-    "tpch_q18" ->
-      """WITH big AS (SELECT l_orderkey,
-        |    CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
-        |      AS total_qty
-        |  FROM lineitem GROUP BY l_orderkey
-        |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) > 250)
-        |SELECT c_custkey, c_name, o_orderkey,
-        |  round(o_totalprice, 6) AS o_totalprice, total_qty
-        |FROM orders JOIN big ON o_orderkey = l_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
-    "tpch_q6" ->
-      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,6)))
-        |    AS DOUBLE) AS revenue,
-        |  count(*) AS n
-        |FROM lineitem
-        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-        |  AND l_shipdate < TIMESTAMP '1997-01-01'
-        |  AND l_discount BETWEEN 0.05 AND 0.07
-        |  AND l_quantity < 24""".stripMargin,
     "w14_rolling_distinct" ->
       """SELECT event_id,
         |  CAST(len(list_distinct(list(event_type) OVER w)) AS INT)
@@ -1339,91 +733,6 @@ object Extended {
         |FROM e FULL OUTER JOIN p
         |  ON e.user_id = p.user_id AND e.day = p.day
         |ORDER BY user_id, day""".stripMargin,
-    "tpch_q13" ->
-      """SELECT c_count, count(*) AS custdist
-        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
-        |      FROM customer LEFT OUTER JOIN orders
-        |        ON c_custkey = o_custkey
-        |        AND o_orderpriority <> '1-URGENT'
-        |      GROUP BY c_custkey) c_orders
-        |GROUP BY c_count
-        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
-    "tpch_q17" ->
-      """WITH pf AS (SELECT p_partkey FROM part
-        |    WHERE p_brand = 'Brand#13' AND p_type = 'MEDIUM'),
-        |  cand AS (SELECT l_partkey, l_quantity, l_extendedprice
-        |    FROM lineitem JOIN pf ON l_partkey = p_partkey),
-        |  th AS (SELECT l_partkey AS t_partkey,
-        |      round(0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(38,6)))
-        |        AS DOUBLE) / count(*)), 6) AS qty_cut
-        |    FROM cand GROUP BY l_partkey)
-        |SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6)))
-        |    AS DOUBLE) / 7.0, 6) AS avg_yearly,
-        |  count(*) AS n
-        |FROM cand JOIN th ON l_partkey = t_partkey
-        |WHERE l_quantity < qty_cut""".stripMargin,
-    "tpch_q22" ->
-      """SELECT c_nationkey AS cntrycode, count(*) AS numcust,
-        |  CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
-        |    AS totacctbal
-        |FROM customer
-        |WHERE c_nationkey < 10
-        |  AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
-        |                   WHERE c_acctbal > 0 AND c_nationkey < 10)
-        |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
-        |                   WHERE o_orderdate >= TIMESTAMP '2000-01-01')
-        |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin,
-    "tpch_q8" ->
-      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-        |  round(
-        |    CAST(sum(CAST(CASE WHEN sn.n_name = 'NATION_3'
-        |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
-        |      AS DECIMAL(38,6))) AS DOUBLE) /
-        |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
-        |      AS DECIMAL(38,6))) AS DOUBLE), 6) AS mkt_share
-        |FROM lineitem
-        |JOIN part ON l_partkey = p_partkey
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN nation cn ON c_nationkey = cn.n_nationkey
-        |JOIN region ON cn.n_regionkey = r_regionkey
-        |JOIN supplier ON l_suppkey = s_suppkey
-        |JOIN nation sn ON s_nationkey = sn.n_nationkey
-        |WHERE r_name = 'EUROPE' AND p_type = 'STANDARD'
-        |  AND o_orderdate >= TIMESTAMP '1995-01-01'
-        |  AND o_orderdate < TIMESTAMP '1997-01-01'
-        |GROUP BY o_year ORDER BY o_year""".stripMargin,
-    "tpch_q15" ->
-      """WITH rev AS (SELECT l_suppkey AS supplier_no,
-        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
-        |    AS DECIMAL(38,6))) AS DOUBLE) AS total_revenue
-        |  FROM lineitem
-        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-        |    AND l_shipdate < TIMESTAMP '1996-04-01'
-        |  GROUP BY l_suppkey)
-        |SELECT s_suppkey, s_name, round(total_revenue, 6) AS total_revenue
-        |FROM rev JOIN supplier ON supplier_no = s_suppkey
-        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
-        |ORDER BY s_suppkey""".stripMargin,
-    "tpch_q7" ->
-      """WITH nat AS (SELECT n_nationkey, n_name FROM nation
-        |             WHERE n_name IN ('NATION_1', 'NATION_2'))
-        |SELECT s.n_name AS supp_nation, c.n_name AS cust_nation,
-        |  CAST(year(l_shipdate) AS INT) AS l_year,
-        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
-        |    AS DECIMAL(38,6))) AS DOUBLE) AS revenue
-        |FROM lineitem
-        |JOIN supplier ON l_suppkey = s_suppkey
-        |JOIN nat s ON s_nationkey = s.n_nationkey
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN nat c ON c_nationkey = c.n_nationkey
-        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
-        |  AND l_shipdate < TIMESTAMP '1997-01-01'
-        |  AND ((s.n_name = 'NATION_1' AND c.n_name = 'NATION_2') OR
-        |       (s.n_name = 'NATION_2' AND c.n_name = 'NATION_1'))
-        |GROUP BY supp_nation, cust_nation, l_year
-        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
     "w13_distribution" ->
       """SELECT event_id,
         |  CAST(ntile(4) OVER w AS INT) AS quartile,
@@ -1432,30 +741,6 @@ object Extended {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
         |ORDER BY event_id""".stripMargin,
-    "tpch_q10" ->
-      """SELECT c_custkey, c_name, round(c_acctbal, 6) AS c_acctbal, n_name,
-        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
-        |    AS DECIMAL(38,6))) AS DOUBLE) AS revenue
-        |FROM customer
-        |JOIN nation ON c_nationkey = n_nationkey
-        |JOIN orders ON o_custkey = c_custkey
-        |JOIN lineitem ON l_orderkey = o_orderkey
-        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
-        |  AND o_orderdate < TIMESTAMP '1996-04-01'
-        |  AND l_returnflag = 'R'
-        |GROUP BY c_custkey, c_name, round(c_acctbal, 6), n_name
-        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
-    "tpch_q14" ->
-      """SELECT round(100.0 *
-        |  CAST(sum(CAST(CASE WHEN p_type LIKE 'PROMO%'
-        |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
-        |    AS DECIMAL(38,6))) AS DOUBLE) /
-        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
-        |    AS DECIMAL(38,6))) AS DOUBLE), 6) AS promo_revenue_pct,
-        |  count(*) AS n
-        |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-        |  AND l_shipdate < TIMESTAMP '1996-02-01'""".stripMargin,
     "w11_range_frame" ->
       """SELECT event_id,
         |  count(*) OVER w AS n_in_band,

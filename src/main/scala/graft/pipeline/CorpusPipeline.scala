@@ -71,7 +71,7 @@ object CorpusPipeline {
       val docs = s.read.parquet(s"$wh/unique/documents.parquet")
       val train = s.read.parquet(s"$wh/splits/assignments.parquet")
         .filter(col("split") === "train").select("doc_id")
-      operators.Extended.packDocs(docs.join(train, Seq("doc_id"), "left_semi"))
+      operators.CorpusOps.packDocs(docs.join(train, Seq("doc_id"), "left_semi"))
         .write.mode("overwrite").parquet(s"$wh/packed/sequences.parquet")
     }))
 

@@ -66,14 +66,14 @@ class ExtendedOpsSpec extends GraftSuite {
   }
 
   test("tpch_q3 joins are broadcast: the fact side never shuffles") {
-    val plan = operators.Extended.queries("tpch_q3")(spark, sf)
+    val plan = operators.TpchQueries.queries("tpch_q3")(spark, sf)
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
     assert(!plan.contains("SortMergeJoin"), "fact-side shuffle join planned")
   }
 
   test("tpch_q6 filters push down to the parquet scan") {
-    val plan = operators.Extended.queries("tpch_q6")(spark, sf)
+    val plan = operators.TpchQueries.queries("tpch_q6")(spark, sf)
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") &&
       plan.contains("l_discount"), plan.take(2000))
@@ -341,7 +341,7 @@ class ExtendedOpsSpec extends GraftSuite {
     val ids = rows.map(_._2).sorted
     val cut = ids(ids.length / 2)
     val prefix = rows.filter(_._2 <= cut).sortBy(r => (r._1, r._2)).toSeq
-    val repacked = operators.Extended.packPrefixForSpec(spark, sf, cut)
+    val repacked = operators.CorpusOps.packPrefixForSpec(spark, sf, cut)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
       .sortBy(r => (r._1, r._2)).toSeq
