@@ -122,6 +122,47 @@ object Multimodal {
     }
   }
 
+  /** WAV media table: every document gets a complete PCM16 clip whose
+    * geometry (channels, sample rate, frame count) derives from the
+    * document row and whose samples follow [[WavCodec.sampleValue]] —
+    * the audio analog of [[bmpTable]]. Every fifth clip carries a junk
+    * LIST chunk so the decoder's RIFF chunk walk is load-bearing.
+    */
+  def wavTable(s: SparkSession, d: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        (col("doc_id") % 2 + 1).cast("int").as("channels"),
+        (lit(8000) + (col("n_chars") % 3) * 4000).cast("int").as("rate"),
+        (col("n_chars") % 500 + 1).cast("int").as("frames"))
+      .as[(Long, Int, Int, Int)]
+      .map { case (id, ch, rate, n) =>
+        MediaRow(id, WavCodec.encode(id, ch, rate, n), "wav", -1, -1)
+      }
+  }
+
+  /** Oracle-checked audio decode at the (media, channel) grain: format
+    * geometry plus integer-exact sample statistics (sum/min/max/sum of
+    * squares — the RMS/loudness building blocks), all recovered by the
+    * REAL RIFF chunk walk; DuckDB recomputes them from the generating
+    * formula.
+    */
+  private def audio(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    wavTable(s, d).mapPartitions { rows =>
+      rows.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val st = WavCodec.decode(r.payload)
+          (0 until st.channels).map(c =>
+            (r.media_id, c, st.channels, st.sampleRate, st.nFrames,
+              st.sums(c), st.mins(c), st.maxs(c), st.sumSqs(c)))
+        }
+      }
+    }.toDF("media_id", "channel", "channels", "sample_rate", "n_frames",
+      "smp_sum", "smp_min", "smp_max", "smp_sumsq")
+      .orderBy("media_id", "channel")
+  }
+
   /** Header metadata over a binary media column — real parsing, no codec. */
   def parseHeaders(media: Dataset[MediaRow]): DataFrame = {
     import media.sparkSession.implicits._
@@ -218,6 +259,7 @@ object Multimodal {
     "mm_meta" -> meta _,
     "mm_features" -> features _,
     "mm_pixels" -> pixels _,
+    "mm_audio" -> audio _,
     "mm_parse" -> parse _,
     "mm_frames" -> frames _)
 
@@ -261,6 +303,24 @@ object Multimodal {
          |  CAST(sum(val) AS BIGINT) AS px_sum,
          |  CAST(min(val) AS INT) AS px_min, CAST(max(val) AS INT) AS px_max
          |FROM v GROUP BY doc_id, ch ORDER BY media_id, channel""".stripMargin,
+    "mm_audio" ->
+      """WITH geo AS (SELECT doc_id, CAST(doc_id % 2 + 1 AS INT) AS channels,
+        |    CAST(8000 + (n_chars % 3) * 4000 AS INT) AS sample_rate,
+        |    CAST(n_chars % 500 + 1 AS BIGINT) AS n_frames FROM documents),
+        |fr AS (SELECT doc_id, channels, sample_rate, n_frames,
+        |    unnest(range(0, n_frames)) AS f FROM geo),
+        |ch AS (SELECT doc_id, channels, sample_rate, n_frames, f,
+        |    unnest(range(0, channels)) AS c FROM fr),
+        |v AS (SELECT doc_id, channels, sample_rate, n_frames, c,
+        |    (doc_id * 31 + f * 7 + c * 11) % 2003 - 1001 AS val FROM ch)
+        |SELECT doc_id AS media_id, CAST(c AS INT) AS channel,
+        |  any_value(channels) AS channels,
+        |  any_value(sample_rate) AS sample_rate,
+        |  CAST(any_value(n_frames) AS INT) AS n_frames,
+        |  CAST(sum(val) AS BIGINT) AS smp_sum,
+        |  CAST(min(val) AS INT) AS smp_min, CAST(max(val) AS INT) AS smp_max,
+        |  CAST(sum(val * val) AS BIGINT) AS smp_sumsq
+        |FROM v GROUP BY doc_id, c ORDER BY media_id, channel""".stripMargin,
     "mm_parse" ->
       """SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'png'

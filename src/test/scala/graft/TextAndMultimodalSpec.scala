@@ -147,6 +147,30 @@ class TextAndMultimodalSpec extends GraftSuite {
     }
   }
 
+  test("WAV codec: encode→decode round-trips the sample formula exactly") {
+    import operators.WavCodec
+    // ids 5, 10 carry the junk LIST chunk → the chunk walk must skip it
+    for (id <- Seq(1L, 2L, 5L, 10L); ch <- 1 to 2; n <- Seq(1, 7, 500)) {
+      val st = WavCodec.decode(WavCodec.encode(id, ch, 8000, n))
+      assert(st.channels == ch && st.sampleRate == 8000 && st.nFrames == n)
+      for (c <- 0 until ch) {
+        val vals = (0 until n).map(f => WavCodec.sampleValue(id, f, c))
+        assert(st.sums(c) == vals.map(_.toLong).sum, s"id=$id ch=$ch c=$c")
+        assert(st.mins(c) == vals.min && st.maxs(c) == vals.max)
+        assert(st.sumSqs(c) == vals.map(v => v.toLong * v).sum)
+      }
+    }
+    // negative samples survive the 16-bit round trip (sign extension)
+    val neg = WavCodec.decode(WavCodec.encode(3L, 1, 8000, 100))
+    assert(neg.mins(0) < 0)
+    // hostile inputs fail loudly
+    intercept[IllegalArgumentException](WavCodec.decode("RIFFxxxx".getBytes))
+    intercept[IllegalArgumentException](
+      WavCodec.decode("not audio at all".getBytes))
+    intercept[IllegalArgumentException](
+      WavCodec.decode(WavCodec.encode(1L, 2, 8000, 50).dropRight(7)))
+  }
+
   test("media headers: PNG/GIF/JPEG dimensions parsed from real bytes") {
     import operators.MediaHeaders
     // Hand-built PNG: signature + IHDR with width=640 height=480
