@@ -85,7 +85,18 @@ object BmpCodec {
     * pipeline routes such rows to a dead-letter side output rather than
     * silently fabricating stats.
     */
-  def decode(bytes: Array[Byte]): BmpStats = {
+  def decode(bytes: Array[Byte]): BmpStats = decodeStrided(bytes, 1)
+
+  /** Nearest-neighbor downsample + stats in one pass: visit only the
+    * pixels at (s, c) where both indices are multiples of `stride` —
+    * exactly the pixels a stride-`stride` nearest-neighbor resize keeps
+    * (out pixel (s', c') = src pixel (s'·stride, c'·stride)), so the
+    * returned stats ARE the resized image's stats without materializing
+    * it. Output dims are ceil(dim / stride). The resize a real media
+    * pipeline runs before feature extraction, at 1/stride² the decode
+    * cost.
+    */
+  def decodeStrided(bytes: Array[Byte], stride: Int): BmpStats = {
     require(bytes != null && bytes.length >= HeaderBytes, "truncated BMP header")
     def u(i: Int): Int = bytes(i) & 0xFF
     def le32(i: Int): Int = u(i) | (u(i + 1) << 8) | (u(i + 2) << 16) | (u(i + 3) << 24)
@@ -100,6 +111,7 @@ object BmpCodec {
     val rs = rowSize(w)
     require(off >= HeaderBytes && bytes.length >= off + h.toLong * rs,
       "truncated BMP pixel data")
+    require(stride >= 1, s"invalid stride $stride")
     val sums = new Array[Long](3)
     val mins = Array.fill(3)(255)
     val maxs = Array.fill(3)(0)
@@ -116,10 +128,11 @@ object BmpCodec {
           if (v > maxs(ch)) maxs(ch) = v
           ch += 1
         }
-        c += 1
+        c += stride
       }
-      s += 1
+      s += stride
     }
-    BmpStats(w, h, sums, mins, maxs)
+    BmpStats((w + stride - 1) / stride, (h + stride - 1) / stride,
+      sums, mins, maxs)
   }
 }

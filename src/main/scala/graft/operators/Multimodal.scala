@@ -122,6 +122,32 @@ object Multimodal {
     }
   }
 
+  private val ResizeStride = 2
+
+  /** Oracle-checked nearest-neighbor resize: decode each BMP at stride
+    * [[ResizeStride]] ([[BmpCodec.decodeStrided]] — the resized image's
+    * per-channel stats in one 1/stride² walk, never materializing the
+    * resampled pixels). DuckDB recomputes the stats from the generating
+    * formula at the SAMPLED coordinates, so the stride geometry (which
+    * source pixels a resize keeps, and the ceil(dim/stride) output
+    * dims) is differentially verified.
+    */
+  private def resize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    bmpTable(s, d).mapPartitions { rows =>
+      rows.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val st = BmpCodec.decodeStrided(r.payload, ResizeStride)
+          (0 until 3).map(ch =>
+            (r.media_id, ch, st.width, st.height,
+              st.sums(ch), st.mins(ch), st.maxs(ch)))
+        }
+      }
+    }.toDF("media_id", "channel", "out_w", "out_h",
+      "px_sum", "px_min", "px_max")
+      .orderBy("media_id", "channel")
+  }
+
   /** WAV media table: every document gets a complete PCM16 clip whose
     * geometry (channels, sample rate, frame count) derives from the
     * document row and whose samples follow [[WavCodec.sampleValue]] —
@@ -260,6 +286,7 @@ object Multimodal {
     "mm_features" -> features _,
     "mm_pixels" -> pixels _,
     "mm_audio" -> audio _,
+    "mm_resize" -> resize _,
     "mm_parse" -> parse _,
     "mm_frames" -> frames _)
 
@@ -303,6 +330,21 @@ object Multimodal {
          |  CAST(sum(val) AS BIGINT) AS px_sum,
          |  CAST(min(val) AS INT) AS px_min, CAST(max(val) AS INT) AS px_max
          |FROM v GROUP BY doc_id, ch ORDER BY media_id, channel""".stripMargin,
+    "mm_resize" ->
+      """WITH dims AS (SELECT doc_id, CAST(n_chars % 64 + 1 AS BIGINT) AS w,
+        |    CAST(n_chars % 48 + 1 AS BIGINT) AS h FROM documents),
+        |d2 AS (SELECT doc_id, (w + 1) // 2 AS w2, (h + 1) // 2 AS h2 FROM dims),
+        |rws AS (SELECT doc_id, w2, h2, unnest(range(0, h2)) AS s2 FROM d2),
+        |cls AS (SELECT doc_id, w2, h2, s2, unnest(range(0, w2)) AS c2 FROM rws),
+        |chs AS (SELECT doc_id, w2, h2, s2, c2, unnest(range(0, 3)) AS ch FROM cls),
+        |v AS (SELECT doc_id, w2, h2, ch,
+        |    (doc_id + s2 * 2 * 7 + c2 * 2 * 13 + ch * 29) % 251 AS val FROM chs)
+        |SELECT doc_id AS media_id, CAST(ch AS INT) AS channel,
+        |  CAST(any_value(w2) AS INT) AS out_w,
+        |  CAST(any_value(h2) AS INT) AS out_h,
+        |  CAST(sum(val) AS BIGINT) AS px_sum,
+        |  CAST(min(val) AS INT) AS px_min, CAST(max(val) AS INT) AS px_max
+        |FROM v GROUP BY doc_id, ch ORDER BY media_id, channel""".stripMargin,
     "mm_audio" ->
       """WITH geo AS (SELECT doc_id, CAST(doc_id % 2 + 1 AS INT) AS channels,
         |    CAST(8000 + (n_chars % 3) * 4000 AS INT) AS sample_rate,

@@ -147,6 +147,27 @@ class TextAndMultimodalSpec extends GraftSuite {
     }
   }
 
+  test("BMP strided decode = stats of a nearest-neighbor resize") {
+    import operators.BmpCodec
+    // odd/even dims cover both ceil branches of the output geometry
+    for (w <- Seq(1, 4, 5); h <- Seq(1, 6, 7); stride <- Seq(2, 3)) {
+      val st = BmpCodec.decodeStrided(BmpCodec.encode(9L, w, h), stride)
+      assert(st.width == (w + stride - 1) / stride)
+      assert(st.height == (h + stride - 1) / stride)
+      for (ch <- 0 until 3) {
+        val vals = for (s <- 0 until h by stride; c <- 0 until w by stride)
+          yield BmpCodec.pixelValue(9L, s, c, ch)
+        assert(st.sums(ch) == vals.map(_.toLong).sum,
+          s"w=$w h=$h stride=$stride ch=$ch")
+        assert(st.mins(ch) == vals.min && st.maxs(ch) == vals.max)
+      }
+    }
+    // stride 1 is the plain decode
+    val full = BmpCodec.decode(BmpCodec.encode(3L, 8, 8))
+    val s1 = BmpCodec.decodeStrided(BmpCodec.encode(3L, 8, 8), 1)
+    assert(full.sums.toSeq == s1.sums.toSeq && full.width == s1.width)
+  }
+
   test("WAV codec: encode→decode round-trips the sample formula exactly") {
     import operators.WavCodec
     // ids 5, 10 carry the junk LIST chunk → the chunk walk must skip it
