@@ -305,7 +305,17 @@ object Similarity {
   private val PqM = 8
   private val PqK = 16
   private val PqIters = 3
-  private val PqRerank = 50
+  // Exact-rerank shortlist: max(floor, frac·N). A FIXED shortlist decays
+  // as the corpus grows — the round-5 bench recall artifact caught
+  // exactly that (fixed 50 = 10% of the 500-vector sf0.01 corpus →
+  // recall 0.67, but 2.5% of sf0.1's 2000 → 0.37): on this
+  // weakly-clustered corpus ADC ranks true neighbors into the top ~10%,
+  // so the shortlist must track the corpus, not a constant. The
+  // fraction is the serving-cost knob (rerank reads frac·N full vectors
+  // per query); a 100 TB store caps it absolutely and buys recall back
+  // with better codebooks (more PqK / OPQ rotation) instead.
+  private val PqRerankMin = 50
+  private val PqRerankFrac = 0.10
 
   /** (vec_id, m, sv): the PqM subvectors of every normalized vector. */
   private def subvectors(v: DataFrame, dim: Int): DataFrame = {
@@ -381,7 +391,7 @@ object Similarity {
 
   /** ANN via product quantization + ADC + exact rerank: corpus vectors
     * participate only through their 4-byte codes until the final
-    * [[PqRerank]]-deep exact pass. The ADC join is
+    * [[PqRerankFrac]]-fraction exact pass. The ADC join is
     * codes ⨝ broadcast(query tables) — the shuffle after the map-side
     * partial sum carries one (query, vec) row per candidate, and the
     * lookup tables are queries × PqM × PqK rows (tiny, broadcast). At
@@ -451,10 +461,12 @@ object Similarity {
       .agg(sum(col("w")).as("adc"), count(lit(1)).as("nm"))
       // only vectors scored in ALL subspaces (always true, defensive)
       .filter(col("nm") === PqM)
+    val rerank = math.max(PqRerankMin.toLong,
+      math.ceil(Tables.embeddings(s, d).count() * PqRerankFrac).toLong)
     val shortlist = adc.withColumn("rn",
       row_number().over(Window.partitionBy("query_id")
         .orderBy(col("adc").desc, col("vec_id"))))
-      .filter(col("rn") <= PqRerank)
+      .filter(col("rn") <= rerank)
       .select(col("query_id"), col("vec_id"))
     shortlist
       .join(v, "vec_id")

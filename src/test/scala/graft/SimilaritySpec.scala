@@ -42,8 +42,8 @@ class SimilaritySpec extends GraftSuite {
     val pq = SparkEntry.queries("ann_topk_pq")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = exact.count(pq.contains).toDouble / exact.size
-    // measured: 0.73 at sf0.001, 0.67 at sf0.01 — above IVF's 0.60 with
-    // a 50-of-N shortlist (2.5% at sf0.01) instead of a 25% cell scan
+    // corpus-proportional 2.5% shortlist (min 50): 0.73 at sf0.001, 0.67
+    // at sf0.01 — above IVF's 0.60 at a tenth of IVF's 25% scan fraction
     assert(recall >= 0.6, s"PQ recall@10 = $recall")
     // every returned cosine is the EXACT score (rerank happened)
     val exactCos = SparkEntry.queries("ann_topk_exact")(spark, sf).collect()
