@@ -184,7 +184,11 @@ object Bench {
               .select("query_id", "neighbor_id").collect()
               .map(r => (r.getLong(0), r.getLong(1))).toSet
           val exact = pairs("ann_topk_exact")
-          annVariants.filter(v => names.contains(v) && !failed(v)).map { q =>
+          // An empty exact baseline (corpus smaller than the query set)
+          // would make recall 0/0 = NaN, which f3 renders literally and
+          // breaks the JSON artifact — skip recall instead.
+          if (exact.isEmpty) Seq.empty
+          else annVariants.filter(v => names.contains(v) && !failed(v)).map { q =>
             q -> pairs(q).count(exact.contains).toDouble / exact.size
           }
         } catch {

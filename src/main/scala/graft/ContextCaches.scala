@@ -24,22 +24,28 @@ object ContextCaches {
     })
 
   private val pinned = scala.collection.concurrent.TrieMap
-    .empty[SparkContext, List[org.apache.spark.sql.DataFrame]]
+    .empty[SparkContext,
+      Map[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        org.apache.spark.sql.DataFrame]]
 
   /** `df.persist()` with a release path: the pin is registered against
     * the owning SparkContext and unpersisted when the context stops, so
     * no query-internal cache entry outlives the application. Within a
     * session, Spark's CacheManager dedups identical plans, so repeated
-    * invocations of the same query on the same dir share one entry —
-    * the list only grows with genuinely distinct plans (new data dirs,
-    * novel ad-hoc datasets), each of which the caller wanted resident.
+    * invocations of the same query on the same dir share one entry; the
+    * driver-side registry mirrors that by keying on the canonicalized
+    * analyzed plan — re-pinning a semantically identical frame replaces
+    * the entry instead of appending, so the registry only grows with
+    * genuinely distinct plans (new data dirs, novel ad-hoc datasets),
+    * each of which the caller wanted resident.
     */
   def pin(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val sc = df.sparkSession.sparkContext
     df.persist()
-    pinned.updateWith(sc)(p => Some(df :: p.getOrElse(Nil)))
+    val key = df.queryExecution.analyzed.canonicalized
+    pinned.updateWith(sc)(p => Some(p.getOrElse(Map.empty) + (key -> df)))
     evictOnStop(sc, "pinned-plans")(() =>
-      pinned.remove(sc).getOrElse(Nil).foreach(_.unpersist()))
+      pinned.remove(sc).getOrElse(Map.empty).values.foreach(_.unpersist()))
     df
   }
 }

@@ -108,9 +108,15 @@ object BmpCodec {
     require(w > 0 && h > 0, s"unsupported BMP geometry ${w}x$h")
     require(le16(28) == 24, s"unsupported bpp ${le16(28)} (24bpp only)")
     require(le32(30) == 0, "compressed BMP not supported")
-    val rs = rowSize(w)
-    require(off >= HeaderBytes && bytes.length >= off + h.toLong * rs,
+    // Row size in Long: a hostile width > ~715M overflows w*3 in Int,
+    // yielding a negative row size that trivially passes the truncation
+    // require and then walks off the buffer (AIOOBE instead of the
+    // documented IAE). If the Long-checked bound holds, rs fits in Int
+    // because bytes.length does.
+    val rs64 = ((w.toLong * 3 + 3) / 4) * 4
+    require(off >= HeaderBytes && off + h.toLong * rs64 <= bytes.length,
       "truncated BMP pixel data")
+    val rs = rs64.toInt
     require(stride >= 1, s"invalid stride $stride")
     val sums = new Array[Long](3)
     val mins = Array.fill(3)(255)

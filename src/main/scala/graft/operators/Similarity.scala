@@ -28,6 +28,21 @@ object Similarity {
   private def normalized(s: SparkSession, d: String): DataFrame =
     normalizeFrame(Tables.embeddings(s, d)).pinned()
 
+  // Corpus row count, cached per (context, dir): the PQ rerank sizing and
+  // the 1-NN tile dispatch both need it, and an uncached count() would add
+  // a full corpus-scan job to EVERY search invocation — including the
+  // saved-index serving path whose whole point is to avoid corpus passes.
+  // Same immutable-dir assumption and stop-eviction as the model caches.
+  private val countCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.SparkContext, String), Long]
+
+  private def corpusCount(s: SparkSession, d: String): Long = {
+    graft.ContextCaches.evictOnStop(s.sparkContext, "sim-corpus-count")(() =>
+      countCache.filterInPlace { case ((c, _), _) => c ne s.sparkContext })
+    countCache.getOrElseUpdate((s.sparkContext, d),
+      Tables.embeddings(s, d).count())
+  }
+
   /** Codegen'd native dot product (see [[graft.functions.DotProduct]]). */
   def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.dot(a, b)
 
@@ -462,7 +477,7 @@ object Similarity {
       // only vectors scored in ALL subspaces (always true, defensive)
       .filter(col("nm") === PqM)
     val rerank = math.max(PqRerankMin.toLong,
-      math.ceil(Tables.embeddings(s, d).count() * PqRerankFrac).toLong)
+      math.ceil(corpusCount(s, d) * PqRerankFrac).toLong)
     val shortlist = adc.withColumn("rn",
       row_number().over(Window.partitionBy("query_id")
         .orderBy(col("adc").desc, col("vec_id"))))
@@ -607,7 +622,7 @@ object Similarity {
     * oracle's rank order.
     */
   private def knnSelf(s: SparkSession, d: String): DataFrame = {
-    val n = Tables.embeddings(s, d).count()
+    val n = corpusCount(s, d)
     if (n <= KnnTileVectors) knnSelfBroadcast(s, d)
     else knnSelfTiled(s, d, math.ceil(n.toDouble / KnnTileVectors).toInt)
   }

@@ -92,7 +92,10 @@ object WavCodec {
     while (p + 8 <= bytes.length && (channels < 0 || dataOff < 0)) {
       val id = tag(p)
       val size = le32(p + 4)
-      require(size >= 0 && p + 8 + size <= bytes.length,
+      // Long arithmetic: a hostile size near Int.MaxValue would wrap
+      // p + 8 + size negative and slip past the bound check, turning the
+      // documented IllegalArgumentException into an AIOOBE in the walk.
+      require(size >= 0 && p.toLong + 8 + size <= bytes.length,
         s"truncated '$id' chunk")
       if (id == "fmt ") {
         require(size >= 16, "short fmt chunk")

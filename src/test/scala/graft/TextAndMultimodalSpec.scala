@@ -137,6 +137,15 @@ class TextAndMultimodalSpec extends GraftSuite {
     intercept[IllegalArgumentException](BmpCodec.decode("not a bmp at all, not even close.........................".getBytes))
     val truncated = BmpCodec.encode(1L, 8, 8).take(60)
     intercept[IllegalArgumentException](BmpCodec.decode(truncated))
+    // hostile width that overflows w*3 in Int must still raise the
+    // documented IAE (not walk off the buffer with an AIOOBE)
+    val wideHdr = BmpCodec.encode(1L, 4, 4)
+    val wide = wideHdr.clone()
+    val wBytes = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(800000000).array()
+    System.arraycopy(wBytes, 0, wide, 18, 4)
+    val e1 = intercept[IllegalArgumentException](BmpCodec.decode(wide))
+    assert(e1.getMessage.contains("truncated BMP pixel data"))
     // MediaHeaders recognizes the BMP magic + dims
     val info = operators.MediaHeaders.parse(BmpCodec.encode(2L, 31, 17))
     assert(info == operators.MediaHeaders.MediaInfo("bmp", 31, 17))
@@ -190,6 +199,16 @@ class TextAndMultimodalSpec extends GraftSuite {
       WavCodec.decode("not audio at all".getBytes))
     intercept[IllegalArgumentException](
       WavCodec.decode(WavCodec.encode(1L, 2, 8000, 50).dropRight(7)))
+    // hostile chunk size near Int.MaxValue must raise the documented IAE,
+    // not wrap p+8+size negative and read past the array
+    val huge = WavCodec.encode(1L, 1, 8000, 4)
+    val di = huge.indexOfSlice("data".getBytes("US-ASCII"))
+    assert(di > 0)
+    val szBytes = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(Int.MaxValue - 8).array()
+    System.arraycopy(szBytes, 0, huge, di + 4, 4)
+    val e2 = intercept[IllegalArgumentException](WavCodec.decode(huge))
+    assert(e2.getMessage.contains("truncated 'data' chunk"))
   }
 
   test("media headers: PNG/GIF/JPEG dimensions parsed from real bytes") {
