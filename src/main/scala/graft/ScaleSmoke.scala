@@ -219,6 +219,17 @@ object ScaleSmoke {
       },
       time("dd_keep_best_10x") {
         SparkEntry.queries("dd_keep_best")(spark, docScratch).count()
+      },
+      // Decontamination on the dup-heavy corpus is its worst case: every
+      // clique spans the md5 split boundary with high probability, so
+      // nearly every training doc shares 5-grams with the benchmark
+      // side — the broadcast gram set and the per-doc count agg both see
+      // their maximum load.
+      time("pp_decontaminate_10x") {
+        SparkEntry.queries("pp_decontaminate")(spark, docScratch).count()
+      },
+      time("pp_domain_mix_10x") {
+        SparkEntry.queries("pp_domain_mix")(spark, docScratch).count()
       })
 
     // Tiled exact 1-NN at 10× the vector corpus (20k vectors → 400M
@@ -238,6 +249,12 @@ object ScaleSmoke {
     val knnResults = Seq(
       time("knn_tiled_10x") {
         operators.Similarity.knnSelfTiled(spark, vecScratch, 4).count()
+      },
+      // SemDeDup at 10× vectors: centroid training + within-cell pairs.
+      // The within-cell candidate volume grows as (N/cells)² per cell —
+      // the number to watch is time relative to knn_tiled's full N².
+      time("dd_semantic_10x") {
+        SparkEntry.queries("dd_semantic")(spark, vecScratch).count()
       })
 
     // Streaming dedup throughput at the same 10x dup-heavy scale: the

@@ -170,7 +170,68 @@ object CorpusOps {
       cut: Long): DataFrame =
     packDocs(Tables.documents(s, d).filter(col("doc_id") <= cut))
 
+  /** Benchmark decontamination — remove eval-set leakage from the
+    * training corpus before an LLM ever sees it: a training document is
+    * contaminated if it shares ANY word 5-gram with the held-out
+    * benchmark split. The splits reuse [[ppHashSplit]]'s md5 buckets
+    * (train = bucket < 80, benchmark = bucket >= 90), i.e. this is the
+    * decontamination pass a pipeline runs between splitting and packing.
+    * Scale shape: the benchmark side is the held-out set — thousands of
+    * docs, bounded by construction — so its distinct gram digests
+    * BROADCAST; the training side streams once through the hash join
+    * with no shuffle of the corpus itself, and the only aggregation is
+    * per contaminated doc (count of distinct shared grams, the evidence
+    * a curation report needs). Grams join as fixed-width md5 digests,
+    * not raw strings — at 100 TB the broadcast carries 16-byte keys.
+    */
+  private def ppDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+      16, 10).cast("long") % 100
+    val docs = Tables.documents(s, d).withColumn("bucket", bucket)
+    def grams(df: DataFrame): DataFrame = df.select(col("doc_id"),
+      explode(Dedup.shingles(col("text"), 5)).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("gh"))
+    val train = grams(docs.filter(col("bucket") < 80))
+    val bench = grams(docs.filter(col("bucket") >= 90))
+      .select("gh").distinct()
+    train.join(broadcast(bench), "gh")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gh")).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  /** Domain-mix resampling — enforce target per-domain shares (the
+    * Pile/DoReMi-style reweighting pass): each source gets a target
+    * share in permille derived from its id, and documents are kept by
+    * the same md5-bucket gate as [[ppStratified]] at acceptance rate
+    * min(1, share·N / n_s). The gate is PURE INT64 ARITHMETIC —
+    * keep ⟺ bucket·n_s < share·N — so the decision is bit-identical
+    * across engines with no float division to drift, and the >1 cap
+    * falls out for free (bucket < 1000 always passes). Scale shape:
+    * the per-source count table is bounded by the domain vocabulary →
+    * broadcast joins; the gate itself is a scan-side predicate, so the
+    * resample is one aggregation + one narrow pass, stable under
+    * re-partitioning and corpus growth.
+    */
+  private def ppDomainMix(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val total = docs.groupBy().agg(count(lit(1)).as("n"))
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 9, 4),
+      16, 10).cast("long") % 1000
+    val permille = (substring(col("source"), 4, 10).cast("long") % 5 + 1) * 10
+    docs
+      .join(broadcast(counts), "source")
+      .crossJoin(broadcast(total))
+      .withColumn("bucket", bucket)
+      .filter(col("bucket") * col("n_s") < permille * col("n"))
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Query] = Map(
+    "pp_decontaminate" -> ppDecontaminate _,
+    "pp_domain_mix" -> ppDomainMix _,
     "pp_hash_split" -> ppHashSplit _,
     "pp_stratified" -> ppStratified _,
     "pp_pack" -> ppPack _,
@@ -178,6 +239,28 @@ object CorpusOps {
     "io_csv_roundtrip" -> ioCsv _)
 
   val oracle: Map[String, String] = Map(
+    "pp_decontaminate" ->
+      s"""WITH w0 AS (SELECT doc_id,
+         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100
+         |    AS bucket,
+         |  string_split(text, ' ') AS w FROM documents),
+         |t AS (SELECT doc_id, bucket, ${Dedup.shinglesSql(5)} AS sh FROM w0),
+         |tr AS (SELECT doc_id, unnest(sh) AS g FROM t WHERE bucket < 80),
+         |be AS (SELECT DISTINCT unnest(sh) AS g FROM t WHERE bucket >= 90)
+         |SELECT tr.doc_id, count(DISTINCT tr.g) AS n_shared
+         |FROM tr JOIN be USING (g)
+         |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin,
+    "pp_domain_mix" ->
+      """WITH c AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
+        |t AS (SELECT count(*) AS n FROM documents),
+        |b AS (SELECT doc_id, source,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 4))::BIGINT % 1000
+        |    AS bucket,
+        |  (CAST(substr(source, 4) AS BIGINT) % 5 + 1) * 10 AS permille
+        |FROM documents)
+        |SELECT b.doc_id, b.source FROM b JOIN c USING (source) CROSS JOIN t
+        |WHERE b.bucket * c.n_s < b.permille * t.n
+        |ORDER BY doc_id""".stripMargin,
     "pp_hash_split" ->
       """WITH b AS (SELECT lang,
         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100

@@ -29,7 +29,7 @@ object Dedup {
   }
 
   /** DuckDB twin of [[shingles]] (1-based lists; range is half-open). */
-  private def shinglesSql(k: Int): String = {
+  private[graft] def shinglesSql(k: Int): String = {
     val parts = (0 until k).map(j => s"w[i+$j]").mkString(" || ' ' || ")
     s"""list_distinct(CASE WHEN len(w) >= $k
        | THEN list_transform(range(1, len(w) - ${k - 2}), i -> $parts)
@@ -502,7 +502,9 @@ object Dedup {
 
   // ------------------------------------------- embedding cosine near-dup
 
-  private val CosTau = 0.45
+  // Shared with Similarity.semanticNearDup so the approximate variant's
+  // threshold cannot drift from the exact baseline it is specced against.
+  private[graft] val CosTau = 0.45
 
   /** Embedding near-dup pairs: cosine ≥ τ over the embeddings table.
     * Exact variant — the all-pairs comparison is the oracle semantics;

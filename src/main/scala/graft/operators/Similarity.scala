@@ -43,6 +43,20 @@ object Similarity {
       Tables.embeddings(s, d).count())
   }
 
+  // Embedding dimensionality, cached like the count: five call sites
+  // (LSH planes, PQ subvectors at train/search/save/load) each ran a
+  // one-row first() job per invocation otherwise.
+  private val dimCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.SparkContext, String), Int]
+
+  private def corpusDim(s: SparkSession, d: String): Int = {
+    graft.ContextCaches.evictOnStop(s.sparkContext, "sim-corpus-dim")(() =>
+      dimCache.filterInPlace { case ((c, _), _) => c ne s.sparkContext })
+    dimCache.getOrElseUpdate((s.sparkContext, d),
+      Tables.embeddings(s, d).select(size(col("embedding")))
+        .first().getInt(0))
+  }
+
   /** Codegen'd native dot product (see [[graft.functions.DotProduct]]). */
   def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.dot(a, b)
 
@@ -122,8 +136,7 @@ object Similarity {
     * the NumPlanes dot products per vector.
     */
   private def signedCorpus(s: SparkSession, d: String): DataFrame = {
-    val dim = Tables.embeddings(s, d).select(size(col("embedding")))
-      .first().getInt(0)
+    val dim = corpusDim(s, d)
     signFrame(normalized(s, d), dim)
   }
 
@@ -307,6 +320,73 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  // --------------------------------------------------- SemDeDup variant
+
+  // Cell multi-assignment breadth: each vector joins its 2 nearest cells,
+  // so a near-dup pair straddling one cell boundary still meets — the
+  // same recall knob as IVF probes, paid as 2× candidate volume.
+  private val SemAssign = 2
+
+  /** Semantic (embedding-space) near-duplicate detection bucketed by the
+    * trained k-means cells — the SemDeDup scheme (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): instead of the exact all-pairs cosine pass
+    * ([[Dedup]]'s `dd_cosine_neardup`), vectors are compared only within
+    * a shared cell. At 100 TB the cell id is the shuffle key and
+    * per-cell work is (N/cells)² instead of N² — the candidate volume
+    * drops by ~cells/assign² while the trained centroids (the only
+    * broadcast state) stay tiny. Approximate by construction (a pair
+    * whose members straddle every probed boundary is missed) → no SQL
+    * oracle; the spec proves every emitted pair IS an exact-baseline
+    * pair (same τ, cosine within 1e-6), measures recall against the
+    * exact pass, and asserts the candidate reduction that justifies the
+    * scheme. Reuses the cached IVF centroids — one trained index serves
+    * search AND dedup, as a production store would.
+    */
+  private def semanticNearDup(s: SparkSession, d: String): DataFrame =
+    semanticNearDupTuned(s, d, IvfCells, SemAssign, Dedup.CosTau)
+
+  private[graft] def semanticNearDupTuned(s: SparkSession, d: String,
+      cells: Int, nAssign: Int, tau: Double): DataFrame = {
+    val a = semanticAssignments(s, d, cells, nAssign)
+      .select(col("cell").as("cell_a"), col("vec_id").as("id_a"),
+        col("u").as("ua"))
+    val b = semanticAssignments(s, d, cells, nAssign)
+      .select(col("cell").as("cell_b"), col("vec_id").as("id_b"),
+        col("u").as("ub"))
+    val cos = r6(dot(col("ua"), col("ub")))
+    // Threshold and ordering live in the JOIN CONDITION (the
+    // cosineNearDupComposed pattern): the equi-key is the cell, and only
+    // the rare surviving pairs materialize wide rows.
+    a.join(b, col("cell_a") === col("cell_b") && col("id_a") < col("id_b") &&
+        cos >= tau)
+      .select(col("id_a"), col("id_b"), cos.as("cos"))
+      // multi-assignment can meet the same pair in up to nAssign cells
+      .dropDuplicates("id_a", "id_b")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** (vec_id, u, cell) with each vector in its `nAssign` nearest cells —
+    * exposed for the spec's candidate-volume accounting.
+    */
+  private[graft] def semanticAssignments(s: SparkSession, d: String,
+      cells: Int, nAssign: Int): DataFrame = {
+    import s.implicits._
+    graft.ContextCaches.evictOnStop(s.sparkContext, "ivf-centroids")(() =>
+      centroidCache.filterInPlace { case ((c, _, _, _), _) =>
+        c ne s.sparkContext })
+    val trained = centroidCache.getOrElseUpdate(
+      (s.sparkContext, d, cells, IvfIters),
+      trainCentroids(s, d, cells, IvfIters))
+    val cent = trained.toDF("cell", "cu")
+    normalized(s, d).crossJoin(broadcast(cent))
+      .withColumn("cs", dot(col("u"), col("cu")))
+      .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
+        .orderBy(col("cs").desc, col("cell"))))
+      .filter(col("rn") <= nAssign)
+      .select(col("vec_id"), col("u"), col("cell"))
+  }
+
   // -------------------------------------------------------- PQ variant
 
   // Product quantization (Jégou et al. 2011, "Product Quantization for
@@ -376,8 +456,7 @@ object Similarity {
   private def trainPq(s: SparkSession, d: String): Seq[(Int, Long, Seq[Double])] = {
     import s.implicits._
     val v = normalized(s, d)
-    val dim = Tables.embeddings(s, d).select(size(col("embedding")))
-      .first().getInt(0)
+    val dim = corpusDim(s, d)
     val sv = subvectors(v, dim).persist()
     var cent = sv.filter(col("vec_id") >= NumQueries &&
       col("vec_id") < NumQueries + PqK)
@@ -422,8 +501,7 @@ object Similarity {
     val trained = pqCache.getOrElseUpdate((s.sparkContext, d), trainPq(s, d))
     val cent = trained.toDF("m", "cell", "cu")
     val v = normalized(s, d)
-    val dim = Tables.embeddings(s, d).select(size(col("embedding")))
-      .first().getInt(0)
+    val dim = corpusDim(s, d)
     pqSearch(s, d, cent, pqAssign(subvectors(v, dim), cent))
   }
 
@@ -440,8 +518,7 @@ object Similarity {
     val trained = pqCache.getOrElseUpdate((s.sparkContext, d), trainPq(s, d))
     val cent = trained.toDF("m", "cell", "cu")
     cent.coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
-    val dim = Tables.embeddings(s, d).select(size(col("embedding")))
-      .first().getInt(0)
+    val dim = corpusDim(s, d)
     pqAssign(subvectors(normalized(s, d), dim), cent)
       .write.mode("overwrite").parquet(s"$path/codes")
   }
@@ -462,8 +539,7 @@ object Similarity {
   private def pqSearch(s: SparkSession, d: String, cent: DataFrame,
       codes: DataFrame): DataFrame = {
     val v = normalized(s, d)
-    val dim = Tables.embeddings(s, d).select(size(col("embedding")))
-      .first().getInt(0)
+    val dim = corpusDim(s, d)
     val q = v.filter(col("vec_id") < NumQueries)
     val tables = subvectors(q, dim)
       .select(col("vec_id").as("query_id"), col("m"), col("sv").as("qsv"))
@@ -716,6 +792,7 @@ object Similarity {
     "ann_topk_lsh" -> (annTopkLsh _),
     "ann_topk_ivf" -> (annTopkIvf _),
     "ann_topk_pq" -> (annTopkPq _),
+    "dd_semantic" -> (semanticNearDup _),
     "sim_quantize" -> (quantize _))
 
   /** ann_topk_lsh is approximate by construction → rows-only check. */

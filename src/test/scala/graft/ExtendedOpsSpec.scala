@@ -365,6 +365,52 @@ class ExtendedOpsSpec extends GraftSuite {
     assert(kept.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("decontamination flags exactly the train docs sharing a 5-gram with the benchmark") {
+    // independent re-derivation: same md5 buckets, same word-5-gram
+    // definition (split on single space, trailing empties kept, distinct)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    def bucket(id: Long): Long =
+      java.lang.Long.parseLong(md5hex(id.toString).take(4), 16) % 100
+    def grams(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 5) Set.empty
+      else w.sliding(5).map(_.mkString(" ")).toSet
+    }
+    val bench = docs.filter(d => bucket(d._1) >= 90)
+      .flatMap(d => grams(d._2)).toSet
+    val expected = docs.filter(d => bucket(d._1) < 80)
+      .map { case (id, t) => id -> grams(t).count(bench).toLong }
+      .filter(_._2 > 0).sortBy(_._1).toSeq
+    val got = SparkEntry.queries("pp_decontaminate")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(got == expected, s"got ${got.size} contaminated, expected ${expected.size}")
+    assert(expected.nonEmpty, "corpus should contain cross-split leakage")
+  }
+
+  test("domain mix: integer gate reproduces exactly; plan is broadcast-only") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val n = docs.length.toLong
+    val bySrc = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val expected = docs.filter { case (id, src) =>
+      val b = java.lang.Long.parseLong(md5hex(id.toString).slice(8, 12), 16) % 1000
+      val permille = (src.drop(3).toLong % 5 + 1) * 10
+      b * bySrc(src) < permille * n
+    }.sortBy(_._1).toSeq
+    val df = SparkEntry.queries("pp_domain_mix")(spark, sf)
+    val got = df.collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(got == expected)
+    // the aggregates join back as broadcasts; the corpus never shuffles
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"), "corpus-side shuffle join planned")
+  }
+
   test("upsert stream drives micro-batches through the merge") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_upsrc").toString

@@ -54,6 +54,35 @@ class SimilaritySpec extends GraftSuite {
     }
   }
 
+  test("SemDeDup: every pair is an exact-baseline pair; recall and candidate reduction hold") {
+    import org.apache.spark.sql.functions._
+    val exact = SparkEntry.queries("dd_cosine_neardup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val sem = SparkEntry.queries("dd_semantic")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // soundness: cell bucketing only restricts WHICH pairs are scored —
+    // every emitted pair must be in the exact pass at the same τ, with
+    // the cosine agreeing to the rounding precision (the two paths
+    // normalize at different points, so the last ulp can differ pre-r6)
+    sem.foreach { case (pair, c) =>
+      assert(exact.contains(pair), s"phantom pair $pair")
+      assert(math.abs(exact(pair) - c) <= 1e-6, s"cos drift at $pair")
+    }
+    val recall = sem.size.toDouble / exact.size
+    info(s"SemDeDup recall vs exact: ${sem.size}/${exact.size} = $recall")
+    assert(recall >= 0.5, s"SemDeDup recall $recall")
+    // the point of the scheme: within-cell candidate volume is a small
+    // fraction of the N² the exact pass scores
+    val assign = operators.Similarity.semanticAssignments(spark, sf, 16, 2)
+    val n = assign.select("vec_id").distinct().count()
+    val cand = assign.groupBy("cell").count()
+      .agg(sum(col("count") * (col("count") - 1) / 2).cast("long"))
+      .first().getLong(0)
+    info(s"SemDeDup candidates: $cand vs exact ${n * (n - 1) / 2}")
+    assert(cand.toDouble / (n * (n - 1) / 2) <= 0.35,
+      "cell bucketing must cut candidate volume")
+  }
+
   test("1-NN self-join agrees with the exact top-k baseline at rank 1") {
     val top1 = SparkEntry.queries("ann_topk_exact")(spark, sf).collect()
       .filter(_.getInt(1) == 1).map(r => (r.getLong(0), r.getLong(2))).toMap
