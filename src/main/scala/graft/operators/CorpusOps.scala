@@ -185,20 +185,47 @@ object CorpusOps {
     * not raw strings — at 100 TB the broadcast carries 16-byte keys.
     */
   private def ppDecontaminate(s: SparkSession, d: String): DataFrame = {
-    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
-      16, 10).cast("long") % 100
-    val docs = Tables.documents(s, d).withColumn("bucket", bucket)
-    def grams(df: DataFrame): DataFrame = df.select(col("doc_id"),
-      explode(Dedup.shingles(col("text"), 5)).as("g"))
-      .select(col("doc_id"), md5(col("g")).as("gh"))
-    val train = grams(docs.filter(col("bucket") < 80))
-    val bench = grams(docs.filter(col("bucket") >= 90))
-      .select("gh").distinct()
-    train.join(broadcast(bench), "gh")
+    val docs = Tables.documents(s, d).withColumn("bucket", splitBucket)
+    gramDigests(docs.filter(col("bucket") < 80))
+      .join(broadcast(benchGramSet(docs)), "gh")
       .groupBy("doc_id")
       .agg(countDistinct(col("gh")).as("n_shared"))
       .orderBy("doc_id")
   }
+
+  /** The [[ppHashSplit]] md5 bucket — shared by the split, the
+    * decontamination pass, and the streaming screen so the three can
+    * never disagree about which docs are held out.
+    */
+  private[graft] def splitBucket =
+    conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+      16, 10).cast("long") % 100
+
+  /** (doc_id, gh): md5 digests of each doc's distinct word 5-grams —
+    * the decontamination join key (fixed 16-byte width at any corpus
+    * scale).
+    */
+  private[graft] def gramDigests(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(Dedup.shingles(col("text"), 5)).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("gh"))
+
+  /** Distinct gram digests of the held-out benchmark split (bucket ≥ 90)
+    * — the static, bounded set both the batch pass and the streaming
+    * screen compare against.
+    */
+  private[graft] def benchGramSet(docs: DataFrame): DataFrame =
+    gramDigests(docs.filter(splitBucket >= 90)).select("gh").distinct()
+
+  /** Screen an arbitrary document batch against a benchmark gram set:
+    * keep only docs sharing NO 5-gram with the benchmark (left-anti on
+    * the contaminated id set). Shared by the streaming twin so the
+    * batch and online screens are one definition.
+    */
+  private[graft] def screenClean(batch: DataFrame, benchGh: DataFrame): DataFrame =
+    batch.join(
+      gramDigests(batch).join(broadcast(benchGh), "gh")
+        .select("doc_id").distinct(),
+      Seq("doc_id"), "left_anti")
 
   /** Domain-mix resampling — enforce target per-domain shares (the
     * Pile/DoReMi-style reweighting pass): each source gets a target

@@ -77,4 +77,31 @@ class CorpusPipelineSpec extends GraftSuite {
     assert(packedIds == trainIds)
     assert(splits.count() == nUniq) // every unique doc got an assignment
   }
+
+  test("streaming decontamination screen equals the batch screen across micro-batches") {
+    val base = Files.createTempDirectory("graft_decon").toString
+    // 4 source files → 4 micro-batches with maxFilesPerTrigger=1
+    Tables.documents(spark, sf)
+      .repartition(4).write.parquet(s"$base/src")
+    streaming.StreamingDecontaminate.screen(spark, s"$base/src", sf,
+      s"$base/out", maxFilesPerTrigger = 1)
+    val streamed = spark.read.parquet(s"$base/out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // batch twin: same shared screen over the whole table at once
+    val docs = Tables.documents(spark, sf)
+    val batch = operators.CorpusOps
+      .screenClean(docs, operators.CorpusOps.benchGramSet(docs))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+    // the screen genuinely dropped leakage: every pp_decontaminate hit
+    // (a TRAIN doc sharing a benchmark 5-gram) is absent from the clean set
+    val flagged = SparkEntry.queries("pp_decontaminate")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flagged.nonEmpty && flagged.forall(id => !streamed.contains(id)))
+    // benchmark docs screen THEMSELVES out (full 5-gram self-overlap)
+    val benchIds = docs.filter(operators.CorpusOps.splitBucket >= 90)
+      .filter(size(split(col("text"), " ")) >= 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(benchIds.forall(id => !streamed.contains(id)))
+  }
 }
