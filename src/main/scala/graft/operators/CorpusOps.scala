@@ -201,13 +201,24 @@ object CorpusOps {
     conv(substring(md5(col("doc_id").cast("string")), 1, 4),
       16, 10).cast("long") % 100
 
-  /** (doc_id, gh): md5 digests of each doc's distinct word 5-grams —
-    * the decontamination join key (fixed 16-byte width at any corpus
-    * scale).
+  /** (doc_id, gh): digests of each doc's distinct word 5-grams — the
+    * decontamination join key. Gram STRINGS are never built: each word
+    * hashes once (xxhash64), and a gram's digest is the hash of its
+    * 5-word-hash slice — O(5 longs) per gram instead of a ~40-char
+    * concat + hash, and a fixed 8-byte key whatever the gram text. A
+    * word-hash-tuple digest identifies a gram exactly as the string
+    * would (to collision probability), and the ORACLE joins raw gram
+    * strings, so the differential check would expose a colliding count.
     */
-  private[graft] def gramDigests(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(Dedup.shingles(col("text"), 5)).as("g"))
-      .select(col("doc_id"), md5(col("g")).as("gh"))
+  private[graft] def gramDigests(docs: DataFrame): DataFrame = {
+    val wh = transform(split(col("text"), " "), w => xxhash64(w))
+    val grams = transform(sequence(lit(1), size(col("wh")) - 4),
+      i => xxhash64(slice(col("wh"), i, lit(5))))
+    docs.select(col("doc_id"), wh.as("wh"))
+      .select(col("doc_id"),
+        explode(array_distinct(when(size(col("wh")) >= 5, grams)
+          .otherwise(array().cast("array<bigint>")))).as("gh"))
+  }
 
   /** Distinct gram digests of the held-out benchmark split (bucket ≥ 90)
     * — the static, bounded set both the batch pass and the streaming
