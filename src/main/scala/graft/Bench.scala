@@ -197,6 +197,27 @@ object Bench {
             Seq.empty
         }
       else Seq.empty
+    // Same mechanism for the SemDeDup no-oracle query: pair recall vs
+    // the exact cosine pass, so a cell-bucketing regression is visible
+    // in the artifact like an ANN index regression.
+    val semRecall: Seq[(String, Double)] =
+      if (!fatal && Seq("dd_cosine_neardup", "dd_semantic")
+          .forall(q => names.contains(q) && !failed(q)))
+        try {
+          def ppairs(q: String): Set[(Long, Long)] =
+            SparkEntry.queries(q)(spark, sfDir)
+              .select("id_a", "id_b").collect()
+              .map(r => (r.getLong(0), r.getLong(1))).toSet
+          val ex = ppairs("dd_cosine_neardup")
+          if (ex.isEmpty) Seq.empty
+          else Seq("dd_semantic" ->
+            ppairs("dd_semantic").count(ex.contains).toDouble / ex.size)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] sem recall failed: ${e.getMessage}")
+            Seq.empty
+        }
+      else Seq.empty
     // Locale.ROOT: f"%.3f" uses the JVM default locale, and a
     // comma-decimal locale would emit invalid JSON.
     def f3(v: Double): String =
@@ -214,7 +235,7 @@ object Bench {
     // Worst per-query spread: if this rivals the query timings themselves
     // the capture was noisy and the total shouldn't be trusted blindly.
     val maxSpread = if (spreads.isEmpty) 0.0 else spreads.map(_._2).max
-    val recallJson = qJson(recall)
+    val recallJson = qJson(recall ++ semRecall)
     val coldJson = cold.map("\"" + _ + "\"").mkString("[", ",", "]")
     val remeasuredJson =
       remeasured.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")

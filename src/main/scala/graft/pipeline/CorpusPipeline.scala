@@ -59,21 +59,40 @@ object CorpusPipeline {
         .write.mode("overwrite").parquet(s"$wh/unique/documents.parquet")))
 
   /** The flow's second half, shared VERBATIM by batch and streaming:
-    * contamination-safe cluster split over the unique corpus, then
-    * training-sequence packing of the train split.
+    * contamination-safe cluster split over the unique corpus, a
+    * decontamination screen of the train split against the held-out
+    * TEST split's gram set, then training-sequence packing of the
+    * clean train docs.
+    *
+    * The screen composes with the cluster split deliberately: the
+    * split already keeps near-dup CLUSTERS together (so wholesale
+    * near-dup leakage cannot cross splits), and the 5-gram screen then
+    * removes the residue cluster labels cannot see — unrelated docs
+    * sharing verbatim phrases with the held-out set. Bench-side grams
+    * come from the ACTUAL test assignment (not the md5 bucket the
+    * standalone `pp_decontaminate` query derives), so the two stages
+    * agree about what "held out" means.
     */
   def downstreamStages(s: SparkSession, wh: String,
       retries: Int = 2): Seq[PipelineRunner.Stage] = Seq(
     PipelineRunner.Stage("split", retries, () =>
       operators.Dedup.queries("pp_cluster_split")(s, s"$wh/unique")
         .write.mode("overwrite").parquet(s"$wh/splits/assignments.parquet")),
-    PipelineRunner.Stage("pack", retries, () => {
+    PipelineRunner.Stage("screen", retries, () => {
       val docs = s.read.parquet(s"$wh/unique/documents.parquet")
-      val train = s.read.parquet(s"$wh/splits/assignments.parquet")
-        .filter(col("split") === "train").select("doc_id")
-      operators.CorpusOps.packDocs(docs.join(train, Seq("doc_id"), "left_semi"))
-        .write.mode("overwrite").parquet(s"$wh/packed/sequences.parquet")
-    }))
+      val splits = s.read.parquet(s"$wh/splits/assignments.parquet")
+      def ofSplit(name: String) = docs.join(
+        splits.filter(col("split") === name).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      operators.CorpusOps.screenClean(ofSplit("train"),
+        operators.CorpusOps.gramDigests(ofSplit("test"))
+          .select("gh").distinct())
+        .write.mode("overwrite").parquet(s"$wh/screened/documents.parquet")
+    }),
+    PipelineRunner.Stage("pack", retries, () =>
+      operators.CorpusOps.packDocs(
+        s.read.parquet(s"$wh/screened/documents.parquet"))
+        .write.mode("overwrite").parquet(s"$wh/packed/sequences.parquet")))
 
   /** The full batch flow. */
   def runBatch(s: SparkSession, srcJsonlDir: String, wh: String,

@@ -65,16 +65,39 @@ class CorpusPipelineSpec extends GraftSuite {
       rows(s"$batchWh/unique/documents.parquet", "doc_id"))
     assert(rows(s"$streamWh/splits/assignments.parquet", "doc_id") ==
       rows(s"$batchWh/splits/assignments.parquet", "doc_id"))
+    assert(rows(s"$streamWh/screened/documents.parquet", "doc_id") ==
+      rows(s"$batchWh/screened/documents.parquet", "doc_id"))
     assert(rows(s"$streamWh/packed/sequences.parquet", "shard", "doc_id") ==
       rows(s"$batchWh/packed/sequences.parquet", "shard", "doc_id"))
 
-    // the pack stage packed exactly the train split of the unique corpus
+    // the pack stage packed exactly the SCREENED train split: train
+    // docs minus those sharing a word 5-gram with the held-out test
+    // split (re-derived independently here)
     val splits = spark.read.parquet(s"$batchWh/splits/assignments.parquet")
-    val trainIds = splits.filter(col("split") === "train")
+    val bySplit = splits.collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val uniqueText = spark.read
+      .parquet(s"$batchWh/unique/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def grams(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 5) Set.empty
+      else w.sliding(5).map(_.mkString(" ")).toSet
+    }
+    val testGrams = uniqueText.filter(d => bySplit(d._1) == "test")
+      .flatMap(d => grams(d._2)).toSet
+    val cleanTrain = uniqueText
+      .filter(d => bySplit(d._1) == "train")
+      .filter(d => !grams(d._2).exists(testGrams))
+      .map(_._1).toSet
+    val screenedIds = spark.read
+      .parquet(s"$batchWh/screened/documents.parquet")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     val packedIds = spark.read.parquet(s"$batchWh/packed/sequences.parquet")
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(packedIds == trainIds)
+    assert(screenedIds == cleanTrain)
+    assert(packedIds == screenedIds)
     assert(splits.count() == nUniq) // every unique doc got an assignment
   }
 
