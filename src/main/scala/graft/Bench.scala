@@ -170,54 +170,43 @@ object Bench {
         val t = trimmed(name)
         name -> (t.max - t.min)
     }
-    // ANN quality: recall@10 of each approximate index vs the exact
-    // baseline, computed inside the bench run — row counts (the only
-    // driver-side signal for the no-oracle ANN queries) cannot catch an
-    // approximate-index regression; this number can. Tiny collects:
-    // 10 queries × k=10 rows per variant.
-    val annVariants = Seq("ann_topk_lsh", "ann_topk_ivf", "ann_topk_pq")
-    val recall: Seq[(String, Double)] =
-      if (!fatal && !failed("ann_topk_exact") && names.contains("ann_topk_exact"))
+    // Approximate-query quality, computed inside the bench run — row
+    // counts (the only driver-side signal for no-oracle queries) cannot
+    // catch an index/bucketing regression; these numbers can. Tiny
+    // collects: tens-to-hundreds of id pairs per query.
+    // One mechanism for every no-oracle approximate query with an exact
+    // twin in the inventory: recall of its id-pair set vs the baseline's,
+    // keyed by the two given id columns. The ANN variants compare
+    // (query_id, neighbor_id) against the exact scan; SemDeDup compares
+    // (id_a, id_b) against the exact cosine pass.
+    def recallOf(exactName: String, variants: Seq[String],
+        keyCols: Seq[String]): Seq[(String, Double)] =
+      if (!fatal && !failed(exactName) && names.contains(exactName))
         try {
           def pairs(q: String): Set[(Long, Long)] =
             SparkEntry.queries(q)(spark, sfDir)
-              .select("query_id", "neighbor_id").collect()
+              .select(keyCols.head, keyCols.tail: _*).collect()
               .map(r => (r.getLong(0), r.getLong(1))).toSet
-          val exact = pairs("ann_topk_exact")
+          val exact = pairs(exactName)
           // An empty exact baseline (corpus smaller than the query set)
           // would make recall 0/0 = NaN, which f3 renders literally and
           // breaks the JSON artifact — skip recall instead.
           if (exact.isEmpty) Seq.empty
-          else annVariants.filter(v => names.contains(v) && !failed(v)).map { q =>
+          else variants.filter(v => names.contains(v) && !failed(v)).map { q =>
             q -> pairs(q).count(exact.contains).toDouble / exact.size
           }
         } catch {
           case scala.util.control.NonFatal(e) =>
-            System.err.println(s"[bench] recall computation failed: ${e.getMessage}")
+            System.err.println(
+              s"[bench] recall vs $exactName failed: ${e.getMessage}")
             Seq.empty
         }
       else Seq.empty
-    // Same mechanism for the SemDeDup no-oracle query: pair recall vs
-    // the exact cosine pass, so a cell-bucketing regression is visible
-    // in the artifact like an ANN index regression.
-    val semRecall: Seq[(String, Double)] =
-      if (!fatal && Seq("dd_cosine_neardup", "dd_semantic")
-          .forall(q => names.contains(q) && !failed(q)))
-        try {
-          def ppairs(q: String): Set[(Long, Long)] =
-            SparkEntry.queries(q)(spark, sfDir)
-              .select("id_a", "id_b").collect()
-              .map(r => (r.getLong(0), r.getLong(1))).toSet
-          val ex = ppairs("dd_cosine_neardup")
-          if (ex.isEmpty) Seq.empty
-          else Seq("dd_semantic" ->
-            ppairs("dd_semantic").count(ex.contains).toDouble / ex.size)
-        } catch {
-          case scala.util.control.NonFatal(e) =>
-            System.err.println(s"[bench] sem recall failed: ${e.getMessage}")
-            Seq.empty
-        }
-      else Seq.empty
+    val recall =
+      recallOf("ann_topk_exact",
+        Seq("ann_topk_lsh", "ann_topk_ivf", "ann_topk_pq"),
+        Seq("query_id", "neighbor_id")) ++
+      recallOf("dd_cosine_neardup", Seq("dd_semantic"), Seq("id_a", "id_b"))
     // Locale.ROOT: f"%.3f" uses the JVM default locale, and a
     // comma-decimal locale would emit invalid JSON.
     def f3(v: Double): String =
@@ -235,7 +224,7 @@ object Bench {
     // Worst per-query spread: if this rivals the query timings themselves
     // the capture was noisy and the total shouldn't be trusted blindly.
     val maxSpread = if (spreads.isEmpty) 0.0 else spreads.map(_._2).max
-    val recallJson = qJson(recall ++ semRecall)
+    val recallJson = qJson(recall)
     val coldJson = cold.map("\"" + _ + "\"").mkString("[", ",", "]")
     val remeasuredJson =
       remeasured.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -257,7 +257,11 @@ object CorpusOps {
     val total = docs.groupBy().agg(count(lit(1)).as("n"))
     val bucket = conv(substring(md5(col("doc_id").cast("string")), 9, 4),
       16, 10).cast("long") % 1000
-    val permille = (substring(col("source"), 4, 10).cast("long") % 5 + 1) * 10
+    // 2-arg substring (unbounded suffix) to mirror the oracle's
+    // substr(source, 4) exactly — a length-capped variant would diverge
+    // on source ids with >10-digit suffixes.
+    val permille =
+      (expr("substring(source, 4)").cast("long") % 5 + 1) * 10
     docs
       .join(broadcast(counts), "source")
       .crossJoin(broadcast(total))

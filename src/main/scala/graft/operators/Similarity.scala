@@ -237,19 +237,23 @@ object Similarity {
   //   16/6/2 0.59 @0.375 · 32/12/2 0.68 @0.375 · 8/4/2 0.73 @0.50
   // Recall is bounded by this corpus's weak cluster structure (max pair
   // cosine ≈ 0.5); raising probes trades scan fraction ~linearly.
-  private val IvfCells = 32
+  // private[graft]: the SemDeDup spec must account candidate volume at
+  // the EXACT configuration the shipped query runs, not a copy.
+  private[graft] val IvfCells = 32
   private val IvfProbes = 8
   private val IvfIters = 4
 
-  /** Nearest-cell assignment of every vector against a (tiny, broadcast)
-    * centroid table.
+  /** `nAssign`-nearest-cell assignment of every vector against a (tiny,
+    * broadcast) centroid table — nAssign = 1 is the IVF corpus
+    * assignment; SemDeDup multi-assigns (its recall knob).
     */
-  private def assignCells(v: DataFrame, cent: DataFrame): DataFrame =
+  private def assignCells(v: DataFrame, cent: DataFrame,
+      nAssign: Int = 1): DataFrame =
     v.crossJoin(broadcast(cent))
       .withColumn("cs", dot(col("u"), col("cu")))
       .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
         .orderBy(col("cs").desc, col("cell"))))
-      .filter(col("rn") === 1)
+      .filter(col("rn") <= nAssign)
       .select(col("vec_id"), col("u"), col("cell"))
 
   /** ANN via IVF (inverted-file index): the corpus is coarse-quantized to
@@ -283,16 +287,25 @@ object Similarity {
     .empty[(org.apache.spark.SparkContext, String, Int, Int),
       Seq[(Long, Seq[Double])]]
 
-  private[graft] def annTopkIvfTuned(s: SparkSession, d: String,
-      cells: Int, probes: Int, iters: Int): DataFrame = {
+  /** The cached trained-centroid table for (dir, cells, iters) — the
+    * one eviction-hooked lookup every centroid consumer (IVF search,
+    * index save, SemDeDup) goes through, so cache keying and eviction
+    * cannot diverge between them.
+    */
+  private def trainedCentroids(s: SparkSession, d: String, cells: Int,
+      iters: Int): DataFrame = {
     import s.implicits._
     graft.ContextCaches.evictOnStop(s.sparkContext, "ivf-centroids")(() =>
       centroidCache.filterInPlace { case ((c, _, _, _), _) =>
         c ne s.sparkContext })
-    val trained = centroidCache.getOrElseUpdate(
+    centroidCache.getOrElseUpdate(
       (s.sparkContext, d, cells, iters), trainCentroids(s, d, cells, iters))
-    ivfSearch(s, d, trained.toDF("cell", "cu"), probes)
+      .toDF("cell", "cu")
   }
+
+  private[graft] def annTopkIvfTuned(s: SparkSession, d: String,
+      cells: Int, probes: Int, iters: Int): DataFrame =
+    ivfSearch(s, d, trainedCentroids(s, d, cells, iters), probes)
 
   /** Probe-and-rerank against a given centroid table — shared by the
     * train-resident path and the persisted-index path, so a reloaded
@@ -325,7 +338,7 @@ object Similarity {
   // Cell multi-assignment breadth: each vector joins its 2 nearest cells,
   // so a near-dup pair straddling one cell boundary still meets — the
   // same recall knob as IVF probes, paid as 2× candidate volume.
-  private val SemAssign = 2
+  private[graft] val SemAssign = 2
 
   /** Semantic (embedding-space) near-duplicate detection bucketed by the
     * trained k-means cells — the SemDeDup scheme (Abbas et al. 2023,
@@ -348,10 +361,13 @@ object Similarity {
 
   private[graft] def semanticNearDupTuned(s: SparkSession, d: String,
       cells: Int, nAssign: Int, tau: Double): DataFrame = {
-    val a = semanticAssignments(s, d, cells, nAssign)
+    // One assignment build feeds both join sides (pinned: the crossJoin
+    // fan-out and the per-vector rank shuffle run once, not per side).
+    val assign = semanticAssignments(s, d, cells, nAssign)
+    val a = assign
       .select(col("cell").as("cell_a"), col("vec_id").as("id_a"),
         col("u").as("ua"))
-    val b = semanticAssignments(s, d, cells, nAssign)
+    val b = assign
       .select(col("cell").as("cell_b"), col("vec_id").as("id_b"),
         col("u").as("ub"))
     val cos = r6(dot(col("ua"), col("ub")))
@@ -366,26 +382,15 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
-  /** (vec_id, u, cell) with each vector in its `nAssign` nearest cells —
-    * exposed for the spec's candidate-volume accounting.
+  /** (vec_id, u, cell) with each vector in its `nAssign` nearest cells
+    * — [[assignCells]] over the cached centroids, pinned because both
+    * join sides of the pair stage read it. Exposed for the spec's
+    * candidate-volume accounting.
     */
   private[graft] def semanticAssignments(s: SparkSession, d: String,
-      cells: Int, nAssign: Int): DataFrame = {
-    import s.implicits._
-    graft.ContextCaches.evictOnStop(s.sparkContext, "ivf-centroids")(() =>
-      centroidCache.filterInPlace { case ((c, _, _, _), _) =>
-        c ne s.sparkContext })
-    val trained = centroidCache.getOrElseUpdate(
-      (s.sparkContext, d, cells, IvfIters),
-      trainCentroids(s, d, cells, IvfIters))
-    val cent = trained.toDF("cell", "cu")
-    normalized(s, d).crossJoin(broadcast(cent))
-      .withColumn("cs", dot(col("u"), col("cu")))
-      .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
-        .orderBy(col("cs").desc, col("cell"))))
-      .filter(col("rn") <= nAssign)
-      .select(col("vec_id"), col("u"), col("cell"))
-  }
+      cells: Int, nAssign: Int): DataFrame =
+    assignCells(normalized(s, d),
+      trainedCentroids(s, d, cells, IvfIters), nAssign).pinned()
 
   // -------------------------------------------------------- PQ variant
 
@@ -584,20 +589,12 @@ object Similarity {
     * so save → load → search is bit-identical to the training session.
     */
   def saveIvfIndex(s: SparkSession, d: String, path: String,
-      cells: Int = IvfCells, iters: Int = IvfIters): Unit = {
-    import s.implicits._
-    // Same eviction hook as the query path: a save-only caller (train
-    // here, serve elsewhere) must not leave its cache entry — keyed by
-    // a soon-stopped SparkContext — resident for the JVM lifetime.
-    graft.ContextCaches.evictOnStop(s.sparkContext, "ivf-centroids")(() =>
-      centroidCache.filterInPlace { case ((c, _, _, _), _) =>
-        c ne s.sparkContext })
-    val trained = centroidCache.getOrElseUpdate(
-      (s.sparkContext, d, cells, iters), trainCentroids(s, d, cells, iters))
-    // cells × dim doubles — a single tiny file, readable anywhere.
-    trained.toDF("cell", "cu").coalesce(1)
+      cells: Int = IvfCells, iters: Int = IvfIters): Unit =
+    // cells × dim doubles — a single tiny file, readable anywhere. The
+    // shared cache lookup carries the eviction hook, so a save-only
+    // caller leaves nothing resident past its context.
+    trainedCentroids(s, d, cells, iters).coalesce(1)
       .write.mode("overwrite").parquet(path)
-  }
 
   /** Run the IVF query against a previously saved index — no training,
     * no resident-cache dependency (a fresh session can serve

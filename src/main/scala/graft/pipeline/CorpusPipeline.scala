@@ -84,10 +84,15 @@ object CorpusPipeline {
       def ofSplit(name: String) = docs.join(
         splits.filter(col("split") === name).select("doc_id"),
         Seq("doc_id"), "left_semi")
-      operators.CorpusOps.screenClean(ofSplit("train"),
+      // screenClean reads its input twice (gram side + anti-join left
+      // side); persisting the train slice for the stage's duration
+      // halves the semi-join work, released before pack runs.
+      val train = ofSplit("train").persist()
+      try operators.CorpusOps.screenClean(train,
         operators.CorpusOps.gramDigests(ofSplit("test"))
           .select("gh").distinct())
         .write.mode("overwrite").parquet(s"$wh/screened/documents.parquet")
+      finally train.unpersist()
     }),
     PipelineRunner.Stage("pack", retries, () =>
       operators.CorpusOps.packDocs(

@@ -28,16 +28,26 @@ object StreamingDecontaminate {
     */
   def screen(spark: SparkSession, srcDir: String, benchDir: String,
       outDir: String, maxFilesPerTrigger: Int = 0): Unit = {
-    val bench = graft.operators.CorpusOps
-      .benchGramSet(graft.Tables.documents(spark, benchDir))
+    // Pin + materialize the gram set BEFORE the stream starts: a lazy
+    // frame would re-scan the benchmark corpus and re-run its distinct
+    // shuffle on every trigger for a set that is constant for the
+    // query's life.
+    val bench = graft.ContextCaches.pin(graft.operators.CorpusOps
+      .benchGramSet(graft.Tables.documents(spark, benchDir)))
+    bench.count()
     val reader = spark.readStream.schema(graft.Tables.DocumentsSchema)
     val src = (if (maxFilesPerTrigger > 0)
       reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader)
       .parquet(srcDir)
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.CorpusOps.screenClean(batch, bench)
+        // The screen reads the micro-batch twice (gram side + anti-join
+        // left side); a bounded per-trigger persist halves that I/O and
+        // releases before the next trigger.
+        batch.persist()
+        try graft.operators.CorpusOps.screenClean(batch, bench)
           .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        finally batch.unpersist()
       }
       .start()
     q.processAllAvailable()

@@ -72,8 +72,10 @@ class SimilaritySpec extends GraftSuite {
     info(s"SemDeDup recall vs exact: ${sem.size}/${exact.size} = $recall")
     assert(recall >= 0.5, s"SemDeDup recall $recall")
     // the point of the scheme: within-cell candidate volume is a small
-    // fraction of the N² the exact pass scores
-    val assign = operators.Similarity.semanticAssignments(spark, sf, 16, 2)
+    // fraction of the N² the exact pass scores — accounted at the EXACT
+    // configuration the shipped query runs (same cells/assign constants)
+    val assign = operators.Similarity.semanticAssignments(spark, sf,
+      operators.Similarity.IvfCells, operators.Similarity.SemAssign)
     val n = assign.select("vec_id").distinct().count()
     val cand = assign.groupBy("cell").count()
       .agg(sum(col("count") * (col("count") - 1) / 2).cast("long"))
