@@ -181,8 +181,9 @@ object CorpusOps {
     * BROADCAST; the training side streams once through the hash join
     * with no shuffle of the corpus itself, and the only aggregation is
     * per contaminated doc (count of distinct shared grams, the evidence
-    * a curation report needs). Grams join as fixed-width md5 digests,
-    * not raw strings — at 100 TB the broadcast carries 16-byte keys.
+    * a curation report needs). Grams join as fixed-width 8-byte
+    * xxhash64 composed digests, not raw strings — at 100 TB the
+    * broadcast carries one long per benchmark gram.
     */
   private def ppDecontaminate(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).withColumn("bucket", splitBucket)
@@ -202,16 +203,23 @@ object CorpusOps {
       16, 10).cast("long") % 100
 
   /** (doc_id, gh): digests of each doc's distinct word 5-grams — the
-    * decontamination join key. Gram STRINGS are never built: each word
+    * decontamination join key. Text is CANONICALIZED first
+    * ([[TextAnalysis.normText]]: lowercase, strip punctuation, collapse
+    * whitespace), so a case-changed or re-whitespaced copy of a
+    * benchmark document produces the same gram keys and still hits the
+    * screen — raw-space grams would let trivially-reformatted
+    * contamination through. Gram STRINGS are never built: each word
     * hashes once (xxhash64), and a gram's digest is the hash of its
     * 5-word-hash slice — O(5 longs) per gram instead of a ~40-char
     * concat + hash, and a fixed 8-byte key whatever the gram text. A
     * word-hash-tuple digest identifies a gram exactly as the string
     * would (to collision probability), and the ORACLE joins raw gram
-    * strings, so the differential check would expose a colliding count.
+    * strings over the same canonicalized text, so the differential
+    * check would expose a colliding count.
     */
   private[graft] def gramDigests(docs: DataFrame): DataFrame = {
-    val wh = transform(split(col("text"), " "), w => xxhash64(w))
+    val wh = transform(split(TextAnalysis.normText(col("text")), " "),
+      w => xxhash64(w))
     val grams = transform(sequence(lit(1), size(col("wh")) - 4),
       i => xxhash64(slice(col("wh"), i, lit(5))))
     docs.select(col("doc_id"), wh.as("wh"))
@@ -285,7 +293,8 @@ object CorpusOps {
       s"""WITH w0 AS (SELECT doc_id,
          |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100
          |    AS bucket,
-         |  string_split(text, ' ') AS w FROM documents),
+         |  string_split(${TextAnalysis.normTextSql("text")}, ' ') AS w
+         |  FROM documents),
          |t AS (SELECT doc_id, bucket, ${Dedup.shinglesSql(5)} AS sh FROM w0),
          |tr AS (SELECT doc_id, unnest(sh) AS g FROM t WHERE bucket < 80),
          |be AS (SELECT DISTINCT unnest(sh) AS g FROM t WHERE bucket >= 90)

@@ -546,8 +546,7 @@ object Extended {
     * normalization-then-dedup pass keys on).
     */
   private def taNormalize(s: SparkSession, d: String): DataFrame = {
-    val norm = trim(regexp_replace(regexp_replace(lower(col("text")),
-      "[^a-z0-9 ]", " "), " +", " "))
+    val norm = TextAnalysis.normText(col("text"))
     Tables.documents(s, d)
       .select(col("doc_id"), md5(norm).as("norm_hash"),
         length(norm).as("n_norm"))
@@ -677,12 +676,10 @@ object Extended {
         |SELECT label, n, round(total / (k * n), 6) AS weight
         |FROM c, t ORDER BY label""".stripMargin,
     "ta_normalize" ->
-      """SELECT doc_id,
-        |  md5(trim(regexp_replace(regexp_replace(lower(text),
-        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash,
-        |  CAST(len(trim(regexp_replace(regexp_replace(lower(text),
-        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS INT) AS n_norm
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id,
+         |  md5(${TextAnalysis.normTextSql("text")}) AS norm_hash,
+         |  CAST(len(${TextAnalysis.normTextSql("text")}) AS INT) AS n_norm
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "w14_rolling_distinct" ->
       """SELECT event_id,
         |  CAST(len(list_distinct(list(event_type) OVER w)) AS INT)

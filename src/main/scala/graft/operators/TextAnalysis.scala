@@ -11,6 +11,22 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Text canonicalization — lowercase, strip non-alphanumerics,
+    * collapse whitespace — shared by `ta_normalize` and the
+    * decontamination gram keys ([[CorpusOps.gramDigests]]): a
+    * case-changed or re-whitespaced copy of a held-out document must
+    * still hit the screen, so normalization and gram construction are
+    * ONE definition.
+    */
+  private[graft] def normText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** DuckDB twin of [[normText]] (Java replace-all needs the 'g' flag
+    * there), so every oracle canonicalizes exactly like the engine.
+    */
+  private[graft] def normTextSql(expr: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($expr), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
   /** Marker vocabularies for the n-gram/stopword language heuristic.
     * Deterministic, engine-agnostic; tie-break order en,es,de,fr,zh.
     */

@@ -80,8 +80,13 @@ class CorpusPipelineSpec extends GraftSuite {
       .parquet(s"$batchWh/unique/documents.parquet")
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1))
+    // Independent re-derivation of the screen, including the
+    // canonicalization the gram keys apply (lowercase, strip
+    // punctuation, collapse whitespace).
     def grams(t: String): Set[String] = {
-      val w = t.split(" ", -1)
+      val n = t.toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+        .replaceAll(" +", " ").trim
+      val w = n.split(" ", -1)
       if (w.length < 5) Set.empty
       else w.sliding(5).map(_.mkString(" ")).toSet
     }
@@ -99,6 +104,36 @@ class CorpusPipelineSpec extends GraftSuite {
     assert(screenedIds == cleanTrain)
     assert(packedIds == screenedIds)
     assert(splits.count() == nUniq) // every unique doc got an assignment
+  }
+
+  test("decontamination screen catches case/whitespace-reformatted benchmark copies") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    // A benchmark (bucket >= 90) doc long enough to carry 5-grams.
+    val benchDoc = docs.filter(operators.CorpusOps.splitBucket >= 90)
+      .filter(size(split(col("text"), " ")) >= 5)
+      .select("doc_id", "text").orderBy("doc_id").first()
+    val original = benchDoc.getString(1)
+    // Trivially-reformatted contamination: case changed and whitespace
+    // doubled — no shared RAW 5-gram with the original (proved below),
+    // which is exactly the copy a raw-space screen lets through.
+    val reformatted = original.toUpperCase.replace(" ", "  ")
+    def rawGrams(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 5) Set.empty else w.sliding(5).map(_.mkString(" ")).toSet
+    }
+    assert(rawGrams(reformatted).intersect(rawGrams(original)).isEmpty,
+      "reformatting failed to change the raw gram keys")
+    val batch = Seq(
+      (900001L, reformatted), // contaminated: same text after normText
+      (900002L, "qq ww ee rr tt yy uu ii oo pp")) // control: unrelated
+      .toDF("doc_id", "text")
+    val kept = operators.CorpusOps
+      .screenClean(batch, operators.CorpusOps.benchGramSet(docs))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(900001L),
+      "a case/whitespace-changed benchmark copy slipped the screen")
+    assert(kept.contains(900002L), "the screen dropped an unrelated doc")
   }
 
   test("streaming decontamination screen equals the batch screen across micro-batches") {

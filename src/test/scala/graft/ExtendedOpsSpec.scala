@@ -370,14 +370,17 @@ class ExtendedOpsSpec extends GraftSuite {
       .map("%02x".format(_)).mkString
 
   test("decontamination flags exactly the train docs sharing a 5-gram with the benchmark") {
-    // independent re-derivation: same md5 buckets, same word-5-gram
-    // definition (split on single space, trailing empties kept, distinct)
+    // independent re-derivation: same md5 buckets, same canonicalization
+    // (lowercase, strip punctuation, collapse whitespace), same
+    // word-5-gram definition (split on single space, distinct)
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1))
     def bucket(id: Long): Long =
       java.lang.Long.parseLong(md5hex(id.toString).take(4), 16) % 100
     def grams(t: String): Set[String] = {
-      val w = t.split(" ", -1)
+      val n = t.toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+        .replaceAll(" +", " ").trim
+      val w = n.split(" ", -1)
       if (w.length < 5) Set.empty
       else w.sliding(5).map(_.mkString(" ")).toSet
     }
