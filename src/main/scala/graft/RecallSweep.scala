@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev utility: recall / scan-fraction sweep for the IVF index — the
+  * measurement loop behind the shipped IvfCells/IvfProbes/IvfIters/
+  * IvfCorpusAssign constants (the scaladoc curves in
+  * [[operators.Similarity]] come from runs of this).
+  *
+  * Usage: runMain graft.RecallSweep <sfDir> cells:probes:iters:assign ...
+  * Prints recall@10 vs the exact scan, the index scan fraction
+  * (probes·assign/cells), and wall time per configuration.
+  */
+object RecallSweep {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val exact = operators.Similarity.annTopkExact(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    args.drop(1).foreach { cfg =>
+      val Array(c, p, it, a) = cfg.split(":").map(_.toInt)
+      val t0 = System.nanoTime()
+      val got = operators.Similarity
+        .annTopkIvfTuned(spark, sfDir, c, p, it, a)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val sec = (System.nanoTime() - t0) / 1e9
+      val recall = exact.count(got.contains).toDouble / exact.size
+      println(f"cells=$c probes=$p iters=$it assign=$a  " +
+        f"recall=$recall%.3f frac=${p.toDouble * a / c}%.3f sec=$sec%.1f")
+    }
+    spark.stop()
+  }
+}

@@ -77,7 +77,7 @@ object ScaleSmoke {
       // native session_window (agg-operator session state).
       time("asof_join") {
         // The SAME plan the j5_asof_join query ships, on the scaled table.
-        full(operators.Extended.asofLastError(
+        full(operators.TemporalJoins.asofLastError(
           big.select(col("event_id"), col("user_id"),
             unix_micros(col("ts")).as("tus"), col("event_type"))))
       },
@@ -90,7 +90,7 @@ object ScaleSmoke {
       // factor=100 that is ~1.5M users, so the grid itself is tens of
       // millions of rows) and the fill window is one pass per user.
       time("gap_fill") {
-        full(operators.Extended.gapFill(big.select(col("user_id"),
+        full(operators.TemporalJoins.gapFill(big.select(col("user_id"),
           to_date(col("ts")).as("day"), col("value"))))
       },
       // Round-5: rolling median at 100× — same bounded 5-row frame as
@@ -257,6 +257,110 @@ object ScaleSmoke {
         SparkEntry.queries("dd_semantic")(spark, vecScratch).count()
       })
 
+    // SemDeDup skew stress: a corpus whose MAJORITY sits in one k-means
+    // cell — the skewed-cell shape real embedding corpora produce and
+    // the reason the pair join blocks oversized cells. 8k vectors, 54%
+    // in one tight cluster (ids < 100 scatter so the centroid seeds are
+    // scattered and the whole cluster lands behind ONE seed): the hot
+    // cell carries a C(4345,2) ≈ 9.4M-pair quadratic stage, the worst
+    // case by construction since every pair also clears tau. The _1key
+    // twin runs the SAME corpus with blocking disabled (block =
+    // MaxValue → every cell one shuffle key): its hot cell lands on one
+    // task, and the delta vs the blocked run is the straggler the cap
+    // removes.
+    val vecSkewScratch = s"$scratch-vecskew"
+    if (!new java.io.File(vecSkewScratch).exists()) {
+      val nSkew = 8000L
+      val hotExpr = "sin(3.33*j) + 0.02*sin(12.9898*id + 78.233*j)"
+      val scatExpr = "sin(12.9898*id + 78.233*j)"
+      spark.range(0, nSkew).selectExpr(
+        "id AS vec_id",
+        s"""cast(transform(sequence(0, 63), j ->
+           |  CASE WHEN id >= 100 AND id % 20 < 11 THEN $hotExpr
+           |       ELSE $scatExpr END)
+           |  AS array<float>) AS embedding""".stripMargin,
+        "cast(0 AS int) AS label")
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$vecSkewScratch/embeddings.parquet")
+    }
+    val skewVecResults = Seq(
+      time("dd_semantic_skew") {
+        SparkEntry.queries("dd_semantic")(spark, vecSkewScratch).count()
+      },
+      time("dd_semantic_skew_1key") {
+        operators.Similarity.semanticNearDupBlocked(spark, vecSkewScratch,
+          operators.Similarity.SemCells, operators.Similarity.SemAssign,
+          operators.Dedup.CosTau, Int.MaxValue).count()
+      })
+
+    // ANN quality at 10× corpus growth: the PQ shortlist lesson (a
+    // fixed-size shortlist silently decayed recall as the corpus grew)
+    // generalizes to every index knob, so recall@10 vs the exact scan
+    // is measured ON the grown corpus, not just at sf0.1 — the curve
+    // the bench artifact cannot see. Exact baselines are cheap here
+    // (10 query vectors × 20k corpus; the cosine pair pass is tiled).
+    def pairSet(name: String, ka: String, kb: String): Set[(Long, Long)] =
+      SparkEntry.queries(name)(spark, vecScratch).select(ka, kb).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val annTimes = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Long)]
+    def timedPairs(name: String, ka: String = "query_id",
+        kb: String = "neighbor_id"): Set[(Long, Long)] = {
+      val t0 = System.nanoTime()
+      val p = pairSet(name, ka, kb)
+      // _pairs suffix: dd_semantic_10x (the timed count stage above)
+      // must not collide with this recall-pass timing in the JSON.
+      annTimes += ((s"${name}_pairs_10x",
+        (System.nanoTime() - t0) / 1e9, p.size.toLong))
+      p
+    }
+    val exactAnn = timedPairs("ann_topk_exact")
+    val recall10x = Seq("ann_topk_lsh", "ann_topk_ivf", "ann_topk_pq")
+      .map(q => q -> timedPairs(q).count(exactAnn.contains).toDouble /
+        exactAnn.size) ++ {
+      val exactSem = timedPairs("dd_cosine_neardup", "id_a", "id_b")
+      Seq("dd_semantic" -> timedPairs("dd_semantic", "id_a", "id_b")
+        .count(exactSem.contains).toDouble / exactSem.size)
+    }
+
+    // Composed corpus pipeline at 10×: the chained batch flow (ingest →
+    // curate → dedup → split → screen → pack) on the dup-heavy corpus,
+    // with per-stage wall times — the stages are smoked individually
+    // above; this is the end-to-end number including the screen's
+    // persist window and every inter-stage parquet hop. The streaming
+    // twin then runs the same corpus as file drops (8 per trigger).
+    val jsonlScratch = s"$docScratch-jsonl"
+    if (!new java.io.File(jsonlScratch).exists()) {
+      spark.read.parquet(s"$docScratch/documents.parquet")
+        .write.mode("overwrite").option("compression", "gzip")
+        .json(jsonlScratch)
+    }
+    val stageTimes = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def timedStages(stages: Seq[pipeline.PipelineRunner.Stage]) =
+      stages.map { st =>
+        st.copy(run = () => {
+          val t0 = System.nanoTime()
+          st.run()
+          stageTimes += st.name -> (System.nanoTime() - t0) / 1e9
+        })
+      }
+    val pipeWh = s"$scratch-pipewh"
+    val pipeTotal = time("pipe_batch_total") {
+      val report = pipeline.PipelineRunner.run(timedStages(
+        pipeline.CorpusPipeline.ingestStages(spark, jsonlScratch, pipeWh) ++
+          pipeline.CorpusPipeline.downstreamStages(spark, pipeWh)))
+      require(report.succeeded, report.toString)
+      spark.read.parquet(s"$pipeWh/packed/sequences.parquet").count()
+    }
+    val pipeStream = time("pipe_stream_total") {
+      val report = pipeline.CorpusPipeline.runStreamingTwin(spark,
+        s"$docScratch/documents.parquet", s"$scratch-pipewh-stream",
+        maxFilesPerTrigger = 8)
+      require(report.succeeded, report.toString)
+      0L
+    }
+    val pipeResults = stageTimes.toSeq.map { case (n, t) =>
+      (s"pipe_$n", t, 0L) } :+ pipeTotal :+ pipeStream
+
     // Streaming dedup throughput at the same 10x dup-heavy scale: the
     // replicated documents dir becomes a file-source stream (8 files per
     // trigger → several micro-batches), state = one flag per distinct
@@ -271,11 +375,14 @@ object ScaleSmoke {
       })
 
     val qs = (results ++ skewResults ++ dedupResults ++ knnResults ++
-      streamResults)
+      skewVecResults ++ annTimes.toSeq ++ pipeResults ++ streamResults)
       .map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
     val pairCounts = dedupResults.map { case (k, _, n) => s""""$k":$n""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"scale_smoke","rows":$rows,"factor":$factor,"queries":$qs,"dedup_pairs":$pairCounts}""")
+    val recallJson = recall10x.map { case (k, v) =>
+      s""""$k":${"%.3f".formatLocal(java.util.Locale.ROOT, v)}""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"scale_smoke","rows":$rows,"factor":$factor,"queries":$qs,"dedup_pairs":$pairCounts,"recall_10x":$recallJson}""")
     spark.stop()
   }
 }

@@ -26,6 +26,8 @@ object SparkEntry {
       operators.Multimodal.queries ++
       operators.SqlSurface.queries ++
       operators.Extended.queries ++
+      operators.TemporalJoins.queries ++
+      operators.ScalarOps.queries ++
       operators.TpchQueries.queries ++
       operators.CorpusOps.queries ++
       operators.Layout.queries ++
@@ -46,6 +48,8 @@ object SparkEntry {
       operators.Multimodal.oracle ++
       operators.SqlSurface.oracle ++
       operators.Extended.oracle ++
+      operators.TemporalJoins.oracle ++
+      operators.ScalarOps.oracle ++
       operators.TpchQueries.oracle ++
       operators.CorpusOps.oracle ++
       operators.Layout.oracle ++

@@ -229,19 +229,31 @@ object Similarity {
 
   // ------------------------------------------------------- IVF variant
 
-  // Tuned by a cells×probes×iters recall sweep at sf0.01 (2k vectors):
-  // at equal scan fraction finer quantization wins — 32 cells / 8 probes
-  // recalls 0.56 vs 16/4's 0.46 at the same 25% fraction, and 2 extra
-  // Lloyd iterations buy 0.60. Curve (recall@10 / scan fraction):
-  //   16/4/2 0.46 @0.25 · 32/8/2 0.56 @0.25 · 32/8/4 0.60 @0.25
-  //   16/6/2 0.59 @0.375 · 32/12/2 0.68 @0.375 · 8/4/2 0.73 @0.50
-  // Recall is bounded by this corpus's weak cluster structure (max pair
-  // cosine ≈ 0.5); raising probes trades scan fraction ~linearly.
-  // private[graft]: the SemDeDup spec must account candidate volume at
-  // the EXACT configuration the shipped query runs, not a copy.
-  private[graft] val IvfCells = 32
-  private val IvfProbes = 8
+  // Tuned by graft.RecallSweep (cells × probes × iters × corpus-assign,
+  // all at the SAME 25% scan fraction). Finer quantization wins
+  // decisively — at sf0.1 (2k vectors): 32/8 0.63 · 64/16 0.62 ·
+  // 96/24 0.70 · 128/32 0.75; corpus-side 2-assign spill on 64 cells
+  // reaches 0.72 and 4-assign on 64 reaches 0.74, both short of plain
+  // 128-cell quantization. Extra Lloyd iterations (8) buy nothing at
+  // 128 cells. Shipped 128/32/4/1: recall@10 = 0.90 at sf0.001, 0.84
+  // at sf0.01, 0.75 at sf0.1 — the decay with corpus growth at FIXED
+  // cells is the expected densification; production guidance is cells
+  // ∝ N (constant expected cell size), which this corpus follows by
+  // re-tuning per SF in the sweep. Recall remains bounded by the weak
+  // cluster structure (max pair cosine ≈ 0.5).
+  // private[graft]: specs must account at the EXACT shipped config.
+  private[graft] val IvfCells = 128
+  private[graft] val IvfProbes = 32
   private val IvfIters = 4
+  private[graft] val IvfCorpusAssign = 1
+
+  // SemDeDup keeps its own coarser geometry: pair recall needs both
+  // members of a near-dup pair in one cell, so FEWER, larger cells win
+  // there (0.757 pair recall at 32 cells / 3-assign; 128 cells would
+  // shred pairs across boundaries). Search and dedup share the trainer
+  // and the per-(dir, cells, iters) cache — two tiny centroid tables,
+  // each serving the configuration its recall was measured at.
+  private[graft] val SemCells = 32
 
   /** `nAssign`-nearest-cell assignment of every vector against a (tiny,
     * broadcast) centroid table — nAssign = 1 is the IVF corpus
@@ -256,21 +268,21 @@ object Similarity {
       .filter(col("rn") <= nAssign)
       .select(col("vec_id"), col("u"), col("cell"))
 
-  /** ANN via IVF (inverted-file index): the corpus is coarse-quantized to
-    * 16 centroid cells; each query probes its 4 nearest cells and reranks
-    * only those members exactly. At 100 TB the cell id is the partition
-    * key — a probe touches probes/cells of the data, and centroids (the
-    * only broadcast state) stay tiny. Centroids are k-means-refined from
-    * deterministic seeds ([[IvfIters]] Lloyd steps, the distributed
-    * explode→mean shape); component means accumulate in DECIMAL so the
-    * trained index is bit-identical across runs and partitionings
-    * (a plain double avg would drift with partition order and could flip
-    * boundary assignments run-to-run). Measured recall@10 vs exact at
-    * sf0.01: 0.37 with raw seeds → 0.46 after refinement — bounded by
-    * this corpus's weak cluster structure (max pair cosine ≈ 0.5, so
-    * neighbor cell membership is only weakly correlated); on clustered
-    * real embeddings the same index recalls far higher. Raising
-    * IvfProbes trades scan fraction for recall linearly.
+  /** ANN via IVF (inverted-file index): the corpus is coarse-quantized
+    * to [[IvfCells]] centroid cells; each query probes its [[IvfProbes]]
+    * nearest cells and reranks only those members exactly. At 100 TB the
+    * cell id is the partition key — a probe touches probes/cells of the
+    * data, and centroids (the only broadcast state) stay tiny. Centroids
+    * are k-means-refined from deterministic seeds ([[IvfIters]] Lloyd
+    * steps, the distributed explode→mean shape); component means
+    * accumulate in DECIMAL so the trained index is bit-identical across
+    * runs and partitionings (a plain double avg would drift with
+    * partition order and could flip boundary assignments run-to-run).
+    * Recall@10 vs exact at the shipped 25% scan fraction: 0.90 / 0.84 /
+    * 0.75 at sf0.001/0.01/0.1 (see the sweep note on [[IvfCells]]) —
+    * bounded by this corpus's weak cluster structure (max pair cosine
+    * ≈ 0.5); on clustered real embeddings the same index recalls far
+    * higher. Raising IvfProbes trades scan fraction for recall linearly.
     */
   def annTopkIvf(s: SparkSession, d: String): DataFrame =
     annTopkIvfTuned(s, d, IvfCells, IvfProbes, IvfIters)
@@ -304,17 +316,24 @@ object Similarity {
   }
 
   private[graft] def annTopkIvfTuned(s: SparkSession, d: String,
-      cells: Int, probes: Int, iters: Int): DataFrame =
-    ivfSearch(s, d, trainedCentroids(s, d, cells, iters), probes)
+      cells: Int, probes: Int, iters: Int,
+      nAssign: Int = IvfCorpusAssign): DataFrame =
+    ivfSearch(s, d, trainedCentroids(s, d, cells, iters), probes, nAssign)
 
   /** Probe-and-rerank against a given centroid table — shared by the
     * train-resident path and the persisted-index path, so a reloaded
     * index answers bit-identically to the session that trained it.
+    * `nAssign` > 1 is corpus-side spill (each vector indexed under its
+    * nAssign nearest cells): a true neighbor sitting just across the
+    * query's probed boundary is still found through its second cell —
+    * the recall knob that attacks boundary misses directly, paid as an
+    * nAssign× larger index (NOT more probe work per cell scan fraction
+    * at fixed probes·nAssign/cells).
     */
   private def ivfSearch(s: SparkSession, d: String, cent: DataFrame,
-      probes: Int): DataFrame = {
+      probes: Int, nAssign: Int = IvfCorpusAssign): DataFrame = {
     val v = normalized(s, d)
-    val assign = assignCells(v, cent)
+    val assign = assignCells(v, cent, nAssign)
     val qcells = v.filter(col("vec_id") < NumQueries).crossJoin(broadcast(cent))
       .withColumn("cs", dot(col("u"), col("cu")))
       .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
@@ -351,7 +370,11 @@ object Similarity {
     * a shared cell. At 100 TB the cell id is the shuffle key and
     * per-cell work is (N/cells)² instead of N² — the candidate volume
     * drops by ~cells/assign² while the trained centroids (the only
-    * broadcast state) stay tiny. Approximate by construction (a pair
+    * broadcast state) stay tiny; a SKEWED cell (k-means on real
+    * embedding corpora produces them) cannot straggle, because cells
+    * above [[SemCellBlock]] assignments split into hash sub-blocks and
+    * pair up per block pair ([[semanticNearDupBlocked]]), output
+    * unchanged. Approximate by construction (a pair
     * whose members straddle every probed boundary is missed) → no SQL
     * oracle; the spec proves every emitted pair IS an exact-baseline
     * pair (same τ, cosine within 1e-6), measures recall against the
@@ -360,29 +383,88 @@ object Similarity {
     * search AND dedup, as a production store would.
     */
   private def semanticNearDup(s: SparkSession, d: String): DataFrame =
-    semanticNearDupTuned(s, d, IvfCells, SemAssign, Dedup.CosTau)
+    semanticNearDupTuned(s, d, SemCells, SemAssign, Dedup.CosTau)
+
+  // Per-sub-block target for the within-cell pair join: a cell whose
+  // assignment count n exceeds this splits into k = ceil(n/block) hash
+  // sub-blocks and the pair stage joins per UNORDERED BLOCK PAIR, so no
+  // single shuffle key ever carries more than ~(2·block)² candidate
+  // evaluations. k-means on real embedding corpora is heavily skewed —
+  // without the split, one cell holding 10% of the corpus lands its
+  // whole quadratic pair volume on ONE key, a straggler AQE cannot
+  // rewrite (the blow-up is in the join OUTPUT, not the input sizes).
+  // private[graft]: the hot-cell spec accounts task volume at the
+  // exact shipped configuration.
+  private[graft] val SemCellBlock = 1024
 
   private[graft] def semanticNearDupTuned(s: SparkSession, d: String,
-      cells: Int, nAssign: Int, tau: Double): DataFrame = {
-    // One assignment build feeds both join sides (pinned: the crossJoin
-    // fan-out and the per-vector rank shuffle run once, not per side).
-    val assign = semanticAssignments(s, d, cells, nAssign)
-    val a = assign
-      .select(col("cell").as("cell_a"), col("vec_id").as("id_a"),
-        col("u").as("ua"))
-    val b = assign
-      .select(col("cell").as("cell_b"), col("vec_id").as("id_b"),
-        col("u").as("ub"))
+      cells: Int, nAssign: Int, tau: Double): DataFrame =
+    semanticNearDupBlocked(s, d, cells, nAssign, tau, SemCellBlock)
+
+  /** Within-cell pairs via salted triangle blocking — EXACTLY the pairs
+    * the unblocked cell join emits (spec-asserted bit-equal), with
+    * per-task work bounded: each vector salts into one of its cell's
+    * k = ceil(n/block) sub-blocks (deterministic xxhash64) and
+    * replicates to the k unordered block-pair keys containing it; the
+    * orientation predicate keeps each pair at exactly ONE key, so the
+    * blow-up of a hot cell spreads over k(k+1)/2 ordinary-sized tasks
+    * instead of one straggler. Balanced cells (k = 1) degenerate to the
+    * plain cell-keyed join. Total candidate volume is unchanged — that
+    * is SemDeDup's semantic cost, controlled by growing `cells` with
+    * the corpus (cells ∝ N keeps expected cell size flat); the blocking
+    * removes the skew hazard, not the quadratic-within-cell definition.
+    */
+  private[graft] def semanticNearDupBlocked(s: SparkSession, d: String,
+      cells: Int, nAssign: Int, tau: Double, block: Int): DataFrame = {
+    // One blocked-assignment build feeds both join sides (the pinned
+    // assignment underneath runs its crossJoin fan-out + rank once).
+    val f = semanticBlockedFrame(s, d, cells, nAssign, block)
+    val a = f.select(col("cell").as("cell_a"), col("bi").as("bi_a"),
+      col("bj").as("bj_a"), col("salt").as("salt_a"),
+      col("vec_id").as("id_a"), col("u").as("ua"))
+    val b = f.select(col("cell").as("cell_b"), col("bi").as("bi_b"),
+      col("bj").as("bj_b"), col("salt").as("salt_b"),
+      col("vec_id").as("id_b"), col("u").as("ub"))
     val cos = r6(dot(col("ua"), col("ub")))
     // Threshold and ordering live in the JOIN CONDITION (the
-    // cosineNearDupComposed pattern): the equi-key is the cell, and only
-    // the rare surviving pairs materialize wide rows.
-    a.join(b, col("cell_a") === col("cell_b") && col("id_a") < col("id_b") &&
-        cos >= tau)
+    // cosineNearDupComposed pattern): the equi-key is (cell, block
+    // pair), and only the rare surviving pairs materialize wide rows.
+    // The orientation predicate admits a pair only where its two salts
+    // ARE the key's block pair (either way around), so a pair meets at
+    // exactly one key pre-dedup.
+    a.join(b, col("cell_a") === col("cell_b") &&
+        col("bi_a") === col("bi_b") && col("bj_a") === col("bj_b") &&
+        ((col("salt_a") === col("bi_a") && col("salt_b") === col("bj_a")) ||
+          (col("salt_a") === col("bj_a") && col("salt_b") === col("bi_a"))) &&
+        col("id_a") < col("id_b") && cos >= tau)
       .select(col("id_a"), col("id_b"), cos.as("cos"))
       // multi-assignment can meet the same pair in up to nAssign cells
       .dropDuplicates("id_a", "id_b")
       .orderBy("id_a", "id_b")
+  }
+
+  /** The salted/blocked side of the SemDeDup pair join: one row per
+    * (vector, unordered block-pair key it participates in). Cell sizes
+    * are a bounded aggregate (one row per cell, broadcast back); salt =
+    * xxhash64(vec_id) mod k is deterministic across runs and engines.
+    * Exposed for the hot-cell spec's per-key volume accounting.
+    */
+  private[graft] def semanticBlockedFrame(s: SparkSession, d: String,
+      cells: Int, nAssign: Int, block: Int): DataFrame = {
+    val assign = semanticAssignments(s, d, cells, nAssign)
+    val sizes = assign.groupBy("cell").agg(count(lit(1)).as("n_cell"))
+    assign.join(broadcast(sizes), "cell")
+      .withColumn("k",
+        ceil(col("n_cell") / lit(block.toDouble)).cast("int"))
+      .withColumn("salt",
+        pmod(xxhash64(col("vec_id")), col("k")).cast("int"))
+      .select(col("cell"), col("salt"),
+        explode(sequence(lit(0), col("k") - 1)).as("peer"),
+        col("vec_id"), col("u"))
+      .select(col("cell"),
+        least(col("salt"), col("peer")).as("bi"),
+        greatest(col("salt"), col("peer")).as("bj"),
+        col("salt"), col("vec_id"), col("u"))
   }
 
   /** (vec_id, u, cell) with each vector in its `nAssign` nearest cells

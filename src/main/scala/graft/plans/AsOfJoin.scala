@@ -22,7 +22,7 @@ import org.apache.spark.sql.types.LongType
   * a bucketed table, which no composed union-window formulation can
   * exploit).
   *
-  * Semantics match [[graft.operators.Extended.asofLastError]] (and
+  * Semantics match [[graft.operators.TemporalJoins.asofLastError]] (and
   * DuckDB's `ASOF LEFT JOIN ... ON l.key = r.key AND l.time >= r.time`):
   * for every left row, the greatest right `time` of the same key with
   * `time <= left.time` (inclusive), else null. Keys and times are LONGs

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 class ExtendedOpsSpec extends GraftSuite {
 
   test("as-of join matches the brute-force maximum at-or-before") {
-    val got = Extended.queries("j5_asof_join")(spark, sf)
+    val got = operators.TemporalJoins.queries("j5_asof_join")(spark, sf)
     // Brute force: for each event, max error ts <= event ts per user.
     val ev = Tables.events(spark, sf)
       .select(col("event_id"), col("user_id"), tsUs(col("ts")).as("tus"),
@@ -29,7 +29,7 @@ class ExtendedOpsSpec extends GraftSuite {
   }
 
   test("as-of join is inclusive: an error event matches itself") {
-    val got = Extended.queries("j5_asof_join")(spark, sf)
+    val got = operators.TemporalJoins.queries("j5_asof_join")(spark, sf)
     val errRows = Tables.events(spark, sf)
       .filter(col("event_type") === "error")
       .select(col("event_id"), tsUs(col("ts")).as("own_tus"))
@@ -40,7 +40,7 @@ class ExtendedOpsSpec extends GraftSuite {
   }
 
   test("range join buckets partition all events exactly once") {
-    val got = Extended.queries("j6_range_join")(spark, sf)
+    val got = operators.TemporalJoins.queries("j6_range_join")(spark, sf)
     val totalBucketed = got.agg(sum(col("n"))).first().getLong(0)
     val totalEvents = Tables.events(spark, sf).count()
     assert(totalBucketed == totalEvents)
@@ -100,7 +100,7 @@ class ExtendedOpsSpec extends GraftSuite {
   }
 
   test("as-of join is one shuffle: union + window, no join exchange") {
-    val plan = operators.Extended.queries("j5_asof_join")(spark, sf)
+    val plan = operators.TemporalJoins.queries("j5_asof_join")(spark, sf)
       .queryExecution.executedPlan.toString
     val hashShuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(hashShuffles == 1,
