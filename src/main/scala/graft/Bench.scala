@@ -45,6 +45,26 @@ object Bench {
       s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Prior run's per-query medians, read BEFORE this run overwrites the
+    // artifact: cross-round regressions surface in the artifact itself
+    // (round 5's comparison required hand-reconstructing truncated chunk
+    // lines). Same-format file, so a targeted regex parse suffices; any
+    // failure just disables the comparison.
+    val prev: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("bench_results.json")), "UTF-8")
+        // Only compare like with like: a prior run at a DIFFERENT scale
+        // factor (e.g. a dev subset at sf0.001) would flag phantom
+        // regressions on every query.
+        val sameSf = s""""sf":"$sfDir"""".r.findFirstIn(txt).isDefined
+        if (!sameSf) Map.empty
+        else """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
+          .map(_.group(1)).toSeq
+          .flatMap(q => """"([A-Za-z0-9_]+)":(-?[0-9.]+)""".r
+            .findAllMatchIn(q).map(m => m.group(1) -> m.group(2).toDouble))
+          .toMap
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -207,6 +227,15 @@ object Bench {
         Seq("ann_topk_lsh", "ann_topk_ivf", "ann_topk_pq"),
         Seq("query_id", "neighbor_id")) ++
       recallOf("dd_cosine_neardup", Seq("dd_semantic"), Seq("id_a", "id_b"))
+    // Cross-round regressions: queries that completed in BOTH runs and
+    // got >1.5× slower, with a 0.5s absolute guard so sub-second queries
+    // cannot flag on scheduler noise. The spread-triggered re-measure
+    // above already absorbed one-off co-tenant bursts, so a surviving
+    // ratio is a real signal, not capture noise.
+    val regressions = results.collect {
+      case (n, v) if v > 0 && prev.get(n).exists(p =>
+        p > 0 && v > 1.5 * p && v - p > 0.5) => n -> v / prev(n)
+    }
     // Locale.ROOT: f"%.3f" uses the JVM default locale, and a
     // comma-decimal locale would emit invalid JSON.
     def f3(v: Double): String =
@@ -228,8 +257,15 @@ object Bench {
     val coldJson = cold.map("\"" + _ + "\"").mkString("[", ",", "]")
     val remeasuredJson =
       remeasured.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Summary carries at most 8 regressed names (it must stay inside the
+    // driver's ~2 KB tail window); the full ratio map is in the on-disk
+    // artifact. "prev_n":0 distinguishes "no prior run" from "no
+    // regressions".
+    val regSummaryJson = regressions.toSeq.sortBy(-_._2).take(8)
+      .map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val regFullJson = qJson(regressions.toSeq.sortBy(-_._2))
     val summary =
-      s"""{"metric":"total","value":$value,"unit":"sec","n":${names.size},"completed":${names.size - failed.size},"total_sec":${f3(total)},"passes":$passes,"stat":"median","max_spread_sec":${f3(maxSpread)},"recall":$recallJson,"failed":$failedJson,"sf":"$sfDir","detail":"bench_results.json"}"""
+      s"""{"metric":"total","value":$value,"unit":"sec","n":${names.size},"completed":${names.size - failed.size},"total_sec":${f3(total)},"passes":$passes,"stat":"median","max_spread_sec":${f3(maxSpread)},"recall":$recallJson,"regressions_vs_prev":$regSummaryJson,"prev_n":${prev.size},"failed":$failedJson,"sf":"$sfDir","detail":"bench_results.json"}"""
     // Chunk timings into standalone JSON lines of ~600 bytes each.
     val chunks = {
       val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Double)]]
@@ -246,7 +282,7 @@ object Bench {
       buf.toSeq
     }
     val fullLine =
-      s"""{"metric":"total","value":$value,"unit":"sec","n":${names.size},"completed":${names.size - failed.size},"total_sec":${f3(total)},"passes":$passes,"stat":"median","max_spread_sec":${f3(maxSpread)},"queries":${qJson(results)},"spread":${qJson(spreads)},"recall":$recallJson,"remeasured":$remeasuredJson,"cold":$coldJson,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$value,"unit":"sec","n":${names.size},"completed":${names.size - failed.size},"total_sec":${f3(total)},"passes":$passes,"stat":"median","max_spread_sec":${f3(maxSpread)},"queries":${qJson(results)},"spread":${qJson(spreads)},"recall":$recallJson,"regressions_vs_prev":$regFullJson,"prev_n":${prev.size},"remeasured":$remeasuredJson,"cold":$coldJson,"failed":$failedJson,"sf":"$sfDir"}"""
     // Complete results on disk survive any stdout truncation — written
     // BEFORE spark.stop(), which may itself wedge in a poisoned JVM.
     java.nio.file.Files.write(
