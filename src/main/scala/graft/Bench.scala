@@ -224,7 +224,8 @@ object Bench {
       else Seq.empty
     val recall =
       recallOf("ann_topk_exact",
-        Seq("ann_topk_lsh", "ann_topk_ivf", "ann_topk_pq"),
+        Seq("ann_topk_lsh", "ann_topk_ivf", "ann_topk_pq",
+          "ann_topk_ivfpq"),
         Seq("query_id", "neighbor_id")) ++
       recallOf("dd_cosine_neardup", Seq("dd_semantic"), Seq("id_a", "id_b"))
     // Cross-round regressions: queries that completed in BOTH runs and

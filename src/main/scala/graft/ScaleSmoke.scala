@@ -314,7 +314,8 @@ object ScaleSmoke {
       p
     }
     val exactAnn = timedPairs("ann_topk_exact")
-    val recall10x = Seq("ann_topk_lsh", "ann_topk_ivf", "ann_topk_pq")
+    val recall10x = Seq("ann_topk_lsh", "ann_topk_ivf", "ann_topk_pq",
+      "ann_topk_ivfpq")
       .map(q => q -> timedPairs(q).count(exactAnn.contains).toDouble /
         exactAnn.size) ++ {
       val exactSem = timedPairs("dd_cosine_neardup", "id_a", "id_b")

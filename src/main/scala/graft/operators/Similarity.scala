@@ -585,14 +585,71 @@ object Similarity {
     * exact baseline, rows-only driver check.
     */
   def annTopkPq(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    graft.ContextCaches.evictOnStop(s.sparkContext, "pq-codebooks")(() =>
-      pqCache.filterInPlace { case ((c, _), _) => c ne s.sparkContext })
-    val trained = pqCache.getOrElseUpdate((s.sparkContext, d), trainPq(s, d))
-    val cent = trained.toDF("m", "cell", "cu")
+    val cent = trainedPqCodebooks(s, d)
     val v = normalized(s, d)
     val dim = corpusDim(s, d)
     pqSearch(s, d, cent, pqAssign(subvectors(v, dim), cent))
+  }
+
+  /** The cached trained PQ codebooks as a (m, cell, cu) frame — the one
+    * eviction-hooked lookup every PQ consumer (flat search, index save,
+    * composed IVFPQ) goes through.
+    */
+  private def trainedPqCodebooks(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.ContextCaches.evictOnStop(s.sparkContext, "pq-codebooks")(() =>
+      pqCache.filterInPlace { case ((c, _), _) => c ne s.sparkContext })
+    pqCache.getOrElseUpdate((s.sparkContext, d), trainPq(s, d))
+      .toDF("m", "cell", "cu")
+  }
+
+  /** ANN via the composed IVF+PQ index — the IVFADC architecture
+    * (Jégou et al. 2011 §IV; FAISS's IVFPQ), i.e. the shape a 100 TB
+    * vector store actually serves: the coarse quantizer (the trained
+    * [[IvfCells]]-cell centroids) restricts each query to its
+    * [[IvfProbes]] nearest cells' members, the 4-byte PQ codes score
+    * ONLY those candidates via ADC lookup tables, and the exact rerank
+    * keeps flat PQ's corpus-proportional budget ([[PqRerankFrac]]·N,
+    * min [[PqRerankMin]]). Per-query serving cost vs flat PQ: the CODE
+    * scan drops 4× (probes/cells = 25% of the codes table, and at
+    * 100 TB the cell id is the codes table's partition key so the probe
+    * is a partition-pruned scan); the rerank budget is deliberately NOT
+    * scaled down with it — a probed-proportional shortlist (10% of the
+    * probed set = 50 vectors at sf0.1) measured recall 0.39, re-proving
+    * the round-5 PQ lesson that the ADC ordering on this
+    * weakly-clustered corpus needs the full frac·N shortlist to recover
+    * true neighbors. Reuses both cached models (coarse centroids +
+    * codebooks); no new training. Approximate by construction → spec
+    * floor vs the exact baseline, rows-only driver check, recall in
+    * the bench artifact.
+    */
+  def annTopkIvfPq(s: SparkSession, d: String): DataFrame = {
+    val pqCent = trainedPqCodebooks(s, d)
+    val v = normalized(s, d)
+    val dim = corpusDim(s, d)
+    pqSearch(s, d, pqCent, pqAssign(subvectors(v, dim), pqCent),
+      Some(ivfPqCandidates(s, d)))
+  }
+
+  /** (query_id, vec_id): the coarse-stage candidate set — corpus
+    * members of each query's probed cells. Exposed for the spec's
+    * scan-fraction accounting.
+    */
+  private[graft] def ivfPqCandidates(s: SparkSession, d: String): DataFrame = {
+    val coarse = trainedCentroids(s, d, IvfCells, IvfIters)
+    val v = normalized(s, d)
+    val assign = assignCells(v, coarse)
+      .select(col("vec_id"), col("cell"))
+    val qcells = v.filter(col("vec_id") < NumQueries)
+      .crossJoin(broadcast(coarse))
+      .withColumn("cs", dot(col("u"), col("cu")))
+      .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
+        .orderBy(col("cs").desc, col("cell"))))
+      .filter(col("rn") <= IvfProbes)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    assign.join(broadcast(qcells), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
   }
 
   /** Persist the full PQ index: the codebooks (tiny, one file) and the
@@ -602,11 +659,7 @@ object Similarity {
     * bit-identical to the training session.
     */
   def savePqIndex(s: SparkSession, d: String, path: String): Unit = {
-    import s.implicits._
-    graft.ContextCaches.evictOnStop(s.sparkContext, "pq-codebooks")(() =>
-      pqCache.filterInPlace { case ((c, _), _) => c ne s.sparkContext })
-    val trained = pqCache.getOrElseUpdate((s.sparkContext, d), trainPq(s, d))
-    val cent = trained.toDF("m", "cell", "cu")
+    val cent = trainedPqCodebooks(s, d)
     cent.coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
     val dim = corpusDim(s, d)
     pqAssign(subvectors(normalized(s, d), dim), cent)
@@ -624,10 +677,15 @@ object Similarity {
       s.read.parquet(s"$indexPath/codes").select("vec_id", "m", "cell"))
 
   /** ADC + rerank over given codebooks and codes — shared by the
-    * train-resident and persisted-index paths.
+    * train-resident, persisted-index and composed-IVFPQ paths.
+    * `restrict` (query_id, vec_id), when present, limits ADC scoring to
+    * those candidate pairs (the IVF coarse stage); `rerankN` overrides
+    * the shortlist size (the composed index reranks a fraction of the
+    * PROBED set, not of the whole corpus).
     */
   private def pqSearch(s: SparkSession, d: String, cent: DataFrame,
-      codes: DataFrame): DataFrame = {
+      codes: DataFrame, restrict: Option[DataFrame] = None,
+      rerankN: Option[Long] = None): DataFrame = {
     val v = normalized(s, d)
     val dim = corpusDim(s, d)
     val q = v.filter(col("vec_id") < NumQueries)
@@ -636,14 +694,25 @@ object Similarity {
       .join(cent, Seq("m"))
       .select(col("query_id"), col("m"), col("cell"),
         dot(col("qsv"), col("cu")).as("w"))
-    val adc = codes.join(broadcast(tables), Seq("m", "cell"))
+    val scored = restrict match {
+      // Unrestricted: every code row fans out to every query's table
+      // row for its (m, cell) — the flat PQ scan.
+      case None => codes.join(broadcast(tables), Seq("m", "cell"))
+      // Restricted: candidates pick up their codes (shuffle on vec_id,
+      // PqM rows each), then the broadcast table lookup keys on
+      // (query_id, m, cell) so each candidate scores only against ITS
+      // query — the IVFADC shape: non-probed cells' codes never join.
+      case Some(cand) => codes.join(cand, Seq("vec_id"))
+        .join(broadcast(tables), Seq("query_id", "m", "cell"))
+    }
+    val adc = scored
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy("query_id", "vec_id")
       .agg(sum(col("w")).as("adc"), count(lit(1)).as("nm"))
       // only vectors scored in ALL subspaces (always true, defensive)
       .filter(col("nm") === PqM)
-    val rerank = math.max(PqRerankMin.toLong,
-      math.ceil(corpusCount(s, d) * PqRerankFrac).toLong)
+    val rerank = rerankN.getOrElse(math.max(PqRerankMin.toLong,
+      math.ceil(corpusCount(s, d) * PqRerankFrac).toLong))
     val shortlist = adc.withColumn("rn",
       row_number().over(Window.partitionBy("query_id")
         .orderBy(col("adc").desc, col("vec_id"))))
@@ -874,6 +943,7 @@ object Similarity {
     "ann_topk_lsh" -> (annTopkLsh _),
     "ann_topk_ivf" -> (annTopkIvf _),
     "ann_topk_pq" -> (annTopkPq _),
+    "ann_topk_ivfpq" -> (annTopkIvfPq _),
     "dd_semantic" -> (semanticNearDup _),
     "sim_quantize" -> (quantize _))
 

@@ -55,6 +55,36 @@ class SimilaritySpec extends GraftSuite {
     }
   }
 
+  test("IVFPQ composed index: recall floor, exact reranked cosines, restricted scan") {
+    import org.apache.spark.sql.functions._
+    val exactRows = SparkEntry.queries("ann_topk_exact")(spark, sf).collect()
+    val exact = exactRows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = SparkEntry.queries("ann_topk_ivfpq")(spark, sf).collect()
+    val pairs = got.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.count(pairs.contains).toDouble / exact.size
+    info(s"IVFPQ recall@10 = $recall")
+    // bounded above by the coarse stage (IVF 0.90/0.84/0.75): the PQ
+    // scoring inside the probed cells can only lose a little more
+    assert(recall >= 0.6, s"IVFPQ recall@10 = $recall")
+    // every returned cosine is the EXACT score (the rerank happened)
+    val exactCos = exactRows
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    got.foreach { r =>
+      exactCos.get((r.getLong(0), r.getLong(2))).foreach(c =>
+        assert(c == r.getDouble(3), "IVFPQ must return exact reranked cosines"))
+    }
+    // the coarse stage really restricts the scan: candidates per query
+    // stay near probes/cells of the corpus (2x slack for skewed cells),
+    // so non-probed cells' codes never reach ADC scoring
+    val n = Tables.embeddings(spark, sf).count()
+    val perQuery = operators.Similarity.ivfPqCandidates(spark, sf)
+      .groupBy("query_id").count().collect().map(_.getLong(1))
+    val bound = 2.0 * n * operators.Similarity.IvfProbes /
+      operators.Similarity.IvfCells // probed fraction at 2x slack
+    assert(perQuery.nonEmpty && perQuery.forall(_ <= bound),
+      s"candidate set exceeds the probed fraction: max ${perQuery.max} vs $bound")
+  }
+
   test("SemDeDup: every pair is an exact-baseline pair; recall and candidate reduction hold") {
     import org.apache.spark.sql.functions._
     val exact = SparkEntry.queries("dd_cosine_neardup")(spark, sf).collect()
