@@ -380,14 +380,24 @@ object Dedup {
     * is a scalar count per round, not a collect.
     */
   private def clusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = ngramJaccard(s, d).select("doc_a", "doc_b")
+    // Materialize the pair set BEFORE symmetrizing: both union branches
+    // embed the full PPJoin+verify subplan, and within one action the
+    // lazily-populated cache does not stop the swap branch from
+    // re-running the whole candidate+verify pipeline (measured 72s vs
+    // 22s for one pass at the 10x smoke scale). One bounded count()
+    // forces the near-dup pair set (output-sized, it is the edge list
+    // anyway) into the cache; both branches then scan it.
+    val pairs = ngramJaccard(s, d).select("doc_a", "doc_b").pinned()
+    pairs.count()
     val edges = pairs.union(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).pinned()
     var labels = Tables.documents(s, d)
       .select(col("doc_id"), col("doc_id").as("cluster")).pinned()
     var changed = 1L
     var iter = 0
+    val dbg = sys.env.contains("GRAFT_CC_DEBUG")
     while (changed > 0 && iter < 20) {
+      val t0 = System.nanoTime()
       val neighborMin = edges
         .join(labels.withColumnsRenamed(
           Map("doc_id" -> "doc_b", "cluster" -> "nbr_cluster")), Seq("doc_b"))
@@ -403,6 +413,8 @@ object Dedup {
       labels.unpersist()
       labels = next
       iter += 1
+      if (dbg) println(f"[cc] iter=$iter changed=$changed " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     labels.orderBy("doc_id")
   }
