@@ -631,25 +631,78 @@ object Similarity {
       Some(ivfPqCandidates(s, d)))
   }
 
+  /** (query_id, ccell): each query's [[IvfProbes]] nearest coarse
+    * cells, against an arbitrary (cell, cu) centroid table — shared by
+    * the in-session and persisted-index IVFPQ paths.
+    */
+  private def queryProbeCells(s: SparkSession, d: String,
+      coarse: DataFrame): DataFrame =
+    normalized(s, d).filter(col("vec_id") < NumQueries)
+      .crossJoin(broadcast(coarse))
+      .withColumn("cs", dot(col("u"), col("cu")))
+      .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
+        .orderBy(col("cs").desc, col("cell"))))
+      .filter(col("rn") <= IvfProbes)
+      .select(col("vec_id").as("query_id"), col("cell").as("ccell"))
+
   /** (query_id, vec_id): the coarse-stage candidate set — corpus
     * members of each query's probed cells. Exposed for the spec's
     * scan-fraction accounting.
     */
   private[graft] def ivfPqCandidates(s: SparkSession, d: String): DataFrame = {
     val coarse = trainedCentroids(s, d, IvfCells, IvfIters)
-    val v = normalized(s, d)
-    val assign = assignCells(v, coarse)
-      .select(col("vec_id"), col("cell"))
-    val qcells = v.filter(col("vec_id") < NumQueries)
-      .crossJoin(broadcast(coarse))
-      .withColumn("cs", dot(col("u"), col("cu")))
-      .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
-        .orderBy(col("cs").desc, col("cell"))))
-      .filter(col("rn") <= IvfProbes)
-      .select(col("vec_id").as("query_id"), col("cell"))
-    assign.join(broadcast(qcells), Seq("cell"))
+    val assign = assignCells(normalized(s, d), coarse)
+      .select(col("vec_id"), col("cell").as("ccell"))
+    assign.join(broadcast(queryProbeCells(s, d, coarse)), Seq("ccell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
+  }
+
+  /** Persist the composed IVF+PQ index in its SERVING layout: the tiny
+    * coarse centroids and PQ codebooks (model state, one file each),
+    * plus the inverted lists — every vector's PQ codes partitioned BY
+    * ITS COARSE CELL (`partitionBy(ccell)`), which is what makes a
+    * probe at 100 TB a partition-pruned scan rather than a filter over
+    * the full codes table. Training and assignment are deterministic,
+    * so save → load → search is bit-identical to the training session.
+    */
+  def saveIvfPqIndex(s: SparkSession, d: String, path: String): Unit = {
+    val coarse = trainedCentroids(s, d, IvfCells, IvfIters)
+    coarse.coalesce(1).write.mode("overwrite").parquet(s"$path/coarse")
+    val cbs = trainedPqCodebooks(s, d)
+    cbs.coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    val v = normalized(s, d)
+    val assign = assignCells(v, coarse)
+      .select(col("vec_id"), col("cell").as("ccell"))
+    pqAssign(subvectors(v, corpusDim(s, d)), cbs)
+      .join(assign, "vec_id")
+      .write.mode("overwrite").partitionBy("ccell")
+      .parquet(s"$path/lists")
+  }
+
+  /** Serve the IVFPQ query from a saved index: the probed cell ids are
+    * collected to a LITERAL partition filter (bounded by
+    * queries × probes values — driver-side by design, like a predicate
+    * a query planner inlines), so the lists scan reads ONLY the probed
+    * cells' partitions — spec-asserted via PartitionFilters in the
+    * physical plan. No training, no resident-cache dependency; full
+    * vectors are touched only for the query side and the rerank.
+    */
+  def annTopkIvfPqFrom(s: SparkSession, d: String,
+      indexPath: String): DataFrame = {
+    val coarse = s.read.parquet(s"$indexPath/coarse").select("cell", "cu")
+    val cbs = s.read.parquet(s"$indexPath/codebooks")
+      .select("m", "cell", "cu")
+    val qcells = queryProbeCells(s, d, coarse).pinned()
+    val probed = qcells.select("ccell").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val lists = s.read.parquet(s"$indexPath/lists")
+      .filter(col("ccell").isin(probed: _*))
+    val cand = lists.select("vec_id", "ccell").distinct()
+      .join(broadcast(qcells), Seq("ccell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    pqSearch(s, d, cbs, lists.select("vec_id", "m", "cell"), Some(cand))
   }
 
   /** Persist the full PQ index: the codebooks (tiny, one file) and the
