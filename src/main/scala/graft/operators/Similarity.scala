@@ -631,19 +631,23 @@ object Similarity {
       Some(ivfPqCandidates(s, d)))
   }
 
-  /** (query_id, ccell): each query's [[IvfProbes]] nearest coarse
-    * cells, against an arbitrary (cell, cu) centroid table — shared by
-    * the in-session and persisted-index IVFPQ paths.
+  /** (query_id, ccell): each (query_id, qu) row's [[IvfProbes]]
+    * nearest coarse cells against an arbitrary (cell, cu) centroid
+    * table — shared by the in-session, persisted-index and
+    * external-batch IVFPQ paths.
     */
-  private def queryProbeCells(s: SparkSession, d: String,
-      coarse: DataFrame): DataFrame =
-    normalized(s, d).filter(col("vec_id") < NumQueries)
-      .crossJoin(broadcast(coarse))
-      .withColumn("cs", dot(col("u"), col("cu")))
-      .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
+  private def probeCellsOf(qn: DataFrame, coarse: DataFrame): DataFrame =
+    qn.crossJoin(broadcast(coarse))
+      .withColumn("cs", dot(col("qu"), col("cu")))
+      .withColumn("rn", row_number().over(Window.partitionBy("query_id")
         .orderBy(col("cs").desc, col("cell"))))
       .filter(col("rn") <= IvfProbes)
-      .select(col("vec_id").as("query_id"), col("cell").as("ccell"))
+      .select(col("query_id"), col("cell").as("ccell"))
+
+  private def queryProbeCells(s: SparkSession, d: String,
+      coarse: DataFrame): DataFrame =
+    probeCellsOf(normalized(s, d).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("u").as("qu")), coarse)
 
   /** (query_id, vec_id): the coarse-stage candidate set — corpus
     * members of each query's probed cells. Exposed for the spec's
@@ -678,6 +682,13 @@ object Similarity {
       .join(assign, "vec_id")
       .write.mode("overwrite").partitionBy("ccell")
       .parquet(s"$path/lists")
+    // The refine tier: normalized full vectors in the SAME cell-
+    // partitioned layout, so the exact rerank also reads only probed
+    // partitions (the vector store every reranking ANN deployment
+    // keeps beside its codes — DiskANN/SPANN-style).
+    v.join(assign, "vec_id")
+      .write.mode("overwrite").partitionBy("ccell")
+      .parquet(s"$path/vectors")
   }
 
   /** Serve the IVFPQ query from a saved index: the probed cell ids are
@@ -698,11 +709,60 @@ object Similarity {
       .collect().map(_.getLong(0)).toSeq
     val lists = s.read.parquet(s"$indexPath/lists")
       .filter(col("ccell").isin(probed: _*))
-    val cand = lists.select("vec_id", "ccell").distinct()
+    // One row per vector WITHOUT a distinct shuffle: every vector has
+    // exactly one m = 0 code row (subspace ids are dense 0..PqM-1).
+    val cand = lists.filter(col("m") === 0).select("vec_id", "ccell")
       .join(broadcast(qcells), Seq("ccell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
     pqSearch(s, d, cbs, lists.select("vec_id", "m", "cell"), Some(cand))
+  }
+
+  /** Top-k for an EXTERNAL query batch against a persisted IVFPQ index
+    * — the serving entry of the composed index, self-contained on the
+    * index directory (codes for ADC, the cell-partitioned vector table
+    * for the exact rerank; the corpus parquet is never touched).
+    * Queries matching a corpus vec_id are excluded from their own
+    * results, mirroring the LSH serving semantics.
+    */
+  def topkAgainstIvfPqIndex(queries: DataFrame, indexPath: String): DataFrame = {
+    val s = queries.sparkSession
+    val coarse = s.read.parquet(s"$indexPath/coarse").select("cell", "cu")
+    topkAgainstIvfPqIndex(queries, indexPath, coarse,
+      s.read.parquet(s"$indexPath/codebooks").select("m", "cell", "cu"),
+      coarse.select(size(col("cu"))).first().getInt(0),
+      // parquet row-count metadata — no data scan
+      s.read.parquet(s"$indexPath/vectors").count())
+  }
+
+  /** Preloaded-state overload: streaming callers load the (tiny) coarse
+    * and codebook tables, the dimension and the corpus size ONCE and
+    * serve every micro-batch with them; only the cell-partitioned lists
+    * and vectors are re-read per batch — with that batch's probed cells
+    * as partition filters.
+    */
+  def topkAgainstIvfPqIndex(queries: DataFrame, indexPath: String,
+      coarse: DataFrame, cbs: DataFrame, dim: Int,
+      corpusN: Long): DataFrame = {
+    val s = queries.sparkSession
+    val qn = normalizeFrame(queries)
+      .select(col("vec_id").as("query_id"), col("u").as("qu"))
+    val qcells = probeCellsOf(qn, coarse).pinned()
+    val probed = qcells.select("ccell").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val lists = s.read.parquet(s"$indexPath/lists")
+      .filter(col("ccell").isin(probed: _*))
+    val cand = lists.filter(col("m") === 0).select("vec_id", "ccell")
+      .join(broadcast(qcells), Seq("ccell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    val vecs = s.read.parquet(s"$indexPath/vectors")
+      .filter(col("ccell").isin(probed: _*))
+      .select("vec_id", "u")
+    pqSearchFrames(qn, vecs, dim, cbs,
+      lists.select("vec_id", "m", "cell"), Some(cand),
+      math.max(PqRerankMin.toLong,
+        math.ceil(corpusN * PqRerankFrac).toLong))
   }
 
   /** Persist the full PQ index: the codebooks (tiny, one file) and the
@@ -740,9 +800,23 @@ object Similarity {
       codes: DataFrame, restrict: Option[DataFrame] = None,
       rerankN: Option[Long] = None): DataFrame = {
     val v = normalized(s, d)
-    val dim = corpusDim(s, d)
     val q = v.filter(col("vec_id") < NumQueries)
-    val tables = subvectors(q, dim)
+      .select(col("vec_id").as("query_id"), col("u").as("qu"))
+    pqSearchFrames(q, v, corpusDim(s, d), cent, codes, restrict,
+      rerankN.getOrElse(math.max(PqRerankMin.toLong,
+        math.ceil(corpusCount(s, d) * PqRerankFrac).toLong)))
+  }
+
+  /** The frame-level ADC + rerank: arbitrary (query_id, qu) queries
+    * against arbitrary (vec_id, u) rerank vectors — shared by the
+    * corpus-query paths above and the external-batch serving entry
+    * ([[topkAgainstIvfPqIndex]], including its streaming caller).
+    */
+  private def pqSearchFrames(q: DataFrame, vecs: DataFrame, dim: Int,
+      cent: DataFrame, codes: DataFrame, restrict: Option[DataFrame],
+      rerankN: Long): DataFrame = {
+    val tables = subvectors(
+      q.select(col("query_id").as("vec_id"), col("qu").as("u")), dim)
       .select(col("vec_id").as("query_id"), col("m"), col("sv").as("qsv"))
       .join(cent, Seq("m"))
       .select(col("query_id"), col("m"), col("cell"),
@@ -764,17 +838,14 @@ object Similarity {
       .agg(sum(col("w")).as("adc"), count(lit(1)).as("nm"))
       // only vectors scored in ALL subspaces (always true, defensive)
       .filter(col("nm") === PqM)
-    val rerank = rerankN.getOrElse(math.max(PqRerankMin.toLong,
-      math.ceil(corpusCount(s, d) * PqRerankFrac).toLong))
     val shortlist = adc.withColumn("rn",
       row_number().over(Window.partitionBy("query_id")
         .orderBy(col("adc").desc, col("vec_id"))))
-      .filter(col("rn") <= rerank)
+      .filter(col("rn") <= rerankN)
       .select(col("query_id"), col("vec_id"))
     shortlist
-      .join(v, "vec_id")
-      .join(broadcast(q.select(col("vec_id").as("query_id"),
-        col("u").as("qu"))), Seq("query_id"))
+      .join(vecs, "vec_id")
+      .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         r6(dot(col("qu"), col("u"))).as("cos"))
       .withColumn("rnk", row_number().over(Window.partitionBy("query_id")

@@ -46,4 +46,37 @@ object StreamingSimilarity {
     q.processAllAvailable()
     q.stop()
   }
+
+  /** The same serving shape against a persisted composed IVFPQ index
+    * ([[graft.operators.Similarity.saveIvfPqIndex]] output): the tiny
+    * model state (coarse centroids, codebooks, dimension, corpus size)
+    * loads ONCE outside the loop; each micro-batch re-reads only the
+    * cell-partitioned lists/vectors WITH that batch's probed cells as
+    * partition filters — so per-trigger serving cost tracks the probed
+    * fraction, not the index size. Stateless foreachBatch like the LSH
+    * path; overwrite-per-batch-id keeps replays idempotent.
+    */
+  def serveTopkIvfPq(spark: SparkSession, srcDir: String, indexPath: String,
+      outDir: String, maxFilesPerTrigger: Int = 0): Unit = {
+    import org.apache.spark.sql.functions._
+    val coarse = spark.read.parquet(s"$indexPath/coarse").select("cell", "cu")
+    val cbs = spark.read.parquet(s"$indexPath/codebooks")
+      .select("m", "cell", "cu")
+    val dim = coarse.select(size(col("cu"))).first().getInt(0)
+    val corpusN = spark.read.parquet(s"$indexPath/vectors").count()
+    val reader = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+    val src = (if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader)
+      .parquet(srcDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Similarity.topkAgainstIvfPqIndex(
+          batch, indexPath, coarse, cbs, dim, corpusN)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
 }

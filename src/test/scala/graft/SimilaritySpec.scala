@@ -316,6 +316,42 @@ class SimilaritySpec extends GraftSuite {
         plan.take(2000))
   }
 
+  test("streaming IVFPQ serving equals the batch answer across micro-batches") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_ivfpq_serve").toString
+    operators.Similarity.saveIvfPqIndex(spark, sf, s"$base/index")
+    // 4 source files → 4 micro-batches with maxFilesPerTrigger=1
+    Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .repartition(4).write.parquet(s"$base/src")
+    streaming.StreamingSimilarity.serveTopkIvfPq(spark, s"$base/src",
+      s"$base/index", s"$base/out", maxFilesPerTrigger = 1)
+    val streamed = spark.read.parquet(s"$base/out")
+      .orderBy("query_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    // batch twin: the same serving entry fed the whole table at once
+    val batch = operators.Similarity.topkAgainstIvfPqIndex(
+      Tables.embeddings(spark, sf).select("vec_id", "embedding"),
+      s"$base/index")
+      .orderBy("query_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+    // every corpus vector was answered, from the index alone (the
+    // corpus parquet is not an input to either serving call)
+    assert(streamed.map(_._1).distinct.length ==
+      Tables.embeddings(spark, sf).count())
+    // and the standard-query batch reproduces the registered query's
+    // reranked answers (same models, same rerank budget)
+    val viaIndex = operators.Similarity.topkAgainstIvfPqIndex(
+      Tables.embeddings(spark, sf).select("vec_id", "embedding")
+        .filter(col("vec_id") < 10), s"$base/index")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val registered = SparkEntry.queries("ann_topk_ivfpq")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(viaIndex == registered)
+  }
+
   test("PQ index round-trip: a fresh session serves bit-identically from disk") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
