@@ -185,6 +185,49 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // Interpolation weight of the bigram-LM scorer: λ·P(w2|w1) +
+  // (1-λ)·P(w2) — simple Jelinek-Mercer smoothing, enough backoff that
+  // unseen-in-context words never zero a document's probability.
+  private val BigramLambda = 0.9
+
+  /** Interpolated bigram language-model scoring — the perplexity-filter
+    * shape (CCNet-style) one LM-quality tier above [[unigramLogprob]]:
+    * per document, the summed log10 of λ·c(w1,w2)/c(w1) +
+    * (1-λ)·c(w2)/T over its adjacent token pairs. Scale shape: the
+    * BIGRAM dictionary is corpus-sized, so it joins on its natural
+    * (w1, w2) key (shuffle with map-side-combined counts — never
+    * broadcast); the UNIGRAM dictionary is vocabulary-bounded and
+    * broadcasts twice (context side, continuation side); the total is
+    * one scalar. Documents shorter than two tokens have no bigrams and
+    * are absent, as in the oracle.
+    */
+  private def bigramLogprob(s: SparkSession, d: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val docs = Tables.documents(s, d).select(col("doc_id"), w.as("w"))
+    val bi = docs.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val tok = Tables.documents(s, d).select(explode(w).as("token"))
+    val c1 = tok.groupBy("token").agg(count(lit(1)).as("c1"))
+    val total = c1.agg(sum(col("c1")).as("total"))
+    val p = lit(BigramLambda) * col("c12") / col("ctx") +
+      lit(1 - BigramLambda) * col("cw2") / col("total")
+    bi.join(c12, Seq("w1", "w2"))
+      .join(broadcast(c1.select(col("token").as("w1"),
+        col("c1").as("ctx"))), "w1")
+      .join(broadcast(c1.select(col("token").as("w2"),
+        col("c1").as("cw2"))), "w2")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        r6(sum(log10(p))).as("logprob"))
+      .orderBy("doc_id")
+  }
+
   /** Gopher-style repetition ratios (Rae et al. 2021 §A1.1, the
     * duplicate-n-gram curation rules): per document, the fraction of
     * tokens claimed by the most frequent unigram and bigram and the
@@ -393,6 +436,7 @@ object TextAnalysis {
     "ta_rep_ngrams" -> repNgrams _,
     "f11_url" -> urlParse _,
     "ta_unigram_logprob" -> unigramLogprob _,
+    "ta_bigram_logprob" -> bigramLogprob _,
     "ta_langid" -> langid _,
     "ta_quality" -> quality _,
     "ta_tokens" -> tokens _,
@@ -486,6 +530,26 @@ object TextAnalysis {
         |  round(sum(log10(CAST(cnt AS DOUBLE) / total)), 6) AS logprob
         |FROM tok JOIN freq USING (token), tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "ta_bigram_logprob" ->
+      s"""WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w
+         |            FROM documents),
+         |tok AS (SELECT unnest(w) AS token FROM w0),
+         |c1 AS (SELECT token, count(*) AS c1 FROM tok GROUP BY token),
+         |tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS total FROM c1),
+         |bi AS (SELECT doc_id,
+         |  unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+         |  unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
+         |  FROM w0 WHERE len(w) >= 2),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  round(sum(log10(
+         |    $BigramLambda * CAST(c12.c12 AS DOUBLE) / ca.c1 +
+         |    ${1 - BigramLambda} * CAST(cb.c1 AS DOUBLE) / total)), 6)
+         |    AS logprob
+         |FROM bi JOIN c12 USING (w1, w2)
+         |  JOIN c1 ca ON ca.token = bi.w1
+         |  JOIN c1 cb ON cb.token = bi.w2, tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "ta_langid" -> langidOracle,
     "ta_vocab" ->
       """SELECT token, count(*) AS n

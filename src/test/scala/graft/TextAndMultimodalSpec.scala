@@ -40,6 +40,28 @@ class TextAndMultimodalSpec extends GraftSuite {
     assert(rows.forall(r => r.getInt(2) >= 1 && r.getInt(1) >= 1))
   }
 
+  test("bigram LM: scores negative, bigram counts exact, context beats unigram") {
+    val rows = SparkEntry.queries("ta_bigram_logprob")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows.nonEmpty)
+    // interpolated probabilities are < 1, so every log score is negative
+    assert(rows.values.forall(_._2 < 0))
+    // n_bigrams is exactly tokens-1 for every doc long enough to score
+    val lens = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { case (id, (nb, _)) => assert(nb == lens(id) - 1L) }
+    assert(rows.keySet == lens.filter(_._2 >= 2).keySet)
+    // on this formulaic corpus the bigram model predicts far better
+    // than the unigram baseline: compare corpus-average per-token score
+    val uni = SparkEntry.queries("ta_unigram_logprob")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def perTok(m: Map[Long, (Long, Double)]): Double =
+      m.values.map(_._2).sum / m.values.map(_._1).sum
+    assert(perTok(rows) > perTok(uni),
+      s"bigram ${perTok(rows)} should beat unigram ${perTok(uni)}")
+  }
+
   test("Misra-Gries heavy hitters: guarantee holds under vocab >> k pressure") {
     import spark.implicits._
     // Zipf-ish stream: token i appears ~50000/i times over 5000
