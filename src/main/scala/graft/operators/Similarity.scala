@@ -704,7 +704,12 @@ object Similarity {
     val coarse = s.read.parquet(s"$indexPath/coarse").select("cell", "cu")
     val cbs = s.read.parquet(s"$indexPath/codebooks")
       .select("m", "cell", "cu")
-    val qcells = queryProbeCells(s, d, coarse).pinned()
+    // NOT pinned: the probe frame is a tiny broadcast crossJoin and
+    // this entry can run per micro-batch from the streaming server —
+    // a per-call pin would grow the cache registry for the life of the
+    // context (each batch's plan is distinct). Recomputing it for the
+    // probed-cell collect + candidate join is cheaper than retaining it.
+    val qcells = queryProbeCells(s, d, coarse)
     val probed = qcells.select("ccell").distinct()
       .collect().map(_.getLong(0)).toSeq
     val lists = s.read.parquet(s"$indexPath/lists")
@@ -747,7 +752,8 @@ object Similarity {
     val s = queries.sparkSession
     val qn = normalizeFrame(queries)
       .select(col("vec_id").as("query_id"), col("u").as("qu"))
-    val qcells = probeCellsOf(qn, coarse).pinned()
+    // NOT pinned — see annTopkIvfPqFrom: this runs once per micro-batch.
+    val qcells = probeCellsOf(qn, coarse)
     val probed = qcells.select("ccell").distinct()
       .collect().map(_.getLong(0)).toSeq
     val lists = s.read.parquet(s"$indexPath/lists")

@@ -323,8 +323,14 @@ class SimilaritySpec extends GraftSuite {
     // 4 source files → 4 micro-batches with maxFilesPerTrigger=1
     Tables.embeddings(spark, sf).select("vec_id", "embedding")
       .repartition(4).write.parquet(s"$base/src")
+    // per-batch serving must leave NO cache residue: a pin inside the
+    // serving path would add one registry entry per micro-batch for
+    // the life of the context (each batch's plan is distinct)
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
     streaming.StreamingSimilarity.serveTopkIvfPq(spark, s"$base/src",
       s"$base/index", s"$base/out", maxFilesPerTrigger = 1)
+    assert(spark.sparkContext.getPersistentRDDs.size == persistedBefore,
+      "streaming IVFPQ serving grew the persisted-RDD registry")
     val streamed = spark.read.parquet(s"$base/out")
       .orderBy("query_id", "rnk").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
