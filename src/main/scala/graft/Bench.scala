@@ -55,9 +55,10 @@ object Bench {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("bench_results.json")), "UTF-8")
         // Only compare like with like: a prior run at a DIFFERENT scale
-        // factor (e.g. a dev subset at sf0.001) would flag phantom
-        // regressions on every query.
-        val sameSf = s""""sf":"$sfDir"""".r.findFirstIn(txt).isDefined
+        // factor (e.g. a dev run at sf0.001) would flag phantom
+        // regressions on every query. Plain contains — a regex would
+        // wildcard '.' in every real path and break on metacharacters.
+        val sameSf = txt.contains(s""""sf":"$sfDir"""")
         if (!sameSf) Map.empty
         else """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
           .map(_.group(1)).toSeq
@@ -233,8 +234,12 @@ object Bench {
     // cannot flag on scheduler noise. The spread-triggered re-measure
     // above already absorbed one-off co-tenant bursts, so a surviving
     // ratio is a real signal, not capture noise.
+    // Cold queries (unwarmed after a warmup fatal) are excluded: their
+    // timings are not comparable across rounds by this file's own
+    // contract, so a cold 1.8s vs a prior warm 1.0s must not read as a
+    // regression.
     val regressions = results.collect {
-      case (n, v) if v > 0 && prev.get(n).exists(p =>
+      case (n, v) if v > 0 && !cold.contains(n) && prev.get(n).exists(p =>
         p > 0 && v > 1.5 * p && v - p > 0.5) => n -> v / prev(n)
     }
     // Locale.ROOT: f"%.3f" uses the JVM default locale, and a
@@ -262,11 +267,16 @@ object Bench {
     // driver's ~2 KB tail window); the full ratio map is in the on-disk
     // artifact. "prev_n":0 distinguishes "no prior run" from "no
     // regressions".
+    // Subset (dev) runs write a SIDE file: overwriting the full-run
+    // artifact with a partial query map would destroy the baseline the
+    // next round's regression comparison reads.
+    val artifact =
+      if (only.isEmpty) "bench_results.json" else "bench_results_subset.json"
     val regSummaryJson = regressions.toSeq.sortBy(-_._2).take(8)
       .map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val regFullJson = qJson(regressions.toSeq.sortBy(-_._2))
     val summary =
-      s"""{"metric":"total","value":$value,"unit":"sec","n":${names.size},"completed":${names.size - failed.size},"total_sec":${f3(total)},"passes":$passes,"stat":"median","max_spread_sec":${f3(maxSpread)},"recall":$recallJson,"regressions_vs_prev":$regSummaryJson,"prev_n":${prev.size},"failed":$failedJson,"sf":"$sfDir","detail":"bench_results.json"}"""
+      s"""{"metric":"total","value":$value,"unit":"sec","n":${names.size},"completed":${names.size - failed.size},"total_sec":${f3(total)},"passes":$passes,"stat":"median","max_spread_sec":${f3(maxSpread)},"recall":$recallJson,"regressions_vs_prev":$regSummaryJson,"prev_n":${prev.size},"failed":$failedJson,"sf":"$sfDir","detail":"$artifact"}"""
     // Chunk timings into standalone JSON lines of ~600 bytes each.
     val chunks = {
       val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Double)]]
@@ -287,7 +297,7 @@ object Bench {
     // Complete results on disk survive any stdout truncation — written
     // BEFORE spark.stop(), which may itself wedge in a poisoned JVM.
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_results.json"),
+      java.nio.file.Paths.get(artifact),
       (fullLine + "\n").getBytes("UTF-8"))
     spark.stop()
     // After spark.stop() so no stray executor logging lands after it; the

@@ -391,6 +391,11 @@ object Dedup {
     pairs.count()
     val edges = pairs.union(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).pinned()
+    // Materialize edges from the pairs cache, then release pairs — it
+    // is a strict subset of edges and holding both would double the
+    // retained footprint for the context's lifetime.
+    edges.count()
+    pairs.unpersist()
     var labels = Tables.documents(s, d)
       .select(col("doc_id"), col("doc_id").as("cluster")).pinned()
     var changed = 1L

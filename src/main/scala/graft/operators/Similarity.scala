@@ -654,6 +654,14 @@ object Similarity {
     * scan-fraction accounting.
     */
   private[graft] def ivfPqCandidates(s: SparkSession, d: String): DataFrame = {
+    // The composed index is built on SINGLE corpus assignment: with
+    // spill (nAssign > 1) a candidate pair would appear once per shared
+    // probed cell, duplicate its code rows through the ADC join, and be
+    // silently DROPPED by the nm === PqM guard. Fail loudly if the IVF
+    // spill knob is ever turned so this path is redesigned (probe-side
+    // spill), not silently diverged from.
+    require(IvfCorpusAssign == 1,
+      "IVFPQ candidate generation assumes single corpus assignment")
     val coarse = trainedCentroids(s, d, IvfCells, IvfIters)
     val assign = assignCells(normalized(s, d), coarse)
       .select(col("vec_id"), col("cell").as("ccell"))
@@ -671,6 +679,10 @@ object Similarity {
     * so save → load → search is bit-identical to the training session.
     */
   def saveIvfPqIndex(s: SparkSession, d: String, path: String): Unit = {
+    // Same single-assignment contract as ivfPqCandidates: the lists and
+    // vectors layouts assume one ccell per vector.
+    require(IvfCorpusAssign == 1,
+      "the IVFPQ index layout assumes single corpus assignment")
     val coarse = trainedCentroids(s, d, IvfCells, IvfIters)
     coarse.coalesce(1).write.mode("overwrite").parquet(s"$path/coarse")
     val cbs = trainedPqCodebooks(s, d)
