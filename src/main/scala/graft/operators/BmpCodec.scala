@@ -39,9 +39,15 @@ object BmpCodec {
   def pixelValue(docId: Long, s: Int, c: Int, ch: Int): Int =
     ((docId + s * 7L + c * 13L + ch * 29L) % 251).toInt
 
-  /** A complete, valid 24bpp uncompressed BMP with formula pixels. */
-  def encode(docId: Long, w: Int, h: Int): Array[Byte] = {
+  /** A complete, valid 24bpp uncompressed BMP with formula pixels.
+    * `bright` adds a uniform brightness offset to every channel (the
+    * perceptual-dedup spec's "same image, different exposure" twin —
+    * pixelValue ≤ 250, so offsets ≤ 5 never clip and every GRADIENT is
+    * preserved exactly).
+    */
+  def encode(docId: Long, w: Int, h: Int, bright: Int = 0): Array[Byte] = {
     require(w > 0 && h > 0, s"invalid BMP dims ${w}x$h")
+    require(bright >= 0 && bright <= 5, s"brightness offset $bright clips")
     val rs = rowSize(w)
     val size = HeaderBytes + h * rs
     val b = new Array[Byte](size) // zero-init → row padding bytes are 0
@@ -68,7 +74,7 @@ object BmpCodec {
       while (c < w) {
         var ch = 0
         while (ch < 3) {
-          b(base + c * 3 + ch) = pixelValue(docId, s, c, ch).toByte
+          b(base + c * 3 + ch) = (pixelValue(docId, s, c, ch) + bright).toByte
           ch += 1
         }
         c += 1
@@ -140,5 +146,48 @@ object BmpCodec {
     }
     BmpStats((w + stride - 1) / stride, (h + stride - 1) / stride,
       sums, mins, maxs)
+  }
+
+  /** Nearest-neighbor resample to a fixed gw × gh GRAYSCALE grid — the
+    * normalization step perceptual hashing starts from: grid cell
+    * (gr, gc) reads source pixel (gr·h/gh, gc·w/gw) (floor; images
+    * smaller than the grid repeat pixels, exactly like an upsample) and
+    * grays it as (B+G+R)/3 integer division. Returns row-major
+    * gh × gw values. Same validation contract as [[decodeStrided]]:
+    * succeeds or raises IllegalArgumentException, never walks off the
+    * buffer.
+    */
+  def decodeGray(bytes: Array[Byte], gw: Int, gh: Int): Array[Int] = {
+    require(bytes != null && bytes.length >= HeaderBytes, "truncated BMP header")
+    def u(i: Int): Int = bytes(i) & 0xFF
+    def le32(i: Int): Int = u(i) | (u(i + 1) << 8) | (u(i + 2) << 16) | (u(i + 3) << 24)
+    def le16(i: Int): Int = u(i) | (u(i + 1) << 8)
+    require(u(0) == 'B' && u(1) == 'M', "not a BMP payload")
+    val off = le32(10)
+    val w = le32(18)
+    val h = le32(22)
+    require(w > 0 && h > 0, s"unsupported BMP geometry ${w}x$h")
+    require(le16(28) == 24, s"unsupported bpp ${le16(28)} (24bpp only)")
+    require(le32(30) == 0, "compressed BMP not supported")
+    val rs64 = ((w.toLong * 3 + 3) / 4) * 4
+    require(off >= HeaderBytes && off + h.toLong * rs64 <= bytes.length,
+      "truncated BMP pixel data")
+    val rs = rs64.toInt
+    require(gw > 0 && gh > 0, s"invalid grid ${gw}x$gh")
+    val out = new Array[Int](gh * gw)
+    var gr = 0
+    while (gr < gh) {
+      val s = ((gr.toLong * h) / gh).toInt
+      val base = off + s * rs
+      var gc = 0
+      while (gc < gw) {
+        val c = ((gc.toLong * w) / gw).toInt
+        out(gr * gw + gc) =
+          (u(base + c * 3) + u(base + c * 3 + 1) + u(base + c * 3 + 2)) / 3
+        gc += 1
+      }
+      gr += 1
+    }
+    out
   }
 }

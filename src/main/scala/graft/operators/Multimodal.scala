@@ -189,6 +189,101 @@ object Multimodal {
       .orderBy("media_id", "channel")
   }
 
+  // dHash geometry: a 9×8 grayscale grid gives 8 horizontal gradients
+  // per row × 8 rows = 64 sign bits. Pairs within Hamming ≤ 2 count as
+  // perceptual near-dups; every PhashTwinEvery-th image gets a
+  // brightness-shifted twin (uniform +PhashTwinBright on every channel
+  // — different BYTES, identical GRADIENTS) so the detector has planted
+  // positives that exact byte-dedup provably cannot see.
+  private val PhashGridW = 9
+  private val PhashGridH = 8
+  private val PhashHamTau = 2
+  private val PhashBands = 4
+  private val PhashTwinEvery = 50
+  private[graft] val PhashTwinOffset = 10000000L
+  private val PhashTwinBright = 5
+
+  /** The perceptual-dedup media table: every document's BMP plus, for
+    * every [[PhashTwinEvery]]-th document, a brightness-shifted twin
+    * under a disjoint media_id range.
+    */
+  private[graft] def phashTable(s: SparkSession, d: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        (col("n_chars") % 64 + 1).cast("int").as("width"),
+        (col("n_chars") % 48 + 1).cast("int").as("height"))
+      .as[(Long, Int, Int)]
+      .flatMap { case (id, w, h) =>
+        val orig = MediaRow(id, BmpCodec.encode(id, w, h), "bmp", w, h)
+        if (id % PhashTwinEvery == 0)
+          Seq(orig, MediaRow(id + PhashTwinOffset,
+            BmpCodec.encode(id, w, h, PhashTwinBright), "bmp", w, h))
+        else Seq(orig)
+      }
+  }
+
+  /** Pack the 64 horizontal-gradient sign bits of a row-major
+    * [[PhashGridH]]×[[PhashGridW]] gray grid (bit k = row·8 + col set
+    * iff gray(r,c) < gray(r,c+1)) — the classic dHash.
+    */
+  private[graft] def dhashOf(g: Array[Int]): Long = {
+    var hsh = 0L
+    var k = 0
+    var r = 0
+    while (r < PhashGridH) {
+      var c = 0
+      while (c < PhashGridW - 1) {
+        if (g(r * PhashGridW + c) < g(r * PhashGridW + c + 1)) hsh |= 1L << k
+        k += 1
+        c += 1
+      }
+      r += 1
+    }
+    hsh
+  }
+
+  /** Perceptual image dedup via difference hash: decode each BMP to the
+    * normalized gray grid (REAL byte walk), pack the 64 gradient signs,
+    * and pair images within Hamming ≤ [[PhashHamTau]]. Robust to
+    * uniform exposure shifts by construction (gradients are unchanged),
+    * which is exactly what the planted twins verify — and what
+    * md5-of-payload exact dedup cannot catch. Scale shape: the
+    * [[PhashBands]]×16-bit banded self-join (pigeonhole: Hamming ≤ 3
+    * shares a band) generates candidates on band-bucket keys — never
+    * all-pairs — and the popcount verify is exact, so banding is purely
+    * a pruning layer. The ORACLE recomputes grid, hash, and pairs from
+    * the generating formula all-pairs in DuckDB, differentially
+    * verifying decoder addressing, grid geometry, bit packing AND the
+    * band pruning (a pruned true pair would show as a missing row).
+    */
+  private def phashDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hashes = phashTable(s, d).mapPartitions { rows =>
+      rows.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map(r => (r.media_id,
+          dhashOf(BmpCodec.decodeGray(r.payload, PhashGridW, PhashGridH))))
+      }
+    }.toDF("media_id", "dhash")
+    // Banded index: 4 × 16-bit slices (shiftrightunsigned + mask, so
+    // the sign bit of a full 64-bit hash never leaks into a band key).
+    // Materialized once — both sides of the self-join read it.
+    val bands = hashes.select(col("media_id"), col("dhash"),
+      posexplode(array((0 until PhashBands).map(b =>
+        shiftrightunsigned(col("dhash"), b * 16)
+          .bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band_idx", "band_val")))
+      .pinned()
+    bands.as("x").join(bands.as("y"), Seq("band_idx", "band_val"))
+      .filter(col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
+        bit_count(col("x.dhash").bitwiseXOR(col("y.dhash")))
+          .cast("int").as("hamming"))
+      .filter(col("hamming") <= PhashHamTau)
+      .distinct()
+      .orderBy("id_a", "id_b")
+  }
+
   /** Header metadata over a binary media column — real parsing, no codec. */
   def parseHeaders(media: Dataset[MediaRow]): DataFrame = {
     import media.sparkSession.implicits._
@@ -288,6 +383,7 @@ object Multimodal {
     "mm_audio" -> audio _,
     "mm_resize" -> resize _,
     "mm_parse" -> parse _,
+    "mm_phash_dedup" -> phashDedup _,
     "mm_frames" -> frames _)
 
   // The shared formula-recompute CTE chain for the BMP oracles. DuckDB
@@ -371,6 +467,46 @@ object Multimodal {
         |  CAST(n_chars % 64 + 1 AS INT) AS parsed_width,
         |  CAST(n_chars % 48 + 1 AS INT) AS parsed_height
         |FROM documents ORDER BY media_id""".stripMargin,
+    "mm_phash_dedup" ->
+      s"""WITH imgs AS (
+         |  SELECT doc_id AS media_id, doc_id AS base, 0 AS bright,
+         |    CAST(n_chars % 64 + 1 AS BIGINT) AS w,
+         |    CAST(n_chars % 48 + 1 AS BIGINT) AS h
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $PhashTwinOffset, doc_id, $PhashTwinBright,
+         |    CAST(n_chars % 64 + 1 AS BIGINT),
+         |    CAST(n_chars % 48 + 1 AS BIGINT)
+         |  FROM documents WHERE doc_id % $PhashTwinEvery = 0),
+         |gr AS (SELECT media_id, base, bright, w, h,
+         |  unnest(range(0, $PhashGridH)) AS r FROM imgs),
+         |gc AS (SELECT media_id, base, bright, w, h, r,
+         |  unnest(range(0, $PhashGridW)) AS c FROM gr),
+         |px AS (SELECT media_id, r, c,
+         |  (((base + (r*h//$PhashGridH)*7 + (c*w//$PhashGridW)*13) % 251
+         |     + bright)
+         | + ((base + (r*h//$PhashGridH)*7 + (c*w//$PhashGridW)*13 + 29) % 251
+         |     + bright)
+         | + ((base + (r*h//$PhashGridH)*7 + (c*w//$PhashGridW)*13 + 58) % 251
+         |     + bright)) // 3 AS g
+         |  FROM gc),
+         |d AS (SELECT a.media_id, a.r, a.c,
+         |    CASE WHEN a.g < b.g THEN 1 ELSE 0 END AS bit
+         |  FROM px a JOIN px b ON a.media_id = b.media_id AND a.r = b.r
+         |    AND b.c = a.c + 1
+         |  WHERE a.c < ${PhashGridW - 1}),
+         |hs AS (SELECT media_id,
+         |  CAST(sum(CASE WHEN bit = 0 THEN 0
+         |    WHEN r * ${PhashGridW - 1} + c = 63
+         |    THEN -9223372036854775807 - 1
+         |    ELSE (1::BIGINT << CAST(r * ${PhashGridW - 1} + c AS INT))
+         |    END) AS BIGINT) AS dhash
+         |  FROM d GROUP BY media_id)
+         |SELECT x.media_id AS id_a, y.media_id AS id_b,
+         |  CAST(bit_count(xor(x.dhash, y.dhash)) AS INT) AS hamming
+         |FROM hs x JOIN hs y ON x.media_id < y.media_id
+         |WHERE bit_count(xor(x.dhash, y.dhash)) <= $PhashHamTau
+         |ORDER BY id_a, id_b""".stripMargin,
     "mm_frames" ->
       s"""WITH p AS (SELECT doc_id, hex(encode(text)) AS ph,
          |        octet_length(encode(text)) AS nb FROM documents),

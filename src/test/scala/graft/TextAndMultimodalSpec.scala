@@ -141,6 +141,31 @@ class TextAndMultimodalSpec extends GraftSuite {
     }
   }
 
+  test("perceptual dedup: brightness twins caught at hamming 0; exact byte-dedup cannot see them") {
+    import operators.Multimodal.PhashTwinOffset
+    val pairs = SparkEntry.queries("mm_phash_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.nonEmpty)
+    assert(pairs.values.forall(h => h >= 0 && h <= 2))
+    // every planted brightness twin pairs with its original at EXACTLY
+    // hamming 0 (a uniform exposure shift preserves all 64 gradients)
+    val twinIds = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 50 === 0).select("doc_id")
+      .collect().map(_.getLong(0))
+    assert(twinIds.nonEmpty)
+    twinIds.foreach { id =>
+      assert(pairs.get((id, id + PhashTwinOffset)).contains(0),
+        s"brightness twin of $id not caught at hamming 0")
+    }
+    // ...and the twin is INVISIBLE to exact dedup: payload bytes differ
+    val byTwin = operators.Multimodal.phashTable(spark, sf)
+      .collect().map(r => r.media_id -> r.payload).toMap
+    twinIds.foreach { id =>
+      assert(!java.util.Arrays.equals(byTwin(id), byTwin(id + PhashTwinOffset)),
+        s"twin of $id has identical bytes — the planted positive is trivial")
+    }
+  }
+
   test("BMP codec: encode→decode round-trips the pixel formula exactly") {
     import operators.BmpCodec
     // widths 1..5 cover every row-padding residue (w*3 mod 4)
