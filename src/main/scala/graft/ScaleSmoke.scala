@@ -230,6 +230,15 @@ object ScaleSmoke {
       },
       time("pp_domain_mix_10x") {
         SparkEntry.queries("pp_domain_mix")(spark, docScratch).count()
+      },
+      // Round-6 perceptual media dedup on the same 10x corpus: 500k
+      // BMP decodes → banded dHash pairs, and the WAV energy-envelope
+      // analog — both are decode-bound scans + bounded band joins.
+      time("mm_phash_dedup_10x") {
+        SparkEntry.queries("mm_phash_dedup")(spark, docScratch).count()
+      },
+      time("mm_audio_dedup_10x") {
+        SparkEntry.queries("mm_audio_dedup")(spark, docScratch).count()
       })
 
     // Tiled exact 1-NN at 10× the vector corpus (20k vectors → 400M

@@ -284,6 +284,83 @@ object Multimodal {
       .orderBy("id_a", "id_b")
   }
 
+  // Audio fingerprint geometry: 65 energy windows → 64 envelope-gradient
+  // sign bits, paired within the same Hamming/banding scheme as the
+  // image dHash. Twins here vary the CONTAINER (junk LIST chunk flipped
+  // — different bytes, identical samples), the dual robustness property
+  // to the image twins' exposure shift.
+  private val AfpWindows = 65
+
+  /** The audio-dedup media table: every document's WAV plus, for every
+    * [[PhashTwinEvery]]-th document, a container-framing twin under the
+    * disjoint media_id range.
+    */
+  private[graft] def wavTwinTable(s: SparkSession, d: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        (col("doc_id") % 2 + 1).cast("int").as("channels"),
+        (lit(8000) + (col("n_chars") % 3) * 4000).cast("int").as("rate"),
+        (col("n_chars") % 500 + 1).cast("int").as("frames"))
+      .as[(Long, Int, Int, Int)]
+      .flatMap { case (id, ch, rate, n) =>
+        val orig = MediaRow(id, WavCodec.encode(id, ch, rate, n), "wav", -1, -1)
+        if (id % PhashTwinEvery == 0)
+          Seq(orig, MediaRow(id + PhashTwinOffset,
+            WavCodec.encode(id, ch, rate, n,
+              forceJunk = Some(!WavCodec.hasJunkChunk(id))), "wav", -1, -1))
+        else Seq(orig)
+      }
+  }
+
+  /** Pack the 64 energy-envelope gradient signs (bit k set iff
+    * energy(k) < energy(k+1)) — the audio difference hash.
+    */
+  private[graft] def afpOf(e: Array[Long]): Long = {
+    var hsh = 0L
+    var k = 0
+    while (k < AfpWindows - 1) {
+      if (e(k) < e(k + 1)) hsh |= 1L << k
+      k += 1
+    }
+    hsh
+  }
+
+  /** Perceptual audio dedup via the energy-envelope difference hash:
+    * decode each clip's channel-0 squared-sample energy over
+    * [[AfpWindows]] equal windows (REAL RIFF chunk walk), pack the 64
+    * gradient signs, pair within Hamming ≤ 2 — the same
+    * banded-candidates + exact-popcount shape as [[phashDedup]], so
+    * image and audio dedup share one scale story. Robust to container
+    * re-framing by construction (chunk layout never touches the
+    * samples), which the planted twins verify and md5-of-payload
+    * cannot. ORACLE-CHECKED: DuckDB recomputes windows, energies, bit
+    * packing and all-pairs Hamming from the generating sample formula.
+    */
+  private def audioDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hashes = wavTwinTable(s, d).mapPartitions { rows =>
+      rows.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map(r => (r.media_id,
+          afpOf(WavCodec.decodeEnergies(r.payload, AfpWindows))))
+      }
+    }.toDF("media_id", "dhash")
+    val bands = hashes.select(col("media_id"), col("dhash"),
+      posexplode(array((0 until PhashBands).map(b =>
+        shiftrightunsigned(col("dhash"), b * 16)
+          .bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band_idx", "band_val")))
+      .pinned()
+    bands.as("x").join(bands.as("y"), Seq("band_idx", "band_val"))
+      .filter(col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
+        bit_count(col("x.dhash").bitwiseXOR(col("y.dhash")))
+          .cast("int").as("hamming"))
+      .filter(col("hamming") <= PhashHamTau)
+      .distinct()
+      .orderBy("id_a", "id_b")
+  }
+
   /** Header metadata over a binary media column — real parsing, no codec. */
   def parseHeaders(media: Dataset[MediaRow]): DataFrame = {
     import media.sparkSession.implicits._
@@ -384,6 +461,7 @@ object Multimodal {
     "mm_resize" -> resize _,
     "mm_parse" -> parse _,
     "mm_phash_dedup" -> phashDedup _,
+    "mm_audio_dedup" -> audioDedup _,
     "mm_frames" -> frames _)
 
   // The shared formula-recompute CTE chain for the BMP oracles. DuckDB
@@ -501,6 +579,40 @@ object Multimodal {
          |    THEN -9223372036854775807 - 1
          |    ELSE (1::BIGINT << CAST(r * ${PhashGridW - 1} + c AS INT))
          |    END) AS BIGINT) AS dhash
+         |  FROM d GROUP BY media_id)
+         |SELECT x.media_id AS id_a, y.media_id AS id_b,
+         |  CAST(bit_count(xor(x.dhash, y.dhash)) AS INT) AS hamming
+         |FROM hs x JOIN hs y ON x.media_id < y.media_id
+         |WHERE bit_count(xor(x.dhash, y.dhash)) <= $PhashHamTau
+         |ORDER BY id_a, id_b""".stripMargin,
+    "mm_audio_dedup" ->
+      s"""WITH clips AS (
+         |  SELECT doc_id AS media_id, doc_id AS base,
+         |    CAST(n_chars % 500 + 1 AS BIGINT) AS n FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $PhashTwinOffset, doc_id,
+         |    CAST(n_chars % 500 + 1 AS BIGINT)
+         |  FROM documents WHERE doc_id % $PhashTwinEvery = 0),
+         |fr AS (SELECT media_id, base, n, unnest(range(0, n)) AS f
+         |  FROM clips),
+         |en0 AS (SELECT media_id, (f * $AfpWindows) // n AS w,
+         |    sum(((base * 31 + f * 7) % 2003 - 1001)
+         |      * ((base * 31 + f * 7) % 2003 - 1001)) AS e
+         |  FROM fr GROUP BY media_id, w),
+         |spine AS (SELECT media_id, unnest(range(0, $AfpWindows)) AS w
+         |  FROM clips),
+         |en AS (SELECT spine.media_id, spine.w, coalesce(en0.e, 0) AS e
+         |  FROM spine LEFT JOIN en0
+         |    ON en0.media_id = spine.media_id AND en0.w = spine.w),
+         |d AS (SELECT a.media_id, a.w,
+         |    CASE WHEN a.e < b.e THEN 1 ELSE 0 END AS bit
+         |  FROM en a JOIN en b ON a.media_id = b.media_id
+         |    AND b.w = a.w + 1
+         |  WHERE a.w < ${AfpWindows - 1}),
+         |hs AS (SELECT media_id,
+         |  CAST(sum(CASE WHEN bit = 0 THEN 0
+         |    WHEN w = 63 THEN -9223372036854775807 - 1
+         |    ELSE (1::BIGINT << CAST(w AS INT)) END) AS BIGINT) AS dhash
          |  FROM d GROUP BY media_id)
          |SELECT x.media_id AS id_a, y.media_id AS id_b,
          |  CAST(bit_count(xor(x.dhash, y.dhash)) AS INT) AS hamming

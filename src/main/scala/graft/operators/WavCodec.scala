@@ -33,11 +33,16 @@ object WavCodec {
   /** True when the generator inserts a junk LIST chunk before `data`. */
   def hasJunkChunk(docId: Long): Boolean = docId % 5 == 0
 
-  /** A complete, valid PCM16 WAV with formula samples. */
+  /** A complete, valid PCM16 WAV with formula samples. `forceJunk`
+    * overrides the default junk-chunk decision — the perceptual-dedup
+    * spec's "same audio, different container framing" twin: the byte
+    * layout changes, the decoded samples do not.
+    */
   def encode(docId: Long, channels: Int, sampleRate: Int,
-      nFrames: Int): Array[Byte] = {
+      nFrames: Int, forceJunk: Option[Boolean] = None): Array[Byte] = {
     require(channels > 0 && nFrames > 0, "invalid WAV geometry")
-    val junk = if (hasJunkChunk(docId)) 8 + 6 else 0 // "LIST" + size + 6 pad
+    val junk = // "LIST" + size + 6 pad
+      if (forceJunk.getOrElse(hasJunkChunk(docId))) 8 + 6 else 0
     val dataBytes = nFrames * channels * 2
     val riffSize = 4 + (8 + 16) + junk + (8 + dataBytes)
     val b = new Array[Byte](8 + riffSize)
@@ -133,5 +138,54 @@ object WavCodec {
       f += 1
     }
     WavStats(channels, sampleRate, nFrames, sums, mins, maxs, sumSqs)
+  }
+
+  /** Channel-0 energy envelope: the squared-sample sums of `nWindows`
+    * equal time windows (frame f lands in window f·nWindows/nFrames;
+    * clips shorter than the window count leave trailing windows at
+    * energy 0) — the normalization step audio fingerprinting starts
+    * from. Same RIFF chunk-walk and validation contract as [[decode]].
+    */
+  def decodeEnergies(bytes: Array[Byte], nWindows: Int): Array[Long] = {
+    require(nWindows > 0, s"invalid window count $nWindows")
+    require(bytes != null && bytes.length >= 12, "truncated RIFF header")
+    def u(p: Int): Int = bytes(p) & 0xFF
+    def le32(p: Int): Int = u(p) | (u(p + 1) << 8) | (u(p + 2) << 16) | (u(p + 3) << 24)
+    def le16(p: Int): Int = u(p) | (u(p + 1) << 8)
+    def tag(p: Int): String = new String(bytes, p, 4, "US-ASCII")
+    require(tag(0) == "RIFF" && tag(8) == "WAVE", "not a RIFF/WAVE payload")
+    var p = 12
+    var channels = -1
+    var dataOff = -1
+    var dataLen = -1
+    while (p + 8 <= bytes.length && (channels < 0 || dataOff < 0)) {
+      val id = tag(p)
+      val size = le32(p + 4)
+      require(size >= 0 && p.toLong + 8 + size <= bytes.length,
+        s"truncated '$id' chunk")
+      if (id == "fmt ") {
+        require(size >= 16, "short fmt chunk")
+        require(le16(p + 8) == 1, "compressed WAV not supported (PCM only)")
+        channels = le16(p + 10)
+        require(le16(p + 22) == 16, s"unsupported bits ${le16(p + 22)}")
+      } else if (id == "data") {
+        dataOff = p + 8
+        dataLen = size
+      }
+      p += 8 + size + (size & 1)
+    }
+    require(channels > 0, "missing fmt chunk")
+    require(dataOff >= 0, "missing data chunk")
+    val frameBytes = channels * 2
+    require(dataLen % frameBytes == 0, "data chunk not frame-aligned")
+    val nFrames = dataLen / frameBytes
+    val out = new Array[Long](nWindows)
+    var f = 0
+    while (f < nFrames) {
+      val v = le16(dataOff + f * frameBytes).toShort.toLong
+      out(((f.toLong * nWindows) / nFrames).toInt) += v * v
+      f += 1
+    }
+    out
   }
 }

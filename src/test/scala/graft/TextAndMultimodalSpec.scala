@@ -166,6 +166,29 @@ class TextAndMultimodalSpec extends GraftSuite {
     }
   }
 
+  test("audio dedup: container-reframed twins caught at hamming 0 despite differing bytes") {
+    import operators.Multimodal.PhashTwinOffset
+    val pairs = SparkEntry.queries("mm_audio_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.nonEmpty)
+    assert(pairs.values.forall(h => h >= 0 && h <= 2))
+    // every planted container twin (junk LIST chunk flipped — same
+    // samples, different byte layout) pairs with its original at
+    // EXACTLY hamming 0
+    val twinIds = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 50 === 0).select("doc_id")
+      .collect().map(_.getLong(0))
+    assert(twinIds.nonEmpty)
+    val byTwin = operators.Multimodal.wavTwinTable(spark, sf)
+      .collect().map(r => r.media_id -> r.payload).toMap
+    twinIds.foreach { id =>
+      assert(pairs.get((id, id + PhashTwinOffset)).contains(0),
+        s"container twin of $id not caught at hamming 0")
+      assert(!java.util.Arrays.equals(byTwin(id), byTwin(id + PhashTwinOffset)),
+        s"twin of $id has identical bytes — the planted positive is trivial")
+    }
+  }
+
   test("BMP codec: encode→decode round-trips the pixel formula exactly") {
     import operators.BmpCodec
     // widths 1..5 cover every row-padding residue (w*3 mod 4)
