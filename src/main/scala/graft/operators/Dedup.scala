@@ -380,22 +380,20 @@ object Dedup {
     * is a scalar count per round, not a collect.
     */
   private def clusters(s: SparkSession, d: String): DataFrame = {
-    // Materialize the pair set BEFORE symmetrizing: both union branches
-    // embed the full PPJoin+verify subplan, and within one action the
-    // lazily-populated cache does not stop the swap branch from
-    // re-running the whole candidate+verify pipeline (measured 72s vs
-    // 22s for one pass at the 10x smoke scale). One bounded count()
-    // forces the near-dup pair set (output-sized, it is the edge list
-    // anyway) into the cache; both branches then scan it.
-    val pairs = ngramJaccard(s, d).select("doc_a", "doc_b").pinned()
-    pairs.count()
-    val edges = pairs.union(
-      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).pinned()
-    // Materialize edges from the pairs cache, then release pairs — it
-    // is a strict subset of edges and holding both would double the
-    // retained footprint for the context's lifetime.
-    edges.count()
-    pairs.unpersist()
+    // Symmetrize in ONE pass: a pairs.union(pairs.swap) embeds the full
+    // PPJoin+verify subplan in BOTH branches and re-runs it for the
+    // swap side (measured 72s vs 22s for one pass at the 10x smoke
+    // scale — a lazily-populating cache does not dedup two occurrences
+    // within one action), while a pin+count+unpersist repair thrashed
+    // the cache across repeated query constructions (bench invocations
+    // re-ran the jaccard every pass: dd_clusters 1.8s → 5.0s). The
+    // explode references the subplan exactly once, so there is nothing
+    // to double-evaluate and only the edge list is retained.
+    val edges = ngramJaccard(s, d).select(explode(array(
+      struct(col("doc_a").as("doc_a"), col("doc_b").as("doc_b")),
+      struct(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))).as("e"))
+      .select(col("e.doc_a").as("doc_a"), col("e.doc_b").as("doc_b"))
+      .pinned()
     var labels = Tables.documents(s, d)
       .select(col("doc_id"), col("doc_id").as("cluster")).pinned()
     var changed = 1L
