@@ -117,10 +117,13 @@ object BmpCodec {
     // Row size in Long: a hostile width > ~715M overflows w*3 in Int,
     // yielding a negative row size that trivially passes the truncation
     // require and then walks off the buffer (AIOOBE instead of the
-    // documented IAE). If the Long-checked bound holds, rs fits in Int
-    // because bytes.length does.
+    // documented IAE). The bound itself divides instead of multiplying:
+    // h·rs64 with both dims near 2^31 overflows LONG too (~1.4e19) and
+    // would wrap past the check the same way. If the division bound
+    // holds, rs fits in Int because bytes.length does.
     val rs64 = ((w.toLong * 3 + 3) / 4) * 4
-    require(off >= HeaderBytes && off + h.toLong * rs64 <= bytes.length,
+    require(off >= HeaderBytes && off <= bytes.length &&
+      h.toLong <= (bytes.length.toLong - off) / rs64,
       "truncated BMP pixel data")
     val rs = rs64.toInt
     require(stride >= 1, s"invalid stride $stride")
@@ -170,7 +173,10 @@ object BmpCodec {
     require(le16(28) == 24, s"unsupported bpp ${le16(28)} (24bpp only)")
     require(le32(30) == 0, "compressed BMP not supported")
     val rs64 = ((w.toLong * 3 + 3) / 4) * 4
-    require(off >= HeaderBytes && off + h.toLong * rs64 <= bytes.length,
+    // Division bound — h·rs64 overflows Long for hostile dims (see
+    // decodeStrided).
+    require(off >= HeaderBytes && off <= bytes.length &&
+      h.toLong <= (bytes.length.toLong - off) / rs64,
       "truncated BMP pixel data")
     val rs = rs64.toInt
     require(gw > 0 && gh > 0, s"invalid grid ${gw}x$gh")

@@ -199,28 +199,62 @@ object Multimodal {
   private val PhashGridH = 8
   private val PhashHamTau = 2
   private val PhashBands = 4
-  private val PhashTwinEvery = 50
+  private[graft] val PhashTwinEvery = 50
   private[graft] val PhashTwinOffset = 10000000L
   private val PhashTwinBright = 5
 
+  /** The twin's media id — with a loud guard: a corpus whose ids reach
+    * the twin range (e.g. a scaled synthetic corpus with replicated id
+    * bands) would silently alias two different payloads under one
+    * media_id and corrupt the pair sets.
+    */
+  private def twinId(id: Long): Long = {
+    require(id >= 0 && id < PhashTwinOffset,
+      s"doc_id $id collides with the twin media_id range (>= $PhashTwinOffset)")
+    id + PhashTwinOffset
+  }
+
   /** The perceptual-dedup media table: every document's BMP plus, for
     * every [[PhashTwinEvery]]-th document, a brightness-shifted twin
-    * under a disjoint media_id range.
+    * under a disjoint media_id range. Derives from [[bmpTable]] so the
+    * image geometry formula lives in one place.
     */
   private[graft] def phashTable(s: SparkSession, d: String): Dataset[MediaRow] = {
     import s.implicits._
-    Tables.documents(s, d)
-      .select(col("doc_id"),
-        (col("n_chars") % 64 + 1).cast("int").as("width"),
-        (col("n_chars") % 48 + 1).cast("int").as("height"))
-      .as[(Long, Int, Int)]
-      .flatMap { case (id, w, h) =>
-        val orig = MediaRow(id, BmpCodec.encode(id, w, h), "bmp", w, h)
-        if (id % PhashTwinEvery == 0)
-          Seq(orig, MediaRow(id + PhashTwinOffset,
-            BmpCodec.encode(id, w, h, PhashTwinBright), "bmp", w, h))
-        else Seq(orig)
-      }
+    bmpTable(s, d).flatMap { r =>
+      if (r.media_id % PhashTwinEvery == 0)
+        Seq(r, MediaRow(twinId(r.media_id),
+          BmpCodec.encode(r.media_id, r.width, r.height, PhashTwinBright),
+          "bmp", r.width, r.height))
+      else Seq(r)
+    }
+  }
+
+  /** The shared banded-Hamming pair stage of both perceptual dedup ops:
+    * a (media_id, dhash) frame is PINNED AND MATERIALIZED (the decode
+    * subplan would otherwise run once per self-join side within the
+    * first action — the cluster-edges lesson), banded into
+    * [[PhashBands]]×16-bit keys (shiftrightunsigned + mask so a sign
+    * bit never leaks into a band), candidate pairs join per band
+    * bucket (pigeonhole: Hamming ≤ 3 shares a band), and the exact
+    * popcount keeps pairs within [[PhashHamTau]].
+    */
+  private def bandedHammingPairs(hashes: DataFrame): DataFrame = {
+    val hs = hashes.pinned()
+    hs.count() // force the decode pass ONCE into the cache
+    val bands = hs.select(col("media_id"), col("dhash"),
+      posexplode(array((0 until PhashBands).map(b =>
+        shiftrightunsigned(col("dhash"), b * 16)
+          .bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band_idx", "band_val")))
+    bands.as("x").join(bands.as("y"), Seq("band_idx", "band_val"))
+      .filter(col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
+        bit_count(col("x.dhash").bitwiseXOR(col("y.dhash")))
+          .cast("int").as("hamming"))
+      .filter(col("hamming") <= PhashHamTau)
+      .distinct()
+      .orderBy("id_a", "id_b")
   }
 
   /** Pack the 64 horizontal-gradient sign bits of a row-major
@@ -259,29 +293,12 @@ object Multimodal {
     */
   private def phashDedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val hashes = phashTable(s, d).mapPartitions { rows =>
+    bandedHammingPairs(phashTable(s, d).mapPartitions { rows =>
       rows.grouped(BatchSize).flatMap { batch =>
         batch.iterator.map(r => (r.media_id,
           dhashOf(BmpCodec.decodeGray(r.payload, PhashGridW, PhashGridH))))
       }
-    }.toDF("media_id", "dhash")
-    // Banded index: 4 × 16-bit slices (shiftrightunsigned + mask, so
-    // the sign bit of a full 64-bit hash never leaks into a band key).
-    // Materialized once — both sides of the self-join read it.
-    val bands = hashes.select(col("media_id"), col("dhash"),
-      posexplode(array((0 until PhashBands).map(b =>
-        shiftrightunsigned(col("dhash"), b * 16)
-          .bitwiseAND(lit(0xFFFFL))): _*))
-        .as(Seq("band_idx", "band_val")))
-      .pinned()
-    bands.as("x").join(bands.as("y"), Seq("band_idx", "band_val"))
-      .filter(col("x.media_id") < col("y.media_id"))
-      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
-        bit_count(col("x.dhash").bitwiseXOR(col("y.dhash")))
-          .cast("int").as("hamming"))
-      .filter(col("hamming") <= PhashHamTau)
-      .distinct()
-      .orderBy("id_a", "id_b")
+    }.toDF("media_id", "dhash"))
   }
 
   // Audio fingerprint geometry: 65 energy windows → 64 envelope-gradient
@@ -306,7 +323,7 @@ object Multimodal {
       .flatMap { case (id, ch, rate, n) =>
         val orig = MediaRow(id, WavCodec.encode(id, ch, rate, n), "wav", -1, -1)
         if (id % PhashTwinEvery == 0)
-          Seq(orig, MediaRow(id + PhashTwinOffset,
+          Seq(orig, MediaRow(twinId(id),
             WavCodec.encode(id, ch, rate, n,
               forceJunk = Some(!WavCodec.hasJunkChunk(id))), "wav", -1, -1))
         else Seq(orig)
@@ -339,26 +356,12 @@ object Multimodal {
     */
   private def audioDedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val hashes = wavTwinTable(s, d).mapPartitions { rows =>
+    bandedHammingPairs(wavTwinTable(s, d).mapPartitions { rows =>
       rows.grouped(BatchSize).flatMap { batch =>
         batch.iterator.map(r => (r.media_id,
           afpOf(WavCodec.decodeEnergies(r.payload, AfpWindows))))
       }
-    }.toDF("media_id", "dhash")
-    val bands = hashes.select(col("media_id"), col("dhash"),
-      posexplode(array((0 until PhashBands).map(b =>
-        shiftrightunsigned(col("dhash"), b * 16)
-          .bitwiseAND(lit(0xFFFFL))): _*))
-        .as(Seq("band_idx", "band_val")))
-      .pinned()
-    bands.as("x").join(bands.as("y"), Seq("band_idx", "band_val"))
-      .filter(col("x.media_id") < col("y.media_id"))
-      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
-        bit_count(col("x.dhash").bitwiseXOR(col("y.dhash")))
-          .cast("int").as("hamming"))
-      .filter(col("hamming") <= PhashHamTau)
-      .distinct()
-      .orderBy("id_a", "id_b")
+    }.toDF("media_id", "dhash"))
   }
 
   /** Header metadata over a binary media column — real parsing, no codec. */

@@ -142,9 +142,11 @@ object WavCodec {
 
   /** Channel-0 energy envelope: the squared-sample sums of `nWindows`
     * equal time windows (frame f lands in window f·nWindows/nFrames;
-    * clips shorter than the window count leave trailing windows at
-    * energy 0) — the normalization step audio fingerprinting starts
-    * from. Same RIFF chunk-walk and validation contract as [[decode]].
+    * clips shorter than the window count leave the UNREACHED windows at
+    * energy 0 — interleaved across the range, not trailing, since the
+    * mapping spreads the few frames evenly) — the normalization step
+    * audio fingerprinting starts from. Same RIFF chunk-walk and
+    * validation contract as [[decode]].
     */
   def decodeEnergies(bytes: Array[Byte], nWindows: Int): Array[Long] = {
     require(nWindows > 0, s"invalid window count $nWindows")

@@ -60,6 +60,51 @@ class CodecPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("BMP hostile giant dims reject cleanly in every decode entry") {
+    // Crafted header with w = h = 2^31 - 1: h·rowSize overflows Long
+    // (~1.4e19) — a multiplication-form bound check wraps negative and
+    // passes, turning the documented IAE into an AIOOBE in the walk.
+    // The division-form check must reject all of these.
+    val b = BmpCodec.encode(1L, 4, 4)
+    def le32(arr: Array[Byte], i: Int, v: Int): Unit = {
+      arr(i) = (v & 0xFF).toByte; arr(i + 1) = ((v >>> 8) & 0xFF).toByte
+      arr(i + 2) = ((v >>> 16) & 0xFF).toByte
+      arr(i + 3) = ((v >>> 24) & 0xFF).toByte
+    }
+    for ((hw, hh) <- Seq((Int.MaxValue, Int.MaxValue),
+        (Int.MaxValue, 3), (3, Int.MaxValue), (715827883, 1000))) {
+      val c = java.util.Arrays.copyOf(b, b.length)
+      le32(c, 18, hw); le32(c, 22, hh)
+      decodesOrRejects(s"BMP ${hw}x$hh")(BmpCodec.decode(c))
+      decodesOrRejects(s"BMP strided ${hw}x$hh")(BmpCodec.decodeStrided(c, 2))
+      decodesOrRejects(s"BMP gray ${hw}x$hh")(BmpCodec.decodeGray(c, 9, 8))
+      intercept[IllegalArgumentException](BmpCodec.decode(c))
+    }
+  }
+
+  test("BMP gray-grid fuzz: corrupted payloads never escape the IAE contract") {
+    val rnd = new scala.util.Random(29)
+    for (i <- 1 to 1000) {
+      val b = BmpCodec.encode(i.toLong, 1 + rnd.nextInt(16), 1 + rnd.nextInt(16))
+      val c = java.util.Arrays.copyOf(b, 1 + rnd.nextInt(b.length + 8))
+      for (_ <- 0 to rnd.nextInt(6))
+        if (c.nonEmpty) c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte
+      decodesOrRejects(s"BMP gray seed $i")(BmpCodec.decodeGray(c, 9, 8))
+    }
+  }
+
+  test("WAV energy-envelope fuzz: corrupted payloads never escape the IAE contract") {
+    val rnd = new scala.util.Random(31)
+    for (i <- 1 to 1000) {
+      val b = WavCodec.encode(i.toLong, 1 + rnd.nextInt(3), 8000, 1 + rnd.nextInt(64))
+      val c = java.util.Arrays.copyOf(b, 1 + rnd.nextInt(b.length + 8))
+      for (_ <- 0 to rnd.nextInt(6))
+        if (c.nonEmpty) c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte
+      decodesOrRejects(s"WAV energies seed $i")(
+        WavCodec.decodeEnergies(c, 65))
+    }
+  }
+
   test("WAV fuzz: corrupted and truncated payloads never escape the IAE contract") {
     val rnd = new scala.util.Random(19)
     for (i <- 1 to 1500) {

@@ -142,7 +142,7 @@ class TextAndMultimodalSpec extends GraftSuite {
   }
 
   test("perceptual dedup: brightness twins caught at hamming 0; exact byte-dedup cannot see them") {
-    import operators.Multimodal.PhashTwinOffset
+    import operators.Multimodal.{PhashTwinEvery, PhashTwinOffset}
     val pairs = SparkEntry.queries("mm_phash_dedup")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     assert(pairs.nonEmpty)
@@ -150,7 +150,7 @@ class TextAndMultimodalSpec extends GraftSuite {
     // every planted brightness twin pairs with its original at EXACTLY
     // hamming 0 (a uniform exposure shift preserves all 64 gradients)
     val twinIds = Tables.documents(spark, sf)
-      .filter(col("doc_id") % 50 === 0).select("doc_id")
+      .filter(col("doc_id") % PhashTwinEvery === 0).select("doc_id")
       .collect().map(_.getLong(0))
     assert(twinIds.nonEmpty)
     twinIds.foreach { id =>
@@ -167,7 +167,7 @@ class TextAndMultimodalSpec extends GraftSuite {
   }
 
   test("audio dedup: container-reframed twins caught at hamming 0 despite differing bytes") {
-    import operators.Multimodal.PhashTwinOffset
+    import operators.Multimodal.{PhashTwinEvery, PhashTwinOffset}
     val pairs = SparkEntry.queries("mm_audio_dedup")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     assert(pairs.nonEmpty)
@@ -176,7 +176,7 @@ class TextAndMultimodalSpec extends GraftSuite {
     // samples, different byte layout) pairs with its original at
     // EXACTLY hamming 0
     val twinIds = Tables.documents(spark, sf)
-      .filter(col("doc_id") % 50 === 0).select("doc_id")
+      .filter(col("doc_id") % PhashTwinEvery === 0).select("doc_id")
       .collect().map(_.getLong(0))
     assert(twinIds.nonEmpty)
     val byTwin = operators.Multimodal.wavTwinTable(spark, sf)
