@@ -45,26 +45,38 @@ object Bench {
       s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // The committed per-scale-factor prior: `bench_results.json` is
+    // gitignored, so a fresh driver checkout never found a prior and the
+    // regression comparison sat disabled (prev_n:0 in rounds ≤6).
+    // bench_prev/<sf>.json IS committed, keyed by the sfDir basename so a
+    // dev run from any path still compares like with like.
+    val sfBase = new java.io.File(sfDir).getName
+    val prevPath = java.nio.file.Paths.get(s"bench_prev/$sfBase.json")
+    def parseQueries(txt: String): Map[String, Double] =
+      """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
+        .map(_.group(1)).toSeq
+        .flatMap(q => """"([A-Za-z0-9_]+)":(-?[0-9.]+)""".r
+          .findAllMatchIn(q).map(m => m.group(1) -> m.group(2).toDouble))
+        .toMap
     // Prior run's per-query medians, read BEFORE this run overwrites the
     // artifact: cross-round regressions surface in the artifact itself
     // (round 5's comparison required hand-reconstructing truncated chunk
     // lines). Same-format file, so a targeted regex parse suffices; any
-    // failure just disables the comparison.
+    // failure just disables the comparison. Fallback to the legacy
+    // uncommitted artifact (useful for back-to-back local runs), with a
+    // same-SF guard — a prior at a different scale factor would flag
+    // phantom regressions on every query.
     val prev: Map[String, Double] =
       try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("bench_results.json")), "UTF-8")
-        // Only compare like with like: a prior run at a DIFFERENT scale
-        // factor (e.g. a dev run at sf0.001) would flag phantom
-        // regressions on every query. Plain contains — a regex would
-        // wildcard '.' in every real path and break on metacharacters.
-        val sameSf = txt.contains(s""""sf":"$sfDir"""")
-        if (!sameSf) Map.empty
-        else """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
-          .map(_.group(1)).toSeq
-          .flatMap(q => """"([A-Za-z0-9_]+)":(-?[0-9.]+)""".r
-            .findAllMatchIn(q).map(m => m.group(1) -> m.group(2).toDouble))
-          .toMap
+        if (java.nio.file.Files.exists(prevPath))
+          parseQueries(new String(java.nio.file.Files.readAllBytes(prevPath), "UTF-8"))
+        else {
+          val txt = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get("bench_results.json")), "UTF-8")
+          // Plain contains — a regex would wildcard '.' in every real
+          // path and break on metacharacters.
+          if (txt.contains(s""""sf":"$sfDir"""")) parseQueries(txt) else Map.empty
+        }
       } catch { case scala.util.control.NonFatal(_) => Map.empty }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -114,6 +126,14 @@ object Bench {
     // retry masking.
     val passes = 3
     var failed = Set.empty[String]
+    // The first failure's exception class + message, carried into the
+    // artifact: round 6's artifact showed 55 `-1`s but not WHY — the
+    // cause had to be re-derived by rerunning Verify by hand.
+    var firstErr: Option[String] = None
+    def noteErr(name: String, e: Throwable): Unit =
+      if (firstErr.isEmpty)
+        firstErr = Some(s"$name: ${e.getClass.getSimpleName}: ${
+          Option(e.getMessage).getOrElse("").linesIterator.take(2).mkString(" ")}")
     var fatal = false
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
     val loop = new scala.util.control.Breaks
@@ -127,6 +147,7 @@ object Bench {
         } catch {
           case scala.util.control.NonFatal(e) =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            noteErr(name, e)
             failed += name
           case e: Throwable =>
             // Fatal (OOM-class): the JVM is poisoned — any further
@@ -136,6 +157,7 @@ object Bench {
             // reproduce the parsed:null failure mode this protocol
             // exists to prevent.
             System.err.println(s"[bench] $name FATAL: $e")
+            noteErr(name, e)
             failed += name
             fatal = true
             loop.break()
@@ -172,6 +194,7 @@ object Bench {
           } catch {
             case scala.util.control.NonFatal(e) =>
               System.err.println(s"[bench] $name FAILED on re-measure: ${e.getMessage}")
+              noteErr(name, e)
               failed += name
           }
         }
@@ -275,8 +298,18 @@ object Bench {
     val regSummaryJson = regressions.toSeq.sortBy(-_._2).take(8)
       .map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val regFullJson = qJson(regressions.toSeq.sortBy(-_._2))
+    // First failure cause, JSON-escaped and bounded — so a red artifact
+    // says WHY in the artifact itself.
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => " "
+        case c => c.toString
+      }.take(160) + "\""
+    val firstErrJson = firstErr.map(jstr).getOrElse("null")
     val summary =
-      s"""{"metric":"total","value":$value,"unit":"sec","n":${names.size},"completed":${names.size - failed.size},"total_sec":${f3(total)},"passes":$passes,"stat":"median","max_spread_sec":${f3(maxSpread)},"recall":$recallJson,"regressions_vs_prev":$regSummaryJson,"prev_n":${prev.size},"failed":$failedJson,"sf":"$sfDir","detail":"$artifact"}"""
+      s"""{"metric":"total","value":$value,"unit":"sec","n":${names.size},"completed":${names.size - failed.size},"total_sec":${f3(total)},"passes":$passes,"stat":"median","max_spread_sec":${f3(maxSpread)},"recall":$recallJson,"regressions_vs_prev":$regSummaryJson,"prev_n":${prev.size},"failed":$failedJson,"first_error":$firstErrJson,"sf":"$sfDir","detail":"$artifact"}"""
     // Chunk timings into standalone JSON lines of ~600 bytes each.
     val chunks = {
       val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Double)]]
@@ -293,12 +326,26 @@ object Bench {
       buf.toSeq
     }
     val fullLine =
-      s"""{"metric":"total","value":$value,"unit":"sec","n":${names.size},"completed":${names.size - failed.size},"total_sec":${f3(total)},"passes":$passes,"stat":"median","max_spread_sec":${f3(maxSpread)},"queries":${qJson(results)},"spread":${qJson(spreads)},"recall":$recallJson,"regressions_vs_prev":$regFullJson,"prev_n":${prev.size},"remeasured":$remeasuredJson,"cold":$coldJson,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$value,"unit":"sec","n":${names.size},"completed":${names.size - failed.size},"total_sec":${f3(total)},"passes":$passes,"stat":"median","max_spread_sec":${f3(maxSpread)},"queries":${qJson(results)},"spread":${qJson(spreads)},"recall":$recallJson,"regressions_vs_prev":$regFullJson,"prev_n":${prev.size},"remeasured":$remeasuredJson,"cold":$coldJson,"failed":$failedJson,"first_error":$firstErrJson,"sf":"$sfDir"}"""
     // Complete results on disk survive any stdout truncation — written
     // BEFORE spark.stop(), which may itself wedge in a poisoned JVM.
     java.nio.file.Files.write(
       java.nio.file.Paths.get(artifact),
       (fullLine + "\n").getBytes("UTF-8"))
+    // Refresh the committed prior for the NEXT run's regression gate:
+    // merge this run's completed timings over the existing prior so a
+    // query that failed this time keeps its last good number (round 6's
+    // 55 dark queries would otherwise have erased their priors). Full
+    // runs only — a dev subset must not shrink the baseline.
+    if (only.isEmpty) try {
+      val merged = prev ++ results.collect { case (n, v) if v > 0 => n -> v }
+      val mergedJson = qJson(merged.toSeq.sortBy(_._1))
+      java.nio.file.Files.createDirectories(prevPath.getParent)
+      java.nio.file.Files.write(prevPath,
+        (s"""{"sf":"$sfBase","queries":$mergedJson}""" + "\n").getBytes("UTF-8"))
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] prior write failed: $e")
+    }
     spark.stop()
     // After spark.stop() so no stray executor logging lands after it; the
     // short summary line goes LAST so the tail window always contains it.

@@ -16,9 +16,10 @@ import org.apache.spark.sql.types.DecimalType
   *    identical doubles in both engines, so only accumulated ulp drift
   *    differs, which is far below 1e-6 for these workloads.
   *  - `tsUs` projects timestamps to epoch microseconds. The events table
-  *    stores nanosecond timestamps, which Spark truncates to micros on
-  *    read while DuckDB keeps ns — comparing/ordering at micro resolution
-  *    (DuckDB side uses epoch_us) removes the mismatch.
+  *    has shipped timestamps in several physical encodings (nanos-as-long,
+  *    TIMESTAMP_NTZ micros); `Tables.eventsFrom` canonicalizes all of them
+  *    to micro-resolution TimestampType, so comparing/ordering at micro
+  *    resolution (DuckDB side uses epoch_us) is encoding-independent.
   */
 package object graft {
   type Query = (SparkSession, String) => DataFrame
