@@ -33,6 +33,20 @@ object RecallSweep {
       println(f"cells=$c probes=$p iters=$it assign=$a  " +
         f"recall=$recall%.3f frac=${p.toDouble * a / c}%.3f sec=$sec%.1f")
     }
+    // The SERVED variants at their shipped configs — so a sweep run also
+    // records where the other index families sit on the same corpus
+    // (the round-6 artifact had no ivfpq row here despite ivfpq being
+    // the serving layout).
+    Seq("ann_topk_lsh", "ann_topk_ivf", "ann_topk_pq", "ann_topk_ivfpq")
+      .foreach { name =>
+        val t0 = System.nanoTime()
+        val got = SparkEntry.queries(name)(spark, sfDir)
+          .select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val sec = (System.nanoTime() - t0) / 1e9
+        val recall = exact.count(got.contains).toDouble / exact.size
+        println(f"served $name%-16s recall=$recall%.3f sec=$sec%.1f")
+      }
     spark.stop()
   }
 }
