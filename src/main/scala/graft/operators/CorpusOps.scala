@@ -170,6 +170,43 @@ object CorpusOps {
       cut: Long): DataFrame =
     packDocs(Tables.documents(s, d).filter(col("doc_id") <= cut))
 
+  // Per-source token budget for the quota sampler (tokens, not docs —
+  // the unit a pretraining mix is specified in).
+  private val SourceTokenBudget = 800L
+
+  /** Token-budget quota sampling — cap each source's contribution at
+    * [[SourceTokenBudget]] tokens (the Pile/Dolma-style mixing step
+    * where domain weights are token budgets, not document counts).
+    * Documents are admitted in a deterministic hash order (md5 slice
+    * 17..20 of doc_id — independent of the split/stratify/pack slices)
+    * until the source's running token total passes the budget; a doc is
+    * kept iff it STARTS within budget. The admission order is the hash,
+    * so the sample is reproducible and unbiased by doc_id assignment;
+    * the gate arithmetic is pure int64 and bit-identical across
+    * engines (quota sampling is inherently order-sensitive under
+    * growth — new docs with earlier hashes displace later ones, which
+    * is the documented semantics of a fixed budget). Scale
+    * shape: one window pass per source partition — same parallelism
+    * story as packing (sources fill in parallel); a skew-prone giant
+    * source costs one sorted partition, which is the semantics' price,
+    * and the admitted prefix is budget-bounded regardless of source
+    * size.
+    */
+  private def ppTokenBudget(s: SparkSession, d: String): DataFrame = {
+    val ord = conv(substring(md5(col("doc_id").cast("string")), 17, 4),
+      16, 10).cast("long")
+    val w = Window.partitionBy("source").orderBy("ord", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        ord.as("ord"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") - col("n_tokens") < SourceTokenBudget)
+      .select("doc_id", "source", "n_tokens", "cum_tokens")
+      .orderBy("doc_id")
+  }
+
   /** Benchmark decontamination — remove eval-set leakage from the
     * training corpus before an LLM ever sees it: a training document is
     * contaminated if it shares ANY word 5-gram with the held-out
@@ -284,6 +321,7 @@ object CorpusOps {
     "pp_domain_mix" -> ppDomainMix _,
     "pp_hash_split" -> ppHashSplit _,
     "pp_stratified" -> ppStratified _,
+    "pp_token_budget" -> ppTokenBudget _,
     "pp_pack" -> ppPack _,
     "io_jsonl_roundtrip" -> ioJsonl _,
     "io_csv_roundtrip" -> ioCsv _)
@@ -332,6 +370,20 @@ object CorpusOps {
         |  WHEN 'de' THEN 500 WHEN 'fr' THEN 300 WHEN 'zh' THEN 100
         |  ELSE 0 END
         |ORDER BY doc_id""".stripMargin,
+    "pp_token_budget" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 17, 4))::BIGINT
+         |    AS ord
+         |FROM documents),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY ord, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum_tokens
+         |  FROM t)
+         |SELECT doc_id, source, n_tokens, cum_tokens FROM c
+         |WHERE cum_tokens - n_tokens < $SourceTokenBudget
+         |ORDER BY doc_id""".stripMargin,
     "pp_pack" ->
       s"""WITH t AS (SELECT doc_id,
          |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 13, 4))::BIGINT

@@ -125,6 +125,62 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Word-distribution Shannon entropy per document — the information-
+    * density quality signal (near-zero entropy = degenerate repetition;
+    * the complement of [[repNgrams]]'s top-fraction heuristics). One
+    * combiner-friendly (doc, token) count then a per-doc rollup:
+    * H = log2(n) − Σ c·log2(c)/n, computed in that algebraic form on
+    * both engines so float drift stays below the r6 rounding.
+    */
+  private def entropy(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+    c.groupBy("doc_id").agg(
+      sum(col("c")).as("n_tokens"),
+      count(lit(1)).as("n_distinct"),
+      r6(log2(sum(col("c")).cast("double")) -
+        sum(col("c").cast("double") * log2(col("c").cast("double"))) /
+          sum(col("c"))).as("entropy"))
+      .orderBy("doc_id")
+  }
+
+  // Boilerplate detection knobs: bigram shingles whose within-source
+  // document frequency is ≥ BoilerFrac (sources with ≥ BoilerMinDocs
+  // docs only) are boilerplate — the C4-style repeated-fragment screen
+  // at shingle granularity (the synthetic corpus has no line breaks, so
+  // the unit is the shingle, not the line).
+  private val BoilerFrac = 0.2
+  private val BoilerMinDocs = 10
+
+  /** Per-source boilerplate screen: distinct bigram shingles per doc,
+    * within-source document frequency, shingles above [[BoilerFrac]]
+    * flagged, per-doc boilerplate fraction + keep verdict. Scale shape:
+    * the df aggregate is map-side combinable on its natural (source,
+    * shingle) key; the flagged set is threshold-bounded (≈1% of
+    * shingles) and BROADCASTS back over the shingle stream, so the
+    * per-doc pass never shuffles the corpus a second time.
+    */
+  private def boilerplate(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(Dedup.shingles(col("text"), 2)).as("g"))
+    // shingles are distinct per doc, so count(*) = document frequency
+    val df = sh.groupBy("source", "g").agg(count(lit(1)).as("df"))
+    val nd = sh.groupBy("source").agg(countDistinct(col("doc_id")).as("n_docs"))
+    val boiler = df.join(broadcast(nd), "source")
+      .filter(col("n_docs") >= BoilerMinDocs &&
+        col("df").cast("double") / col("n_docs") >= BoilerFrac)
+      .select(col("source"), col("g"), lit(1).as("is_b"))
+    sh.join(broadcast(boiler), Seq("source", "g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), count(col("is_b")).as("n_boiler"))
+      .withColumn("boiler_frac",
+        r6(col("n_boiler").cast("double") / col("n_shingles")))
+      .withColumn("keep", (col("boiler_frac") <= 0.1).cast("int"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus vocabulary rollup: top-k tokens by frequency. The shuffle
     * carries per-partition partial counts (map-side combine), then a
     * TakeOrdered — the canonical combiner-friendly corpus statistic.
@@ -438,6 +494,8 @@ object TextAnalysis {
     "ta_unigram_logprob" -> unigramLogprob _,
     "ta_bigram_logprob" -> bigramLogprob _,
     "ta_langid" -> langid _,
+    "ta_entropy" -> entropy _,
+    "ta_boilerplate" -> boilerplate _,
     "ta_quality" -> quality _,
     "ta_tokens" -> tokens _,
     "ta_vocab" -> vocab _,
@@ -477,6 +535,37 @@ object TextAnalysis {
         |  CAST(len(wp) - len(red) AS INT) AS removed_chars,
         |  md5(red) AS redacted_hash
         |FROM r ORDER BY doc_id""".stripMargin,
+    "ta_entropy" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |             FROM documents),
+        |c AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  round(log2(CAST(sum(c) AS DOUBLE)) -
+        |    sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) / sum(c), 6)
+        |    AS entropy
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "ta_boilerplate" ->
+      s"""WITH w0 AS (SELECT doc_id, source, string_split(text, ' ') AS w
+         |            FROM documents),
+         |sh AS (SELECT doc_id, source,
+         |  unnest(${Dedup.shinglesSql(2)}) AS g FROM w0),
+         |df AS (SELECT source, g, count(*) AS df FROM sh GROUP BY source, g),
+         |nd AS (SELECT source, count(DISTINCT doc_id) AS n FROM sh
+         |       GROUP BY source),
+         |bo AS (SELECT source, g FROM df JOIN nd USING (source)
+         |       WHERE n >= $BoilerMinDocs
+         |         AND CAST(df AS DOUBLE) / n >= $BoilerFrac),
+         |per AS (SELECT sh.doc_id, count(*) AS n_shingles,
+         |  count(bo.g) AS n_boiler
+         |  FROM sh LEFT JOIN bo ON sh.source = bo.source AND sh.g = bo.g
+         |  GROUP BY sh.doc_id)
+         |SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+         |  CAST(n_boiler AS BIGINT) AS n_boiler,
+         |  round(CAST(n_boiler AS DOUBLE) / n_shingles, 6) AS boiler_frac,
+         |  CAST(round(CAST(n_boiler AS DOUBLE) / n_shingles, 6) <= 0.1
+         |    AS INT) AS keep
+         |FROM per ORDER BY doc_id""".stripMargin,
     "ta_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
         |             FROM documents),

@@ -326,4 +326,70 @@ class TextAndMultimodalSpec extends GraftSuite {
     val out = operators.Multimodal.extractFeatures(media)
     assert(out.rdd.getNumPartitions == 7)
   }
+
+  test("entropy: degenerate repetition scores 0, uniform text scores log2(n)") {
+    val rows = SparkEntry.queries("ta_entropy")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(1); val distinct = r.getLong(2); val h = r.getDouble(3)
+      // entropy is bounded by [0, log2(n_distinct)]
+      assert(h >= -1e-6 && h <= math.log(distinct.toDouble) / math.log(2) + 1e-6,
+        s"doc ${r.getLong(0)}: H=$h outside [0, log2($distinct)]")
+      assert(n >= distinct)
+    }
+    // planted extremes via a tiny in-memory corpus
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-entropy").toString
+    Seq((1L, "a a a a a a a a", "en", "src1", 15L),
+        (2L, "b c d e f g h i", "en", "src1", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val planted = SparkEntry.queries("ta_entropy")(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(math.abs(planted(1L)) < 1e-6)          // all-same-word → 0 bits
+    assert(math.abs(planted(2L) - 3.0) < 1e-6)    // 8 uniform words → 3 bits
+  }
+
+  test("boilerplate: a phrase repeated across a source's docs is flagged") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-boiler").toString
+    // source s1: 12 docs sharing the 'click here now' prefix (boilerplate),
+    // each with a unique tail; source s2: too few docs to qualify.
+    val s1 = (1L to 12L).map(i =>
+      (i, s"click here now unique$i tail$i words$i", "en", "s1", 30L))
+    val s2 = (21L to 23L).map(i =>
+      (i, s"click here now unique$i tail$i words$i", "en", "s2", 30L))
+    (s1 ++ s2).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = SparkEntry.queries("ta_boilerplate")(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(4))).toList
+    // s1 docs: shingles = 5 per doc; 'click here'/'here now' shared by
+    // all 12/12 docs of s1 → 2 boilerplate shingles → frac 0.4 → keep=0
+    rows.filter(_._1 <= 12L).foreach { case (id, nSh, nBo, keep) =>
+      assert(nBo == 2L, s"doc $id: expected 2 boilerplate shingles, got $nBo")
+      assert(keep == 0, s"doc $id should fail the keep gate")
+    }
+    // s2 has only 3 docs (< BoilerMinDocs): nothing flagged there
+    rows.filter(_._1 >= 21L).foreach { case (id, _, nBo, keep) =>
+      assert(nBo == 0L && keep == 1, s"doc $id: small source must not flag")
+    }
+  }
+
+  test("token budget: every admitted doc starts within budget, per source") {
+    val rows = SparkEntry.queries("pp_token_budget")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, src, n, cum) =>
+      assert(cum - n < 800L, s"doc $id in $src starts at ${cum - n} >= budget")
+      assert(n >= 1 && cum >= n)
+    }
+    // every source contributes at least one admitted doc, and the query
+    // is deterministic across runs
+    val srcAll = Tables.documents(spark, sf)
+      .select("source").distinct().collect().map(_.getString(0)).toSet
+    assert(rows.map(_._2).toSet == srcAll)
+    val again = SparkEntry.queries("pp_token_budget")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(again == rows.map(r => (r._1, r._4)).toSet)
+  }
 }
