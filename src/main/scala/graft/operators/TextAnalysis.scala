@@ -2,6 +2,7 @@ package graft.operators
 
 import graft._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data curation: language ID,
@@ -155,26 +156,38 @@ object TextAnalysis {
 
   /** Per-source boilerplate screen: distinct bigram shingles per doc,
     * within-source document frequency, shingles above [[BoilerFrac]]
-    * flagged, per-doc boilerplate fraction + keep verdict. Scale shape:
-    * the df aggregate is map-side combinable on its natural (source,
-    * shingle) key; the flagged set is threshold-bounded (≈1% of
-    * shingles) and BROADCASTS back over the shingle stream, so the
-    * per-doc pass never shuffles the corpus a second time.
+    * flagged, per-doc boilerplate fraction + keep verdict.
+    *
+    * Plan shape (iterated — see the benched alternatives below): the
+    * shingle transform runs ONCE, in the single explode; document
+    * frequency is a count window over the exploded stream's natural
+    * (source, shingle) key; the verdict is a per-doc rollup. Two
+    * corpus-token-scale shuffles — the inherent minimum (one to meet
+    * shingles of a source, one to reassemble docs) — and per-source
+    * doc counts ride a bounded broadcast. Rejected formulations:
+    * df-aggregate + second explode + shingle-keyed join (5.5s at
+    * sf0.1 — the transform evaluates three times); broadcast
+    * per-source boilerplate arrays probed with `array_intersect` over
+    * the un-exploded doc arrays (15.5s — ProjectCollapse inlines the
+    * whole transform+distinct into EVERY referencing expression, so
+    * it evaluates 4× per row inside one scan). This form: 2.8s.
     */
   private def boilerplate(s: SparkSession, d: String): DataFrame = {
-    val sh = Tables.documents(s, d)
+    val docs = Tables.documents(s, d)
+    val nd = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val ex = docs
       .select(col("doc_id"), col("source"),
         explode(Dedup.shingles(col("text"), 2)).as("g"))
-    // shingles are distinct per doc, so count(*) = document frequency
-    val df = sh.groupBy("source", "g").agg(count(lit(1)).as("df"))
-    val nd = sh.groupBy("source").agg(countDistinct(col("doc_id")).as("n_docs"))
-    val boiler = df.join(broadcast(nd), "source")
-      .filter(col("n_docs") >= BoilerMinDocs &&
-        col("df").cast("double") / col("n_docs") >= BoilerFrac)
-      .select(col("source"), col("g"), lit(1).as("is_b"))
-    sh.join(broadcast(boiler), Seq("source", "g"), "left")
+    val w = Window.partitionBy("source", "g")
+    // shingles are distinct per doc, so the window count = doc frequency
+    ex.join(broadcast(nd), "source")
+      .withColumn("df", count(lit(1)).over(w))
+      .withColumn("is_b",
+        (col("n_docs") >= BoilerMinDocs &&
+          col("df").cast("double") / col("n_docs") >= BoilerFrac)
+          .cast("long"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shingles"), count(col("is_b")).as("n_boiler"))
+      .agg(count(lit(1)).as("n_shingles"), sum(col("is_b")).as("n_boiler"))
       .withColumn("boiler_frac",
         r6(col("n_boiler").cast("double") / col("n_shingles")))
       .withColumn("keep", (col("boiler_frac") <= 0.1).cast("int"))
