@@ -207,6 +207,31 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  // Fixed-size per-source sample: exactly k docs (or all, if fewer).
+  private val FixedK = 8
+
+  /** Deterministic fixed-k-per-source sampling — the "exactly k eval
+    * documents per domain" step (the third member of the sampling
+    * family: [[ppStratified]] samples by RATE, [[ppTokenBudget]] by
+    * token BUDGET, this one by COUNT). Rank docs per source by an
+    * independent md5 slice (21..24) and keep rank ≤ k: reproducible,
+    * unbiased by doc_id assignment, and — unlike rate sampling — the
+    * output size is exact under any source-size skew. One row_number
+    * window per source partition; the admitted set is k-bounded per
+    * source regardless of corpus growth.
+    */
+  private def ppFixedK(s: SparkSession, d: String): DataFrame = {
+    val ord = conv(substring(md5(col("doc_id").cast("string")), 21, 4),
+      16, 10).cast("long")
+    val w = Window.partitionBy("source").orderBy("ord", "doc_id")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("lang"), ord.as("ord"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= FixedK)
+      .select("doc_id", "source", "lang", "rank")
+      .orderBy("doc_id")
+  }
+
   /** Benchmark decontamination — remove eval-set leakage from the
     * training corpus before an LLM ever sees it: a training document is
     * contaminated if it shares ANY word 5-gram with the held-out
@@ -322,6 +347,7 @@ object CorpusOps {
     "pp_hash_split" -> ppHashSplit _,
     "pp_stratified" -> ppStratified _,
     "pp_token_budget" -> ppTokenBudget _,
+    "pp_fixed_k" -> ppFixedK _,
     "pp_pack" -> ppPack _,
     "io_jsonl_roundtrip" -> ioJsonl _,
     "io_csv_roundtrip" -> ioCsv _)
@@ -383,6 +409,17 @@ object CorpusOps {
          |  FROM t)
          |SELECT doc_id, source, n_tokens, cum_tokens FROM c
          |WHERE cum_tokens - n_tokens < $SourceTokenBudget
+         |ORDER BY doc_id""".stripMargin,
+    "pp_fixed_k" ->
+      s"""WITH t AS (SELECT doc_id, source, lang,
+         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 21, 4))::BIGINT
+         |    AS ord
+         |FROM documents),
+         |r AS (SELECT doc_id, source, lang,
+         |  CAST(row_number() OVER (PARTITION BY source ORDER BY ord, doc_id)
+         |    AS BIGINT) AS rank
+         |  FROM t)
+         |SELECT doc_id, source, lang, rank FROM r WHERE rank <= $FixedK
          |ORDER BY doc_id""".stripMargin,
     "pp_pack" ->
       s"""WITH t AS (SELECT doc_id,

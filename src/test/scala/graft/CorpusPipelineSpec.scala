@@ -162,4 +162,23 @@ class CorpusPipelineSpec extends GraftSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(benchIds.forall(id => !streamed.contains(id)))
   }
+
+  test("fixed-k sample: exactly min(k, source size) docs per source, stable") {
+    val rows = SparkEntry.queries("pp_fixed_k")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    val perSource = Tables.documents(spark, sf).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    perSource.foreach { case (src, n) =>
+      assert(got.getOrElse(src, 0) == math.min(8L, n).toInt,
+        s"source $src: expected min(8, $n) docs")
+    }
+    // ranks within each source are exactly 1..k, and a re-run is identical
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq, src)
+    }
+    val again = SparkEntry.queries("pp_fixed_k")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(again == rows.map(r => (r._1, r._3)).toSet)
+  }
 }
