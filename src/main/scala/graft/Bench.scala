@@ -131,9 +131,7 @@ object Bench {
     // cause had to be re-derived by rerunning Verify by hand.
     var firstErr: Option[String] = None
     def noteErr(name: String, e: Throwable): Unit =
-      if (firstErr.isEmpty)
-        firstErr = Some(s"$name: ${e.getClass.getSimpleName}: ${
-          Option(e.getMessage).getOrElse("").linesIterator.take(2).mkString(" ")}")
+      if (firstErr.isEmpty) firstErr = Some(errLine(name, e))
     var fatal = false
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
     val loop = new scala.util.control.Breaks
@@ -298,15 +296,17 @@ object Bench {
     val regSummaryJson = regressions.toSeq.sortBy(-_._2).take(8)
       .map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val regFullJson = qJson(regressions.toSeq.sortBy(-_._2))
-    // First failure cause, JSON-escaped and bounded — so a red artifact
-    // says WHY in the artifact itself.
+    // First failure cause, JSON-escaped — so a red artifact says WHY in
+    // the artifact itself. Length is bounded by errLine BEFORE escaping:
+    // truncating the escaped form could split an escape pair and emit
+    // an unterminated string, corrupting the whole summary line.
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""
         case '\\' => "\\\\"
         case c if c < ' ' => " "
         case c => c.toString
-      }.take(160) + "\""
+      } + "\""
     val firstErrJson = firstErr.map(jstr).getOrElse("null")
     val summary =
       s"""{"metric":"total","value":$value,"unit":"sec","n":${names.size},"completed":${names.size - failed.size},"total_sec":${f3(total)},"passes":$passes,"stat":"median","max_spread_sec":${f3(maxSpread)},"recall":$recallJson,"regressions_vs_prev":$regSummaryJson,"prev_n":${prev.size},"failed":$failedJson,"first_error":$firstErrJson,"sf":"$sfDir","detail":"$artifact"}"""
@@ -336,9 +336,13 @@ object Bench {
     // merge this run's completed timings over the existing prior so a
     // query that failed this time keeps its last good number (round 6's
     // 55 dark queries would otherwise have erased their priors). Full
-    // runs only — a dev subset must not shrink the baseline.
+    // runs only — a dev subset must not shrink the baseline. COLD
+    // timings are excluded for the same reason they are excluded from
+    // the regression check itself: writing an unwarmed 1.8s over a warm
+    // 1.0s prior would mask a later real regression as a speedup.
     if (only.isEmpty) try {
-      val merged = prev ++ results.collect { case (n, v) if v > 0 => n -> v }
+      val merged = prev ++ results.collect {
+        case (n, v) if v > 0 && !cold.contains(n) => n -> v }
       val mergedJson = qJson(merged.toSeq.sortBy(_._1))
       java.nio.file.Files.createDirectories(prevPath.getParent)
       java.nio.file.Files.write(prevPath,

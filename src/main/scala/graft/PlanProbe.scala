@@ -16,6 +16,11 @@ object PlanProbe {
     require(args.length >= 2, "usage: PlanProbe <sfDir> <query...>")
     val sfDir = args.head
     val names = args.tail.toSeq
+    // Default 32 = the driver's bench parallelism (BENCH_r* artifacts
+    // record cpus:32) — this tool diagnoses DRIVER-run timings, so the
+    // plan must reproduce under the same cores/shuffle-partitions. Set
+    // SPARK_GRAFT_CPUS to match whatever run is being diagnosed (e.g. 4
+    // for a bare local Bench invocation).
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -259,10 +259,23 @@ object ScaleSmoke {
     if (!new java.io.File(vecScratch).exists()) {
       val v = Tables.embeddings(spark, src).select("vec_id", "embedding", "label")
       val n = v.count()
+      // The modular partner pairing below requires DENSE 0..n-1 ids —
+      // on sparse ids the inner join would silently DROP grown rows and
+      // every *_10x stage would run undersized while still labeled 10×.
+      // Fail loudly instead if the driver ever changes id assignment.
+      val Array(idLo, idHi) = v.agg(min(col("vec_id")), max(col("vec_id")))
+        .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+      require(idLo == 0L && idHi == n - 1,
+        s"embeddings ids not dense 0..${n - 1} (found $idLo..$idHi): " +
+          "the partner pairing would drop grown rows")
       val partnerSide = v.select(col("vec_id").as("partner"),
         col("embedding").as("p_embedding"))
+      // offset in [1, n-1] — never 0 mod n, so no vector partners with
+      // itself (a self-mix would be a near-clone, defeating the
+      // natural-growth premise for reps where n divides 137·rep).
       val grown = v.crossJoin(spark.range(1, 10).select(col("id").as("rep")))
-        .withColumn("partner", (col("vec_id") + col("rep") * 137L) % n)
+        .withColumn("partner",
+          (col("vec_id") + (col("rep") * 137L) % (n - 1) + 1L) % n)
         .join(partnerSide, "partner")
         .withColumn("alpha",
           expr("0.6 + 0.35 * sin(1.7 * vec_id + 3.1 * rep)"))

@@ -78,7 +78,11 @@ object Tables {
           s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
           s.read.parquet(path)
       }
-    raw.withColumn("ts", eventsTs(raw, path))
+    // A file with no ts column at all falls through untouched so the
+    // schema contract reports the missing column with its actionable
+    // message (dying here on raw.schema("ts") would bypass it).
+    if (!raw.schema.fieldNames.contains("ts")) raw
+    else raw.withColumn("ts", eventsTs(raw, path))
   }
 
   /** The single canonical events-timestamp definition: whatever physical

@@ -34,8 +34,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        errors(name) = s"${e.getClass.getSimpleName}: ${
-          Option(e.getMessage).getOrElse("").linesIterator.take(2).mkString(" ").take(300)}"
+        errors(name) = errLine(name, e)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

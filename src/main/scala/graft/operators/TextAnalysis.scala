@@ -174,7 +174,13 @@ object TextAnalysis {
     */
   private def boilerplate(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val nd = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    // denominator = docs that PRODUCE shingles (≥2 words), matching the
+    // oracle's count(DISTINCT doc_id) over the shingle stream — a
+    // sub-2-word doc must not deflate its source's df fractions. The
+    // cheap split-size predicate is equivalent to size(shingles) >= 1
+    // without re-evaluating the shingle transform.
+    val nd = docs.filter(size(split(col("text"), " ")) >= 2)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
     val ex = docs
       .select(col("doc_id"), col("source"),
         explode(Dedup.shingles(col("text"), 2)).as("g"))

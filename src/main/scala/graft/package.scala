@@ -33,6 +33,17 @@ package object graft {
   /** Timestamp → epoch microseconds (matches DuckDB epoch_us). */
   def tsUs(c: Column): Column = unix_micros(c)
 
+  /** One-line failure cause for artifacts: exception class + first two
+    * message lines, raw-truncated BEFORE any JSON escaping (truncating
+    * an escaped string can split an escape pair and emit unterminated
+    * JSON). Shared by Bench ("first_error") and Verify (errors.json) so
+    * the two surfaces report identically-shaped causes.
+    */
+  def errLine(name: String, e: Throwable): String =
+    s"$name: ${e.getClass.getSimpleName}: ${
+      Option(e.getMessage).getOrElse("")
+        .linesIterator.take(2).mkString(" ")}".take(160)
+
   implicit class PinOps(private val df: DataFrame) extends AnyVal {
     /** `persist()` with a context-stop release path — every
       * query-internal cache entry must go through this (or carry its
