@@ -444,6 +444,53 @@ class StreamingAndMlSpec extends GraftSuite {
     assert(failing.stages.head.attempts == 2)
   }
 
+  test("streaming quota: single-batch stream reproduces pp_token_budget exactly") {
+    // file streams need a DIRECTORY source; the testdata table is one file
+    val tmp = java.nio.file.Files.createTempDirectory("graft-quota1").toString
+    Tables.documents(spark, sf)
+      .write.mode("overwrite").parquet(s"$tmp/docs.parquet")
+    streaming.StreamingQuota.runToMemory(spark,
+      s"$tmp/docs.parquet", "quota_single")
+    val streamed = spark.table("quota_single")
+      .select("doc_id", "source", "n_tokens", "cum_tokens").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val batch = SparkEntry.queries("pp_token_budget")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(streamed == batch, "single micro-batch must equal the batch op")
+  }
+
+  test("streaming quota: multi-batch arrival keeps the budget invariant") {
+    // split documents into several files so maxFilesPerTrigger yields
+    // multiple micro-batches with cross-batch state carry-over
+    val tmp = java.nio.file.Files.createTempDirectory("graft-quota").toString
+    Tables.documents(spark, sf).repartition(6)
+      .write.mode("overwrite").parquet(s"$tmp/docs.parquet")
+    streaming.StreamingQuota.runToMemory(spark,
+      s"$tmp/docs.parquet", "quota_multi", maxFilesPerTrigger = 2)
+    val rows = spark.table("quota_multi")
+      .select("doc_id", "source", "n_tokens", "cum_tokens").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      // every admitted doc started under budget, and the per-source
+      // cumulative totals chain without gaps or overlaps
+      val sorted = rs.sortBy(_._4)
+      sorted.foreach { case (id, _, n, cum) =>
+        assert(cum - n < 800L, s"doc $id in $src admitted past budget")
+      }
+      sorted.foldLeft(0L) { case (prev, (_, _, n, cum)) =>
+        assert(cum == prev + n, s"$src: cumulative chain broken at $cum")
+        cum
+      }
+    }
+    // every source admits at least its first-arriving doc
+    val srcAll = Tables.documents(spark, sf)
+      .select("source").distinct().collect().map(_.getString(0)).toSet
+    assert(rows.map(_._2).toSet == srcAll)
+  }
+
   test("daily flow runs etl -> validate -> train -> score through the warehouse") {
     import graft.pipeline.PipelineRunner
     val wh = Files.createTempDirectory("graft_wh").toString
