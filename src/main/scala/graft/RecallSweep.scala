@@ -22,16 +22,29 @@ object RecallSweep {
     spark.sparkContext.setLogLevel("ERROR")
     val exact = operators.Similarity.annTopkExact(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
-    args.drop(1).foreach { cfg =>
-      val Array(c, p, it, a) = cfg.split(":").map(_.toInt)
-      val t0 = System.nanoTime()
-      val got = operators.Similarity
-        .annTopkIvfTuned(spark, sfDir, c, p, it, a)
-        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
-      val sec = (System.nanoTime() - t0) / 1e9
-      val recall = exact.count(got.contains).toDouble / exact.size
-      println(f"cells=$c probes=$p iters=$it assign=$a  " +
-        f"recall=$recall%.3f frac=${p.toDouble * a / c}%.3f sec=$sec%.1f")
+    args.drop(1).foreach {
+      // pq:<k>:<rerank%> — flat-PQ codebook-size / shortlist sweep
+      case cfg if cfg.startsWith("pq:") =>
+        val Array(_, k, fpct) = cfg.split(":")
+        val frac = fpct.toDouble / 100
+        val t0 = System.nanoTime()
+        val got = operators.Similarity
+          .annTopkPqTuned(spark, sfDir, k.toInt, frac)
+          .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+        val sec = (System.nanoTime() - t0) / 1e9
+        val recall = exact.count(got.contains).toDouble / exact.size
+        println(f"pq k=${k.toInt}%-4d rerank=$frac%.2f  " +
+          f"recall=$recall%.3f sec=$sec%.1f")
+      case cfg =>
+        val Array(c, p, it, a) = cfg.split(":").map(_.toInt)
+        val t0 = System.nanoTime()
+        val got = operators.Similarity
+          .annTopkIvfTuned(spark, sfDir, c, p, it, a)
+          .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+        val sec = (System.nanoTime() - t0) / 1e9
+        val recall = exact.count(got.contains).toDouble / exact.size
+        println(f"cells=$c probes=$p iters=$it assign=$a  " +
+          f"recall=$recall%.3f frac=${p.toDouble * a / c}%.3f sec=$sec%.1f")
     }
     // The SERVED variants at their shipped configs — so a sweep run also
     // records where the other index families sit on the same corpus

@@ -488,7 +488,16 @@ object Similarity {
   // of query·centroid dots, summed over the codes — no full vector is
   // touched until the exact rerank of a small shortlist.
   private val PqM = 8
-  private val PqK = 16
+  // Codebook size per subspace. Retuned round 7 via RecallSweep's
+  // pq:<k>:<rerank%> mode (measured at sf0.1, same 10% rerank):
+  // k=16 → recall 0.67 (warm 1.1s), k=32 → 0.89 (1.3s), k=64 → 0.93
+  // (1.8s), k=256 → 1.00 (but 16× the assignment FLOPs of k=16 —
+  // 22.9s cold). k=32 buys +0.22 recall for +18% warm serving cost
+  // (5-bit codes); past it the recall/cost slope collapses. The
+  // standard k=256 (Jégou 2011) remains the right call when the
+  // serving path is the PERSISTED index (assignment is build-time
+  // there), which is why the knob is now a parameter.
+  private val PqK = 32
   private val PqIters = 3
   // Exact-rerank shortlist: max(floor, frac·N). A FIXED shortlist decays
   // as the corpus grows — the round-5 bench recall artifact caught
@@ -531,10 +540,11 @@ object Similarity {
       .agg(min_by(col("cell"), struct(col("d2"), col("cell"))).as("cell"))
       .select(col("vec_id"), col("m"), col("cell"))
 
-  // Trained PQ codebooks, keyed like the IVF cache: model state is
-  // PqM × PqK × (dim/PqM) doubles on the driver.
+  // Trained PQ codebooks, keyed like the IVF cache (plus the codebook
+  // size k, so RecallSweep's tuned variants don't evict the shipped
+  // model): model state is PqM × k × (dim/PqM) doubles on the driver.
   private val pqCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.SparkContext, String), Seq[(Int, Long, Seq[Double])]]
+    .empty[(org.apache.spark.SparkContext, String, Int), Seq[(Int, Long, Seq[Double])]]
 
   /** All-subspace Lloyd training in ONE distributed pass per iteration:
     * the (vec_id, m, sv) frame assigns against the full (m, cell)
@@ -543,13 +553,14 @@ object Similarity {
     * like the IVF trainer. Seeds are the first PqK non-query vectors'
     * subvectors.
     */
-  private def trainPq(s: SparkSession, d: String): Seq[(Int, Long, Seq[Double])] = {
+  private def trainPq(s: SparkSession, d: String,
+      k: Int): Seq[(Int, Long, Seq[Double])] = {
     import s.implicits._
     val v = normalized(s, d)
     val dim = corpusDim(s, d)
     val sv = subvectors(v, dim).persist()
     var cent = sv.filter(col("vec_id") >= NumQueries &&
-      col("vec_id") < NumQueries + PqK)
+      col("vec_id") < NumQueries + k)
       .select(col("m"), (col("vec_id") - NumQueries).as("cell"),
         col("sv").as("cu"))
     for (_ <- 1 to PqIters) {
@@ -595,12 +606,28 @@ object Similarity {
     * eviction-hooked lookup every PQ consumer (flat search, index save,
     * composed IVFPQ) goes through.
     */
-  private def trainedPqCodebooks(s: SparkSession, d: String): DataFrame = {
+  private def trainedPqCodebooks(s: SparkSession, d: String,
+      k: Int = PqK): DataFrame = {
     import s.implicits._
     graft.ContextCaches.evictOnStop(s.sparkContext, "pq-codebooks")(() =>
-      pqCache.filterInPlace { case ((c, _), _) => c ne s.sparkContext })
-    pqCache.getOrElseUpdate((s.sparkContext, d), trainPq(s, d))
+      pqCache.filterInPlace { case ((c, _, _), _) => c ne s.sparkContext })
+    pqCache.getOrElseUpdate((s.sparkContext, d, k), trainPq(s, d, k))
       .toDF("m", "cell", "cu")
+  }
+
+  /** Dev/measurement hook (RecallSweep): flat PQ search with an
+    * explicit codebook size and rerank fraction — the two knobs the
+    * recall/serving-cost tradeoff turns on. The shipped defaults stay
+    * [[PqK]]/[[PqRerankFrac]]; this exists so changing them is a
+    * measured decision, like the IVF retune.
+    */
+  private[graft] def annTopkPqTuned(s: SparkSession, d: String,
+      k: Int, frac: Double): DataFrame = {
+    val cent = trainedPqCodebooks(s, d, k)
+    val v = normalized(s, d)
+    pqSearch(s, d, cent, pqAssign(subvectors(v, corpusDim(s, d)), cent),
+      rerankN = Some(math.max(PqRerankMin.toLong,
+        math.ceil(corpusCount(s, d) * frac).toLong)))
   }
 
   /** ANN via the composed IVF+PQ index — the IVFADC architecture

@@ -43,9 +43,9 @@ class SimilaritySpec extends GraftSuite {
     val pq = SparkEntry.queries("ann_topk_pq")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = exact.count(pq.contains).toDouble / exact.size
-    // corpus-proportional 10% shortlist (min 50): 0.73 at sf0.001, 0.67
-    // at sf0.1 — above IVF's 0.60 while reranking a fraction of the scan
-    assert(recall >= 0.6, s"PQ recall@10 = $recall")
+    // corpus-proportional 10% shortlist (min 50) with the round-7
+    // k=32 codebooks: 0.89 at sf0.1 (was 0.67 at k=16)
+    assert(recall >= 0.7, s"PQ recall@10 = $recall")
     // every returned cosine is the EXACT score (rerank happened)
     val exactCos = SparkEntry.queries("ann_topk_exact")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
