@@ -34,6 +34,10 @@ import org.apache.spark.sql.SparkSession
   * The artifact also carries recall@10 of each approximate ANN variant
   * vs the exact baseline ("recall") and any queries left unwarmed by a
   * fatal warmup break ("cold").
+  *
+  * Cross-round gate policy (flag rules and committed-prior refresh,
+  * both noise-aware) lives in [[BenchGate]] — pure functions, specced
+  * by BenchGateSpec without a Spark session.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -58,6 +62,14 @@ object Bench {
         .flatMap(q => """"([A-Za-z0-9_]+)":(-?[0-9.]+)""".r
           .findAllMatchIn(q).map(m => m.group(1) -> m.group(2).toDouble))
         .toMap
+    // The prior is keyed by basename but records the FULL sfDir it was
+    // measured on: two corpora whose dirs share a basename (/a/sf0.1 vs
+    // /b/sf0.1) must not share a prior — a mismatch disables the
+    // comparison (and this run's refresh then starts a fresh prior for
+    // its own dir). A legacy prior without the field is accepted.
+    def sfDirMatches(txt: String): Boolean =
+      """"sf_dir":"([^"]*)"""".r.findFirstMatchIn(txt)
+        .forall(_.group(1) == sfDir)
     // Prior run's per-query medians, read BEFORE this run overwrites the
     // artifact: cross-round regressions surface in the artifact itself
     // (round 5's comparison required hand-reconstructing truncated chunk
@@ -68,9 +80,11 @@ object Bench {
     // phantom regressions on every query.
     val prev: Map[String, Double] =
       try {
-        if (java.nio.file.Files.exists(prevPath))
-          parseQueries(new String(java.nio.file.Files.readAllBytes(prevPath), "UTF-8"))
-        else {
+        if (java.nio.file.Files.exists(prevPath)) {
+          val txt = new String(
+            java.nio.file.Files.readAllBytes(prevPath), "UTF-8")
+          if (sfDirMatches(txt)) parseQueries(txt) else Map.empty
+        } else {
           val txt = new String(java.nio.file.Files.readAllBytes(
             java.nio.file.Paths.get("bench_results.json")), "UTF-8")
           // Plain contains — a regex would wildcard '.' in every real
@@ -250,19 +264,18 @@ object Bench {
           "ann_topk_ivfpq"),
         Seq("query_id", "neighbor_id")) ++
       recallOf("dd_cosine_neardup", Seq("dd_semantic"), Seq("id_a", "id_b"))
-    // Cross-round regressions: queries that completed in BOTH runs and
-    // got >1.5× slower, with a 0.5s absolute guard so sub-second queries
-    // cannot flag on scheduler noise. The spread-triggered re-measure
-    // above already absorbed one-off co-tenant bursts, so a surviving
-    // ratio is a real signal, not capture noise.
+    // Cross-round regressions — policy in [[BenchGate.regressionFlags]]:
+    // >1.5× slower AND delta above max(0.5s, 3× the query's own spread).
+    // The spread term is what the round-7 artifact showed missing: all
+    // three of its flags had per-query spread ≥ their delta (phantoms
+    // from a 6.9s-spread co-tenant window), while a real shift — the
+    // deliberate PQ k=32 retune — had spread ≪ delta and still flags.
     // Cold queries (unwarmed after a warmup fatal) are excluded: their
     // timings are not comparable across rounds by this file's own
     // contract, so a cold 1.8s vs a prior warm 1.0s must not read as a
     // regression.
-    val regressions = results.collect {
-      case (n, v) if v > 0 && !cold.contains(n) && prev.get(n).exists(p =>
-        p > 0 && v > 1.5 * p && v - p > 0.5) => n -> v / prev(n)
-    }
+    val regressions =
+      BenchGate.regressionFlags(results, prev, spreads.toMap, cold)
     // Locale.ROOT: f"%.3f" uses the JVM default locale, and a
     // comma-decimal locale would emit invalid JSON.
     def f3(v: Double): String =
@@ -332,24 +345,30 @@ object Bench {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(artifact),
       (fullLine + "\n").getBytes("UTF-8"))
-    // Refresh the committed prior for the NEXT run's regression gate:
-    // merge this run's completed timings over the existing prior so a
-    // query that failed this time keeps its last good number (round 6's
-    // 55 dark queries would otherwise have erased their priors). Full
-    // runs only — a dev subset must not shrink the baseline. COLD
-    // timings are excluded for the same reason they are excluded from
-    // the regression check itself: writing an unwarmed 1.8s over a warm
-    // 1.0s prior would mask a later real regression as a speedup.
-    if (only.isEmpty) try {
-      val merged = prev ++ results.collect {
-        case (n, v) if v > 0 && !cold.contains(n) => n -> v }
-      val mergedJson = qJson(merged.toSeq.sortBy(_._1))
-      java.nio.file.Files.createDirectories(prevPath.getParent)
-      java.nio.file.Files.write(prevPath,
-        (s"""{"sf":"$sfBase","queries":$mergedJson}""" + "\n").getBytes("UTF-8"))
-    } catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"[bench] prior write failed: $e")
-    }
+    // Refresh the committed prior for the NEXT run's regression gate —
+    // policy in [[BenchGate.mergedPrior]]: a fatal run never writes, a
+    // quiet run's medians replace the prior, a NOISY run (max spread >
+    // 1s, like the round-7 driver window that baked a 1.7×-inflated
+    // dd_ngram_jaccard median into the gate) only merges per-query
+    // minima, so co-tenant inflation cannot overwrite quiet baselines.
+    // Merging over the existing prior means a query that failed this
+    // time keeps its last good number (round 6's 55 dark queries would
+    // otherwise have erased their priors). Full runs only — a dev
+    // subset must not shrink the baseline. COLD timings are excluded
+    // for the same reason they are excluded from the regression check.
+    if (only.isEmpty)
+      BenchGate.mergedPrior(prev, results, cold, maxSpread, fatal).foreach {
+        merged =>
+          try {
+            val mergedJson = qJson(merged.toSeq.sortBy(_._1))
+            java.nio.file.Files.createDirectories(prevPath.getParent)
+            java.nio.file.Files.write(prevPath,
+              (s"""{"sf":"$sfBase","sf_dir":"$sfDir","queries":$mergedJson}""" +
+                "\n").getBytes("UTF-8"))
+          } catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] prior write failed: $e")
+          }
+      }
     spark.stop()
     // After spark.stop() so no stray executor logging lands after it; the
     // short summary line goes LAST so the tail window always contains it.

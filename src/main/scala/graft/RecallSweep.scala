@@ -22,6 +22,18 @@ object RecallSweep {
     spark.sparkContext.setLogLevel("ERROR")
     val exact = operators.Similarity.annTopkExact(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
+    // The corpus-derived config (round 8: cells ∝ N, probes at the
+    // constant scan fraction) — printed so every sweep records the
+    // shipped geometry it ran against. (`locally`: a bare block here
+    // would parse as an apply on the preceding Set.)
+    locally {
+      val n = graft.Tables.embeddings(spark, sfDir).count()
+      val c = operators.Similarity.ivfCells(spark, sfDir)
+      val p = operators.Similarity.ivfProbes(spark, sfDir, c)
+      val sc = operators.Similarity.semCells(spark, sfDir)
+      println(s"derived config: n=$n ivf=$c/$p (frac=" +
+        f"${p.toDouble / c}%.3f) sem_cells=$sc")
+    }
     args.drop(1).foreach {
       // pq:<k>:<rerank%> — flat-PQ codebook-size / shortlist sweep
       case cfg if cfg.startsWith("pq:") =>
@@ -34,6 +46,18 @@ object RecallSweep {
         val sec = (System.nanoTime() - t0) / 1e9
         val recall = exact.count(got.contains).toDouble / exact.size
         println(f"pq k=${k.toInt}%-4d rerank=$frac%.2f  " +
+          f"recall=$recall%.3f sec=$sec%.1f")
+      // ivfpq:<probes> — composed-index coarse probe-count curve (the
+      // coarse stage is what caps IVFPQ recall below flat PQ's)
+      case cfg if cfg.startsWith("ivfpq:") =>
+        val Array(_, p) = cfg.split(":")
+        val t0 = System.nanoTime()
+        val got = operators.Similarity
+          .annTopkIvfPqTuned(spark, sfDir, p.toInt)
+          .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+        val sec = (System.nanoTime() - t0) / 1e9
+        val recall = exact.count(got.contains).toDouble / exact.size
+        println(f"ivfpq probes=${p.toInt}%-4d  " +
           f"recall=$recall%.3f sec=$sec%.1f")
       case cfg =>
         val Array(c, p, it, a) = cfg.split(":").map(_.toInt)

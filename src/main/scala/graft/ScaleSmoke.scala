@@ -214,8 +214,26 @@ object ScaleSmoke {
       // Round-5: the cluster pipeline's tail on the same worst-case
       // corpus — every text is a 10-doc clique, so label propagation
       // and the per-cluster keep-best window see their densest input.
+      // THREE consecutive captures (round-7 verdict: 30.2s → 39-46s
+      // across identical-code rounds needed a variance probe): c1 is
+      // cold (candidate gen + label prop), c2/c3 reuse the pinned edge
+      // list so they isolate the iterative label-prop stage; the [cc]
+      // sysprop prints per-iteration wall + convergence counts for
+      // stage attribution.
       time("pp_cluster_split_10x") {
-        SparkEntry.queries("pp_cluster_split")(spark, docScratch).count()
+        sys.props("graft.cc.debug") = "1"
+        try SparkEntry.queries("pp_cluster_split")(spark, docScratch).count()
+        finally sys.props.remove("graft.cc.debug")
+      },
+      time("pp_cluster_split_10x_c2") {
+        sys.props("graft.cc.debug") = "1"
+        try SparkEntry.queries("pp_cluster_split")(spark, docScratch).count()
+        finally sys.props.remove("graft.cc.debug")
+      },
+      time("pp_cluster_split_10x_c3") {
+        sys.props("graft.cc.debug") = "1"
+        try SparkEntry.queries("pp_cluster_split")(spark, docScratch).count()
+        finally sys.props.remove("graft.cc.debug")
       },
       time("dd_keep_best_10x") {
         SparkEntry.queries("dd_keep_best")(spark, docScratch).count()
@@ -241,6 +259,38 @@ object ScaleSmoke {
         SparkEntry.queries("mm_audio_dedup")(spark, docScratch).count()
       })
 
+    // Boilerplate skew stress: a 100k-doc source whose every document
+    // shares a 21-word footer — 20 bigram shingles each with df =
+    // n_docs, the TRUE-boilerplate shape at corpus scale. The shipped
+    // aggregate-join form partial-counts a hot shingle in every task;
+    // the retired window form routes all 100k occurrences of each hot
+    // shingle into ONE window partition — 20 straggler tasks carrying
+    // 2M of the corpus's 3.1M exploded rows. The wall-time delta IS the
+    // straggler the rewrite removes (same pattern as the SemDeDup
+    // _1key twin above). Both forms must agree row-for-row — asserted
+    // in TextAndMultimodalSpec; here only time matters.
+    val hotScratch = s"$scratch-hotshingle"
+    if (!new java.io.File(hotScratch).exists()) {
+      val footer = (0 to 20).map(i => s"boiler$i").mkString(" ")
+      spark.range(0, 100000L).selectExpr(
+        "id AS doc_id",
+        s"""concat('$footer ', concat_ws(' ',
+           |  transform(sequence(0, 9), j ->
+           |    concat('u', CAST(id AS STRING), 'x', CAST(j AS STRING)))))
+           |  AS text""".stripMargin,
+        "'en' AS lang", "'webhot' AS source")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$hotScratch/documents.parquet")
+    }
+    val hotResults = Seq(
+      time("ta_boilerplate_hot") {
+        SparkEntry.queries("ta_boilerplate")(spark, hotScratch).count()
+      },
+      time("ta_boilerplate_hot_window") {
+        operators.TextAnalysis.boilerplateWindowed(spark, hotScratch).count()
+      })
+
     // Tiled exact 1-NN at 10× the vector corpus (20k vectors → 400M
     // scored pairs): the per-tile kernel emits one row per (probe,
     // tile) and the merge shuffles one row per vector — the plan shape
@@ -263,8 +313,11 @@ object ScaleSmoke {
       // on sparse ids the inner join would silently DROP grown rows and
       // every *_10x stage would run undersized while still labeled 10×.
       // Fail loudly instead if the driver ever changes id assignment.
-      val Array(idLo, idHi) = v.agg(min(col("vec_id")), max(col("vec_id")))
-        .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+      // getAs[Number]: the schema contract allows int OR bigint vec_id,
+      // and the guard must report sparse ids, not a ClassCastException.
+      val r0 = v.agg(min(col("vec_id")), max(col("vec_id"))).collect().head
+      val (idLo, idHi) =
+        (r0.getAs[Number](0).longValue, r0.getAs[Number](1).longValue)
       require(idLo == 0L && idHi == n - 1,
         s"embeddings ids not dense 0..${n - 1} (found $idLo..$idHi): " +
           "the partner pairing would drop grown rows")
@@ -339,7 +392,8 @@ object ScaleSmoke {
       },
       time("dd_semantic_skew_1key") {
         operators.Similarity.semanticNearDupBlocked(spark, vecSkewScratch,
-          operators.Similarity.SemCells, operators.Similarity.SemAssign,
+          operators.Similarity.semCells(spark, vecSkewScratch),
+          operators.Similarity.SemAssign,
           operators.Dedup.CosTau, Int.MaxValue).count()
       })
 
@@ -425,8 +479,9 @@ object ScaleSmoke {
         spark.table("scale_stream_dedup").count()
       })
 
-    val qs = (results ++ skewResults ++ dedupResults ++ knnResults ++
-      skewVecResults ++ annTimes.toSeq ++ pipeResults ++ streamResults)
+    val qs = (results ++ skewResults ++ dedupResults ++ hotResults ++
+      knnResults ++ skewVecResults ++ annTimes.toSeq ++ pipeResults ++
+      streamResults)
       .map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
     val pairCounts = dedupResults.map { case (k, _, n) => s""""$k":$n""" }
       .mkString("{", ",", "}")

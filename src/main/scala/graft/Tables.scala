@@ -62,27 +62,46 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 
+  // One nanos-enabled clone per parent session, created on the first
+  // nanos-encoded read and evicted with the context: cloning per read
+  // would rebuild session state for every query touching events.
+  private val nanosSessions =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, SparkSession]
+
+  private def nanosSession(s: SparkSession): SparkSession = {
+    ContextCaches.evictOnStop(s.sparkContext, "nanos-sessions")(() =>
+      nanosSessions.filterInPlace((p, _) => p.sparkContext ne s.sparkContext))
+    nanosSessions.getOrElseUpdate(s, {
+      val ns = org.apache.spark.sql.graftglue.Glue.cloneSession(s)
+      ns.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      ns
+    })
+  }
+
   /** Read an events parquet file whatever timestamp encoding it uses.
     *
     * A TIMESTAMP(NANOS) file is rejected by Spark 4's schema inference
-    * unless `spark.sql.legacy.parquet.nanosAsLong` is set, so the plain
-    * read is attempted first and the conf is enabled only on the branch
-    * that needs it (no session-wide side effect for the common micros
-    * encoding).
+    * unless `spark.sql.legacy.parquet.nanosAsLong` is set. The plain
+    * read is attempted first; the nanos branch re-reads through a
+    * CLONED session carrying the conf, so the caller's session is never
+    * mutated (the conf is consulted again when the physical scan builds
+    * its parquet reader, so it must stay set on the session the frame
+    * is bound to — a set-then-restore here would break at action time).
+    * A later read of a genuinely nanos-encoded column through the
+    * caller's session still fails loudly, as it should.
     */
   def eventsFrom(s: SparkSession, path: String): DataFrame = {
-    val raw =
-      try s.read.parquet(path)
+    val (raw, nanosRead) =
+      try (s.read.parquet(path), false)
       catch {
         case e: Throwable if isNanosRejection(e) =>
-          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          s.read.parquet(path)
+          (nanosSession(s).read.parquet(path), true)
       }
     // A file with no ts column at all falls through untouched so the
     // schema contract reports the missing column with its actionable
     // message (dying here on raw.schema("ts") would bypass it).
     if (!raw.schema.fieldNames.contains("ts")) raw
-    else raw.withColumn("ts", eventsTs(raw, path))
+    else raw.withColumn("ts", eventsTs(raw, path, nanosRead))
   }
 
   /** The single canonical events-timestamp definition: whatever physical
@@ -91,11 +110,22 @@ object Tables {
     * on the same file. Keep all encoding dispatch here — a new driver
     * encoding should be a one-line change.
     */
-  private def eventsTs(raw: DataFrame, path: String): org.apache.spark.sql.Column =
+  private def eventsTs(raw: DataFrame, path: String,
+      nanosRead: Boolean): org.apache.spark.sql.Column =
     raw.schema("ts").dataType match {
-      // nanos-as-long: integer floor-division to micros, the exact value
+      // nanos-as-long, ONLY on the nanosAsLong read path (the legacy
+      // conf is what turned the annotated TIMESTAMP(NANOS) into a
+      // long): integer floor-division to micros, the exact value
       // DuckDB's epoch_us produces (sub-µs dropped deterministically).
-      case LongType         => timestamp_micros(expr("ts div 1000"))
+      case LongType if nanosRead => timestamp_micros(expr("ts div 1000"))
+      // A long WITHOUT the nanos annotation is an unannotated BIGINT —
+      // refusing to guess the epoch unit beats silently dividing a
+      // micros value by 1000 into ~1970 timestamps.
+      case LongType => throw new IllegalArgumentException(
+        s"events table at $path: column 'ts' is a raw BIGINT with no " +
+          "parquet timestamp annotation; refusing to guess the epoch " +
+          "unit. Encode ts as TIMESTAMP, TIMESTAMP_NTZ, or " +
+          "TIMESTAMP(NANOS).")
       // already micro-resolution wall-clock; session TZ is pinned UTC so
       // the NTZ→LTZ cast preserves the stored micros value.
       case TimestampNTZType => col("ts").cast(TimestampType)

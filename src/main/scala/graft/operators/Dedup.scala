@@ -398,7 +398,11 @@ object Dedup {
       .select(col("doc_id"), col("doc_id").as("cluster")).pinned()
     var changed = 1L
     var iter = 0
-    val dbg = sys.env.contains("GRAFT_CC_DEBUG")
+    // env for launch-time opt-in; the sysprop lets an in-JVM probe
+    // (ScaleSmoke's cluster-split variance captures) toggle attribution
+    // without a new process.
+    val dbg = sys.env.contains("GRAFT_CC_DEBUG") ||
+      sys.props.contains("graft.cc.debug")
     while (changed > 0 && iter < 20) {
       val t0 = System.nanoTime()
       val neighborMin = edges

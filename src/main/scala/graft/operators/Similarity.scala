@@ -235,25 +235,87 @@ object Similarity {
   // 96/24 0.70 · 128/32 0.75; corpus-side 2-assign spill on 64 cells
   // reaches 0.72 and 4-assign on 64 reaches 0.74, both short of plain
   // 128-cell quantization. Extra Lloyd iterations (8) buy nothing at
-  // 128 cells. Shipped 128/32/4/1: recall@10 = 0.90 at sf0.001, 0.84
-  // at sf0.01, 0.75 at sf0.1 — the decay with corpus growth at FIXED
-  // cells is the expected densification; production guidance is cells
-  // ∝ N (constant expected cell size), which this corpus follows by
-  // re-tuning per SF in the sweep. Recall remains bounded by the weak
-  // cluster structure (max pair cosine ≈ 0.5).
-  // private[graft]: specs must account at the EXACT shipped config.
-  private[graft] val IvfCells = 128
-  private[graft] val IvfProbes = 32
+  // 128 cells. Recall remains bounded by the weak cluster structure
+  // (max pair cosine ≈ 0.5).
+  //
+  // Round 8: cell COUNTS are corpus-derived, not fixed — prior rounds
+  // shipped 128/32 with a scaladoc note that "production guidance is
+  // cells ∝ N"; now the code follows its own guidance. The tuned
+  // sf0.1 point (N=2000 → 128 IVF cells / 32 SemDeDup cells) becomes
+  // the target CELL SIZE (16 / 64 vectors), and the count is
+  // 2^round(log2(N / target)), clamped to [tuned floor, 4096]:
+  //  - power-of-two rounding keeps the trained config stable under
+  //    small corpus drift (no retrain on ±5% growth);
+  //  - the FLOOR is the round-7 tuned fixed count itself (128 / 32),
+  //    so every corpus at or below the tuned anchor keeps the exact
+  //    geometry its recall floors were measured at — the rule only
+  //    takes over under GROWTH. (A first cut floored IVF at 32 cells
+  //    and sf0.001 recall fell 0.90 → 0.64: finer quantization wins
+  //    at a fixed scan fraction, per the sweep, so small corpora must
+  //    keep the fine 128-cell geometry even at cell size < target.)
+  //  - the 4096 cap bounds the broadcast centroid table and the
+  //    driver-resident model; past ~65k vectors per the rule, a real
+  //    deployment moves toward ~√N coarse sizing or a hierarchical
+  //    coarse quantizer rather than more flat cells.
+  // Probe count keeps the tuned 25% scan fraction with an absolute
+  // probed-vector floor (the PQ shortlist lesson: fixed absolute knobs
+  // decay as the corpus grows; fixed FRACTIONS survive): probes =
+  // ceil(cells · max(50, 0.25·N) / N), capped at cells. At sf0.1 this
+  // derives exactly the shipped-and-measured 128/32; at 10× natural
+  // growth (20k vectors) it derives 1024/256 — same fraction, finer
+  // quantization (measured: see the RecallSweep curve note below).
+  // Determinism: N comes from the cached corpusCount, so the derived
+  // config is fixed per (context, dir) like the trained models.
+  private[graft] val IvfTargetCellSize = 16
+  private[graft] val SemTargetCellSize = 64
+  private[graft] val IvfCellFloor = 128
+  private[graft] val SemCellFloor = 32
+  private[graft] val MaxCells = 4096
+  private[graft] val IvfScanFrac = 0.25
+  private[graft] val IvfProbeMinVectors = 50
+
+  private[graft] def cellsFor(n: Long, target: Int, floor: Int): Int = {
+    val raw = math.max(1.0, n.toDouble / target)
+    val p = math.round(math.log(raw) / math.log(2.0)).toInt
+    math.min(MaxCells, math.max(floor, 1 << math.max(0, p)))
+  }
+
+  private[graft] def ivfCells(s: SparkSession, d: String): Int =
+    cellsFor(corpusCount(s, d), IvfTargetCellSize, IvfCellFloor)
+
+  private[graft] def probesFor(cells: Int, n: Long): Int =
+    math.min(cells, math.ceil(cells *
+      math.max(IvfProbeMinVectors.toDouble, IvfScanFrac * n) / n).toInt)
+
+  private[graft] def ivfProbes(s: SparkSession, d: String,
+      cells: Int): Int = probesFor(cells, corpusCount(s, d))
+
+  // Composed-index (IVFPQ) probe width: the ADC stage prices a
+  // candidate ~51× cheaper than the exact scan plain IVF runs on its
+  // probed members, so the coarse stage can afford wider probes —
+  // widening is the direct attack on the coarse-stage recall cap the
+  // round-7 artifact showed (ivfpq 0.74 vs flat PQ 0.89). Measured by
+  // RecallSweep's ivfpq:<probes> mode at sf0.1 (k=32 codebooks, fixed
+  // frac·N rerank): probes 32 → 0.74, 48 → 0.82, 64 → 0.83 — the knee
+  // is at 1.5× the IVF width; past it the curve flattens while the
+  // probed fraction keeps climbing (37.5% → 50%). Shipped: 1.5×.
+  private[graft] val IvfPqProbeBoost = 1.5
+  private[graft] def ivfPqProbes(cells: Int, n: Long): Int =
+    math.min(cells,
+      math.ceil(IvfPqProbeBoost * probesFor(cells, n)).toInt)
+
   private val IvfIters = 4
   private[graft] val IvfCorpusAssign = 1
 
   // SemDeDup keeps its own coarser geometry: pair recall needs both
   // members of a near-dup pair in one cell, so FEWER, larger cells win
-  // there (0.757 pair recall at 32 cells / 3-assign; 128 cells would
-  // shred pairs across boundaries). Search and dedup share the trainer
-  // and the per-(dir, cells, iters) cache — two tiny centroid tables,
-  // each serving the configuration its recall was measured at.
-  private[graft] val SemCells = 32
+  // there (0.757 pair recall at 32 cells / 3-assign at sf0.1; 128
+  // cells would shred pairs across boundaries). Search and dedup share
+  // the trainer and the per-(dir, cells, iters) cache — two tiny
+  // centroid tables, each serving the configuration its recall was
+  // measured at.
+  private[graft] def semCells(s: SparkSession, d: String): Int =
+    cellsFor(corpusCount(s, d), SemTargetCellSize, SemCellFloor)
 
   /** `nAssign`-nearest-cell assignment of every vector against a (tiny,
     * broadcast) centroid table — nAssign = 1 is the IVF corpus
@@ -269,23 +331,26 @@ object Similarity {
       .select(col("vec_id"), col("u"), col("cell"))
 
   /** ANN via IVF (inverted-file index): the corpus is coarse-quantized
-    * to [[IvfCells]] centroid cells; each query probes its [[IvfProbes]]
-    * nearest cells and reranks only those members exactly. At 100 TB the
-    * cell id is the partition key — a probe touches probes/cells of the
-    * data, and centroids (the only broadcast state) stay tiny. Centroids
-    * are k-means-refined from deterministic seeds ([[IvfIters]] Lloyd
-    * steps, the distributed explode→mean shape); component means
-    * accumulate in DECIMAL so the trained index is bit-identical across
-    * runs and partitionings (a plain double avg would drift with
-    * partition order and could flip boundary assignments run-to-run).
-    * Recall@10 vs exact at the shipped 25% scan fraction: 0.90 / 0.84 /
-    * 0.75 at sf0.001/0.01/0.1 (see the sweep note on [[IvfCells]]) —
-    * bounded by this corpus's weak cluster structure (max pair cosine
-    * ≈ 0.5); on clustered real embeddings the same index recalls far
-    * higher. Raising IvfProbes trades scan fraction for recall linearly.
+    * to [[ivfCells]] centroid cells (corpus-derived — constant expected
+    * cell size); each query probes its [[ivfProbes]] nearest cells
+    * (constant 25% scan fraction) and reranks only those members
+    * exactly. At 100 TB the cell id is the partition key — a probe
+    * touches probes/cells of the data, and centroids (the only
+    * broadcast state) stay tiny. Centroids are k-means-refined from
+    * deterministic seeds ([[IvfIters]] Lloyd steps, the distributed
+    * explode→mean shape); component means accumulate in DECIMAL so the
+    * trained index is bit-identical across runs and partitionings (a
+    * plain double avg would drift with partition order and could flip
+    * boundary assignments run-to-run). Recall@10 vs exact at the
+    * derived config: 0.75 at sf0.1 (the tuned anchor, same numbers as
+    * the fixed-config rounds) — bounded by this corpus's weak cluster
+    * structure (max pair cosine ≈ 0.5); on clustered real embeddings
+    * the same index recalls far higher.
     */
-  def annTopkIvf(s: SparkSession, d: String): DataFrame =
-    annTopkIvfTuned(s, d, IvfCells, IvfProbes, IvfIters)
+  def annTopkIvf(s: SparkSession, d: String): DataFrame = {
+    val cells = ivfCells(s, d)
+    annTopkIvfTuned(s, d, cells, ivfProbes(s, d, cells), IvfIters)
+  }
 
   // Trained-centroid cache, keyed by (context, dir, cells, iters): the
   // IVF index is trained once per corpus and kept resident (the same
@@ -383,7 +448,7 @@ object Similarity {
     * search AND dedup, as a production store would.
     */
   private def semanticNearDup(s: SparkSession, d: String): DataFrame =
-    semanticNearDupTuned(s, d, SemCells, SemAssign, Dedup.CosTau)
+    semanticNearDupTuned(s, d, semCells(s, d), SemAssign, Dedup.CosTau)
 
   // Per-sub-block target for the within-cell pair join: a cell whose
   // assignment count n exceeds this splits into k = ceil(n/block) hash
@@ -482,8 +547,10 @@ object Similarity {
   // Product quantization (Jégou et al. 2011, "Product Quantization for
   // Nearest Neighbor Search"): split each vector into PqM subvectors,
   // vector-quantize each subspace to PqK centroids, store each vector
-  // as PqM small codes (here 8 × 4 bits = 4 bytes per 64-dim vector, a
-  // 64× compression over float32). Queries score candidates with
+  // as PqM small codes — PqM·log2(PqK) bits, i.e. 8 × 5 bits = 5 bytes
+  // per 64-dim vector at the shipped k=32, a ~51× compression over
+  // float32 (k=16's 4-byte/64× figure retired with the round-7
+  // retune). Queries score candidates with
   // asymmetric distance computation (ADC): per-subspace lookup tables
   // of query·centroid dots, summed over the codes — no full vector is
   // touched until the exact rerank of a small shortlist.
@@ -585,14 +652,14 @@ object Similarity {
   }
 
   /** ANN via product quantization + ADC + exact rerank: corpus vectors
-    * participate only through their 4-byte codes until the final
-    * [[PqRerankFrac]]-fraction exact pass. The ADC join is
+    * participate only through their PqM·log2(PqK)-bit codes until the
+    * final [[PqRerankFrac]]-fraction exact pass. The ADC join is
     * codes ⨝ broadcast(query tables) — the shuffle after the map-side
     * partial sum carries one (query, vec) row per candidate, and the
     * lookup tables are queries × PqM × PqK rows (tiny, broadcast). At
-    * 100 TB the codes table IS the serving index: 64× smaller than the
-    * vectors, scanned linearly, with the full vectors fetched only for
-    * the shortlist. Approximate by construction → spec floor vs the
+    * 100 TB the codes table IS the serving index: ~51× smaller than
+    * the vectors at the shipped k=32, scanned linearly, with the full
+    * vectors fetched only for the shortlist. Approximate by construction → spec floor vs the
     * exact baseline, rows-only driver check.
     */
   def annTopkPq(s: SparkSession, d: String): DataFrame = {
@@ -633,8 +700,8 @@ object Similarity {
   /** ANN via the composed IVF+PQ index — the IVFADC architecture
     * (Jégou et al. 2011 §IV; FAISS's IVFPQ), i.e. the shape a 100 TB
     * vector store actually serves: the coarse quantizer (the trained
-    * [[IvfCells]]-cell centroids) restricts each query to its
-    * [[IvfProbes]] nearest cells' members, the 4-byte PQ codes score
+    * [[ivfCells]] centroids) restricts each query to its
+    * [[ivfProbes]] nearest cells' members, the compact PQ codes score
     * ONLY those candidates via ADC lookup tables, and the exact rerank
     * keeps flat PQ's corpus-proportional budget ([[PqRerankFrac]]·N,
     * min [[PqRerankMin]]). Per-query serving cost vs flat PQ: the CODE
@@ -650,37 +717,49 @@ object Similarity {
     * floor vs the exact baseline, rows-only driver check, recall in
     * the bench artifact.
     */
-  def annTopkIvfPq(s: SparkSession, d: String): DataFrame = {
+  def annTopkIvfPq(s: SparkSession, d: String): DataFrame =
+    annTopkIvfPqTuned(s, d, 0)
+
+  /** Dev/measurement hook (RecallSweep's ivfpq:<probes> mode): the
+    * composed index with an explicit coarse probe count — the knob the
+    * coarse-stage recall cap turns on. probes = 0 derives the shipped
+    * scan-fraction config.
+    */
+  private[graft] def annTopkIvfPqTuned(s: SparkSession, d: String,
+      probes: Int): DataFrame = {
     val pqCent = trainedPqCodebooks(s, d)
     val v = normalized(s, d)
     val dim = corpusDim(s, d)
     pqSearch(s, d, pqCent, pqAssign(subvectors(v, dim), pqCent),
-      Some(ivfPqCandidates(s, d)))
+      Some(ivfPqCandidates(s, d, probes)))
   }
 
-  /** (query_id, ccell): each (query_id, qu) row's [[IvfProbes]]
-    * nearest coarse cells against an arbitrary (cell, cu) centroid
-    * table — shared by the in-session, persisted-index and
-    * external-batch IVFPQ paths.
+  /** (query_id, ccell): each (query_id, qu) row's `probes` nearest
+    * coarse cells against an arbitrary (cell, cu) centroid table —
+    * shared by the in-session, persisted-index and external-batch
+    * IVFPQ paths.
     */
-  private def probeCellsOf(qn: DataFrame, coarse: DataFrame): DataFrame =
+  private def probeCellsOf(qn: DataFrame, coarse: DataFrame,
+      probes: Int): DataFrame =
     qn.crossJoin(broadcast(coarse))
       .withColumn("cs", dot(col("qu"), col("cu")))
       .withColumn("rn", row_number().over(Window.partitionBy("query_id")
         .orderBy(col("cs").desc, col("cell"))))
-      .filter(col("rn") <= IvfProbes)
+      .filter(col("rn") <= probes)
       .select(col("query_id"), col("cell").as("ccell"))
 
   private def queryProbeCells(s: SparkSession, d: String,
-      coarse: DataFrame): DataFrame =
+      coarse: DataFrame, probes: Int): DataFrame =
     probeCellsOf(normalized(s, d).filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("u").as("qu")), coarse)
+      .select(col("vec_id").as("query_id"), col("u").as("qu")), coarse,
+      probes)
 
   /** (query_id, vec_id): the coarse-stage candidate set — corpus
     * members of each query's probed cells. Exposed for the spec's
     * scan-fraction accounting.
     */
-  private[graft] def ivfPqCandidates(s: SparkSession, d: String): DataFrame = {
+  private[graft] def ivfPqCandidates(s: SparkSession, d: String,
+      probes: Int = 0): DataFrame = {
     // The composed index is built on SINGLE corpus assignment: with
     // spill (nAssign > 1) a candidate pair would appear once per shared
     // probed cell, duplicate its code rows through the ADC join, and be
@@ -689,10 +768,12 @@ object Similarity {
     // spill), not silently diverged from.
     require(IvfCorpusAssign == 1,
       "IVFPQ candidate generation assumes single corpus assignment")
-    val coarse = trainedCentroids(s, d, IvfCells, IvfIters)
+    val cells = ivfCells(s, d)
+    val coarse = trainedCentroids(s, d, cells, IvfIters)
+    val p = if (probes > 0) probes else ivfPqProbes(cells, corpusCount(s, d))
     val assign = assignCells(normalized(s, d), coarse)
       .select(col("vec_id"), col("cell").as("ccell"))
-    assign.join(broadcast(queryProbeCells(s, d, coarse)), Seq("ccell"))
+    assign.join(broadcast(queryProbeCells(s, d, coarse, p)), Seq("ccell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
   }
@@ -710,7 +791,7 @@ object Similarity {
     // vectors layouts assume one ccell per vector.
     require(IvfCorpusAssign == 1,
       "the IVFPQ index layout assumes single corpus assignment")
-    val coarse = trainedCentroids(s, d, IvfCells, IvfIters)
+    val coarse = trainedCentroids(s, d, ivfCells(s, d), IvfIters)
     coarse.coalesce(1).write.mode("overwrite").parquet(s"$path/coarse")
     val cbs = trainedPqCodebooks(s, d)
     cbs.coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
@@ -748,7 +829,11 @@ object Similarity {
     // a per-call pin would grow the cache registry for the life of the
     // context (each batch's plan is distinct). Recomputing it for the
     // probed-cell collect + candidate join is cheaper than retaining it.
-    val qcells = queryProbeCells(s, d, coarse)
+    // Probe breadth derives from the INDEX's own cell count (what was
+    // trained may differ from what today's corpus would derive), so a
+    // loaded index serves at the same scan fraction it was built for.
+    val qcells = queryProbeCells(s, d, coarse,
+      ivfPqProbes(coarse.count().toInt, corpusCount(s, d)))
     val probed = qcells.select("ccell").distinct()
       .collect().map(_.getLong(0)).toSeq
     val lists = s.read.parquet(s"$indexPath/lists")
@@ -792,7 +877,11 @@ object Similarity {
     val qn = normalizeFrame(queries)
       .select(col("vec_id").as("query_id"), col("u").as("qu"))
     // NOT pinned — see annTopkIvfPqFrom: this runs once per micro-batch.
-    val qcells = probeCellsOf(qn, coarse)
+    // coarse is tiny (the preloaded model table); counting it per batch
+    // is a one-file job, and deriving probes from the index's own cell
+    // count keeps the serving scan fraction at the build-time target.
+    val qcells = probeCellsOf(qn, coarse,
+      ivfPqProbes(coarse.count().toInt, corpusN))
     val probed = qcells.select("ccell").distinct()
       .collect().map(_.getLong(0)).toSeq
     val lists = s.read.parquet(s"$indexPath/lists")
@@ -811,8 +900,9 @@ object Similarity {
   }
 
   /** Persist the full PQ index: the codebooks (tiny, one file) and the
-    * per-vector codes (the 4-byte-per-vector serving table — scales
-    * with the corpus, written distributed like the LSH index). Training
+    * per-vector codes (the PqM·log2(PqK)-bit-per-vector serving table
+    * — scales with the corpus, written distributed like the LSH
+    * index). Training
     * and assignment are deterministic, so save → load → search is
     * bit-identical to the training session.
     */
@@ -912,21 +1002,27 @@ object Similarity {
     * so save → load → search is bit-identical to the training session.
     */
   def saveIvfIndex(s: SparkSession, d: String, path: String,
-      cells: Int = IvfCells, iters: Int = IvfIters): Unit =
+      cells: Int = 0, iters: Int = IvfIters): Unit =
     // cells × dim doubles — a single tiny file, readable anywhere. The
     // shared cache lookup carries the eviction hook, so a save-only
-    // caller leaves nothing resident past its context.
-    trainedCentroids(s, d, cells, iters).coalesce(1)
+    // caller leaves nothing resident past its context. cells = 0 (the
+    // default) derives the corpus-proportional count.
+    trainedCentroids(s, d,
+      if (cells > 0) cells else ivfCells(s, d), iters).coalesce(1)
       .write.mode("overwrite").parquet(path)
 
   /** Run the IVF query against a previously saved index — no training,
     * no resident-cache dependency (a fresh session can serve
-    * immediately).
+    * immediately). probes = 0 (the default) derives the build-time
+    * scan fraction from the index's own cell count.
     */
   def annTopkIvfFrom(s: SparkSession, d: String, indexPath: String,
-      probes: Int = IvfProbes): DataFrame =
-    ivfSearch(s, d,
-      s.read.parquet(indexPath).select(col("cell"), col("cu")), probes)
+      probes: Int = 0): DataFrame = {
+    val cent = s.read.parquet(indexPath).select(col("cell"), col("cu"))
+    ivfSearch(s, d, cent,
+      if (probes > 0) probes
+      else probesFor(cent.count().toInt, corpusCount(s, d)))
+  }
 
   /** Persist the LSH index: the full signed corpus (vec_id, normalized
     * vector, signature) — unlike IVF's tiny centroid table this index

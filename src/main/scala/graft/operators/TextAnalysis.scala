@@ -158,19 +158,38 @@ object TextAnalysis {
     * within-source document frequency, shingles above [[BoilerFrac]]
     * flagged, per-doc boilerplate fraction + keep verdict.
     *
-    * Plan shape (iterated — see the benched alternatives below): the
-    * shingle transform runs ONCE, in the single explode; document
-    * frequency is a count window over the exploded stream's natural
-    * (source, shingle) key; the verdict is a per-doc rollup. Two
-    * corpus-token-scale shuffles — the inherent minimum (one to meet
-    * shingles of a source, one to reassemble docs) — and per-source
-    * doc counts ride a bounded broadcast. Rejected formulations:
-    * df-aggregate + second explode + shingle-keyed join (5.5s at
-    * sf0.1 — the transform evaluates three times); broadcast
-    * per-source boilerplate arrays probed with `array_intersect` over
-    * the un-exploded doc arrays (15.5s — ProjectCollapse inlines the
-    * whole transform+distinct into EVERY referencing expression, so
-    * it evaluates 4× per row inside one scan). This form: 2.8s.
+    * Plan shape (iterated twice — round 7 shipped a count window over
+    * the exploded stream's (source, shingle) key, which is skew-unsafe:
+    * a TRUE boilerplate shingle at corpus scale has df in the millions
+    * within one source, and a window partition routes every occurrence
+    * of it to ONE task — the exact straggler shape the SemDeDup block
+    * split kills. This form has no per-key task whose size grows with
+    * df):
+    *
+    *  1. the shingle transform runs ONCE — the exploded (doc, source,
+    *     shingle) frame is pinned (the round-6 5.5s measurement of an
+    *     agg+join form came from re-evaluating the transform three
+    *     times, NOT from the join; `dd_span_coverage` pins the same
+    *     way);
+    *  2. document frequency is a map-side-combinable
+    *     `groupBy(source, g).count()` — a hot shingle partial-counts in
+    *     every task and ships one row per partition;
+    *  3. the boilerplate SET (df/n_docs ≥ [[BoilerFrac]]) is bounded
+    *     per source by construction: each boiler shingle needs df ≥
+    *     BoilerFrac·n_docs, and a source has ≤ n_docs·s̄ occurrences
+    *     total (s̄ = mean shingles/doc), so ≤ s̄/BoilerFrac boiler
+    *     shingles — independent of n_docs. AQE sees the tiny agg
+    *     output and broadcasts the probe join at runtime;
+    *  4. the left join back to the pinned explode is 1:≤1 (the set is
+    *     distinct on (source, g)) — no output blow-up on any key —
+    *     and the verdict is a per-doc rollup.
+    *
+    * Rejected: broadcast per-source boilerplate arrays probed with
+    * `array_intersect` over the un-exploded doc arrays (15.5s at sf0.1
+    * — ProjectCollapse inlines the whole transform+distinct into EVERY
+    * referencing expression, so it evaluates 4× per row inside one
+    * scan). The skew delta is measured by ScaleSmoke's planted
+    * hot-shingle stage against [[boilerplateWindowed]].
     */
   private def boilerplate(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
@@ -184,8 +203,39 @@ object TextAnalysis {
     val ex = docs
       .select(col("doc_id"), col("source"),
         explode(Dedup.shingles(col("text"), 2)).as("g"))
+      .pinned()
+    // shingles are distinct per doc, so the occurrence count = doc
+    // frequency; the boiler set is bounded per source (see scaladoc).
+    val boiler = ex.groupBy("source", "g").agg(count(lit(1)).as("df"))
+      .join(broadcast(nd), "source")
+      .filter(col("n_docs") >= BoilerMinDocs &&
+        col("df").cast("double") / col("n_docs") >= BoilerFrac)
+      .select(col("source"), col("g"), lit(1L).as("is_b"))
+    ex.join(boiler, Seq("source", "g"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("is_b")).as("n_boiler"))
+      .withColumn("boiler_frac",
+        r6(col("n_boiler").cast("double") / col("n_shingles")))
+      .withColumn("keep", (col("boiler_frac") <= 0.1).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** The round-7 window-form boilerplate screen, kept ONLY as the skew
+    * baseline for ScaleSmoke's planted-hot-shingle comparison: the
+    * (source, g) count window routes every occurrence of a hot shingle
+    * into one window partition — the single-task straggler the shipped
+    * aggregate-join form removes. Not registered as a query.
+    */
+  private[graft] def boilerplateWindowed(s: SparkSession,
+      d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nd = docs.filter(size(split(col("text"), " ")) >= 2)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val ex = docs
+      .select(col("doc_id"), col("source"),
+        explode(Dedup.shingles(col("text"), 2)).as("g"))
     val w = Window.partitionBy("source", "g")
-    // shingles are distinct per doc, so the window count = doc frequency
     ex.join(broadcast(nd), "source")
       .withColumn("df", count(lit(1)).over(w))
       .withColumn("is_b",

@@ -21,4 +21,18 @@ object Glue {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Full session clone (`cloneSession` is private[sql]): same
+    * SparkContext and shared state, but an independent copy of the
+    * session state — runtime SQL confs included. Needed to scope a
+    * legacy read conf (e.g. parquet nanosAsLong) to one read path
+    * without mutating the caller's session: the conf is consulted not
+    * just at schema inference but again when the physical scan builds
+    * its reader, so a set-then-restore around the `read` call would
+    * break execution later — the conf must stay set on the session the
+    * resulting DataFrame is bound to, and only on it.
+    */
+  def cloneSession(s: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.SparkSession =
+    s.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
 }

@@ -79,8 +79,11 @@ class SimilaritySpec extends GraftSuite {
     val n = Tables.embeddings(spark, sf).count()
     val perQuery = operators.Similarity.ivfPqCandidates(spark, sf)
       .groupBy("query_id").count().collect().map(_.getLong(1))
-    val bound = 2.0 * n * operators.Similarity.IvfProbes /
-      operators.Similarity.IvfCells // probed fraction at 2x slack
+    // accounted at the DERIVED config this corpus gets (cells ∝ N,
+    // the boosted composed-index probe width), 2x slack for skewed cells
+    val cells = operators.Similarity.ivfCells(spark, sf)
+    val probes = operators.Similarity.ivfPqProbes(cells, n)
+    val bound = 2.0 * n * probes / cells
     assert(perQuery.nonEmpty && perQuery.forall(_ <= bound),
       s"candidate set exceeds the probed fraction: max ${perQuery.max} vs $bound")
   }
@@ -106,7 +109,8 @@ class SimilaritySpec extends GraftSuite {
     // fraction of the N² the exact pass scores — accounted at the EXACT
     // configuration the shipped query runs (same cells/assign constants)
     val assign = operators.Similarity.semanticAssignments(spark, sf,
-      operators.Similarity.SemCells, operators.Similarity.SemAssign)
+      operators.Similarity.semCells(spark, sf),
+      operators.Similarity.SemAssign)
     val n = assign.select("vec_id").distinct().count()
     val cand = assign.groupBy("cell").count()
       .agg(sum(col("count") * (col("count") - 1) / 2).cast("long"))
@@ -124,11 +128,12 @@ class SimilaritySpec extends GraftSuite {
     // sub-blocks; Int.MaxValue is the unblocked single-key plan. All
     // three must agree pair-for-pair — blocking is a shuffle-shape
     // change, never a semantic one.
+    val semCells = operators.Similarity.semCells(spark, sf)
     val forced = pairs(operators.Similarity.semanticNearDupBlocked(
-      spark, sf, operators.Similarity.SemCells,
+      spark, sf, semCells,
       operators.Similarity.SemAssign, operators.Dedup.CosTau, 16))
     val unblocked = pairs(operators.Similarity.semanticNearDupBlocked(
-      spark, sf, operators.Similarity.SemCells,
+      spark, sf, semCells,
       operators.Similarity.SemAssign, operators.Dedup.CosTau, Int.MaxValue))
     assert(shipped.nonEmpty && forced == shipped && unblocked == shipped)
   }
@@ -160,7 +165,8 @@ class SimilaritySpec extends GraftSuite {
       .withColumn("embedding", col("embedding").cast("array<float>"))
       .write.parquet(s"$dir/embeddings.parquet")
     import operators.Similarity._
-    val assign = semanticAssignments(spark, dir, SemCells, SemAssign)
+    val cells = semCells(spark, dir)
+    val assign = semanticAssignments(spark, dir, cells, SemAssign)
     // the tight cluster really is one hot cell holding >= 55% of vectors
     val cellCounts = assign.groupBy("cell")
       .agg(countDistinct(col("vec_id")).as("n")).collect()
@@ -171,7 +177,7 @@ class SimilaritySpec extends GraftSuite {
     // NO key anywhere carries more than ~2 target blocks of rows (3x
     // allows hash imbalance) — per-task candidate volume is bounded by
     // (rows-per-key)^2 regardless of how hot the cell is
-    val byKey = semanticBlockedFrame(spark, dir, SemCells, SemAssign,
+    val byKey = semanticBlockedFrame(spark, dir, cells, SemAssign,
       SemCellBlock)
       .groupBy("cell", "bi", "bj").count().collect()
     assert(byKey.count(_.getLong(0) == hotCellId) >= 3,
@@ -181,7 +187,7 @@ class SimilaritySpec extends GraftSuite {
       s"a block-pair key carries $maxKey rows (target $SemCellBlock)")
     // completeness across the split: every within-cluster pair (all
     // above tau by construction) must still be emitted
-    val nPairs = semanticNearDupTuned(spark, dir, SemCells, SemAssign,
+    val nPairs = semanticNearDupTuned(spark, dir, cells, SemAssign,
       operators.Dedup.CosTau).count()
     assert(nPairs >= nHot.toLong * (nHot - 1) / 2,
       s"blocked join lost pairs: $nPairs < ${nHot.toLong * (nHot - 1) / 2}")

@@ -31,11 +31,19 @@ class TablesContractSpec extends GraftSuite {
     (3L, 1700009999999999999L, 10L, "view", 0.0, "{}"),
     (4L, 946684800000000123L, 12L, "purchase", 9.75, "{}"))
 
-  private def writeNanosFixture(dir: String): Unit = {
-    val msg = Types.buildMessage()
+  /** `annotated = false` writes ts as a RAW INT64 (no timestamp
+    * annotation) — the encoding [[Tables]] must refuse rather than
+    * guess an epoch unit for.
+    */
+  private def writeNanosFixture(dir: String,
+      annotated: Boolean = true): Unit = {
+    val b = Types.buildMessage()
       .required(PrimitiveTypeName.INT64).named("event_id")
-      .required(PrimitiveTypeName.INT64)
-      .as(LogicalTypeAnnotation.timestampType(true, LogicalTypeAnnotation.TimeUnit.NANOS))
+    val msg = (if (annotated)
+      b.required(PrimitiveTypeName.INT64)
+        .as(LogicalTypeAnnotation.timestampType(true,
+          LogicalTypeAnnotation.TimeUnit.NANOS))
+    else b.required(PrimitiveTypeName.INT64))
       .named("ts")
       .required(PrimitiveTypeName.INT64).named("user_id")
       .required(PrimitiveTypeName.BINARY).as(LogicalTypeAnnotation.stringType()).named("event_type")
@@ -72,8 +80,15 @@ class TablesContractSpec extends GraftSuite {
     writeNanosFixture(nanosDir)
     writeMicrosFixture(microsDir)
 
+    // The nanos branch must not leak the legacy conf into the caller's
+    // session (round-7 verdict): a later parquet read with a genuine
+    // nanos column through THIS session must still fail loudly.
+    val confKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val confBefore = spark.conf.getOption(confKey)
     val fromNanos  = Tables.events(spark, nanosDir)
     val fromMicros = Tables.events(spark, microsDir)
+    assert(fromNanos.count() === sampleNs.size.toLong) // force the scan
+    assert(spark.conf.getOption(confKey) === confBefore)
 
     // both canonicalize to session-TZ TimestampType
     assert(fromNanos.schema("ts").dataType === TimestampType)
@@ -88,6 +103,16 @@ class TablesContractSpec extends GraftSuite {
     val us = fromNanos.orderBy("event_id").select(tsUs(col("ts"))).as[Long](
       org.apache.spark.sql.Encoders.scalaLong).collect().toSeq
     assert(us === sampleNs.map(_._2 / 1000))
+  }
+
+  test("unannotated BIGINT ts fails loudly instead of guessing the unit") {
+    val dir = Files.createTempDirectory("graft-ev-rawlong").toString
+    writeNanosFixture(dir, annotated = false)
+    val e = intercept[IllegalArgumentException] {
+      Tables.events(spark, dir)
+    }
+    assert(e.getMessage.contains("raw BIGINT"))
+    assert(e.getMessage.contains("annotation"))
   }
 
   test("real testdata events reads clean with TimestampType ts") {

@@ -375,6 +375,19 @@ class TextAndMultimodalSpec extends GraftSuite {
     }
   }
 
+  test("boilerplate aggregate-join form matches the retired window form") {
+    // The round-8 skew-safe rewrite (groupBy df + bounded boiler-set
+    // join) must be row-identical to the round-7 window form it
+    // replaces — on the real corpus, where sources straddle the
+    // BoilerMinDocs gate and docs carry repeated shingles.
+    val agg = SparkEntry.queries("ta_boilerplate")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val win = operators.TextAnalysis.boilerplateWindowed(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(agg === win)
+    assert(agg.nonEmpty)
+  }
+
   test("token budget: every admitted doc starts within budget, per source") {
     val rows = SparkEntry.queries("pp_token_budget")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
