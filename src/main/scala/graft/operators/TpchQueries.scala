@@ -5,9 +5,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** The TPC-H query suite, adapted to the testdata schema (which lacks
-  * partsupp and the ship/commit/receipt date columns — the expressible
-  * thirteen are here; the gaps are documented in SURVEY §9). Shapes are
+/** The complete TPC-H query suite (all 22), adapted to the testdata
+  * schema (which lacks partsupp and the shipmode/commit/receipt date
+  * columns — the partsupp-dependent queries derive the part↔supplier
+  * catalog from lineitem, and the late-delivery predicates use
+  * l_returnflag='R'; every adaptation is documented per-query and in
+  * SURVEY §14). Shapes are
   * the classic warehouse patterns: star joins with bounded dimensions
   * broadcast, facts shuffled once on their join keys, aggregates with
   * map-side partials, and DECIMAL-exact sums so the oracle comparison
@@ -348,8 +351,301 @@ object TpchQueries {
         count(lit(1)).as("n"))
   }
 
+  /** TPC-H Q2 (minimum-cost supplier), adapted: the schema has no
+    * partsupp, so the part↔supplier catalog is DERIVED from lineitem —
+    * supply cost is each supplier's best observed unit price
+    * (min(extendedprice/quantity) per (supplier, part)). The classic
+    * correlated MIN subquery decorrelates to: per-part minimum over the
+    * region-restricted catalog, joined back on equality. Scale shape:
+    * the catalog aggregate is map-side combinable on (suppkey, partkey);
+    * the per-part min re-aggregate is over the already-collapsed
+    * catalog (|parts|·|suppliers-per-part| rows, not lineitems); nation
+    * and region broadcast at any scale, the supplier join is left to
+    * AQE. Unit prices are rounded to 6 decimals BEFORE the min on both
+    * engines so the equality join can't flip on float noise.
+    */
+  private def tpchQ2(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(s, d).filter(col("r_name") === "EUROPE")
+    val n = Tables.nation(s, d)
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val eu = Tables.supplier(s, d)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val pf = Tables.part(s, d)
+      .filter(col("p_size") <= 10 && col("p_type") === "LARGE")
+      .select("p_partkey")
+    // The derived catalog, already restricted to qualifying parts and
+    // European suppliers — BOTH restrictions land before the aggregate,
+    // so the min is computed over exactly the correlated subquery's
+    // domain (the classic Q2 pitfall is min-ing over all suppliers).
+    val cat = Tables.lineitem(s, d)
+      .select(col("l_suppkey"), col("l_partkey"),
+        round(col("l_extendedprice") / col("l_quantity"), 6).as("unit"))
+      .join(pf, col("l_partkey") === col("p_partkey"))
+      .join(eu, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
+      .agg(min(col("unit")).as("cost"))
+      .pinned()
+    val minCost = cat.groupBy(col("l_partkey").as("m_partkey"))
+      .agg(min(col("cost")).as("min_cost"))
+    cat.join(minCost, col("l_partkey") === col("m_partkey") &&
+        col("cost") === col("min_cost"))
+      .select(r6(col("s_acctbal")).as("s_acctbal"), col("s_name"),
+        col("n_name"), col("l_partkey").as("p_partkey"), col("cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q4 (order-priority checking), adapted: the lineitem "problem"
+    * predicate `l_commitdate < l_receiptdate` becomes `l_returnflag =
+    * 'R'` (the schema carries no commit/receipt dates; a returned item
+    * is the analogous fulfilment failure). The EXISTS keeps its
+    * canonical physical shape: a LEFT SEMI join — each order counts at
+    * most once no matter how many problem lineitems it has. Both scans
+    * carry pushed filters; the semi join shuffles on orderkey once.
+    */
+  private def tpchQ4(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-07-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1996-10-01")))
+      .select("o_orderkey", "o_orderpriority")
+      .join(Tables.lineitem(s, d)
+          .filter(col("l_returnflag") === "R").select("l_orderkey"),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+
+  /** TPC-H Q9 (product-type profit), adapted: with no partsupp,
+    * supply cost is proxied as 60% of the part's retail price (a
+    * deterministic column function — the join tree and the profit
+    * arithmetic, which are what Q9 exercises, are unchanged). Five-way
+    * join: lineitem shuffles once on partkey then orderkey/suppkey;
+    * nation broadcasts; part and supplier are left to AQE. Profit sums
+    * in DECIMAL per (nation, year).
+    */
+  private def tpchQ9(s: SparkSession, d: String): DataFrame = {
+    val pf = Tables.part(s, d)
+      .filter(col("p_name").like("%bolt"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    val n = Tables.nation(s, d).select("n_nationkey", "n_name")
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    val amount = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+      lit(0.6) * col("p_retailprice") * col("l_quantity")
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+      .join(pf, col("l_partkey") === col("p_partkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), col("o_year"))
+      .agg(dsum(amount).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q11 (important stock), adapted: part "value" held by one
+    * nation's suppliers is derived from lineitem (sum of extended price
+    * shipped by NATION_3 suppliers per part; the schema has no
+    * partsupp availability). The signature shape survives intact: a
+    * grouped aggregate filtered by a GLOBAL scalar aggregate over the
+    * same slice — the scalar (one row) broadcasts into the HAVING
+    * comparison, never materializing a cross product. The classic
+    * query's fixed fraction (0.0001/SF) is hand-scaled per benchmark
+    * scale factor; here the threshold is self-scaling instead — 2× the
+    * MEAN per-part value over the slice — so the query is non-vacuous
+    * at every SF without a per-SF constant. Both sums accumulate in
+    * DECIMAL so the threshold comparison is bit-stable across engines.
+    */
+  private def tpchQ11(s: SparkSession, d: String): DataFrame = {
+    val sup = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+          .filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val slice = Tables.lineitem(s, d)
+      .select("l_partkey", "l_suppkey", "l_extendedprice")
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .pinned()
+    val perPart = slice.groupBy("l_partkey")
+      .agg(dsum(col("l_extendedprice")).as("part_value"))
+    val total = slice.agg(
+      (dsum(col("l_extendedprice")) / countDistinct(col("l_partkey")) *
+        2.0).as("threshold"))
+    perPart.join(broadcast(total), col("part_value") > col("threshold"))
+      .select(col("l_partkey").as("p_partkey"), col("part_value"))
+      .orderBy(col("part_value").desc, col("p_partkey"))
+  }
+
+  /** TPC-H Q12 (shipping-mode priority split), adapted: the schema has
+    * no l_shipmode, so lines group by l_linestatus, and the "late
+    * delivery" predicate (commit < receipt) becomes a returned item in
+    * a 1996 ship window. The essential shape is untouched: an
+    * orders↔lineitem join feeding CONDITIONAL aggregation — urgent
+    * orders counted into one column, the rest into another, in a single
+    * pass (no second scan, no self-join).
+    */
+  private def tpchQ12(s: SparkSession, d: String): DataFrame = {
+    val urgent = col("o_orderpriority") === "1-URGENT" ||
+      col("o_orderpriority") === "2-HIGH"
+    Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R" &&
+        col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-01-01")))
+      .select("l_orderkey", "l_linestatus")
+      .join(Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_linestatus")
+      .agg(sum(when(urgent, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(urgent, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  /** TPC-H Q16 (parts/supplier relationship), adapted: the
+    * part↔supplier relation is the DISTINCT (partkey, suppkey) pairs
+    * observed in lineitem (no partsupp), and the "customer complaints"
+    * NOT IN subquery becomes suppliers with negative account balance.
+    * Shape preserved exactly: an anti-join excluding the subquery's
+    * suppliers (NULL-safe by construction — suppkeys are non-null),
+    * then COUNT(DISTINCT suppkey) per part attribute group. The
+    * distinct pair collapse happens BEFORE the part join: lineitem's
+    * many rows per pair collapse map-side, so the join input is
+    * |catalog| not |lineitem|.
+    */
+  private def tpchQ16(s: SparkSession, d: String): DataFrame = {
+    val excluded = Tables.supplier(s, d)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    val pairs = Tables.lineitem(s, d)
+      .select("l_partkey", "l_suppkey").distinct()
+      .join(broadcast(excluded),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+    val pf = Tables.part(s, d)
+      .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+        col("p_size") <= 25)
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    pairs.join(pf, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** TPC-H Q19 (discounted revenue): the disjunctive-predicate
+    * showcase, expressible verbatim minus the shipmode/shipinstruct
+    * conjuncts the schema lacks. Three brand/size/quantity branches
+    * OR-ed in the JOIN condition; Catalyst extracts the common
+    * per-side implications (p_size ≤ 15, l_quantity ≤ 30 bounds and
+    * the brand IN-set) and pushes them to the scans, so the join input
+    * is pre-pruned even though the full predicate is disjunctive.
+    */
+  private def tpchQ19(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val p = Tables.part(s, d).select("p_partkey", "p_brand", "p_size")
+    val branch1 = col("p_brand") === "Brand#12" &&
+      col("p_size").between(1, 5) && col("l_quantity").between(1, 11)
+    val branch2 = col("p_brand") === "Brand#23" &&
+      col("p_size").between(1, 10) && col("l_quantity").between(10, 20)
+    val branch3 = col("p_brand") === "Brand#4" &&
+      col("p_size").between(1, 15) && col("l_quantity").between(20, 30)
+    l.join(p, col("l_partkey") === col("p_partkey") &&
+        (branch1 || branch2 || branch3))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"), count(lit(1)).as("n"))
+  }
+
+  /** TPC-H Q20 (potential part promotion), adapted: "availability
+    * exceeds half the shipped quantity" becomes "this supplier shipped
+    * more than 1.5× the average per-supplier quantity of that part" —
+    * the schema has no availqty, but the NESTED correlated-IN shape is
+    * what Q20 exercises and it survives intact: an inner aggregate per
+    * (supplier, part), a correlated per-part threshold aggregate
+    * derived from the same slice, a semi-join into suppliers. The
+    * threshold re-aggregate runs over the collapsed per-pair frame
+    * (never re-scans lineitem), and the final IN is a LEFT SEMI join on
+    * the distinct qualifying suppkeys.
+    */
+  private def tpchQ20(s: SparkSession, d: String): DataFrame = {
+    val pf = Tables.part(s, d)
+      .filter(col("p_name").like("small%")).select("p_partkey")
+    val perPair = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-01-01")))
+      .select("l_partkey", "l_suppkey", "l_quantity")
+      .join(pf, col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(dsum(col("l_quantity")).as("qty"))
+      .pinned()
+    val perPart = perPair.groupBy(col("l_partkey").as("t_partkey"))
+      .agg(r6(lit(1.5) * (dsum(col("qty")) / count(lit(1))))
+        .as("qty_cut"))
+    val qualifying = perPair
+      .join(perPart, col("l_partkey") === col("t_partkey") &&
+        col("qty") > col("qty_cut"))
+      .select("l_suppkey").distinct()
+    Tables.supplier(s, d)
+      .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(Tables.nation(s, d)
+          .filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_name"), r6(col("s_acctbal")).as("s_acctbal"))
+      .orderBy("s_name")
+  }
+
+  /** TPC-H Q21 (suppliers who kept orders waiting), adapted: the
+    * late-delivery marker `l_receiptdate > l_commitdate` becomes
+    * `l_returnflag = 'R'`. The double correlation is preserved in its
+    * canonical physical form: suppliers with a RETURNED lineitem in a
+    * finished multi-supplier order (EXISTS → left SEMI join on
+    * orderkey with a suppkey-inequality residual) where NO OTHER
+    * supplier had a returned item in that order (NOT EXISTS → left ANTI
+    * join, same condition plus the flag). Both correlated probes shuffle
+    * on orderkey — the equi half of the compound condition — with the
+    * inequality evaluated as a join residual, so there is no
+    * quadratic pair blow-up beyond each order's own lineitems.
+    */
+  private def tpchQ21(s: SparkSession, d: String): DataFrame = {
+    val fOrders = Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "F").select("o_orderkey")
+    val l1 = Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_suppkey")
+      .join(fOrders, col("l_orderkey") === col("o_orderkey"))
+      .select("l_orderkey", "l_suppkey")
+    val others = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("l2_orderkey"),
+        col("l_suppkey").as("l2_suppkey"))
+    val othersReturned = Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("l3_orderkey"),
+        col("l_suppkey").as("l3_suppkey"))
+    l1.join(others, col("l_orderkey") === col("l2_orderkey") &&
+        col("l_suppkey") =!= col("l2_suppkey"), "left_semi")
+      .join(othersReturned, col("l_orderkey") === col("l3_orderkey") &&
+        col("l_suppkey") =!= col("l3_suppkey"), "left_anti")
+      .join(Tables.supplier(s, d).select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
   val queries: Map[String, Query] = Map(
     "tpch_q1" -> tpchQ1 _,
+    "tpch_q2" -> tpchQ2 _,
+    "tpch_q4" -> tpchQ4 _,
+    "tpch_q9" -> tpchQ9 _,
+    "tpch_q11" -> tpchQ11 _,
+    "tpch_q12" -> tpchQ12 _,
+    "tpch_q16" -> tpchQ16 _,
+    "tpch_q19" -> tpchQ19 _,
+    "tpch_q20" -> tpchQ20 _,
+    "tpch_q21" -> tpchQ21 _,
     "tpch_q3" -> tpchQ3 _,
     "tpch_q5" -> tpchQ5 _,
     "tpch_q6" -> tpchQ6 _,
@@ -535,5 +831,139 @@ object TpchQueries {
         |                   WHERE c_acctbal > 0 AND c_nationkey < 10)
         |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
         |                   WHERE o_orderdate >= TIMESTAMP '2000-01-01')
-        |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin)
+        |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin,
+    "tpch_q2" ->
+      """WITH eu AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |cat AS (
+        |  SELECT l_partkey, s_suppkey, s_name, s_acctbal, n_name,
+        |    min(round(l_extendedprice / l_quantity, 6)) AS cost
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN eu ON l_suppkey = s_suppkey
+        |  WHERE p_size <= 10 AND p_type = 'LARGE'
+        |  GROUP BY 1, 2, 3, 4, 5)
+        |SELECT round(s_acctbal, 6) AS s_acctbal, s_name, n_name,
+        |  l_partkey AS p_partkey, cost
+        |FROM cat
+        |WHERE cost = (SELECT min(cost) FROM cat c2
+        |              WHERE c2.l_partkey = cat.l_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+    "tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "tpch_q9" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    - 0.6 * p_retailprice * l_quantity AS DECIMAL(38,6)))
+        |    AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%bolt'
+        |GROUP BY n_name, CAST(year(o_orderdate) AS INT)
+        |ORDER BY nation, o_year DESC""".stripMargin,
+    "tpch_q11" ->
+      """WITH slice AS (
+        |  SELECT l_partkey, l_extendedprice
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_3'),
+        |per_part AS (
+        |  SELECT l_partkey AS p_partkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+        |      AS part_value
+        |  FROM slice GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6)))
+        |    AS DOUBLE) / count(DISTINCT l_partkey) * 2.0 AS threshold
+        |  FROM slice)
+        |SELECT p_partkey, part_value FROM per_part, tot
+        |WHERE part_value > threshold
+        |ORDER BY part_value DESC, p_partkey""".stripMargin,
+    "tpch_q12" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_returnflag = 'R'
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
+    "tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO' AND p_size <= 25
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "tpch_q19" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "tpch_q20" ->
+      """WITH per_pair AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'small%'
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1, 2),
+        |cut AS (
+        |  SELECT l_partkey AS t_partkey,
+        |    round(1.5 * (CAST(sum(CAST(qty AS DECIMAL(38,6))) AS DOUBLE)
+        |      / count(*)), 6) AS qty_cut
+        |  FROM per_pair GROUP BY 1)
+        |SELECT s_name, round(s_acctbal, 6) AS s_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_3'
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey FROM per_pair JOIN cut
+        |      ON l_partkey = t_partkey AND qty > qty_cut)
+        |ORDER BY s_name""".stripMargin,
+    "tpch_q21" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON l1.l_orderkey = o_orderkey
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE l1.l_returnflag = 'R' AND o_orderstatus = 'F'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin)
 }

@@ -79,6 +79,47 @@ class ExtendedOpsSpec extends GraftSuite {
       plan.contains("l_discount"), plan.take(2000))
   }
 
+  test("tpch_q19 pushes each side's disjunction implications to its scan") {
+    // The disjunctive-predicate showcase: Catalyst must extract the
+    // part-only OR (brand/size branches) for the part scan and the
+    // lineitem-only OR (quantity bounds) for the lineitem scan — at
+    // 100 TB the join input is pre-pruned even though no single
+    // conjunct applies to all rows.
+    val plan = operators.TpchQueries.queries("tpch_q19")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(p_size)") ||
+      plan.matches("(?s).*PushedFilters[^\\]]*p_brand.*"),
+      "part-side OR not pushed:\n" + plan.take(2000))
+    assert(plan.matches("(?s).*PushedFilters[^\\]]*l_quantity.*"),
+      "lineitem-side OR not pushed:\n" + plan.take(2000))
+  }
+
+  test("tpch_q4/q21 plan EXISTS as semi joins, NOT EXISTS as anti joins") {
+    val q4 = operators.TpchQueries.queries("tpch_q4")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(q4.contains("LeftSemi"), "q4 EXISTS must be a semi join:\n" +
+      q4.take(1500))
+    val q21 = operators.TpchQueries.queries("tpch_q21")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // Both correlated probes keep orderkey as the equi half (shuffle
+    // key at scale) with the suppkey inequality as a join residual —
+    // never a cartesian pair blow-up.
+    assert(q21.contains("LeftSemi") && q21.contains("LeftAnti"),
+      "q21 must plan semi + anti joins:\n" + q21.take(1500))
+    assert(!q21.contains("CartesianProduct"))
+  }
+
+  test("tpch_q2 min-cost catalog: aggregate collapses before the equality join") {
+    // The decorrelated MIN subquery joins catalog-vs-min on
+    // (partkey, cost) equality; both sides are post-aggregate frames,
+    // so the join input is |catalog|, never |lineitem|.
+    val df = operators.TpchQueries.queries("tpch_q2")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val aggs = "HashAggregate".r.findAllIn(plan).length
+    assert(aggs >= 4, s"expected partial+final aggs for catalog and min, got $aggs")
+    assert(df.count() > 0)
+  }
+
   test("plan hygiene: no cartesian product anywhere in the inventory") {
     // dd_clusters iterates jobs at plan-build time — skip it here (its
     // joins are the same equi-join shape the other dedup ops use).
