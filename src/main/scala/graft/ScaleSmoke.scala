@@ -47,7 +47,17 @@ object ScaleSmoke {
       }
       0L
     }
+    // GRAFT_SMOKE_ONLY=substr[,substr...] restricts the run to stages
+    // whose name contains any given substring (dev iteration / variance
+    // probes — a single stage re-measured without paying for the other
+    // 38). Skipped stages report -1 and are dropped from the JSON.
+    val only: Seq[String] = sys.env.get("GRAFT_SMOKE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    def want(name: String): Boolean =
+      only.isEmpty || only.exists(name.contains)
     def time(name: String)(f: => Long): (String, Double, Long) = {
+      if (!want(name)) return (name, -1.0, -1L)
       val t0 = System.nanoTime()
       val n = f
       (name, (System.nanoTime() - t0) / 1e9, n)
@@ -417,14 +427,16 @@ object ScaleSmoke {
         (System.nanoTime() - t0) / 1e9, p.size.toLong))
       p
     }
-    val exactAnn = timedPairs("ann_topk_exact")
-    val recall10x = Seq("ann_topk_lsh", "ann_topk_ivf", "ann_topk_pq",
-      "ann_topk_ivfpq")
-      .map(q => q -> timedPairs(q).count(exactAnn.contains).toDouble /
-        exactAnn.size) ++ {
-      val exactSem = timedPairs("dd_cosine_neardup", "id_a", "id_b")
-      Seq("dd_semantic" -> timedPairs("dd_semantic", "id_a", "id_b")
-        .count(exactSem.contains).toDouble / exactSem.size)
+    val recall10x = if (!want("ann_recall_10x")) Seq.empty else {
+      val exactAnn = timedPairs("ann_topk_exact")
+      Seq("ann_topk_lsh", "ann_topk_ivf", "ann_topk_pq",
+        "ann_topk_ivfpq")
+        .map(q => q -> timedPairs(q).count(exactAnn.contains).toDouble /
+          exactAnn.size) ++ {
+        val exactSem = timedPairs("dd_cosine_neardup", "id_a", "id_b")
+        Seq("dd_semantic" -> timedPairs("dd_semantic", "id_a", "id_b")
+          .count(exactSem.contains).toDouble / exactSem.size)
+      }
     }
 
     // Composed corpus pipeline at 10×: the chained batch flow (ingest →
@@ -482,8 +494,10 @@ object ScaleSmoke {
     val qs = (results ++ skewResults ++ dedupResults ++ hotResults ++
       knnResults ++ skewVecResults ++ annTimes.toSeq ++ pipeResults ++
       streamResults)
+      .filter { case (_, v, _) => v >= 0 }
       .map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
-    val pairCounts = dedupResults.map { case (k, _, n) => s""""$k":$n""" }
+    val pairCounts = dedupResults.filter { case (_, v, _) => v >= 0 }
+      .map { case (k, _, n) => s""""$k":$n""" }
       .mkString("{", ",", "}")
     val recallJson = recall10x.map { case (k, v) =>
       s""""$k":${"%.3f".formatLocal(java.util.Locale.ROOT, v)}""" }

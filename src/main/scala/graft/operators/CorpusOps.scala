@@ -91,6 +91,21 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** ORC corpus round-trip — the OTHER columnar interchange format a
+    * warehouse-adjacent corpus pipeline meets (Hive/Trino tables are
+    * routinely ORC). Same contract as the parquet-sourced table: typed
+    * columnar write with predicate-pushdown-capable stripes, schema-on
+    * read. Unlike CSV there is no lossy edge — empty strings, padding
+    * and newlines all survive — so the oracle is simply the source
+    * table. Scale shape: distributed stripe writes (one part per task)
+    * and a parallel columnar scan back.
+    */
+  private def ioOrc(s: SparkSession, d: String): DataFrame = {
+    val dir = roundtripScratch(s, "orc")
+    Tables.documents(s, d).write.mode("overwrite").orc(dir)
+    s.read.schema(Tables.DocumentsSchema).orc(dir).orderBy("doc_id")
+  }
+
   /** Stratified deterministic downsampling: per-language keep rates
     * (the language-rebalancing pass a multilingual corpus pipeline runs
     * before training) applied through the same md5-bucket scheme as
@@ -350,7 +365,8 @@ object CorpusOps {
     "pp_fixed_k" -> ppFixedK _,
     "pp_pack" -> ppPack _,
     "io_jsonl_roundtrip" -> ioJsonl _,
-    "io_csv_roundtrip" -> ioCsv _)
+    "io_csv_roundtrip" -> ioCsv _,
+    "io_orc_roundtrip" -> ioOrc _)
 
   val oracle: Map[String, String] = Map(
     "pp_decontaminate" ->
@@ -439,6 +455,9 @@ object CorpusOps {
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
     "io_csv_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "io_orc_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin)
 }

@@ -403,6 +403,16 @@ object Dedup {
     // without a new process.
     val dbg = sys.env.contains("GRAFT_CC_DEBUG") ||
       sys.props.contains("graft.cc.debug")
+    if (dbg) {
+      // Attribution split: materialize the pinned edge list under its
+      // own timer so iter=1 reads as pure label-prop. Same total work
+      // (iter=1 would populate the pin anyway), only the attribution
+      // moves — this is how the round-7 30→46s spread was pinned to
+      // the candidate-generation stage, not the iterations.
+      val t0 = System.nanoTime()
+      val ne = edges.count()
+      println(f"[cc] edges=$ne built ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
     while (changed > 0 && iter < 20) {
       val t0 = System.nanoTime()
       val neighborMin = edges

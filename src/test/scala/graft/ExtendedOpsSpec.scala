@@ -334,7 +334,10 @@ class ExtendedOpsSpec extends GraftSuite {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     for ((q, gnarly) <- Seq(
         "io_csv_roundtrip" -> data(null),
-        "io_jsonl_roundtrip" -> data(""))) {
+        "io_jsonl_roundtrip" -> data(""),
+        // ORC is columnar-typed: no lossy edge at all — empty string,
+        // padding and newlines all survive as-is.
+        "io_orc_roundtrip" -> data(""))) {
       val dir = java.nio.file.Files.createTempDirectory("graft_gnarly").toString
       gnarly.write.parquet(s"$dir/documents.parquet")
       val back = SparkEntry.queries(q)(spark, dir).collect()
