@@ -200,6 +200,35 @@ object Extended {
       .orderBy("event_id")
   }
 
+  /** Exponentially-weighted moving average over a trailing 20-row
+    * frame (decay 0.8 per step, i.e. α = 0.2; weights renormalized
+    * within the frame — pandas `ewm(alpha=0.2, adjust=True)` truncated
+    * to span 20, where the dropped tail weight is 0.8²⁰ ≈ 1%%). Spark
+    * has no EWMA window function; recursive forms don't distribute —
+    * but the TRUNCATED form is a plain weighted frame: collect the
+    * ordered frame (bounded: 20 values) and fold value·decay^age with
+    * codegen'd higher-order functions, O(w²) per row with w constant.
+    * Same frame contract as W1/W2/W16, so the shuffle is the one
+    * (user_id) window exchange. Both engines fold the identical
+    * frame-ordered list left-to-right over identical doubles, so the
+    * result is deterministic cross-engine.
+    */
+  private def w17Ewma(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(tsUs(col("ts")), col("event_id")).rowsBetween(-19, 0)
+    val arr = collect_list(col("value")).over(w) // frame order: oldest first
+    val n = size(arr)
+    // weight of the i-th (1-based) frame element: 0.8^(n-i) — newest 1
+    val weights = transform(sequence(lit(1), n),
+      i => pow(lit(0.8), (n - i).cast("double")))
+    val num = aggregate(zip_with(arr, weights, (x, wt) => x * wt),
+      lit(0.0), (a, x) => a + x)
+    val den = aggregate(weights, lit(0.0), (a, x) => a + x)
+    Tables.events(s, d)
+      .select(col("event_id"), r6(num / den).as("ewma20"))
+      .orderBy("event_id")
+  }
+
   /** Value-RANGE window frame: per-user trailing band [v-10, v] over the
     * value order — frames defined by the ORDER key's values, not row
     * counts (the other half of the SQL window-frame spec; W1/W2 cover
@@ -282,6 +311,7 @@ object Extended {
     "w13_distribution" -> w13Distribution _,
     "w14_rolling_distinct" -> w14RollingDistinct _,
     "w16_rolling_median" -> w16RollingMedian _,
+    "w17_ewma" -> w17Ewma _,
     "a24_topk_agg" -> a24TopkAgg _,
     "w11_range_frame" -> w11RangeFrame _,
     "p13_pivot" -> p13Pivot _,
@@ -309,6 +339,19 @@ object Extended {
         |    ORDER BY ts, event_id
         |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS med5
         |FROM events ORDER BY event_id""".stripMargin,
+    "w17_ewma" ->
+      """WITH f AS (SELECT event_id, list(value) OVER w AS arr
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        |g AS (SELECT event_id, arr, len(arr) AS n FROM f)
+        |SELECT event_id, round(
+        |  list_sum(list_transform(range(1, n + 1),
+        |    i -> arr[CAST(i AS INT)] * pow(0.8, n - i))) /
+        |  list_sum(list_transform(range(1, n + 1),
+        |    i -> pow(0.8, CAST(n - i AS DOUBLE)))), 6) AS ewma20
+        |FROM g ORDER BY event_id""".stripMargin,
     "ml_class_weights" ->
       """WITH c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
         |t AS (SELECT CAST(sum(n) AS DOUBLE) AS total, count(*) AS k FROM c)

@@ -456,7 +456,49 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** MP4 media table: every document gets a complete ISO-BMFF container
+    * ([[Mp4Walk.encode]] — ftyp + moov/mvhd + trak boxes, a planted
+    * `free` box every fifth file) whose brand/timescale/duration/track
+    * geometry derives from the document row — the video analog of
+    * [[bmpTable]]/[[wavTable]].
+    */
+  def mp4Table(s: SparkSession, d: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .map { case (id, nc) =>
+        MediaRow(id, Mp4Walk.encode(id, nc), "mp4", -1, -1)
+      }
+  }
+
+  /** Oracle-checked video-container metadata: brand, timescale,
+    * duration (ticks + seconds) and track count, all recovered by the
+    * REAL box walk ([[Mp4Walk.parse]] — length-prefixed box tree with
+    * skip boxes honored); DuckDB recomputes every field, including the
+    * total byte length, from the generating formulas. This is the
+    * metadata pass a video corpus pipeline runs before any frame work:
+    * duration/track filters never touch sample data.
+    */
+  private def video(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mp4Table(s, d).mapPartitions { rows =>
+      rows.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val info = Mp4Walk.parse(r.payload)
+          (r.media_id, r.payload.length, info.brand, info.timescale,
+            info.duration, info.nTracks)
+        }
+      }
+    }.toDF("media_id", "n_bytes", "brand", "timescale", "duration",
+      "n_tracks")
+      .withColumn("dur_s",
+        r6(col("duration").cast("double") / col("timescale")))
+      .orderBy("media_id")
+  }
+
   val queries: Map[String, Query] = Map(
+    "mm_video_meta" -> video _,
     "mm_meta" -> meta _,
     "mm_features" -> features _,
     "mm_pixels" -> pixels _,
@@ -480,6 +522,24 @@ object Multimodal {
       |    (doc_id + s * 7 + c * 13 + ch * 29) % 251 AS val FROM chs)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "mm_video_meta" ->
+      // Every field recomputed from Mp4Walk's generating formulas,
+      // including the byte length: ftyp 24 + moov header 8 + mvhd 108
+      // + planted free box (16, every 5th file) + 100 per trak/tkhd.
+      """WITH geo AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+        |    600 * (n_chars % 4 + 1) AS timescale,
+        |    (n_chars * 37) % 100000 + 1 AS duration,
+        |    doc_id % 3 + 1 AS n_tracks,
+        |    CASE WHEN doc_id % 5 = 0 THEN 16 ELSE 0 END AS free_sz
+        |  FROM documents)
+        |SELECT doc_id AS media_id,
+        |  CAST(140 + free_sz + 100 * n_tracks AS INT) AS n_bytes,
+        |  brand, CAST(timescale AS BIGINT) AS timescale,
+        |  CAST(duration AS BIGINT) AS duration,
+        |  CAST(n_tracks AS INT) AS n_tracks,
+        |  round(CAST(duration AS DOUBLE) / timescale, 6) AS dur_s
+        |FROM geo ORDER BY media_id""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |  substr(hex(encode(text)), 1, 16) AS hex_prefix

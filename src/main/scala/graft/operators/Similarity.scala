@@ -1201,7 +1201,69 @@ object Similarity {
       .schema("vec_id BIGINT, nid BIGINT, cos DOUBLE").parquet(scratch))
   }
 
+  // ------------------------------------------- embedding diagnostics
+
+  /** Embedding-health diagnostic: per-dimension moments of the
+    * NORMALIZED corpus — the pre-flight check every embedding store
+    * needs before quantizer/index design (a collapsed dimension means a
+    * broken encoder; wildly unbalanced variance means PQ subspaces
+    * should be rebalanced by an OPQ rotation, Ge et al. CVPR 2013).
+    * One explode + one map-side-combinable aggregate over (dim) keys:
+    * at 100 TB this is a single corpus pass shuffling dim×partials
+    * rows. Moments accumulate in DECIMAL so the oracle comparison is
+    * exact.
+    */
+  private def dimStats(s: SparkSession, d: String): DataFrame = {
+    val n = count(lit(1))
+    // 38,18 precision, not dsum's 38,6: components are ~1/√dim and
+    // their squares ~1/dim, so 6 decimals would round the accumulator
+    // itself, not just the output (same contract as the codebook
+    // means in trainPq).
+    def d18(c: Column) = sum(c.cast("decimal(38,18)")).cast("double")
+    normalized(s, d)
+      .select(posexplode(col("u")).as(Seq("pos0", "x")))
+      .groupBy((col("pos0") + 1).cast("int").as("pos"))
+      .agg(
+        r6(d18(col("x")) / n).as("mu"),
+        r6(d18(col("x") * col("x")) / n -
+          (d18(col("x")) / n) * (d18(col("x")) / n)).as("var_pop"),
+        r6(min(col("x"))).as("mn"),
+        r6(max(col("x"))).as("mx"))
+      .orderBy("pos")
+  }
+
+  /** Eigenvalues (descending) of the normalized corpus' covariance —
+    * the anisotropy measurement behind the round-8 OPQ go/no-go (see
+    * SURVEY §14): an isotropic spectrum means a learned PQ rotation
+    * cannot improve subspace balance, so the complexity is not bought.
+    * The d×d Gram matrix accumulates distributed in DECIMAL (same
+    * exactness contract as the codebook means; the (i,j) fan-out is
+    * N·d² rows of partial products, shuffled as d² aggregate keys);
+    * the eigendecomposition runs on the driver over the d×d result —
+    * model-sized linear algebra, the same boundary the k-means
+    * centroids live at.
+    */
+  private[graft] def embeddingSpectrum(s: SparkSession, d: String): Seq[Double] = {
+    val dim = corpusDim(s, d)
+    val nRows = corpusCount(s, d).toDouble
+    val v = normalized(s, d)
+    val ex = v.select(col("vec_id"), posexplode(col("u")).as(Seq("i", "xi")))
+    val gram = ex.join(
+        ex.select(col("vec_id"), col("i").as("j"), col("xi").as("xj")),
+        "vec_id")
+      .groupBy("i", "j")
+      .agg(dsum(col("xi") * col("xj")).as("sxx"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    val mu = ex.groupBy("i").agg(dsum(col("xi")).as("sx"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1) / nRows).toMap
+    val c = breeze.linalg.DenseMatrix.tabulate(dim, dim) { (i, j) =>
+      gram((i, j)) / nRows - mu(i) * mu(j)
+    }
+    breeze.linalg.eigSym(c).eigenvalues.toArray.toSeq.sorted.reverse
+  }
+
   val queries: Map[String, Query] = Map(
+    "sim_dim_stats" -> (dimStats _),
     "sim_centroids" -> (centroids _),
     "sim_knn_self" -> (knnSelf _),
     "ann_topk_exact" -> (annTopkExact _),
@@ -1214,6 +1276,24 @@ object Similarity {
 
   /** ann_topk_lsh is approximate by construction → rows-only check. */
   val oracle: Map[String, String] = Map(
+    "sim_dim_stats" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> x /
+        |      sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |        y -> y * y)))) AS u
+        |  FROM embeddings),
+        |e AS (SELECT unnest(range(1, len(u) + 1)) AS pos,
+        |  unnest(u) AS x FROM v)
+        |SELECT CAST(pos AS INT) AS pos,
+        |  round(CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE)
+        |    / count(*), 6) AS mu,
+        |  round(CAST(sum(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE)
+        |    / count(*)
+        |    - (CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count(*))
+        |    * (CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count(*)),
+        |    6) AS var_pop,
+        |  round(min(x), 6) AS mn, round(max(x), 6) AS mx
+        |FROM e GROUP BY pos ORDER BY pos""".stripMargin,
     "sim_centroids" ->
       """WITH e AS (SELECT label,
         |  unnest(range(1, len(embedding) + 1)) AS pos,

@@ -405,4 +405,28 @@ class TextAndMultimodalSpec extends GraftSuite {
       .map(r => (r.getLong(0), r.getLong(3))).toSet
     assert(again == rows.map(r => (r._1, r._4)).toSet)
   }
+
+  test("MP4 walk: box tree round-trips; free-box skip is load-bearing; truncation fails") {
+    import operators.Mp4Walk
+    // id 10: has the planted free box (10 % 5 == 0) AND 2 traks
+    val withFree = Mp4Walk.encode(10L, 123L)
+    val p1 = Mp4Walk.parse(withFree)
+    assert(p1 == Mp4Walk.Mp4Info("isom", Mp4Walk.timescaleOf(123),
+      Mp4Walk.durationOf(123), 2))
+    // id 7: no free box, 'mp42' brand, 2 traks
+    val p2 = Mp4Walk.parse(Mp4Walk.encode(7L, 999L))
+    assert(p2 == Mp4Walk.Mp4Info("mp42", Mp4Walk.timescaleOf(999),
+      Mp4Walk.durationOf(999), 2))
+    // the walk honors declared sizes: byte length matches the oracle's
+    // closed-form 140 + free + 100·tracks
+    assert(withFree.length == 140 + 16 + 100 * 2)
+    // truncating mid-box must fail loudly, not fabricate metadata
+    intercept[IllegalArgumentException] {
+      Mp4Walk.parse(withFree.take(withFree.length - 10))
+    }
+    // a lying box size (larger than the buffer) must also fail
+    val lying = withFree.clone()
+    lying(0) = 0x7F.toByte // ftyp size high byte → absurd length
+    intercept[IllegalArgumentException] { Mp4Walk.parse(lying) }
+  }
 }

@@ -67,4 +67,34 @@ class WindowSemanticsSpec extends GraftSuite {
       "mean5_value", "mean20_value", "d_value", "z_value"))
     assert(f.count() == Tables.events(spark, sf).count())
   }
+
+  test("W17 EWMA: first row is its own value; brute-force match on one user") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("w17_ewma")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byUser = events.groupBy(_._1).map { case (u, rs) =>
+      u -> rs.sortBy(r => (r._3, r._2))
+    }
+    // first row per user: the frame is just the value → ewma = value
+    byUser.values.foreach { rs =>
+      val (_, eid, _, v) = rs.head
+      assert(math.abs(got(eid) - v) < 1e-6, s"first-row ewma for $eid")
+    }
+    // full brute-force replication of the truncated-frame formula for
+    // one user — catches weight-order bugs the identity check can't
+    val rs = byUser.head._2
+    rs.indices.foreach { i =>
+      val frame = rs.slice(math.max(0, i - 19), i + 1).map(_._4)
+      val n = frame.length
+      val num = frame.zipWithIndex
+        .map { case (x, j) => x * math.pow(0.8, n - 1 - j) }.sum
+      val den = (0 until n).map(k => math.pow(0.8, k)).sum
+      assert(math.abs(got(rs(i)._2) - num / den) < 1e-5,
+        s"ewma mismatch at row $i of user ${rs(i)._1}")
+    }
+  }
 }
