@@ -356,8 +356,118 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  // Temperature of the language-rebalancing sampler: keep rate per
+  // language ∝ p_l^(MixAlpha-1), i.e. rarer languages are upsampled
+  // relative to their natural share (α < 1 flattens the distribution;
+  // α = 1 is the natural mix; α → 0 is uniform).
+  private val MixAlpha = 0.5
+
+  /** Temperature-based language rebalancing (the multilingual sampling
+    * rule of XLM-R/mT5: draw languages with probability ∝ p_l^α). At
+    * the shipped α = 0.5 the deterministic keep rate per language is
+    * √(n_min/n_l) — the rarest language keeps everything and each
+    * language's expected kept count is √(n_min·n_l), the geometric-mean
+    * flattening between natural and uniform. The gate is the same
+    * md5-bucket scheme as [[ppStratified]] but PURE INT64: keep ⟺
+    * bucket² · n_l < 10⁶ · n_min (⟺ bucket/1000 < √(n_min/n_l)), so no
+    * float pow/sqrt can drift between engines and membership is stable
+    * under re-partitioning. Scale shape: the per-language count table
+    * is vocabulary-bounded → broadcast; the gate is a scan-side
+    * predicate — one aggregation plus one narrow pass, like
+    * [[ppDomainMix]]. Corpus growth shifts n_l/n_min and thus rates —
+    * inherent to any share-targeting sampler (same contract as
+    * domain-mix).
+    */
+  private def ppTemperatureMix(s: SparkSession, d: String): DataFrame = {
+    require(MixAlpha == 0.5,
+      "the int64 gate below encodes alpha = 0.5 (square vs square root)")
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))
+    val nmin = counts.agg(min(col("n_l")).as("n_min"))
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 25, 4),
+      16, 10).cast("long") % 1000
+    docs
+      .join(broadcast(counts), "lang")
+      .crossJoin(broadcast(nmin))
+      .withColumn("bucket", bucket)
+      .filter(col("bucket") * col("bucket") * col("n_l") <
+        lit(1000000L) * col("n_min"))
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
+  // Perplexity-bucketing sample rate (permille of docs whose scores
+  // define the per-language tertile cutoffs). CCNet computes its
+  // cutoffs on a sample too — this knob is what keeps the threshold
+  // sort bounded as the corpus grows.
+  private val PplSamplePermille = 300
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    * document with the corpus unigram LM (per-TOKEN mean log10
+    * probability — length-normalized, unlike [[graft.operators
+    * .TextAnalysis]]'s raw sum, so long docs aren't automatically
+    * "worse"), then cut each language at the tertiles of a
+    * deterministic sample into head/middle/tail — the buckets CCNet
+    * trains on (head = most fluent under the LM). Thresholds are ORDER
+    * STATISTICS of the sample (the value at rank ⌈n/3⌉ / ⌈2n/3⌉, ties
+    * broken by doc_id), never interpolated — so they are actual data
+    * values and the bucket comparison on 6dp-rounded scores is
+    * bit-identical across engines. Scale shape: scoring is the
+    * vocabulary-bounded broadcast-dictionary join of the unigram LM;
+    * the threshold build sorts ONLY the hash sample (rate-bounded by
+    * [[PplSamplePermille]], one window per language partition); the
+    * thresholds are one row per language → broadcast; the final bucket
+    * assignment is a scan-side CASE. A language absent from the sample
+    * (impossible at the shipped rate on any test SF, guarded anyway)
+    * buckets as 'middle'.
+    */
+  private def ppPplBuckets(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("token"))
+    val freq = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).as("total"))
+    // Pinned: consumed twice (threshold build over the sample, final
+    // bucket pass over everything) — without the pin the corpus-wide
+    // token join would run twice.
+    val scored = tok.join(broadcast(freq), "token")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id", "lang")
+      .agg(r6(sum(log10(col("cnt").cast("double") / col("total")))
+        / count(lit(1))).as("score"))
+      .pinned()
+    val sampleBucket = conv(substring(md5(col("doc_id").cast("string")),
+      29, 4), 16, 10).cast("long") % 1000
+    val sample = scored.filter(sampleBucket < PplSamplePermille)
+    val w = Window.partitionBy("lang").orderBy("score", "doc_id")
+    val cnts = sample.groupBy("lang").agg(count(lit(1)).as("n"))
+    // ⌈n/3⌉ = (n+2) div 3 and ⌈2n/3⌉ = (2n+2) div 3 — integer forms so
+    // no float ceil can disagree. With n < 3 the two ranks coincide and
+    // t1 = t2 (everything below the single cutoff is tail, the rest
+    // head) — still deterministic.
+    val thr = sample.withColumn("rk", row_number().over(w))
+      .join(broadcast(cnts), "lang")
+      .filter(col("rk") === expr("(n + 2) div 3") ||
+        col("rk") === expr("(2 * n + 2) div 3"))
+      .groupBy("lang")
+      .agg(min(when(col("rk") === expr("(n + 2) div 3"), col("score")))
+        .as("t1"),
+        min(when(col("rk") === expr("(2 * n + 2) div 3"), col("score")))
+          .as("t2"))
+    scored.join(broadcast(thr), Seq("lang"), "left")
+      .withColumn("bucket",
+        when(col("t1").isNull, "middle")
+          .when(col("score") <= col("t1"), "tail")
+          .when(col("score") <= col("t2"), "middle")
+          .otherwise("head"))
+      .select(col("doc_id"), col("lang"), col("score"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Query] = Map(
     "pp_decontaminate" -> ppDecontaminate _,
+    "pp_temperature_mix" -> ppTemperatureMix _,
+    "pp_ppl_buckets" -> ppPplBuckets _,
     "pp_domain_mix" -> ppDomainMix _,
     "pp_hash_split" -> ppHashSplit _,
     "pp_stratified" -> ppStratified _,
@@ -369,6 +479,46 @@ object CorpusOps {
     "io_orc_roundtrip" -> ioOrc _)
 
   val oracle: Map[String, String] = Map(
+    "pp_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY 1),
+        |m AS (SELECT min(n_l) AS n_min FROM c),
+        |b AS (SELECT doc_id, lang,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 25, 4))::BIGINT % 1000
+        |    AS bucket
+        |FROM documents)
+        |SELECT b.doc_id, b.lang, b.bucket
+        |FROM b JOIN c USING (lang) CROSS JOIN m
+        |WHERE b.bucket * b.bucket * c.n_l < 1000000 * m.n_min
+        |ORDER BY doc_id""".stripMargin,
+    "pp_ppl_buckets" ->
+      s"""WITH tok AS (SELECT doc_id, lang,
+         |    unnest(string_split(text, ' ')) AS token FROM documents),
+         |freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+         |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM freq),
+         |sc AS (SELECT doc_id, lang,
+         |  round(sum(log10(CAST(cnt AS DOUBLE) / total)) / count(*), 6)
+         |    AS score
+         |  FROM tok JOIN freq USING (token), tot GROUP BY doc_id, lang),
+         |sm AS (SELECT * FROM sc
+         |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 29, 4))::BIGINT
+         |    % 1000 < $PplSamplePermille),
+         |rk AS (SELECT lang, score,
+         |  row_number() OVER (PARTITION BY lang ORDER BY score, doc_id) AS rk
+         |  FROM sm),
+         |n AS (SELECT lang, count(*) AS n FROM sm GROUP BY lang),
+         |thr AS (SELECT lang,
+         |  min(CASE WHEN rk = (n + 2) // 3 THEN score END) AS t1,
+         |  min(CASE WHEN rk = (2 * n + 2) // 3 THEN score END) AS t2
+         |  FROM rk JOIN n USING (lang)
+         |  WHERE rk = (n + 2) // 3 OR rk = (2 * n + 2) // 3
+         |  GROUP BY lang)
+         |SELECT sc.doc_id, sc.lang, sc.score,
+         |  CASE WHEN t1 IS NULL THEN 'middle'
+         |       WHEN sc.score <= t1 THEN 'tail'
+         |       WHEN sc.score <= t2 THEN 'middle'
+         |       ELSE 'head' END AS bucket
+         |FROM sc LEFT JOIN thr USING (lang)
+         |ORDER BY doc_id""".stripMargin,
     "pp_decontaminate" ->
       s"""WITH w0 AS (SELECT doc_id,
          |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100

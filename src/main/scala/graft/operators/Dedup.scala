@@ -761,9 +761,77 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------- asymmetric containment
+
+  private val ContainTau = 0.8
+
+  /** Asymmetric containment near-dup detection: ordered pairs (A, B)
+    * where at least [[ContainTau]] of A's word-3-gram set also occurs
+    * in B — the case symmetric Jaccard structurally misses (a short doc
+    * quoted wholesale inside a long wrapper page has high containment
+    * but low Jaccard, because the union is dominated by B). The
+    * candidate stage is the containment variant of PPJoin's prefix
+    * filter: the required overlap t = ⌈τ·|A|⌉ depends only on the
+    * PROBE side, so A probes with its |A| − t + 1 globally rarest
+    * shingles while the index side must carry every shingle (no
+    * τ-prefix exists for B when |B| is unbounded — the published
+    * asymmetric probe-prefix/full-index scheme). Size
+    * (|B| ≥ ⌈τ·|A|⌉) and positional (both sides ranked in one global
+    * (freq, shingle) order, so remaining-suffix lengths bound the
+    * overlap) prunes still apply; the exact merge-intersect verify
+    * follows. Scale shape: the probe prefix picks A's RAREST shingles,
+    * so candidate joins land on short postings lists; the full-index
+    * side shuffles one row per (doc, shingle) — the same postings
+    * volume the span-coverage dictionary already moves — and no
+    * all-pairs stage exists anywhere.
+    */
+  private def containment(s: SparkSession, d: String): DataFrame =
+    containmentOf(Tables.documents(s, d))
+
+  /** Spec hook: the containment join over an arbitrary (doc_id, text)
+    * frame — lets the spec plant a genuine quote-inside-wrapper pair
+    * (high containment, sub-τ Jaccard) regardless of what the driver's
+    * synthetic corpus happens to contain.
+    */
+  private[graft] def containmentOf(documents: DataFrame): DataFrame = {
+    val docs = documents
+      .select(col("doc_id"), array_sort(shingles(col("text"), 3)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .pinned()
+    val ex = docs.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("s"))
+    val freq = ex.groupBy("s").agg(count(lit(1)).as("f"))
+    // Probe prefix AND full index both read this ranked frame — pin it
+    // so the rank window runs once.
+    val ranked = ex.join(broadcast(freq), "s")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("f"), col("s"))))
+      .pinned()
+    val probe = ranked.filter(col("rnk") <=
+      (col("n") - ceil(lit(ContainTau) * col("n")) + 1).cast("int"))
+    val cand = probe.as("x").join(ranked.as("y"), Seq("s"))
+      .filter(col("x.doc_id") =!= col("y.doc_id") &&
+        col("y.n") >= ceil(lit(ContainTau) * col("x.n")) &&
+        least(col("x.n") - col("x.rnk"), col("y.n") - col("y.rnk")) + 1 >=
+          ceil(lit(ContainTau) * col("x.n")))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+    val inter = graft.functions.SetFunctions.sortedIntersectCount(
+      col("sha"), col("shb"))
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("containment",
+        r6(inter.cast("double") / size(col("sha"))))
+      .filter(col("containment") >= ContainTau)
+      .select("doc_a", "doc_b", "containment")
+      .orderBy("doc_a", "doc_b")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Query] = Map(
+    "dd_containment" -> containment _,
     "dd_span_coverage" -> spanCoverage _,
     "dd_exact" -> exact _,
     "dd_ngram_jaccard" -> ngramJaccard _,
@@ -800,6 +868,36 @@ object Dedup {
        |  SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dd_containment" -> {
+      // Containment twin of prefixCandSql: probe prefix (x from pref)
+      // against the FULL ranked postings (y from pp), size/positional
+      // prunes keyed to ⌈τ·x.n⌉ alone. CAST(τ AS DOUBLE) for the same
+      // ceil-rounding parity reason documented on prefixCandSql.
+      val tauD = s"CAST($ContainTau AS DOUBLE)"
+      s"""WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |t AS (SELECT doc_id, ${shinglesSql(3)} AS sh FROM w0),
+         |t2 AS (SELECT doc_id, sh FROM t WHERE len(sh) > 0),
+         |e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM t2),
+         |freq AS (SELECT s, count(*) AS f FROM e GROUP BY s),
+         |pp AS (SELECT e.doc_id, e.s, e.n,
+         |  row_number() OVER (PARTITION BY e.doc_id ORDER BY f.f, e.s) AS rnk
+         |  FROM e JOIN freq f USING (s)),
+         |pref AS (SELECT doc_id, s, n, rnk FROM pp
+         |  WHERE rnk <= n - ceil($tauD * n) + 1),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM pref x JOIN pp y ON x.s = y.s
+         |  WHERE x.doc_id <> y.doc_id
+         |    AND y.n >= ceil($tauD * x.n)
+         |    AND least(x.n - x.rnk, y.n - y.rnk) + 1 >= ceil($tauD * x.n)),
+         |v AS (SELECT doc_a, doc_b,
+         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 6)
+         |    AS containment
+         |  FROM cand JOIN t2 a ON a.doc_id = doc_a
+         |    JOIN t2 b ON b.doc_id = doc_b)
+         |SELECT doc_a, doc_b, containment FROM v
+         |WHERE containment >= $tauD
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
     "dd_span_coverage" -> {
       val parts = (0 until SpanK).map(j => s"w[i+$j]").mkString(" || ' ' || ")
       s"""WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -174,4 +174,48 @@ class DedupSpec extends GraftSuite {
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
     assert(rows.forall(r => r.getDouble(2) >= 0.45))
   }
+
+  test("containment equals naive all-pairs containment") {
+    val got = run("dd_containment").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // naive reference: all ordered pairs via crossJoin (test-only)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), operators.Dedup.shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val a = docs.select(col("doc_id").as("da"), col("sh").as("sa"))
+    val b = docs.select(col("doc_id").as("db"), col("sh").as("sb"))
+    val naive = a.crossJoin(b).filter(col("da") =!= col("db"))
+      .withColumn("c", round(size(array_intersect(col("sa"), col("sb")))
+        .cast("double") / size(col("sa")), 6))
+      .filter(col("c") >= 0.8)
+      .select("da", "db", "c").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSet == naive.toSet)
+    assert(got.nonEmpty, "testdata should contain containment pairs")
+  }
+
+  test("containment catches the quote-in-wrapper pair jaccard misses") {
+    import spark.implicits._
+    // doc 1 = a short quote; doc 2 = the same quote inside a much longer
+    // wrapper page. Containment(1→2) = 1.0, but the union is dominated
+    // by the wrapper so Jaccard sits far below the 0.6 dedup tau.
+    val quote = (1 to 12).map(i => s"q$i").mkString(" ")
+    val wrapper = (1 to 60).map(i => s"w$i").mkString(" ") +
+      " " + quote + " " + (61 to 120).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, quote), (2L, wrapper), (3L, "unrelated text entirely"))
+      .toDF("doc_id", "text")
+    val pairs = operators.Dedup.containmentOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists { case (a, b, c) => a == 1L && b == 2L && c == 1.0 },
+      s"quote→wrapper containment missing: ${pairs.toSeq}")
+    assert(!pairs.exists { case (a, b, _) => a == 2L && b == 1L },
+      "wrapper must not be flagged as contained in the quote")
+    // and the symmetric measure at its own tau indeed misses the pair
+    val sh = docs
+      .select(col("doc_id"), operators.Dedup.shingles(col("text"), 3).as("sh"))
+      .filter(col("doc_id") <= 2).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val jac = sh(1L).intersect(sh(2L)).size.toDouble / sh(1L).union(sh(2L)).size
+    assert(jac < 0.6, s"planted pair must sit below the jaccard tau, got $jac")
+  }
 }

@@ -472,4 +472,65 @@ class ExtendedOpsSpec extends GraftSuite {
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(out == Seq((1L, 5.0), (2L, 7.0), (3L, 8.0)))
   }
+
+  test("temperature mix: geometric-mean flattening, rarest lang keeps all") {
+    val docs = Tables.documents(spark, sf).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMin = docs.values.min
+    val kept = SparkEntry.queries("pp_temperature_mix")(spark, sf).collect()
+    val keptBy = kept.groupBy(_.getString(1)).view.mapValues(_.length.toLong)
+    docs.foreach { case (l, nL) =>
+      // expected kept count at alpha=0.5 is sqrt(n_min * n_l); md5
+      // uniformity at ~100 docs/lang → generous ±0.2 relative band
+      val expect = math.sqrt(nMin.toDouble * nL)
+      val got = keptBy.getOrElse(l, 0L).toDouble
+      assert(math.abs(got - expect) <= 0.2 * expect + 3,
+        s"$l kept $got vs sqrt(${nMin}*$nL)=$expect")
+    }
+    // exact int-gate re-derivation (no float sqrt anywhere)
+    val ids = Tables.documents(spark, sf).select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expected = ids.filter { case (id, l) =>
+      val b = java.lang.Long.parseLong(md5hex(id.toString).slice(24, 28), 16) % 1000
+      b * b * docs(l) < 1000000L * nMin
+    }.map(_._1).sorted.toSeq
+    assert(kept.map(_.getLong(0)).toSeq == expected)
+    // every doc of the rarest language whose bucket is < 1000 survives
+    // (rate 1 by construction: b^2 * n_min < 10^6 * n_min always)
+    val rarest = docs.minBy(_._2)._1
+    assert(keptBy(rarest) == docs(rarest), "rarest lang must keep everything")
+  }
+
+  test("ppl buckets: per-lang tertile cut is ordered, total, and sample-derived") {
+    val rows = SparkEntry.queries("pp_ppl_buckets")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+    // total: every document is bucketed exactly once
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.length == nDocs)
+    assert(rows.map(_._1).distinct.length == rows.length)
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      val by = rs.groupBy(_._4).view.mapValues(_.map(_._3)).toMap
+      // bucket ORDER: no tail score exceeds any head score, and the
+      // middle band sits between the tail's top and the head's bottom
+      for (t <- by.get("tail"); h <- by.get("head"))
+        assert(t.max <= h.min, s"$lang tail/head overlap")
+      for (t <- by.get("tail"); m <- by.get("middle"))
+        assert(t.max <= m.max, s"$lang tail above middle top")
+      for (m <- by.get("middle"); h <- by.get("head"))
+        assert(m.min <= h.min || by.get("tail").isEmpty,
+          s"$lang middle floor above head floor")
+      // tertiles: each bucket holds a nontrivial share (the cutoffs come
+      // from a 30% sample, so exact thirds are not expected; a bucket
+      // collapsing to <10% of the lang would mean a broken cutoff)
+      Seq("tail", "middle", "head").foreach { b =>
+        val frac = by.get(b).map(_.length).getOrElse(0).toDouble / rs.length
+        assert(frac > 0.10 && frac < 0.60, s"$lang $b share $frac")
+      }
+    }
+    // deterministic across invocations (hash sample, order-statistic
+    // thresholds — nothing seeded or partition-ordered)
+    val again = SparkEntry.queries("pp_ppl_buckets")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+    assert(rows.toSeq == again.toSeq)
+  }
 }
