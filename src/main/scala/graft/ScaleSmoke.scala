@@ -212,6 +212,14 @@ object ScaleSmoke {
       time("dd_incremental_10x") {
         SparkEntry.queries("dd_incremental")(spark, docScratch).count()
       },
+      // Containment on the clone-heavy corpus is its worst case twice
+      // over: every doc is fully contained in its 9 clones (output is
+      // pair-dense, 10·9 ordered pairs per original text), and clone
+      // prefixes collide exactly (the probe-prefix join's hottest
+      // legitimate key shape).
+      time("dd_containment_10x") {
+        SparkEntry.queries("dd_containment")(spark, docScratch).count()
+      },
       // Bounded-state sketch and shard-parallel packing on the same
       // corpus: the sketch shuffles k-entry maps regardless of scale;
       // packing windows run one pass per md5 shard.

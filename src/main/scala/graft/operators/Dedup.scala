@@ -771,10 +771,11 @@ object Dedup {
     * quoted wholesale inside a long wrapper page has high containment
     * but low Jaccard, because the union is dominated by B). The
     * candidate stage is the containment variant of PPJoin's prefix
-    * filter: the required overlap t = ⌈τ·|A|⌉ depends only on the
+    * filter (Xiao et al. 2008's overlap-join framework with the
+    * overlap constraint t = ⌈τ·|A|⌉): t depends only on the
     * PROBE side, so A probes with its |A| − t + 1 globally rarest
     * shingles while the index side must carry every shingle (no
-    * τ-prefix exists for B when |B| is unbounded — the published
+    * τ-prefix exists for B when |B| is unbounded — the standard
     * asymmetric probe-prefix/full-index scheme). Size
     * (|B| ≥ ⌈τ·|A|⌉) and positional (both sides ranked in one global
     * (freq, shingle) order, so remaining-suffix lengths bound the

@@ -300,7 +300,48 @@ object Extended {
 
   // ------------------------------------------------------------ registry
 
+  /** Three-step funnel (view → click → purchase): per user, the first
+    * view, the first click strictly after it, and the first purchase
+    * strictly after that, plus the reached depth — the event-sequence
+    * conversion query every product-analytics stack runs. Computed as
+    * CHAINED per-user aggregations (min-ts of step k among events after
+    * the user's step-k−1 time) rather than a collect-and-scan: a
+    * per-user collect_list would buffer an unbounded event history (a
+    * bot user at corpus scale OOMs a task), while this form only ever
+    * shuffles (user, ts) pairs and aggregates them — three exchanges on
+    * the SAME user_id key, which AQE/exchange-reuse co-locates, with
+    * per-user state of exactly one timestamp per step. Step times are
+    * epoch micros ([[tsUs]]) so the comparison grid is
+    * encoding-independent.
+    */
+  private def esFunnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), tsUs(col("ts")).as("tus"))
+      .pinned() // probed once per funnel step
+    def firstAfter(evType: String, prev: DataFrame, prevCol: String,
+        outCol: String): DataFrame =
+      ev.filter(col("event_type") === evType)
+        .join(prev.select("user_id", prevCol), "user_id")
+        .filter(col("tus") > col(prevCol))
+        .groupBy("user_id").agg(min(col("tus")).as(outCol))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("tus")).as("t_view"))
+    val s2 = firstAfter("click", s1, "t_view", "t_click")
+    val s3 = firstAfter("purchase", s2, "t_click", "t_purchase")
+    ev.select("user_id").distinct()
+      .join(s1, Seq("user_id"), "left")
+      .join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .withColumn("depth",
+        when(col("t_purchase").isNotNull, 3)
+          .when(col("t_click").isNotNull, 2)
+          .when(col("t_view").isNotNull, 1)
+          .otherwise(0))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Query] = Map(
+    "es_funnel" -> esFunnel _,
     "a19_bool_agg" -> a19BoolAgg _,
     "a21_string_agg" -> a21StringAgg _,
     "w10_first_last" -> w10FirstLast _,
@@ -321,6 +362,26 @@ object Extended {
     "ta_bigrams" -> taBigrams _)
 
   val oracle: Map[String, String] = Map(
+    "es_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus
+        |           FROM events),
+        |s1 AS (SELECT user_id, min(tus) AS t_view FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(tus) AS t_click
+        |       FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND tus > t_view GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(tus) AS t_purchase
+        |       FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND tus > t_click GROUP BY 1)
+        |SELECT u.user_id, s1.t_view, s2.t_click, s3.t_purchase,
+        |  CASE WHEN s3.t_purchase IS NOT NULL THEN 3
+        |       WHEN s2.t_click IS NOT NULL THEN 2
+        |       WHEN s1.t_view IS NOT NULL THEN 1 ELSE 0 END AS depth
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN s1 USING (user_id)
+        |LEFT JOIN s2 USING (user_id)
+        |LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     "a23_histogram" ->
       """SELECT CAST(floor(value / 25) AS BIGINT) AS bin, count(*) AS n,
         |  round(avg(value), 6) AS avg_in_bin

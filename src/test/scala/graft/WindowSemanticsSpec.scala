@@ -97,4 +97,40 @@ class WindowSemanticsSpec extends GraftSuite {
         s"ewma mismatch at row $i of user ${rs(i)._1}")
     }
   }
+
+  test("es_funnel matches a per-user brute-force funnel walk") {
+    val got = SparkEntry.queries("es_funnel")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getInt(4))).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val users = ev.map(_._1).distinct
+    assert(got.keySet == users.toSet)
+    users.foreach { u =>
+      val mine = ev.filter(_._1 == u)
+      def firstAfter(t: String, after: Option[Long]): Option[Long] =
+        after.flatMap { a =>
+          val c = mine.filter(e => e._2 == t && e._3 > a).map(_._3)
+          if (c.isEmpty) None else Some(c.min)
+        }
+      val tv = { val c = mine.filter(_._2 == "view").map(_._3)
+        if (c.isEmpty) None else Some(c.min) }
+      val tc = firstAfter("click", tv)
+      val tp = firstAfter("purchase", tc)
+      val depth = Seq(tv, tc, tp).takeWhile(_.isDefined).length
+      assert(got(u) == ((tv, tc, tp, depth)), s"user $u funnel mismatch")
+    }
+    // non-vacuity: for at least one user the funnel DISCARDED an early
+    // out-of-order event (their first raw purchase precedes their first
+    // qualifying click, so t_purchase > min raw purchase ts) — without
+    // this the "strictly after the previous step" constraint would be
+    // untested by the corpus
+    val ordered = users.exists { u =>
+      val rawP = ev.filter(e => e._1 == u && e._2 == "purchase").map(_._3)
+      rawP.nonEmpty && got(u)._3.exists(_ > rawP.min)
+    }
+    assert(ordered, "no user exercises the after-previous-step constraint")
+  }
 }
