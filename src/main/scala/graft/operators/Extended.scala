@@ -340,7 +340,45 @@ object Extended {
       .orderBy("user_id")
   }
 
+  /** Weekly cohort retention — the other canonical event-sequence
+    * rollup: users cohorted by their first-seen epoch week, and for
+    * each (cohort, week-offset) the count and fraction of the cohort
+    * active that week. Weeks are PURE INT64 epoch arithmetic
+    * (epoch_us div 604800e6) rather than date_trunc('week'): both
+    * engines agree bit-exactly with no Monday-vs-Sunday or timezone
+    * edge. Scale shape: events pre-collapse to distinct (user, week)
+    * pairs FIRST (bounds everything downstream to users × weeks, not
+    * raw events), the cohort table derives from the same collapsed
+    * frame by a per-user min, and the final rollup aggregates a
+    * users×weeks-sized join on the user key. Offset-0 retention is 1.0
+    * by construction (every user is active in their own cohort week) —
+    * a structural invariant the spec pins.
+    */
+  private def esRetention(s: SparkSession, d: String): DataFrame = {
+    val WeekUs = 7L * 86400 * 1000000
+    // `div`, not `/`: Spark's `/` on longs is DOUBLE division, and an
+    // epoch value landing within an ulp of a week boundary could floor
+    // differently than DuckDB's integer `//` (the scaleKey lesson).
+    val uw = Tables.events(s, d)
+      .withColumn("tus", tsUs(col("ts")))
+      .select(col("user_id"),
+        expr(s"CAST(tus div ${WeekUs}L AS BIGINT)").as("wk"))
+      .distinct()
+      .pinned() // cohort derivation and activity join share this frame
+    val cohort = uw.groupBy("user_id").agg(min(col("wk")).as("cohort_week"))
+    val sizes = cohort.groupBy("cohort_week").agg(count(lit(1)).as("n_cohort"))
+    uw.join(cohort, "user_id")
+      .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort_week")
+      .withColumn("retention",
+        r6(col("n_active").cast("double") / col("n_cohort")))
+      .select("cohort_week", "offset", "n_active", "n_cohort", "retention")
+      .orderBy("cohort_week", "offset")
+  }
+
   val queries: Map[String, Query] = Map(
+    "es_retention" -> esRetention _,
     "es_funnel" -> esFunnel _,
     "a19_bool_agg" -> a19BoolAgg _,
     "a21_string_agg" -> a21StringAgg _,
@@ -362,6 +400,18 @@ object Extended {
     "ta_bigrams" -> taBigrams _)
 
   val oracle: Map[String, String] = Map(
+    "es_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 604800000000 AS wk FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_week FROM uw GROUP BY 1),
+        |sz AS (SELECT cohort_week, count(*) AS n_cohort FROM c GROUP BY 1),
+        |a AS (SELECT c.cohort_week, uw.wk - c.cohort_week AS "offset",
+        |         count(*) AS n_active
+        |       FROM uw JOIN c USING (user_id) GROUP BY 1, 2)
+        |SELECT a.cohort_week, a."offset", a.n_active, sz.n_cohort,
+        |  round(CAST(a.n_active AS DOUBLE) / sz.n_cohort, 6) AS retention
+        |FROM a JOIN sz USING (cohort_week)
+        |ORDER BY cohort_week, "offset"""".stripMargin,
     "es_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus
         |           FROM events),

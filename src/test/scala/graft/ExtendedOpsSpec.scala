@@ -533,4 +533,33 @@ class ExtendedOpsSpec extends GraftSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
     assert(rows.toSeq == again.toSeq)
   }
+
+  test("ppl buckets: the sketch threshold path agrees with the exact cut") {
+    // The 100TB form of the tertile cut: when even the hash sample is
+    // billions of rows, the per-lang sort behind the order statistics
+    // gives way to Spark's mergeable Greenwald-Khanna sketch
+    // (approx_percentile — partial+final aggregate, no sort). This pins
+    // with a measurement that the swap preserves the bucketing: sketch
+    // thresholds over the same sample re-bucket ≥ 97% of docs
+    // identically at accuracy 10000.
+    val out = SparkEntry.queries("pp_ppl_buckets")(spark, sf)
+    val sampleBucket = conv(substring(md5(col("doc_id").cast("string")),
+      29, 4), 16, 10).cast("long") % 1000
+    val thr = out.filter(sampleBucket < 300)
+      .groupBy("lang")
+      .agg(percentile_approx(col("score"),
+        array(lit(1.0 / 3), lit(2.0 / 3)), lit(10000)).as("t"))
+      .collect().map(r => r.getString(0) ->
+        (r.getSeq[Double](1).head, r.getSeq[Double](1)(1))).toMap
+    val rows = out.collect()
+      .map(r => (r.getString(1), r.getDouble(2), r.getString(3)))
+    val agree = rows.count { case (lang, score, bucket) =>
+      val (t1, t2) = thr(lang)
+      val sketchBucket =
+        if (score <= t1) "tail" else if (score <= t2) "middle" else "head"
+      sketchBucket == bucket
+    }
+    assert(agree.toDouble / rows.length >= 0.97,
+      s"sketch bucketing agrees on only $agree/${rows.length}")
+  }
 }

@@ -133,4 +133,23 @@ class WindowSemanticsSpec extends GraftSuite {
     }
     assert(ordered, "no user exercises the after-previous-step constraint")
   }
+
+  test("es_retention: offset-0 is total, counts bounded, cohorts partition users") {
+    val rows = SparkEntry.queries("es_retention")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    // offset 0: every user is active in their own cohort week
+    rows.filter(_._2 == 0L).foreach { case (cw, _, act, coh, ret) =>
+      assert(act == coh && ret == 1.0, s"cohort $cw offset-0 not total")
+    }
+    // bounded: active never exceeds the cohort
+    rows.foreach { case (cw, off, act, coh, _) =>
+      assert(act <= coh, s"cohort $cw offset $off active $act > cohort $coh")
+    }
+    // cohorts partition the user population exactly once
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    val cohortTotal = rows.filter(_._2 == 0L).map(_._4).sum
+    assert(cohortTotal == users, s"cohort sizes sum $cohortTotal != $users users")
+  }
 }
