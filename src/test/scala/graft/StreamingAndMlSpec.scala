@@ -553,6 +553,91 @@ class StreamingAndMlSpec extends GraftSuite {
     assert(preds.columns.sorted.toSeq ==
       Seq("event_id", "predicted_rul", "user_id"))
   }
+
+  // Canonicalized events fixture for the funnel stream (encoding-proof:
+  // written from Tables.events output, so the stream's fixed schema
+  // never meets a raw driver encoding).
+  private def funnelFixture(parts: Int): String = {
+    val tmp = Files.createTempDirectory("graft-funnel").toString
+    Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .repartition(parts)
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    s"$tmp/events.parquet"
+  }
+
+  private def funnelFromProgress(name: String)
+      : Map[Long, (Option[Long], Option[Long], Option[Long], Int)] = {
+    val prog = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    prog.groupBy(_._1).view.mapValues { rs =>
+      val byStep = rs.map(r => r._2 -> r._3).toMap
+      (byStep.get(1), byStep.get(2), byStep.get(3), byStep.keys.max)
+    }.toMap
+  }
+
+  private def batchFunnel()
+      : Map[Long, (Option[Long], Option[Long], Option[Long], Int)] =
+    SparkEntry.queries("es_funnel")(spark, sf).collect().map { r =>
+      r.getLong(0) -> (Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getInt(4))
+    }.toMap
+
+  test("streaming funnel: single-batch stream reproduces es_funnel exactly") {
+    streaming.StreamingFunnel.runToMemory(spark, funnelFixture(1),
+      "funnel_single")
+    val streamed = funnelFromProgress("funnel_single")
+    // batch emits every user (depth 0 included); the progress stream
+    // only carries users who advanced at least one step
+    val batch = batchFunnel().filter(_._2._4 > 0)
+    assert(streamed == batch, "single micro-batch must equal the batch op")
+  }
+
+  test("streaming funnel: each step advances at most once per user") {
+    streaming.StreamingFunnel.runToMemory(spark, funnelFixture(6),
+      "funnel_multi", maxFilesPerTrigger = 2)
+    val prog = spark.table("funnel_multi").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // monotone no-retract: at most one progress row per (user, step),
+    // and step times strictly increase along each user's funnel
+    prog.groupBy(r => (r._1, r._2)).foreach { case (k, rs) =>
+      assert(rs.length == 1, s"step emitted twice for $k")
+    }
+    prog.groupBy(_._1).foreach { case (u, rs) =>
+      val byStep = rs.sortBy(_._2).map(_._3).toSeq
+      assert(byStep == byStep.sorted, s"user $u step times not increasing")
+    }
+  }
+
+  test("streaming funnel: out-of-order arrival is prefix-monotone, not batch") {
+    import spark.implicits._
+    // user 7's events arrive as: [view@10, click@50] then LATE click@20.
+    // Online tracking keeps click@50 (no retraction); batch
+    // recomputation over the union would pick click@20. Both are
+    // asserted so the documented divergence is pinned, not papered over.
+    val tmp = Files.createTempDirectory("graft-funnel-ooo").toString
+    def write(name: String, rows: Seq[(Long, Long, Long, String)]): Unit =
+      rows.toDF("event_id", "tus", "user_id", "event_type")
+        .select(col("event_id"), timestamp_micros(col("tus")).as("ts"),
+          col("user_id"), col("event_type"), lit(0.0).as("value"))
+        .coalesce(1).write.mode("append").parquet(s"$tmp/events.parquet")
+    write("b1", Seq((1L, 10L, 7L, "view"), (2L, 50L, 7L, "click")))
+    streaming.StreamingFunnel.runToMemory(spark, s"$tmp/events.parquet",
+      "funnel_ooo_1", maxFilesPerTrigger = 1)
+    write("b2", Seq((3L, 20L, 7L, "click")))
+    streaming.StreamingFunnel.runToMemory(spark, s"$tmp/events.parquet",
+      "funnel_ooo_2", maxFilesPerTrigger = 1)
+    val streamed = funnelFromProgress("funnel_ooo_2")(7L)
+    assert(streamed == ((Some(10L), Some(50L), None, 2)),
+      s"online tracking must keep the first-seen click: $streamed")
+    // batch over the union picks the earlier click
+    val ev = spark.read.parquet(s"$tmp/events.parquet")
+    val batchClick = ev.filter(col("event_type") === "click" &&
+      unix_micros(col("ts")) > 10L)
+      .agg(min(unix_micros(col("ts")))).collect()(0).getLong(0)
+    assert(batchClick == 20L)
+  }
 }
 
 /** A candidate whose fit never returns within any reasonable timeout —
