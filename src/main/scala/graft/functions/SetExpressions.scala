@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftglue.Glue
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 
 /** Intersection size of two SORTED string arrays via a linear merge.
   *
@@ -65,7 +65,63 @@ object SortedIntersectCount {
   }
 }
 
+/** [[SortedIntersectCount]] over sorted-distinct BIGINT arrays — the
+  * digest-set twin (8-byte primitive compares, no UTF8String walk) for
+  * verify stages whose sets are hashed keys rather than raw strings.
+  */
+case class SortedIntersectCountLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_sorted_intersect_count_long"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectCountLong.compute(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SortedIntersectCountLong.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCountLong =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectCountLong {
+  /** Linear merge over sorted-distinct long arrays; called from codegen. */
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
 object SetFunctions {
   def sortedIntersectCount(a: Column, b: Column): Column =
     Glue.column(SortedIntersectCount(Glue.expression(a), Glue.expression(b)))
+
+  def sortedIntersectCountLong(a: Column, b: Column): Column =
+    Glue.column(SortedIntersectCountLong(Glue.expression(a), Glue.expression(b)))
 }

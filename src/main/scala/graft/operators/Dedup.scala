@@ -98,8 +98,20 @@ object Dedup {
     // verification) — materialize once. Spark's CacheManager dedups the
     // identical plan across repeated invocations, so this is the
     // signature-table pattern a production dedup pipeline would persist.
+    // Sets are 8-byte xxhash64 digests end to end, never strings: the
+    // pinned postings and per-pair verify arrays are this operator's
+    // whole footprint, and the string form measured 3-8× slower under
+    // shared-cache pressure (the containment finding — eviction +
+    // recompute of ~25-byte-key frames). The prefix filter only needs
+    // one consistent global order ((f, gh) is one); a collision can
+    // only merge keys, keeping the candidate set a superset; the
+    // digest-set jaccard equals the string-set value to 64-bit
+    // collision probability, and the ORACLE ranks and verifies raw
+    // strings, so the differential check would expose a colliding
+    // count (same contract as CorpusOps.gramDigests).
     val docs = Tables.documents(s, d)
-      .select(col("doc_id"), array_sort(shingles(col("text"), 3)).as("sh"))
+      .select(col("doc_id"), array_sort(array_distinct(
+        transform(shingles(col("text"), 3), x => xxhash64(x)))).as("sh"))
       .filter(size(col("sh")) > 0)
       .pinned()
     val ex = docs.select(col("doc_id"), size(col("sh")).as("n"),
@@ -132,8 +144,8 @@ object Dedup {
       .distinct()
     val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
     val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
-    // Codegen'd merge-intersect over the (sorted) shingle sets.
-    val inter = graft.functions.SetFunctions.sortedIntersectCount(
+    // Codegen'd merge-intersect over the (sorted) digest sets.
+    val inter = graft.functions.SetFunctions.sortedIntersectCountLong(
       col("sha"), col("shb"))
     cand.join(a, "doc_a").join(b, "doc_b")
       .withColumn("jaccard", r6(inter.cast("double") /
@@ -795,22 +807,37 @@ object Dedup {
     * synthetic corpus happens to contain.
     */
   private[graft] def containmentOf(documents: DataFrame): DataFrame = {
+    // Shingles live as 8-byte xxhash64 digest SETS end to end, never
+    // strings (the decontaminate-gram lesson): both the corpus-sized
+    // postings index and the per-pair verify arrays are what this
+    // operator pins and shuffles, and the string form measured 3×
+    // slower under the full ScaleSmoke's cache pressure (112s vs 36s
+    // isolated — eviction + window recompute of the string postings).
+    // Correctness: the prefix filter only needs ONE consistent global
+    // order — (f, gh) is one — and a digest collision can only MERGE
+    // keys, so key-set overlap ≥ string overlap and every true pair
+    // still surfaces; the verify intersect runs on the digest sets,
+    // exact to 64-bit collision probability, and the ORACLE ranks and
+    // verifies raw strings over the same corpus, so the differential
+    // check would expose a colliding count (same contract as
+    // CorpusOps.gramDigests).
     val docs = documents
-      .select(col("doc_id"), array_sort(shingles(col("text"), 3)).as("sh"))
+      .select(col("doc_id"), array_sort(array_distinct(
+        transform(shingles(col("text"), 3), s => xxhash64(s)))).as("sh"))
       .filter(size(col("sh")) > 0)
       .pinned()
     val ex = docs.select(col("doc_id"), size(col("sh")).as("n"),
-      explode(col("sh")).as("s"))
-    val freq = ex.groupBy("s").agg(count(lit(1)).as("f"))
+      explode(col("sh")).as("gh"))
+    val freq = ex.groupBy("gh").agg(count(lit(1)).as("f"))
     // Probe prefix AND full index both read this ranked frame — pin it
     // so the rank window runs once.
-    val ranked = ex.join(broadcast(freq), "s")
+    val ranked = ex.join(broadcast(freq), "gh")
       .withColumn("rnk", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("f"), col("s"))))
+        Window.partitionBy("doc_id").orderBy(col("f"), col("gh"))))
       .pinned()
     val probe = ranked.filter(col("rnk") <=
       (col("n") - ceil(lit(ContainTau) * col("n")) + 1).cast("int"))
-    val cand = probe.as("x").join(ranked.as("y"), Seq("s"))
+    val cand = probe.as("x").join(ranked.as("y"), Seq("gh"))
       .filter(col("x.doc_id") =!= col("y.doc_id") &&
         col("y.n") >= ceil(lit(ContainTau) * col("x.n")) &&
         least(col("x.n") - col("x.rnk"), col("y.n") - col("y.rnk")) + 1 >=
@@ -819,7 +846,7 @@ object Dedup {
       .distinct()
     val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
     val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
-    val inter = graft.functions.SetFunctions.sortedIntersectCount(
+    val inter = graft.functions.SetFunctions.sortedIntersectCountLong(
       col("sha"), col("shb"))
     cand.join(a, "doc_a").join(b, "doc_b")
       .withColumn("containment",
