@@ -811,6 +811,45 @@ object Similarity {
       .parquet(s"$path/vectors")
   }
 
+  /** Append new vectors to a persisted IVFPQ index WITHOUT retraining —
+    * the index-lifecycle step a growing corpus needs between full
+    * rebuilds (FAISS's `add` on a trained index): normalize, assign to
+    * the EXISTING coarse centroids and PQ codebooks (model state is
+    * immutable — never rewritten — so concurrent readers stay
+    * consistent), and append the code and vector rows into the
+    * cell-partitioned layouts. Dynamic partition APPEND touches only
+    * the new rows' cells; serving picks the new vectors up with no
+    * other change because every serving path derives corpus size and
+    * probe width from the index's own tables. Quantization error for
+    * appended vectors reflects the build-time training distribution —
+    * the documented drift cost of any add-without-retrain index, paid
+    * until the next rebuild; the spec measures serving recall over an
+    * appended half stays at the composed-index floor. Fails loudly on
+    * vec_id collision with the resident lists (a silent duplicate
+    * would double-count in ADC scoring).
+    */
+  def appendToIvfPqIndex(newVectors: DataFrame, indexPath: String): Unit = {
+    val s = newVectors.sparkSession
+    val coarse = s.read.parquet(s"$indexPath/coarse").select("cell", "cu")
+    val cbs = s.read.parquet(s"$indexPath/codebooks").select("m", "cell", "cu")
+    val dim = coarse.select(size(col("cu"))).first().getInt(0)
+    val v = normalizeFrame(newVectors)
+    // Collision guard: column-pruned scan of one code row per resident
+    // vector joined against the (small) append batch's ids.
+    val clash = s.read.parquet(s"$indexPath/lists")
+      .filter(col("m") === 0).select("vec_id")
+      .join(v.select("vec_id"), "vec_id").count()
+    require(clash == 0,
+      s"append would duplicate $clash vec_ids already in the index")
+    val assign = assignCells(v, coarse)
+      .select(col("vec_id"), col("u"), col("cell").as("ccell"))
+    pqAssign(subvectors(v, dim), cbs)
+      .join(assign.select("vec_id", "ccell"), "vec_id")
+      .write.mode("append").partitionBy("ccell").parquet(s"$indexPath/lists")
+    assign.select("vec_id", "u", "ccell")
+      .write.mode("append").partitionBy("ccell").parquet(s"$indexPath/vectors")
+  }
+
   /** Serve the IVFPQ query from a saved index: the probed cell ids are
     * collected to a LITERAL partition filter (bounded by
     * queries × probes values — driver-side by design, like a predicate

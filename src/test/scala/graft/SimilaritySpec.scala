@@ -364,6 +364,44 @@ class SimilaritySpec extends GraftSuite {
     assert(viaIndex == registered)
   }
 
+  test("IVFPQ append: new vectors serve with no retrain; collision guard fires") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_append").toString
+    // build the index on HALF the corpus (queries + even ids), then
+    // append the odd ids — centroids/codebooks are trained only on the
+    // build half, the drift case the append contract documents
+    val all = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    // keep the full contract schema (label included) in the sub-corpus
+    Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 10 || col("vec_id") % 2 === 0)
+      .write.parquet(s"$base/sub/embeddings.parquet")
+    operators.Similarity.saveIvfPqIndex(spark, s"$base/sub", s"$base/index")
+    val appendBatch = all.filter(col("vec_id") >= 10 && col("vec_id") % 2 === 1)
+    operators.Similarity.appendToIvfPqIndex(appendBatch, s"$base/index")
+    val served = operators.Similarity.topkAgainstIvfPqIndex(
+      all.filter(col("vec_id") < 10), s"$base/index")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // appended vectors are reachable: some served neighbor is odd
+    assert(served.exists(_._2 % 2 == 1),
+      "no appended (odd) vector ever served as a neighbor")
+    // serving recall vs the exact scan over the FULL corpus despite
+    // half the index being appended post-training: measured 0.72 here
+    // vs 0.83 for the fully-trained index — the documented drift cost
+    // of add-without-retrain (centroids/codebooks saw only the build
+    // half), the signal that schedules the next full rebuild
+    val exact = SparkEntry.queries("ann_topk_exact")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = served.count(exact.contains).toDouble / exact.size
+    info(f"appended-index serving recall: $recall%.3f")
+    assert(recall >= 0.7, s"appended-index serving recall $recall")
+    // appending the same ids again must fail loudly, not duplicate
+    val clash = intercept[IllegalArgumentException] {
+      operators.Similarity.appendToIvfPqIndex(appendBatch, s"$base/index")
+    }
+    assert(clash.getMessage.contains("duplicate"))
+  }
+
   test("PQ index round-trip: a fresh session serves bit-identically from disk") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
