@@ -1078,6 +1078,25 @@ object Similarity {
   def annTopkLshFrom(s: SparkSession, indexPath: String): DataFrame =
     lshSearch(s.read.parquet(indexPath))
 
+  /** Append new vectors to a persisted LSH index. Unlike the IVFPQ
+    * append there is NO trained state and therefore NO drift: the
+    * hyperplanes are deterministic md5-derived constants, so an
+    * appended index is BIT-IDENTICAL to a from-scratch rebuild over
+    * the union (spec-asserted) — append is the only maintenance this
+    * index family ever needs. Same loud vec_id-collision guard as the
+    * IVFPQ append.
+    */
+  def appendToLshIndex(newVectors: DataFrame, path: String): Unit = {
+    val s = newVectors.sparkSession
+    val v = normalizeFrame(newVectors)
+    val dim = v.select(size(col("u"))).first().getInt(0)
+    val clash = s.read.parquet(path).select("vec_id")
+      .join(v.select("vec_id"), "vec_id").count()
+    require(clash == 0,
+      s"append would duplicate $clash vec_ids already in the index")
+    signFrame(v, dim).write.mode("append").parquet(path)
+  }
+
   private def trainCentroids(s: SparkSession, d: String,
       cells: Int, iters: Int): Seq[(Long, Seq[Double])] = {
     import s.implicits._

@@ -402,6 +402,32 @@ class SimilaritySpec extends GraftSuite {
     assert(clash.getMessage.contains("duplicate"))
   }
 
+  test("LSH append: appended index is bit-identical to a rebuild over the union") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_lsh_append").toString
+    Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 10 || col("vec_id") % 2 === 0)
+      .write.parquet(s"$base/sub/embeddings.parquet")
+    operators.Similarity.saveLshIndex(spark, s"$base/sub", s"$base/index")
+    val appendBatch = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+      .filter(col("vec_id") >= 10 && col("vec_id") % 2 === 1)
+    operators.Similarity.appendToLshIndex(appendBatch, s"$base/index")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    // no trained state → appended serving equals the full-corpus build
+    val appended = rows(
+      operators.Similarity.annTopkLshFrom(spark, s"$base/index"))
+    val rebuilt = rows(SparkEntry.queries("ann_topk_lsh")(spark, sf))
+    assert(appended.nonEmpty && appended == rebuilt)
+    val clash = intercept[IllegalArgumentException] {
+      operators.Similarity.appendToLshIndex(appendBatch, s"$base/index")
+    }
+    assert(clash.getMessage.contains("duplicate"))
+  }
+
   test("PQ index round-trip: a fresh session serves bit-identically from disk") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
