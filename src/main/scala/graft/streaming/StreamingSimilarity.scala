@@ -79,4 +79,34 @@ object StreamingSimilarity {
     q.processAllAvailable()
     q.stop()
   }
+
+  /** ONLINE INDEX MAINTENANCE: drive a (vec_id, embedding) parquet-drop
+    * stream of NEW corpus vectors into a persisted LSH index — each
+    * micro-batch appends through
+    * [[graft.operators.Similarity.appendToLshIndex]], so a query served
+    * after batch N sees every vector ingested through batch N. The LSH
+    * family is the right target for online maintenance because its
+    * append is DRIFT-FREE (deterministic hyperplanes, no trained
+    * state): the index after any number of micro-batches is
+    * bit-identical to a from-scratch rebuild, which the spec asserts.
+    * The collision guard doubles as replay protection: re-delivery of
+    * an already-appended batch fails loudly rather than silently
+    * double-indexing (at-least-once file sources + idempotence by
+    * refusal, mirroring the quota twin's honest-contract style).
+    */
+  def appendStreamToLshIndex(spark: SparkSession, srcDir: String,
+      indexPath: String, maxFilesPerTrigger: Int = 0): Unit = {
+    val reader = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+    val src = (if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader)
+      .parquet(srcDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Similarity.appendToLshIndex(batch, indexPath)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
 }

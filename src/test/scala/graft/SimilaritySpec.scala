@@ -428,6 +428,29 @@ class SimilaritySpec extends GraftSuite {
     assert(clash.getMessage.contains("duplicate"))
   }
 
+  test("streaming LSH index maintenance: micro-batch appends equal a rebuild") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_lsh_stream_append").toString
+    Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 10 || col("vec_id") % 2 === 0)
+      .write.parquet(s"$base/sub/embeddings.parquet")
+    operators.Similarity.saveLshIndex(spark, s"$base/sub", s"$base/index")
+    // the odd half arrives as a 3-file stream → 3 append micro-batches
+    Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .filter(col("vec_id") >= 10 && col("vec_id") % 2 === 1)
+      .repartition(3).write.parquet(s"$base/src")
+    streaming.StreamingSimilarity.appendStreamToLshIndex(spark,
+      s"$base/src", s"$base/index", maxFilesPerTrigger = 1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val maintained = rows(
+      operators.Similarity.annTopkLshFrom(spark, s"$base/index"))
+    val rebuilt = rows(SparkEntry.queries("ann_topk_lsh")(spark, sf))
+    assert(maintained.nonEmpty && maintained == rebuilt)
+  }
+
   test("PQ index round-trip: a fresh session serves bit-identically from disk") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
