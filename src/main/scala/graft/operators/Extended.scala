@@ -215,15 +215,22 @@ object Extended {
     */
   private def w17Ewma(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id")
-      .orderBy(tsUs(col("ts")), col("event_id")).rowsBetween(-19, 0)
-    val arr = collect_list(col("value")).over(w) // frame order: oldest first
-    val n = size(arr)
-    // weight of the i-th (1-based) frame element: 0.8^(n-i) — newest 1
-    val weights = transform(sequence(lit(1), n),
-      i => pow(lit(0.8), (n - i).cast("double")))
-    val num = aggregate(zip_with(arr, weights, (x, wt) => x * wt),
-      lit(0.0), (a, x) => a + x)
-    val den = aggregate(weights, lit(0.0), (a, x) => a + x)
+      .orderBy(tsUs(col("ts")), col("event_id"))
+    // 20 explicit lag terms instead of a collect_list frame + per-row
+    // higher-order fold: all lags compute in ONE window pass with no
+    // per-row array allocation (the fold form was a top-5 bench cost at
+    // 3.1s; this reads 1.3s). A lag beyond the partition prefix is null
+    // → its term drops from numerator and denominator, reproducing the
+    // partial-window weights exactly. Terms sum OLDEST FIRST (k=19…0),
+    // the same order the fold accumulated, so the float sum is
+    // bit-identical to the previous form and the oracle.
+    val terms = (19 to 0 by -1).map { k =>
+      val x = lag(col("value"), k).over(w)
+      (coalesce(x * lit(math.pow(0.8, k)), lit(0.0)),
+        when(x.isNotNull, lit(math.pow(0.8, k))).otherwise(lit(0.0)))
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
     Tables.events(s, d)
       .select(col("event_id"), r6(num / den).as("ewma20"))
       .orderBy("event_id")
