@@ -174,16 +174,26 @@ object ScaleSmoke {
         full(operators.Skew.saltedSum(skewed, Seq("hk"), "value"))
       })
 
-    // Dedup stress: replicate documents 10x with unique ids — every text
-    // becomes a 10-doc duplicate cluster, the worst (pair-heavy) shape a
-    // dup-laden corpus produces. Uses a scratch table dir; the dedup
-    // operators read it through the same code paths as the sf tables.
-    val docScratch = s"$scratch-docs"
+    // Dedup stress: replicate documents `docsFactor`× (default 10) with
+    // unique ids — every text becomes a duplicate cluster of that size,
+    // the worst (pair-heavy) shape a dup-laden corpus produces; the
+    // verified-pair count grows QUADRATICALLY in the clone count by
+    // construction, so cross-factor wall-clock comparisons must be read
+    // against the output size, not the row count. Uses a scratch table
+    // dir keyed by the factor; the dedup operators read it through the
+    // same code paths as the sf tables. GRAFT_SMOKE_DOCS_FACTOR turns
+    // the knob for growth-curve probes (stage names keep the _10x
+    // suffix — the factor is recorded in the JSON line).
+    val docsFactor = sys.env.get("GRAFT_SMOKE_DOCS_FACTOR")
+      .map(_.toInt).getOrElse(10)
+    val docScratch =
+      if (docsFactor == 10) s"$scratch-docs"
+      else s"$scratch-docs$docsFactor"
     if (!new java.io.File(docScratch).exists()) {
       val docs = Tables.documents(spark, src)
       val n = docs.count()
-      docs.crossJoin(spark.range(0, 10).select(col("id").as("rep")))
-        .select((col("doc_id") + col("rep") * n * 10L).as("doc_id"),
+      docs.crossJoin(spark.range(0, docsFactor).select(col("id").as("rep")))
+        .select((col("doc_id") + col("rep") * n * docsFactor).as("doc_id"),
           col("text"), col("lang"), col("source"), col("n_chars"))
         .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(s"$docScratch/documents.parquet")
@@ -510,7 +520,7 @@ object ScaleSmoke {
     val recallJson = recall10x.map { case (k, v) =>
       s""""$k":${"%.3f".formatLocal(java.util.Locale.ROOT, v)}""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"scale_smoke","rows":$rows,"factor":$factor,"queries":$qs,"dedup_pairs":$pairCounts,"recall_10x":$recallJson}""")
+    println(s"""{"metric":"scale_smoke","rows":$rows,"factor":$factor,"docs_factor":$docsFactor,"queries":$qs,"dedup_pairs":$pairCounts,"recall_10x":$recallJson}""")
     spark.stop()
   }
 }
