@@ -1320,7 +1320,47 @@ object Similarity {
     breeze.linalg.eigSym(c).eigenvalues.toArray.toSeq.sorted.reverse
   }
 
+  /** Embedding outlier screen — the label-noise pass a curation
+    * pipeline runs over an annotated embedding corpus: cosine of every
+    * normalized vector to ITS OWN label centroid; a vector not even
+    * positively aligned (cos < 0) is flagged. Scale shape: one
+    * posexplode, the centroid table is labels × dim rows (model-sized →
+    * broadcast), the per-vector dot product aggregates map-side on
+    * vec_id, and the per-label centroid norm is a broadcast scalar.
+    * Both the centroid means and the dot products accumulate in
+    * DECIMAL(38,18) so the doubles are order-independent and the
+    * cos < 0 flag cannot flip between engines (this corpus's weakly
+    * clustered geometry puts cos-to-centroid in [-0.24, 0.46] — the
+    * flag bites a real fraction).
+    */
+  private def simOutliers(s: SparkSession, d: String): DataFrame = {
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm",
+        sqrt(aggregate(col("e"), lit(0.0), (a, x) => a + x * x)))
+      .select(col("vec_id"), col("label"),
+        posexplode(transform(col("e"), x => x / col("nrm")))
+          .as(Seq("pos", "x")))
+    def dsum18(c: org.apache.spark.sql.Column) =
+      sum(c.cast(org.apache.spark.sql.types.DecimalType(38, 18)))
+        .cast("double")
+    val cent = v.groupBy("label", "pos")
+      .agg((dsum18(col("x")) / count(lit(1))).as("c"))
+    val cnorm = cent.groupBy("label")
+      .agg(sqrt(dsum18(col("c") * col("c"))).as("cn"))
+    v.join(broadcast(cent), Seq("label", "pos"))
+      .groupBy("vec_id", "label")
+      .agg(dsum18(col("x") * col("c")).as("dp"))
+      .join(broadcast(cnorm), "label")
+      .select(col("vec_id"), col("label"),
+        r6(col("dp") / col("cn")).as("cos_centroid"),
+        (col("dp") < 0).as("is_outlier"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Query] = Map(
+    "sim_outliers" -> (simOutliers _),
     "sim_dim_stats" -> (dimStats _),
     "sim_centroids" -> (centroids _),
     "sim_knn_self" -> (knnSelf _),
@@ -1334,6 +1374,27 @@ object Similarity {
 
   /** ann_topk_lsh is approximate by construction → rows-only check. */
   val oracle: Map[String, String] = Map(
+    "sim_outliers" ->
+      """WITH v AS (SELECT vec_id, label,
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> x /
+        |      sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |        y -> y * y)))) AS u
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, label,
+        |  unnest(range(1, len(u) + 1)) AS pos, unnest(u) AS x FROM v),
+        |c AS (SELECT label, pos,
+        |  CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS c
+        |  FROM e GROUP BY 1, 2),
+        |cn AS (SELECT label,
+        |  sqrt(CAST(sum(CAST(c * c AS DECIMAL(38,18))) AS DOUBLE)) AS cn
+        |  FROM c GROUP BY 1),
+        |s AS (SELECT e.vec_id, e.label,
+        |  CAST(sum(CAST(e.x * c.c AS DECIMAL(38,18))) AS DOUBLE) AS dp
+        |  FROM e JOIN c USING (label, pos) GROUP BY 1, 2)
+        |SELECT s.vec_id, s.label, round(dp / cn, 6) AS cos_centroid,
+        |  dp < 0 AS is_outlier
+        |FROM s JOIN cn USING (label)
+        |ORDER BY vec_id""".stripMargin,
     "sim_dim_stats" ->
       """WITH v AS (SELECT vec_id,
         |    list_transform(CAST(embedding AS DOUBLE[]), x -> x /

@@ -451,6 +451,21 @@ class SimilaritySpec extends GraftSuite {
     assert(maintained.nonEmpty && maintained == rebuilt)
   }
 
+  test("sim_outliers: flag matches the sign, every vector scored once, outliers exist") {
+    val rows = SparkEntry.queries("sim_outliers")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.length == Tables.embeddings(spark, sf).count())
+    assert(rows.map(_._1).distinct.length == rows.length)
+    // the flag is the sign of the UNROUNDED dot product; r6 rounding
+    // can pull a tiny negative to 0.0, so assert consistency only
+    // outside the rounding band
+    rows.filter(r => math.abs(r._3) > 1e-6).foreach { case (id, _, c, o) =>
+      assert(o == (c < 0), s"vec $id flag/sign mismatch: cos=$c flag=$o")
+    }
+    val frac = rows.count(_._4).toDouble / rows.length
+    assert(frac > 0.01 && frac < 0.6, s"outlier fraction $frac implausible")
+  }
+
   test("PQ index round-trip: a fresh session serves bit-identically from disk") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
