@@ -445,7 +445,16 @@ object ScaleSmoke {
         (System.nanoTime() - t0) / 1e9, p.size.toLong))
       p
     }
-    val recall10x = if (!want("ann_recall_10x")) Seq.empty else {
+    // Selectable both by the block name AND by the stage names it
+    // emits (ann_topk_*_pairs_10x, dd_*_pairs_10x) — a dev re-running a
+    // stage by the name recorded in a previous artifact must not get a
+    // silent no-op.
+    val recallWanted = Seq("ann_recall_10x",
+      "ann_topk_exact_pairs_10x", "ann_topk_lsh_pairs_10x",
+      "ann_topk_ivf_pairs_10x", "ann_topk_pq_pairs_10x",
+      "ann_topk_ivfpq_pairs_10x", "dd_cosine_neardup_pairs_10x",
+      "dd_semantic_pairs_10x").exists(want)
+    val recall10x = if (!recallWanted) Seq.empty else {
       val exactAnn = timedPairs("ann_topk_exact")
       Seq("ann_topk_lsh", "ann_topk_ivf", "ann_topk_pq",
         "ann_topk_ivfpq")

@@ -276,7 +276,14 @@ object Similarity {
 
   private[graft] def cellsFor(n: Long, target: Int, floor: Int): Int = {
     val raw = math.max(1.0, n.toDouble / target)
-    val p = math.round(math.log(raw) / math.log(2.0)).toInt
+    // Clamp the exponent BEFORE shifting: at n/target ≥ 2^31 (a ~34B-
+    // vector corpus — inside the design envelope) `1 << p` would
+    // overflow Int to the FLOOR instead of the cap, silently inverting
+    // the cells-∝-N rule. MaxCells is a power of two, so capping p at
+    // its log2 is exact.
+    val pCap = java.lang.Integer.numberOfTrailingZeros(MaxCells)
+    val p = math.min(pCap.toLong,
+      math.round(math.log(raw) / math.log(2.0))).toInt
     math.min(MaxCells, math.max(floor, 1 << math.max(0, p)))
   }
 
@@ -834,6 +841,15 @@ object Similarity {
     val cbs = s.read.parquet(s"$indexPath/codebooks").select("m", "cell", "cu")
     val dim = coarse.select(size(col("cu"))).first().getInt(0)
     val v = normalizeFrame(newVectors)
+    // Same guards as the LSH append: empty micro-batches no-op, and a
+    // batch whose dimension differs from the index's fails loudly
+    // (zip_with over mismatched arrays would silently mis-assign).
+    val stats = v.agg(count(lit(1)).as("n"),
+      min(size(col("u"))).as("lo"), max(size(col("u"))).as("hi")).first()
+    if (stats.getLong(0) == 0) return
+    require(stats.getInt(1) == dim && stats.getInt(2) == dim,
+      s"append batch dimension ${stats.getInt(1)}..${stats.getInt(2)} " +
+        s"does not match index dimension $dim")
     // Collision guard: column-pruned scan of one code row per resident
     // vector joined against the (small) append batch's ids.
     val clash = s.read.parquet(s"$indexPath/lists")
@@ -868,11 +884,18 @@ object Similarity {
     // a per-call pin would grow the cache registry for the life of the
     // context (each batch's plan is distinct). Recomputing it for the
     // probed-cell collect + candidate join is cheaper than retaining it.
-    // Probe breadth derives from the INDEX's own cell count (what was
-    // trained may differ from what today's corpus would derive), so a
-    // loaded index serves at the same scan fraction it was built for.
+    // Probe breadth AND corpus size derive from the INDEX's own tables
+    // (cell count from coarse, N from the vectors layout's row-count
+    // metadata — no data scan), so a loaded index serves at its
+    // build-time scan fraction and, after appendToIvfPqIndex, sizes
+    // probes and the rerank budget from the index's TRUE size rather
+    // than whatever the original corpus dir holds (deriving from the
+    // dir would silently halve the shortlist after appending a second
+    // corpus half — the append contract says the index is
+    // self-describing).
+    val indexN = s.read.parquet(s"$indexPath/vectors").count()
     val qcells = queryProbeCells(s, d, coarse,
-      ivfPqProbes(coarse.count().toInt, corpusCount(s, d)))
+      ivfPqProbes(coarse.count().toInt, indexN))
     val probed = qcells.select("ccell").distinct()
       .collect().map(_.getLong(0)).toSeq
     val lists = s.read.parquet(s"$indexPath/lists")
@@ -883,7 +906,9 @@ object Similarity {
       .join(broadcast(qcells), Seq("ccell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
-    pqSearch(s, d, cbs, lists.select("vec_id", "m", "cell"), Some(cand))
+    pqSearch(s, d, cbs, lists.select("vec_id", "m", "cell"), Some(cand),
+      rerankN = Some(math.max(PqRerankMin.toLong,
+        math.ceil(indexN * PqRerankFrac).toLong)))
   }
 
   /** Top-k for an EXTERNAL query batch against a persisted IVFPQ index
@@ -1089,8 +1114,23 @@ object Similarity {
   def appendToLshIndex(newVectors: DataFrame, path: String): Unit = {
     val s = newVectors.sparkSession
     val v = normalizeFrame(newVectors)
-    val dim = v.select(size(col("u"))).first().getInt(0)
-    val clash = s.read.parquet(path).select("vec_id")
+    val idx = s.read.parquet(path)
+    // Dimension comes from the INDEX (like the IVFPQ append reads its
+    // coarse table), never from the batch: plane length must match the
+    // resident signatures, and a mismatched batch must fail loudly —
+    // zip_with over different-length arrays would silently compute
+    // inconsistent signatures. The index is never empty (save writes
+    // the full corpus), so first() here is total.
+    val dim = idx.select(size(col("u"))).first().getInt(0)
+    val stats = v.agg(count(lit(1)).as("n"),
+      min(size(col("u"))).as("lo"), max(size(col("u"))).as("hi")).first()
+    // Empty micro-batch (a trigger with no new files): no-op, not a
+    // crash — the maintenance stream must survive idle triggers.
+    if (stats.getLong(0) == 0) return
+    require(stats.getInt(1) == dim && stats.getInt(2) == dim,
+      s"append batch dimension ${stats.getInt(1)}..${stats.getInt(2)} " +
+        s"does not match index dimension $dim")
+    val clash = idx.select("vec_id")
       .join(v.select("vec_id"), "vec_id").count()
     require(clash == 0,
       s"append would duplicate $clash vec_ids already in the index")
@@ -1306,13 +1346,20 @@ object Similarity {
     val nRows = corpusCount(s, d).toDouble
     val v = normalized(s, d)
     val ex = v.select(col("vec_id"), posexplode(col("u")).as(Seq("i", "xi")))
+    // DECIMAL(38,18), not dsum's (38,6): component products of unit
+    // vectors are ~1/dim ≈ 0.015, where a 6-decimal accumulator
+    // quantizes the TERMS themselves (the dimStats lesson) — 18
+    // decimals keeps the Gram sums exact at these magnitudes.
+    def d18(c: org.apache.spark.sql.Column) =
+      sum(c.cast(org.apache.spark.sql.types.DecimalType(38, 18)))
+        .cast("double")
     val gram = ex.join(
         ex.select(col("vec_id"), col("i").as("j"), col("xi").as("xj")),
         "vec_id")
       .groupBy("i", "j")
-      .agg(dsum(col("xi") * col("xj")).as("sxx"))
+      .agg(d18(col("xi") * col("xj")).as("sxx"))
       .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
-    val mu = ex.groupBy("i").agg(dsum(col("xi")).as("sx"))
+    val mu = ex.groupBy("i").agg(d18(col("xi")).as("sx"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1) / nRows).toMap
     val c = breeze.linalg.DenseMatrix.tabulate(dim, dim) { (i, j) =>
       gram((i, j)) / nRows - mu(i) * mu(j)

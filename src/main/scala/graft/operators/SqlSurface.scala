@@ -10,11 +10,29 @@ import org.apache.spark.sql.functions._
   */
 object SqlSurface {
 
-  /** Register the sf tables as temp views (idempotent). */
-  def registerViews(s: SparkSession, d: String): Unit =
-    Tables.names.foreach { n =>
-      Tables(s, d, n).createOrReplaceTempView(n)
+  /** Register the sf tables as temp views (idempotent) and return the
+    * session the SQL must run on. A temp view lands in the catalog of
+    * the DataFrame's OWN session, and a nanos-encoded events file binds
+    * its frame to `Tables`' internal cloned session — registering it
+    * from the caller and running `s.sql` there would throw
+    * TABLE_OR_VIEW_NOT_FOUND. So: take the events frame AS DISPATCHED
+    * (never re-read through the clone, whose pre-set conf would
+    * misclassify the encoding), bind every other view to that frame's
+    * session, and hand that session back for the query. For the
+    * micros/NTZ encodings the returned session IS the caller's — no
+    * behavior change; other tables' schemas are contract-asserted, so
+    * a hypothetical nanos column in them still fails loudly under the
+    * clone's conf.
+    */
+  def registerViews(s: SparkSession, d: String): SparkSession = {
+    val ev = Tables(s, d, "events")
+    val exec = ev.sparkSession
+    ev.createOrReplaceTempView("events")
+    Tables.names.filterNot(_ == "events").foreach { n =>
+      Tables(exec, d, n).createOrReplaceTempView(n)
     }
+    exec
+  }
 
   /** The dbt fct_cycles_features model shape
     * (turbine_etl_dbt/models/fct_cycles_features.sql:10-50) as literal
@@ -23,8 +41,8 @@ object SqlSurface {
     * both entry points share semantics (and one WindowExec plan).
     */
   private def dbtFeatures(s: SparkSession, d: String): DataFrame = {
-    registerViews(s, d)
-    s.sql(
+    val exec = registerViews(s, d)
+    exec.sql(
       """SELECT user_id, event_id,
         |  round(max(value) OVER (PARTITION BY user_id) - value, 6) AS rul,
         |  round(avg(value) OVER (PARTITION BY user_id
@@ -76,8 +94,8 @@ object SqlSurface {
     * Catalyst plans one Expand + single aggregate for all three sets.
     */
   private def groupingSets(s: SparkSession, d: String): DataFrame = {
-    registerViews(s, d)
-    s.sql(
+    val exec = registerViews(s, d)
+    exec.sql(
       """SELECT event_type, user_id % 10 AS cohort,
         |  CAST(grouping(event_type) AS INT) AS g_type,
         |  CAST(grouping(user_id % 10) AS INT) AS g_cohort,
@@ -95,8 +113,8 @@ object SqlSurface {
     * becomes a per-row loop.
     */
   private def existsSubquery(s: SparkSession, d: String): DataFrame = {
-    registerViews(s, d)
-    s.sql(
+    val exec = registerViews(s, d)
+    exec.sql(
       """SELECT o_orderkey, round(o_totalprice, 6) AS o_totalprice
         |FROM orders o
         |WHERE EXISTS (SELECT 1 FROM lineitem l
@@ -110,8 +128,8 @@ object SqlSurface {
     * rows via stack — the Expand operator, one pass, no shuffle.
     */
   private def unpivot(s: SparkSession, d: String): DataFrame = {
-    registerViews(s, d)
-    s.sql(
+    val exec = registerViews(s, d)
+    exec.sql(
       """SELECT l_orderkey, l_linenumber, metric, round(value, 6) AS value
         |FROM (SELECT l_orderkey, l_linenumber,
         |        stack(3, 'quantity', l_quantity,
@@ -125,8 +143,8 @@ object SqlSurface {
     * (the SQL-standard form of the conditional-aggregate pivot shape).
     */
   private def filterAgg(s: SparkSession, d: String): DataFrame = {
-    registerViews(s, d)
-    s.sql(
+    val exec = registerViews(s, d)
+    exec.sql(
       """SELECT event_type,
         |  count(*) AS n,
         |  count(*) FILTER (WHERE value < 30) AS n_low,
@@ -140,8 +158,8 @@ object SqlSurface {
     * rank over a single join, not a per-row re-execution.
     */
   private def lateralTopk(s: SparkSession, d: String): DataFrame = {
-    registerViews(s, d)
-    s.sql(
+    val exec = registerViews(s, d)
+    exec.sql(
       """SELECT u.user_id, s.event_id, s.value
         |FROM (SELECT DISTINCT user_id FROM events) u,
         |LATERAL (SELECT event_id, round(value, 6) AS value FROM events e
@@ -156,8 +174,8 @@ object SqlSurface {
     * Spark's default recursion level limit of 100.
     */
   private def dateSpine(s: SparkSession, d: String): DataFrame = {
-    registerViews(s, d)
-    s.sql(
+    val exec = registerViews(s, d)
+    exec.sql(
       """WITH RECURSIVE m(mo) AS (
         |  SELECT DATE '1995-01-01'
         |  UNION ALL SELECT add_months(mo, 1) FROM m

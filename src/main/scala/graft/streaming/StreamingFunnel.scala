@@ -10,13 +10,22 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * advanced online as events arrive.
   *
   * Shape: keyBy(user_id) → flatMapGroupsWithState with one
-  * [[StreamingFunnel.FunnelState]] per user (three optional epoch-micro
-  * timestamps — a fixed few dozen bytes per user, regardless of how
-  * many events the user produces; the raw event history is never
-  * buffered). Each step ADVANCES AT MOST ONCE, and every advancement
-  * emits one progress row — so the output stream carries at most three
-  * rows per user ever, and the final funnel row is a trivial rollup of
-  * the progress stream.
+  * [[StreamingFunnel.FunnelState]] per user — three optional
+  * epoch-micro timestamps of CROSS-BATCH state, a fixed few dozen
+  * bytes per user regardless of how many events the user ever
+  * produces. WITHIN one micro-batch, the group's funnel-relevant
+  * events are buffered and time-sorted before the state walk (the
+  * chained thresholds need time order, and a GroupState iterator is
+  * single-pass) — memory there is bounded by the MICRO-BATCH, the
+  * knob `maxFilesPerTrigger`/`maxBytesPerTrigger` already bounds, not
+  * by the user's history; irrelevant event types and users whose
+  * funnel is already complete skip the buffer entirely, so the
+  * post-conversion bot firehose costs nothing. (The batch operator's
+  * collect_list hazard — one task holding a user's UNBOUNDED history —
+  * does not arise.) Each step ADVANCES AT MOST ONCE, and every
+  * advancement emits one progress row — so the output stream carries
+  * at most three rows per user ever, and the final funnel row is a
+  * trivial rollup of the progress stream.
   *
   * Ordering semantics, stated honestly (the same contract family as
   * [[StreamingQuota]]): within a micro-batch events are processed in
@@ -56,10 +65,18 @@ object StreamingFunnel {
         case (user, batch, state: GroupState[FunnelState]) =>
           var st = state.getOption.getOrElse(FunnelState(None, None, None))
           val out = scala.collection.mutable.ArrayBuffer.empty[Progress]
+          // Buffer ONLY what the walk can still use: funnel-relevant
+          // types, and nothing at all once the funnel is complete —
+          // the iterator still drains (required by the contract) but
+          // a converted user's further events are dropped on the fly.
+          val relevant =
+            if (st.tPurchase.isDefined) { batch.foreach(_ => ()); Seq.empty }
+            else batch.filter(e => e.event_type == "view" ||
+              e.event_type == "click" || e.event_type == "purchase").toSeq
           // Event-time order within the batch (event_id tiebreak for
           // determinism; the strict > guards below make ties unable to
           // flip any step decision regardless of tiebreak).
-          batch.toSeq.sortBy(e => (e.tus, e.event_id)).foreach { e =>
+          relevant.sortBy(e => (e.tus, e.event_id)).foreach { e =>
             e.event_type match {
               case "view" if st.tView.isEmpty =>
                 st = st.copy(tView = Some(e.tus))

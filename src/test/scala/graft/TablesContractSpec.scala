@@ -105,6 +105,35 @@ class TablesContractSpec extends GraftSuite {
     assert(us === sampleNs.map(_._2 / 1000))
   }
 
+  test("SQL surface resolves the events view under the nanos encoding") {
+    // Regression guard for the clone-session fix: a nanos events frame
+    // is bound to Tables' internal cloned session, and a temp view
+    // registers in its frame's OWN session — so registerViews must
+    // route the whole SQL-surface query through that session, or
+    // `FROM events` throws TABLE_OR_VIEW_NOT_FOUND. Build two full
+    // table dirs (other tables symlinked from the sf dir) differing
+    // only in the events encoding and assert the SQL query resolves
+    // AND agrees across encodings.
+    def tableDir(writeEvents: String => Unit): String = {
+      val dir = Files.createTempDirectory("graft-ev-sql").toString
+      Tables.names.filterNot(_ == "events").foreach { n =>
+        Files.createSymbolicLink(
+          java.nio.file.Paths.get(s"$dir/$n.parquet"),
+          java.nio.file.Paths.get(s"$sf/$n.parquet"))
+      }
+      writeEvents(dir)
+      dir
+    }
+    val nanosDir = tableDir(writeNanosFixture(_))
+    val microsDir = tableDir(writeMicrosFixture)
+    def run(d: String) =
+      SparkEntry.queries("sql_dbt_features")(spark, d).collect()
+        .map(_.toSeq).toSeq
+    val fromNanos = run(nanosDir)
+    assert(fromNanos.nonEmpty)
+    assert(fromNanos === run(microsDir))
+  }
+
   test("unannotated BIGINT ts fails loudly instead of guessing the unit") {
     val dir = Files.createTempDirectory("graft-ev-rawlong").toString
     writeNanosFixture(dir, annotated = false)
