@@ -185,13 +185,27 @@ object ScaleSmoke {
     // the knob for growth-curve probes (stage names keep the _10x
     // suffix — the factor is recorded in the JSON line).
     val docsFactor = sys.env.get("GRAFT_SMOKE_DOCS_FACTOR")
-      .map(_.toInt).getOrElse(10)
+      .map { raw =>
+        val v = raw.trim.toIntOption.getOrElse(
+          sys.error(s"GRAFT_SMOKE_DOCS_FACTOR must be an integer, got '$raw'"))
+        require(v >= 1, s"GRAFT_SMOKE_DOCS_FACTOR must be >= 1, got $v")
+        v
+      }.getOrElse(10)
     val docScratch =
       if (docsFactor == 10) s"$scratch-docs"
       else s"$scratch-docs$docsFactor"
     if (!new java.io.File(docScratch).exists()) {
       val docs = Tables.documents(spark, src)
       val n = docs.count()
+      // The cloned-id scheme doc_id + rep·n·factor is collision-free
+      // only while every source doc_id sits below n·factor — true for
+      // the dense [0, n) ids the generator writes, asserted here so a
+      // future sparse-id table fails loudly instead of silently
+      // merging clones into one id.
+      val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
+      require(maxId < n * docsFactor,
+        s"doc_id $maxId would collide under factor $docsFactor " +
+          s"(ids must stay below n*factor = ${n * docsFactor})")
       docs.crossJoin(spark.range(0, docsFactor).select(col("id").as("rep")))
         .select((col("doc_id") + col("rep") * n * docsFactor).as("doc_id"),
           col("text"), col("lang"), col("source"), col("n_chars"))

@@ -864,6 +864,13 @@ object Similarity {
       .write.mode("append").partitionBy("ccell").parquet(s"$indexPath/lists")
     assign.select("vec_id", "u", "ccell")
       .write.mode("append").partitionBy("ccell").parquet(s"$indexPath/vectors")
+    // The two appends above are independent (parquet has no cross-dir
+    // transaction); verify the PqM-rows-per-vector invariant before
+    // returning so a torn append from a PRIOR crashed writer — or a
+    // concurrent-writer race this single-writer contract forbids —
+    // surfaces here rather than as silently-dropped rerank candidates.
+    requireIvfPqConsistent(s, indexPath,
+      s.read.parquet(s"$indexPath/vectors").count())
   }
 
   /** Serve the IVFPQ query from a saved index: the probed cell ids are
@@ -879,6 +886,7 @@ object Similarity {
     val coarse = s.read.parquet(s"$indexPath/coarse").select("cell", "cu")
     val cbs = s.read.parquet(s"$indexPath/codebooks")
       .select("m", "cell", "cu")
+    val dim = coarse.select(size(col("cu"))).first().getInt(0)
     // NOT pinned: the probe frame is a tiny broadcast crossJoin and
     // this entry can run per micro-batch from the streaming server —
     // a per-call pin would grow the cache registry for the life of the
@@ -894,7 +902,10 @@ object Similarity {
     // corpus half — the append contract says the index is
     // self-describing).
     val indexN = s.read.parquet(s"$indexPath/vectors").count()
-    val qcells = queryProbeCells(s, d, coarse,
+    requireIvfPqConsistent(s, indexPath, indexN)
+    val qn = normalized(s, d).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("u").as("qu"))
+    val qcells = probeCellsOf(qn, coarse,
       ivfPqProbes(coarse.count().toInt, indexN))
     val probed = qcells.select("ccell").distinct()
       .collect().map(_.getLong(0)).toSeq
@@ -906,9 +917,39 @@ object Similarity {
       .join(broadcast(qcells), Seq("ccell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
-    pqSearch(s, d, cbs, lists.select("vec_id", "m", "cell"), Some(cand),
-      rerankN = Some(math.max(PqRerankMin.toLong,
-        math.ceil(indexN * PqRerankFrac).toLong)))
+    // Rerank from the INDEX's own cell-partitioned vector table (probed
+    // cells only — same partition-pruned read the external-batch entry
+    // uses), NOT the corpus dir: after appendToIvfPqIndex the index
+    // holds vectors the dir does not, and the self-describing contract
+    // promises every serving entry sees them. For a freshly built index
+    // the two sources are bit-identical, so this is output-equal on the
+    // non-appended path. Only the QUERY side still reads the dir (this
+    // entry's queries are, by definition, the corpus's first vectors).
+    val vecs = s.read.parquet(s"$indexPath/vectors")
+      .filter(col("ccell").isin(probed: _*))
+      .select("vec_id", "u")
+    pqSearchFrames(qn, vecs, dim, cbs,
+      lists.select("vec_id", "m", "cell"), Some(cand),
+      math.max(PqRerankMin.toLong,
+        math.ceil(indexN * PqRerankFrac).toLong))
+  }
+
+  /** Torn-index guard: `lists` must hold exactly PqM code rows per
+    * `vectors` row. appendToIvfPqIndex issues two independent parquet
+    * appends (lists, then vectors), so a crash between them leaves
+    * appended ids ADC-scorable but invisible to the rerank; both counts
+    * here are parquet row-group-metadata reads (no data scan), so the
+    * check is cheap enough to run at every index load. Repair: delete
+    * the orphaned lists rows' files or re-run the append idempotently
+    * after removing the partial write.
+    */
+  private def requireIvfPqConsistent(s: SparkSession, indexPath: String,
+      vectorsN: Long): Unit = {
+    val listsN = s.read.parquet(s"$indexPath/lists").count()
+    require(listsN == vectorsN * PqM,
+      s"IVFPQ index at $indexPath is torn: lists has $listsN code rows " +
+        s"but vectors × PqM = ${vectorsN * PqM} — likely a crashed " +
+        "append (lists written, vectors not); repair before serving")
   }
 
   /** Top-k for an EXTERNAL query batch against a persisted IVFPQ index
@@ -921,11 +962,16 @@ object Similarity {
   def topkAgainstIvfPqIndex(queries: DataFrame, indexPath: String): DataFrame = {
     val s = queries.sparkSession
     val coarse = s.read.parquet(s"$indexPath/coarse").select("cell", "cu")
+    // parquet row-count metadata — no data scan
+    val indexN = s.read.parquet(s"$indexPath/vectors").count()
+    // Torn-append check once per index load; the preloaded-state
+    // overload below runs per micro-batch and relies on this entry (or
+    // the streaming server's own load step) having verified the index.
+    requireIvfPqConsistent(s, indexPath, indexN)
     topkAgainstIvfPqIndex(queries, indexPath, coarse,
       s.read.parquet(s"$indexPath/codebooks").select("m", "cell", "cu"),
       coarse.select(size(col("cu"))).first().getInt(0),
-      // parquet row-count metadata — no data scan
-      s.read.parquet(s"$indexPath/vectors").count())
+      indexN)
   }
 
   /** Preloaded-state overload: streaming callers load the (tiny) coarse

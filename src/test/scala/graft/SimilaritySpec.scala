@@ -400,6 +400,31 @@ class SimilaritySpec extends GraftSuite {
       operators.Similarity.appendToIvfPqIndex(appendBatch, s"$base/index")
     }
     assert(clash.getMessage.contains("duplicate"))
+    // the CORPUS-QUERY serving entry sees appended vectors too: its
+    // rerank reads the index's own vectors table, so odd ids (absent
+    // from the build dir the queries come from) can win rerank slots
+    val fromEntry = operators.Similarity.annTopkIvfPqFrom(
+      spark, s"$base/sub", s"$base/index")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(fromEntry.exists(_._2 % 2 == 1),
+      "annTopkIvfPqFrom never served an appended (odd) neighbor")
+    // torn-append detection: a vectors row with no code rows breaks the
+    // PqM-rows-per-vector invariant; every index-load entry refuses to
+    // serve rather than silently dropping rerank candidates
+    spark.read.parquet(s"$base/index/vectors").limit(1)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+      .write.mode("append").partitionBy("ccell")
+      .parquet(s"$base/index/vectors")
+    val torn = intercept[IllegalArgumentException] {
+      operators.Similarity.topkAgainstIvfPqIndex(
+        all.filter(col("vec_id") < 10), s"$base/index")
+    }
+    assert(torn.getMessage.contains("torn"))
+    val tornFrom = intercept[IllegalArgumentException] {
+      operators.Similarity.annTopkIvfPqFrom(
+        spark, s"$base/sub", s"$base/index")
+    }
+    assert(tornFrom.getMessage.contains("torn"))
   }
 
   test("LSH append: appended index is bit-identical to a rebuild over the union") {
