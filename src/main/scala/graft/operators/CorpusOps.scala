@@ -464,7 +464,59 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Segment granularity for line-level dedup: this corpus's documents
+    * are single-line token streams (no newline or sentence structure),
+    * so the "line" unit is the non-overlapping [[SegTokens]]-token
+    * window — the same paragraph-analog unit real pipelines hash when
+    * the source format has no layout (C4 dedupes three-sentence spans,
+    * CCNet hashes paragraphs; Raffel et al. 2020 §2.2, Wenzek et al.
+    * 2020 §4.1).
+    */
+  private val SegTokens = 10
+
+  /** Line-level (segment) exact dedup — the OTHER dedup axis next to
+    * whole-document dedup: every duplicated segment occurrence after
+    * its corpus-wide first (ordered by doc_id, then position) is
+    * REMOVED and the survivors are stitched back per document, so
+    * boilerplate repeated across documents survives exactly once while
+    * the hosting documents keep their unique content. Documents whose
+    * every segment occurred earlier disappear entirely (the whole-doc
+    * dup case degenerates to this).
+    *
+    * Scale shape: NO window over the segment key. First occurrences
+    * come from `groupBy(seg).agg(min(struct(doc_id, pos)))` — the min
+    * combines map-side, so a pathological segment duplicated 10⁸ times
+    * (an empty-ish boilerplate line at 100 TB) contributes one row per
+    * map partition to the shuffle instead of routing every occurrence
+    * into one window partition — and the kept occurrences ARE the
+    * aggregate's output (a first occurrence is, by definition, one
+    * distinct segment's min location), so there is no join back to the
+    * exploded frame at all. Two shuffles total, both combine map-side:
+    * segment-key min, then doc_id reassembly.
+    */
+  private def ppLineDedup(s: SparkSession, d: String): DataFrame = {
+    val segs = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), expr(s"(size(t) - 1) div $SegTokens")))
+          .as("seg_idx"))
+      .select(col("doc_id"), col("seg_idx"),
+        array_join(slice(col("t"), col("seg_idx") * SegTokens + 1,
+          lit(SegTokens)), " ").as("seg"))
+    segs
+      .groupBy("seg").agg(min(struct(col("doc_id"), col("seg_idx"))).as("f"))
+      .select(col("f.doc_id").as("doc_id"), col("f.seg_idx").as("seg_idx"),
+        col("seg"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+          x => x.getField("seg")), " ").as("text_deduped"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Query] = Map(
+    "pp_line_dedup" -> ppLineDedup _,
     "pp_decontaminate" -> ppDecontaminate _,
     "pp_temperature_mix" -> ppTemperatureMix _,
     "pp_ppl_buckets" -> ppPplBuckets _,
@@ -479,6 +531,24 @@ object CorpusOps {
     "io_orc_roundtrip" -> ioOrc _)
 
   val oracle: Map[String, String] = Map(
+    "pp_line_dedup" ->
+      // The oracle states first-occurrence-wins as a window rank (the
+      // natural SQL form); the Spark plan states it as a map-side
+      // combinable min aggregate — the differential check proves the
+      // two are the same function.
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |segs AS (SELECT doc_id, s AS seg_idx,
+        |    array_to_string(t[(s*10+1):(s*10+10)], ' ') AS seg
+        |  FROM toks, (SELECT unnest(generate_series(0, 4095)) AS s)
+        |  WHERE s*10 < len(t)),
+        |keep AS (SELECT doc_id, seg_idx, seg FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+        |    FROM segs) WHERE rn = 1)
+        |SELECT doc_id, count(*) AS n_kept,
+        |  string_agg(seg, ' ' ORDER BY seg_idx) AS text_deduped
+        |FROM keep GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "pp_temperature_mix" ->
       """WITH c AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY 1),
         |m AS (SELECT min(n_l) AS n_min FROM c),

@@ -365,6 +365,27 @@ class ExtendedOpsSpec extends GraftSuite {
     assert(parts.nonEmpty)
   }
 
+  test("line dedup: corpus-wide first occurrence wins, in-doc repeats collapse, emptied docs vanish") {
+    import spark.implicits._
+    // 10-token segments, hand-planted: segA dups across docs 0→1, segB
+    // across 0→2, segC across 1→2 (doc 2 loses everything), segD
+    // repeats INSIDE doc 3.
+    def seg(p: String) = (1 to 10).map(i => s"$p$i").mkString(" ")
+    val (a, b, c, dd) = (seg("a"), seg("b"), seg("c"), seg("d"))
+    val dir = Files.createTempDirectory("graft_linededup").toString
+    Seq((0L, s"$a $b"), (1L, s"$a $c"), (2L, s"$b $c"), (3L, s"$dd $dd"))
+      .map { case (id, t) => (id, t, "en", "planted", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("pp_line_dedup")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.toSeq == Seq(
+      (0L, 2L, s"$a $b"),   // hosts both first occurrences
+      (1L, 1L, c),          // segA removed, unique tail kept
+      (3L, 1L, dd)))        // doc 2 fully deduplicated away; in-doc
+                            // repeat keeps exactly one copy
+  }
+
   test("sequence packing: contiguous fill per shard, growth-stable prefix") {
     val rows = SparkEntry.queries("pp_pack")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
