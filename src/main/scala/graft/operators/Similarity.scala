@@ -1134,6 +1134,107 @@ object Similarity {
       else probesFor(cent.count().toInt, corpusCount(s, d)))
   }
 
+  // ------------------------------------------- IVF-Flat persisted index
+
+  /** Persist the IVF-FLAT index: the trained coarse centroids plus the
+    * FULL corpus vectors in a cell-partitioned serving layout — the
+    * middle member of the persisted-index family (LSH / IVF-Flat /
+    * IVFPQ; FAISS's IndexIVFFlat): probes become partition-pruned file
+    * reads exactly like IVFPQ's, but probed members are scored EXACTLY
+    * — no ADC stage, no codebook drift on later appends, no rerank
+    * tier — paying full-vector storage for it. Unlike [[saveIvfIndex]]
+    * (centroids only; serving still reads the corpus dir), this index
+    * is fully self-contained: the serving entry never touches the
+    * corpus parquet. Training and assignment are deterministic, so
+    * save → load → search is bit-identical to the training session.
+    */
+  def saveIvfFlatIndex(s: SparkSession, d: String, path: String,
+      cells: Int = 0, iters: Int = IvfIters): Unit = {
+    val cent = trainedCentroids(s, d,
+      if (cells > 0) cells else ivfCells(s, d), iters)
+    cent.coalesce(1).write.mode("overwrite").parquet(s"$path/coarse")
+    assignCells(normalized(s, d), cent, IvfCorpusAssign)
+      .select(col("vec_id"), col("u"), col("cell").as("ccell"))
+      .write.mode("overwrite").partitionBy("ccell").parquet(s"$path/vectors")
+  }
+
+  /** Top-k for an EXTERNAL query batch against a persisted IVF-Flat
+    * index — self-contained on the index directory. Probe breadth
+    * derives from the index's own tables (cell count from coarse, N
+    * from the vectors layout's row-count metadata — no data scan), so
+    * a loaded index serves at its build-time scan fraction and sizes
+    * probes from its TRUE size after appends. The probed cell ids
+    * become a literal partition filter on the vectors read (bounded by
+    * queries × probes values), so non-probed cells' files are never
+    * opened; the query batch is broadcast twice (probe table, then
+    * exact scoring) — external batches are bounded by the caller, the
+    * same contract as the LSH/IVFPQ serving entries. With corpus-side
+    * spill (IvfCorpusAssign > 1) the metadata count tallies
+    * assignments rather than vectors, which only WIDENS probes —
+    * conservative — and the duplicate (query, neighbor) pairs spill
+    * produces collapse in the dropDuplicates below, as in
+    * [[ivfSearch]]. Queries matching a corpus vec_id are excluded from
+    * their own results, mirroring the other serving entries.
+    */
+  def topkAgainstIvfFlatIndex(queries: DataFrame,
+      indexPath: String): DataFrame = {
+    val s = queries.sparkSession
+    val coarse = s.read.parquet(s"$indexPath/coarse").select("cell", "cu")
+    val indexN = s.read.parquet(s"$indexPath/vectors").count()
+    val probes = probesFor(coarse.count().toInt, indexN)
+    val qn = normalizeFrame(queries)
+      .select(col("vec_id").as("query_id"), col("u").as("qu"))
+    val qcells = probeCellsOf(qn, coarse, probes)
+    val probed = qcells.select("ccell").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    s.read.parquet(s"$indexPath/vectors")
+      .filter(col("ccell").isin(probed: _*))
+      .join(broadcast(qcells), Seq("ccell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(qn), Seq("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        r6(dot(col("qu"), col("u"))).as("cos"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("rnk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id"))))
+      .filter(col("rnk") <= K)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Append new vectors to a persisted IVF-Flat index without
+    * retraining: assign to the EXISTING (immutable) centroids and
+    * append into the cell-partitioned vectors layout — dynamic
+    * partition APPEND touches only the new rows' cells. The per-vector
+    * state is ONE table, so unlike the IVFPQ append there is no torn
+    * cross-table window to guard: the single parquet append commits or
+    * it doesn't. Appended vectors are scored exactly at serve time —
+    * the flat index has no quantization, so add-without-retrain costs
+    * only cell-boundary drift (centroids reflect the build corpus),
+    * not codebook error on top. Same batch guards as the other
+    * appends: empty no-op, loud dimension mismatch, loud vec_id
+    * collision.
+    */
+  def appendToIvfFlatIndex(newVectors: DataFrame, indexPath: String): Unit = {
+    val s = newVectors.sparkSession
+    val coarse = s.read.parquet(s"$indexPath/coarse").select("cell", "cu")
+    val dim = coarse.select(size(col("cu"))).first().getInt(0)
+    val v = normalizeFrame(newVectors)
+    val stats = v.agg(count(lit(1)).as("n"),
+      min(size(col("u"))).as("lo"), max(size(col("u"))).as("hi")).first()
+    if (stats.getLong(0) == 0) return
+    require(stats.getInt(1) == dim && stats.getInt(2) == dim,
+      s"append batch dimension ${stats.getInt(1)}..${stats.getInt(2)} " +
+        s"does not match index dimension $dim")
+    val clash = s.read.parquet(s"$indexPath/vectors").select("vec_id")
+      .join(v.select("vec_id"), "vec_id").count()
+    require(clash == 0,
+      s"append would duplicate $clash vec_ids already in the index")
+    assignCells(v, coarse, IvfCorpusAssign)
+      .select(col("vec_id"), col("u"), col("cell").as("ccell"))
+      .write.mode("append").partitionBy("ccell").parquet(s"$indexPath/vectors")
+  }
+
   /** Persist the LSH index: the full signed corpus (vec_id, normalized
     * vector, signature) — unlike IVF's tiny centroid table this index
     * scales WITH the corpus, so it persists as a distributed write and

@@ -364,6 +364,71 @@ class SimilaritySpec extends GraftSuite {
     assert(viaIndex == registered)
   }
 
+  test("IVF-Flat index: external serving equals the in-session IVF answer; probes are partition-pruned") {
+    import org.apache.spark.sql.functions._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfflat").toString + "/index"
+    operators.Similarity.saveIvfFlatIndex(spark, sf, dir)
+    // same centroids, same derived probe width, exact scoring → the
+    // self-contained serving entry answers bit-identically to the
+    // in-session (corpus-reading) IVF query for the standard queries
+    val trained = rows(SparkEntry.queries("ann_topk_ivf")(spark, sf))
+    val served = operators.Similarity.topkAgainstIvfFlatIndex(
+      Tables.embeddings(spark, sf).select("vec_id", "embedding")
+        .filter(col("vec_id") < 10), dir)
+    assert(trained.nonEmpty && rows(served) == trained)
+    // the probed cells reach the vectors scan as PARTITION filters
+    val plan = operators.Similarity.topkAgainstIvfFlatIndex(
+      Tables.embeddings(spark, sf).select("vec_id", "embedding")
+        .filter(col("vec_id") < 10), dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.filter(_.contains("PartitionFilters:"))
+      .exists(_.contains("ccell")),
+      "vectors scan must prune on the probed ccell partitions:\n" +
+        plan.take(2000))
+  }
+
+  test("IVF-Flat append: appended vectors serve exactly with no retrain; guards fire") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_ivfflat_append").toString
+    val all = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 10 || col("vec_id") % 2 === 0)
+      .write.parquet(s"$base/sub/embeddings.parquet")
+    operators.Similarity.saveIvfFlatIndex(spark, s"$base/sub", s"$base/index")
+    val appendBatch = all.filter(col("vec_id") >= 10 && col("vec_id") % 2 === 1)
+    operators.Similarity.appendToIvfFlatIndex(appendBatch, s"$base/index")
+    val served = operators.Similarity.topkAgainstIvfFlatIndex(
+      all.filter(col("vec_id") < 10), s"$base/index")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(served.exists(_._2 % 2 == 1),
+      "no appended (odd) vector ever served as a neighbor")
+    // flat scoring has no quantization drift, so the appended index's
+    // only recall loss vs a full build is cell-boundary drift (probes
+    // chosen against centroids trained on half the corpus) — it should
+    // meet or beat the composed IVFPQ appended-index floor
+    val exact = SparkEntry.queries("ann_topk_exact")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = served.count(exact.contains).toDouble / exact.size
+    info(f"appended IVF-Flat serving recall: $recall%.3f")
+    assert(recall >= 0.7, s"appended IVF-Flat serving recall $recall")
+    val clash = intercept[IllegalArgumentException] {
+      operators.Similarity.appendToIvfFlatIndex(appendBatch, s"$base/index")
+    }
+    assert(clash.getMessage.contains("duplicate"))
+    val badDim = intercept[IllegalArgumentException] {
+      operators.Similarity.appendToIvfFlatIndex(
+        appendBatch.withColumn("embedding",
+          slice(col("embedding"), 1, 3)).withColumn("vec_id",
+          col("vec_id") + 500000L), s"$base/index")
+    }
+    assert(badDim.getMessage.contains("dimension"))
+  }
+
   test("IVFPQ append: new vectors serve with no retrain; collision guard fires") {
     import org.apache.spark.sql.functions._
     val base = java.nio.file.Files
