@@ -244,6 +244,31 @@ object ScaleSmoke {
       time("dd_containment_10x") {
         SparkEntry.queries("dd_containment")(spark, docScratch).count()
       },
+      // Line-level dedup on the clone corpus is its hot-key worst case
+      // BY CONSTRUCTION: every segment occurs docsFactor× (the clones)
+      // and on top a planted boilerplate segment is prepended to EVERY
+      // document, so one segment key carries n_docs occurrences — the
+      // shape that would straggle a window-over-segment plan. The
+      // shipped plan's first-occurrence min combines map-side, so the
+      // hot key reaches the shuffle as one row per map partition; the
+      // stage asserts the planted segment survives exactly once
+      // (first-occurrence semantics under the hot key stay correct).
+      time("pp_line_dedup_hot_10x") {
+        val boiler = (1 to 10).map(i => s"boilertok$i").mkString(" ")
+        val planted = spark.read
+          .parquet(s"$docScratch/documents.parquet")
+          .withColumn("text", concat(lit(boiler + " "), col("text")))
+        val scratch2 = s"$docScratch-boiler"
+        planted.write.mode("overwrite")
+          .parquet(s"$scratch2/documents.parquet")
+        val out = SparkEntry.queries("pp_line_dedup")(spark, scratch2)
+        val boilerKept = out
+          .filter(col("text_deduped").contains("boilertok1")).count()
+        require(boilerKept == 1,
+          s"planted boilerplate segment survived $boilerKept times, " +
+            "expected exactly 1 (corpus-wide first occurrence)")
+        full(out)
+      },
       // Bounded-state sketch and shard-parallel packing on the same
       // corpus: the sketch shuffles k-entry maps regardless of scale;
       // packing windows run one pass per md5 shard.
@@ -481,7 +506,8 @@ object ScaleSmoke {
     }
 
     // Composed corpus pipeline at 10×: the chained batch flow (ingest →
-    // curate → dedup → split → screen → pack) on the dup-heavy corpus,
+    // curate → dedup → linededup → split → screen → pack) on the
+    // dup-heavy corpus,
     // with per-stage wall times — the stages are smoked individually
     // above; this is the end-to-end number including the screen's
     // persist window and every inter-stage parquet hop. The streaming

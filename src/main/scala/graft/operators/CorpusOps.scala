@@ -494,8 +494,15 @@ object CorpusOps {
     * exploded frame at all. Two shuffles total, both combine map-side:
     * segment-key min, then doc_id reassembly.
     */
-  private def ppLineDedup(s: SparkSession, d: String): DataFrame = {
-    val segs = Tables.documents(s, d)
+  private def ppLineDedup(s: SparkSession, d: String): DataFrame =
+    lineDedupSegments(Tables.documents(s, d)).orderBy("doc_id")
+
+  /** Frame-level core of [[ppLineDedup]]: (doc_id, n_kept,
+    * text_deduped), unordered — shared by the registered query and the
+    * pipeline stage.
+    */
+  private[graft] def lineDedupSegments(docs: DataFrame): DataFrame = {
+    val segs = docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), col("t"),
         explode(sequence(lit(0), expr(s"(size(t) - 1) div $SegTokens")))
@@ -512,8 +519,20 @@ object CorpusOps {
         array_join(transform(
           array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
           x => x.getField("seg")), " ").as("text_deduped"))
-      .orderBy("doc_id")
   }
+
+  /** Full-row line dedup for pipeline composition: same semantics as
+    * [[ppLineDedup]] but the output keeps the documents-table schema
+    * (text replaced by the deduplicated text, n_chars recomputed;
+    * fully-emptied documents drop out). The carry-column join is
+    * doc_id-equi on two frames hash-partitioned by doc_id — the
+    * co-partitioned shuffle join, no broadcast of row data.
+    */
+  def lineDedupDocs(docs: DataFrame): DataFrame =
+    lineDedupSegments(docs)
+      .join(docs.select("doc_id", "lang", "source"), "doc_id")
+      .select(col("doc_id"), col("text_deduped").as("text"), col("lang"),
+        col("source"), length(col("text_deduped")).cast("long").as("n_chars"))
 
   val queries: Map[String, Query] = Map(
     "pp_line_dedup" -> ppLineDedup _,

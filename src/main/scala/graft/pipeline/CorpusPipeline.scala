@@ -7,8 +7,8 @@ import org.apache.spark.sql.functions._
 /** End-to-end LLM training-corpus pipeline: the individually-green
   * operators composed into ONE flow, batch and streaming, proving they
   * chain — ingest (gzip JSONL, the corpus interchange format) →
-  * quality gate → exact keep-first dedup → contamination-safe
-  * cluster split → training-sequence packing.
+  * quality gate → exact keep-first dedup → line-level (segment) dedup
+  * → contamination-safe cluster split → training-sequence packing.
   *
   * Stages communicate only through warehouse parquet tables (each
   * stage writes `<wh>/<stage>/documents.parquet` or its output table),
@@ -75,11 +75,22 @@ object CorpusPipeline {
     */
   def downstreamStages(s: SparkSession, wh: String,
       retries: Int = 2): Seq[PipelineRunner.Stage] = Seq(
+    // Line-level dedup sits between whole-document dedup and the
+    // near-dup cluster split, the ordering real corpus pipelines use:
+    // exact dedup first collapses clone clusters (bounding the
+    // pair-heavy stages' output — the round-8 30× probe), then segment
+    // dedup strips cross-document boilerplate so the near-dup stage
+    // compares documents on their actual content rather than shared
+    // furniture. Fully-emptied documents leave the corpus here.
+    PipelineRunner.Stage("linededup", retries, () =>
+      operators.CorpusOps.lineDedupDocs(
+        s.read.parquet(s"$wh/unique/documents.parquet"))
+        .write.mode("overwrite").parquet(s"$wh/linededup/documents.parquet")),
     PipelineRunner.Stage("split", retries, () =>
-      operators.Dedup.queries("pp_cluster_split")(s, s"$wh/unique")
+      operators.Dedup.queries("pp_cluster_split")(s, s"$wh/linededup")
         .write.mode("overwrite").parquet(s"$wh/splits/assignments.parquet")),
     PipelineRunner.Stage("screen", retries, () => {
-      val docs = s.read.parquet(s"$wh/unique/documents.parquet")
+      val docs = s.read.parquet(s"$wh/linededup/documents.parquet")
       val splits = s.read.parquet(s"$wh/splits/assignments.parquet")
       def ofSplit(name: String) = docs.join(
         splits.filter(col("split") === name).select("doc_id"),

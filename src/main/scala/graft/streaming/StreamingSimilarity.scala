@@ -95,16 +95,35 @@ object StreamingSimilarity {
     * refusal, mirroring the quota twin's honest-contract style).
     */
   def appendStreamToLshIndex(spark: SparkSession, srcDir: String,
-      indexPath: String, maxFilesPerTrigger: Int = 0): Unit = {
+      indexPath: String, maxFilesPerTrigger: Int = 0): Unit =
+    appendStream(spark, srcDir, maxFilesPerTrigger) { batch =>
+      graft.operators.Similarity.appendToLshIndex(batch, indexPath)
+    }
+
+  /** Streaming IVF-Flat index maintenance — the same micro-batch append
+    * contract as the LSH twin (empty-trigger no-op, loud dimension /
+    * replay refusal), against the cell-partitioned flat index: each
+    * batch assigns to the immutable build-time centroids and
+    * dynamic-partition-appends only its own cells' files. Serving
+    * reads concurrent with an append see either the old or the new
+    * file set per cell (parquet append is add-only), never torn
+    * per-vector state — the flat index has one table.
+    */
+  def appendStreamToIvfFlatIndex(spark: SparkSession, srcDir: String,
+      indexPath: String, maxFilesPerTrigger: Int = 0): Unit =
+    appendStream(spark, srcDir, maxFilesPerTrigger) { batch =>
+      graft.operators.Similarity.appendToIvfFlatIndex(batch, indexPath)
+    }
+
+  private def appendStream(spark: SparkSession, srcDir: String,
+      maxFilesPerTrigger: Int)(append: DataFrame => Unit): Unit = {
     val reader = spark.readStream
       .schema("vec_id LONG, embedding ARRAY<FLOAT>")
     val src = (if (maxFilesPerTrigger > 0)
       reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader)
       .parquet(srcDir)
     val q = src.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.Similarity.appendToLshIndex(batch, indexPath)
-      }
+      .foreachBatch { (batch: DataFrame, _: Long) => append(batch) }
       .start()
     q.processAllAvailable()
     q.stop()

@@ -63,6 +63,8 @@ class CorpusPipelineSpec extends GraftSuite {
       .orderBy(order.map(col): _*).collect().map(_.toString).toSeq
     assert(rows(s"$streamWh/unique/documents.parquet", "doc_id") ==
       rows(s"$batchWh/unique/documents.parquet", "doc_id"))
+    assert(rows(s"$streamWh/linededup/documents.parquet", "doc_id") ==
+      rows(s"$batchWh/linededup/documents.parquet", "doc_id"))
     assert(rows(s"$streamWh/splits/assignments.parquet", "doc_id") ==
       rows(s"$batchWh/splits/assignments.parquet", "doc_id"))
     assert(rows(s"$streamWh/screened/documents.parquet", "doc_id") ==
@@ -76,8 +78,9 @@ class CorpusPipelineSpec extends GraftSuite {
     val splits = spark.read.parquet(s"$batchWh/splits/assignments.parquet")
     val bySplit = splits.collect()
       .map(r => r.getLong(0) -> r.getString(2)).toMap
+    // the split/screen/pack stages run on the LINE-DEDUPED corpus
     val uniqueText = spark.read
-      .parquet(s"$batchWh/unique/documents.parquet")
+      .parquet(s"$batchWh/linededup/documents.parquet")
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1))
     // Independent re-derivation of the screen, including the
@@ -103,7 +106,12 @@ class CorpusPipelineSpec extends GraftSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(screenedIds == cleanTrain)
     assert(packedIds == screenedIds)
-    assert(splits.count() == nUniq) // every unique doc got an assignment
+    // every line-deduped doc got an assignment; line dedup never grows
+    // the corpus (it may drop fully-deduplicated docs)
+    val nLine = spark.read
+      .parquet(s"$batchWh/linededup/documents.parquet").count()
+    assert(splits.count() == nLine)
+    assert(nLine <= nUniq)
   }
 
   test("decontamination screen catches case/whitespace-reformatted benchmark copies") {

@@ -541,6 +541,33 @@ class SimilaritySpec extends GraftSuite {
     assert(maintained.nonEmpty && maintained == rebuilt)
   }
 
+  test("streaming IVF-Flat index maintenance: micro-batch appends serve like one batch append") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_ivfflat_stream").toString
+    Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 10 || col("vec_id") % 2 === 0)
+      .write.parquet(s"$base/sub/embeddings.parquet")
+    operators.Similarity.saveIvfFlatIndex(spark, s"$base/sub", s"$base/s_idx")
+    operators.Similarity.saveIvfFlatIndex(spark, s"$base/sub", s"$base/b_idx")
+    val odds = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .filter(col("vec_id") >= 10 && col("vec_id") % 2 === 1)
+    odds.repartition(3).write.parquet(s"$base/src")
+    // stream: 3 append micro-batches; batch: one append of the same rows
+    streaming.StreamingSimilarity.appendStreamToIvfFlatIndex(spark,
+      s"$base/src", s"$base/s_idx", maxFilesPerTrigger = 1)
+    operators.Similarity.appendToIvfFlatIndex(odds, s"$base/b_idx")
+    def rows(idx: String) = operators.Similarity.topkAgainstIvfFlatIndex(
+      Tables.embeddings(spark, sf).select("vec_id", "embedding")
+        .filter(col("vec_id") < 10), idx)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val streamed = rows(s"$base/s_idx")
+    // assignment to immutable centroids is per-row, so micro-batch
+    // partitioning cannot change the maintained index's answers
+    assert(streamed.nonEmpty && streamed == rows(s"$base/b_idx"))
+  }
+
   test("sim_outliers: flag matches the sign, every vector scored once, outliers exist") {
     val rows = SparkEntry.queries("sim_outliers")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getBoolean(3)))
