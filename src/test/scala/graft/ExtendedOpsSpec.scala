@@ -386,6 +386,21 @@ class ExtendedOpsSpec extends GraftSuite {
                             // repeat keeps exactly one copy
   }
 
+  test("line dedup is idempotent on the real corpus") {
+    // Survivor alignment is preserved by construction (every removed
+    // non-tail segment is exactly SegTokens long, and the partial tail
+    // can only sit at the end), so re-segmenting a deduped text yields
+    // exactly the surviving segments — which are globally distinct
+    // first occurrences. Hence dedup∘dedup = dedup: the fixpoint
+    // property that lets a pipeline re-run the stage safely.
+    val docs = Tables.documents(spark, sf)
+    val once = graft.operators.CorpusOps.lineDedupDocs(docs)
+    val twice = graft.operators.CorpusOps.lineDedupDocs(once)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(rows(once).nonEmpty && rows(twice) == rows(once))
+  }
+
   test("sequence packing: contiguous fill per shard, growth-stable prefix") {
     val rows = SparkEntry.queries("pp_pack")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
