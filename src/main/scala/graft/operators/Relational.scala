@@ -108,7 +108,9 @@ object Relational {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"),
         nullif(col("l_discount"), lit(0.0)).as("disc"))
-    val med = li.agg(median(col("disc")).as("med"))
+    // distributed value-grid median (see exactMedians) — the buffering
+    // median aggregate would single-task the whole column
+    val med = exactMedians(li, Seq("disc" -> "med"))
     li.crossJoin(broadcast(med))
       .select(col("l_orderkey"), col("l_linenumber"),
         r6(coalesce(col("disc"), col("med"))).as("disc_imputed"))
@@ -292,12 +294,100 @@ object Relational {
         sum(pow(col("t") - col("tbar"), 2))).as("r2"))
   }
 
-  /** A13 (scripts/ml_pipeline.py:238): exact column medians in one agg. */
+  /** Distributed exact medians of several columns in one pass, returned
+    * as a single row with the given aliases.
+    *
+    * Spark's exact `median`/`percentile` aggregate buffers EVERY input
+    * value in one reducer per group — a global median over 100 TB is a
+    * single-task OOM by construction. This is the scale form: values go
+    * to long format (k = column alias), `groupBy(k, v).count()` collapses
+    * the data to the DISTINCT VALUE GRID with a map-side-combinable
+    * count, and a per-k cumulative-count window over the sorted grid
+    * locates the two middle order statistics; their mean is the
+    * interpolated median (ties resolved by the grid itself — equal
+    * values are one row with multiplicity). The only single-partition
+    * step is the per-column cumsum over DISTINCT values — bounded by the
+    * measure's representable grid (prices at cent resolution span ~10⁷
+    * cells regardless of row count), not by the data. For a genuinely
+    * continuous column whose grid approaches the row count, the
+    * extension is a two-phase range-partitioned prefix sum; the r6
+    * rounding absorbs the ulp difference between (a+b)/2 and DuckDB's
+    * a + 0.5·(b−a) interpolation. Nulls are excluded, matching both
+    * engines' aggregate semantics.
+    */
+  private[graft] def exactMedians(df: DataFrame,
+      cols: Seq[(String, String)]): DataFrame = {
+    val long = df.select(explode(array(cols.map { case (c, a) =>
+        struct(lit(a).as("k"), col(c).cast("double").as("v")) }: _*)).as("e"))
+      .select(col("e.k").as("k"), col("e.v").as("v"))
+      .filter(col("v").isNotNull)
+    val counts = long.groupBy("k", "v").agg(count(lit(1)).as("c"))
+    val tot = counts.groupBy("k").agg(sum("c").as("n"))
+    val cum = counts
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy("k").orderBy("v")))
+      .join(broadcast(tot), "k")
+    // 1-based middle ranks: lo = (n+1) div 2, hi = (n+2) div 2 (equal
+    // when n is odd). A grid row covers rank r iff cum-c < r <= cum;
+    // each covered rank contributes its value once, so sum/2 is the
+    // interpolated median whether one row covers both ranks or two do.
+    val contrib = Seq("(n + 1) div 2", "(n + 2) div 2").map(r =>
+      when(col("cum") - col("c") < expr(r) && col("cum") >= expr(r),
+        col("v")).otherwise(lit(0.0))).reduce(_ + _)
+    val med = cum.withColumn("contrib", contrib)
+      .groupBy("k").agg((sum(col("contrib")) / 2).as("med"))
+    val aggs = cols.map { case (_, a) =>
+      r6(min(when(col("k") === a, col("med")))).as(a) }
+    med.groupBy().agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Grouped exact interpolated quantiles (quantile_cont semantics) on
+    * the same distributed value grid as [[exactMedians]]: one
+    * `groupBy(keys, v).count()` collapse, one per-group cumsum over the
+    * sorted grid, then each requested p reads its two bracketing order
+    * statistics out of the cumulative counts — fractional rank
+    * rf = 1 + p·(n−1), contribution v·(1−frac) at floor(rf) and v·frac
+    * at ceil(rf) (one row may cover both; the weights then sum to 1).
+    * Replaces the buffering `percentile` aggregate, whose per-group
+    * value list is a single-task OOM once any one group reaches
+    * executor-memory scale; here per-group state is the distinct value
+    * grid only. floor/frac are computed from the same 1 + p·(n−1)
+    * double both engines evaluate, and r6 absorbs terminal ulp drift.
+    */
+  private[graft] def gridQuantiles(df: DataFrame, keys: Seq[String],
+      valueCol: String, ps: Seq[(Double, String)]): DataFrame = {
+    val counts = df
+      .select((keys.map(col) :+ col(valueCol).cast("double").as("v")): _*)
+      .filter(col("v").isNotNull)
+      .groupBy((keys :+ "v").map(col): _*).agg(count(lit(1)).as("c"))
+    val tot = counts.groupBy(keys.map(col): _*).agg(sum("c").as("n"))
+    val cum = counts
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(keys.map(col): _*).orderBy("v")))
+      .join(broadcast(tot), keys)
+    val qs = ps.map { case (p, alias) =>
+      val rf = lit(1.0) + lit(p) * (col("n") - 1).cast("double")
+      val rlo = floor(rf)
+      val frac = rf - rlo
+      val covers = (r: Column) =>
+        (col("cum") - col("c")).cast("double") < r && col("cum") >= r
+      r6(sum(
+        when(covers(rlo), col("v") * (lit(1.0) - frac)).otherwise(lit(0.0)) +
+          when(frac > 0 && covers(rlo + 1), col("v") * frac)
+            .otherwise(lit(0.0)))).as(alias)
+    }
+    cum.groupBy(keys.map(col): _*).agg(qs.head, qs.tail: _*)
+  }
+
+  /** A13 (scripts/ml_pipeline.py:238): exact column medians in one pass
+    * — via [[exactMedians]]' distributed value-grid plan rather than the
+    * single-reducer buffering `median` aggregate.
+    */
   private def a13Medians(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d).agg(
-      r6(median(col("l_quantity"))).as("med_qty"),
-      r6(median(col("l_extendedprice"))).as("med_price"),
-      r6(median(col("l_discount"))).as("med_disc"))
+    exactMedians(Tables.lineitem(s, d), Seq(
+      "l_quantity" -> "med_qty",
+      "l_extendedprice" -> "med_price",
+      "l_discount" -> "med_disc"))
 
   /** Hierarchical rollup (extension beyond the reference's flat groups):
     * subtotals per (event_type, user_id), per event_type, and grand total

@@ -139,13 +139,16 @@ object Windows {
         col("n_events"), col("sum_value"))
       .orderBy("user_id", "start_us")
 
-  /** Grouped exact percentiles (interpolated, matching quantile_cont). */
+  /** Grouped exact percentiles (interpolated, matching quantile_cont) —
+    * on [[Relational.gridQuantiles]]' distributed value grid: Spark's
+    * exact `percentile` aggregate buffers every group member in one
+    * reducer, a single-task OOM once any event type reaches
+    * executor-memory scale; the grid form's per-group state is the
+    * distinct value set, combined map-side.
+    */
   private def w8Percentiles(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .groupBy("event_type")
-      .agg(r6(expr("percentile(value, 0.5)")).as("p50"),
-        r6(expr("percentile(value, 0.9)")).as("p90"),
-        r6(expr("percentile(value, 0.99)")).as("p99"))
+    Relational.gridQuantiles(Tables.events(s, d), Seq("event_type"),
+      "value", Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99"))
       .orderBy("event_type")
 
   val queries: Map[String, Query] = Map(
