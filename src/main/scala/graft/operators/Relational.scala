@@ -234,13 +234,19 @@ object Relational {
       max(tsUs(col("ts"))).as("max_ts_us"))
 
   /** A7 (dashboard/dax-measures:15-24): two-level aggregate — average and
-    * median over per-group maxima.
+    * median over per-group maxima. The median leg rides
+    * [[exactMedians]]' distributed value grid (the buffering `median`
+    * would single-task every user's max — users scale with the corpus);
+    * the per-user max frame is pinned so the avg and median branches
+    * share ONE events shuffle (CacheManager dedups the pin across bench
+    * passes, and the entry is context-stop released).
     */
-  private def a7TwoLevel(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .groupBy("user_id").agg(max(col("value")).as("mx"))
-      .agg(r6(avg(col("mx"))).as("avg_user_max"),
-        r6(median(col("mx"))).as("median_user_max"))
+  private def a7TwoLevel(s: SparkSession, d: String): DataFrame = {
+    val mx = Tables.events(s, d)
+      .groupBy("user_id").agg(max(col("value")).as("mx")).pinned()
+    mx.agg(r6(avg(col("mx"))).as("avg_user_max"))
+      .crossJoin(broadcast(exactMedians(mx, Seq("mx" -> "median_user_max"))))
+  }
 
   /** A8 (dashboard/dax-measures:27-33): conditional-count ratio. */
   private def a8CondRatio(s: SparkSession, d: String): DataFrame =
