@@ -59,6 +59,44 @@ object RecallSweep {
         val recall = exact.count(got.contains).toDouble / exact.size
         println(f"ivfpq probes=${p.toInt}%-4d  " +
           f"recall=$recall%.3f sec=$sec%.1f")
+      // append:<ivfflat|ivfpq>:<pct> — add-without-retrain drift curve:
+      // build the index on (100-pct)% of the corpus, append the rest,
+      // measure serving recall over the FULL corpus vs exact. The curve
+      // is the rebuild-scheduling signal the append docstrings cite.
+      case cfg if cfg.startsWith("append:") =>
+        import org.apache.spark.sql.functions.col
+        val Array(_, fam, pctS) = cfg.split(":")
+        val pct = pctS.toInt
+        val base = java.nio.file.Files
+          .createTempDirectory(s"graft_sweep_append_$fam$pct").toString
+        val all = Tables.embeddings(spark, sfDir)
+        // deterministic split: queries always in the build set
+        all.filter(col("vec_id") < 10 || col("vec_id") % 100 >= pct)
+          .write.parquet(s"$base/sub/embeddings.parquet")
+        val batch = all.select("vec_id", "embedding")
+          .filter(col("vec_id") >= 10 && col("vec_id") % 100 < pct)
+        val queries10 = all.select("vec_id", "embedding")
+          .filter(col("vec_id") < 10)
+        val t0 = System.nanoTime()
+        val served = (fam match {
+          case "ivfflat" =>
+            operators.Similarity.saveIvfFlatIndex(
+              spark, s"$base/sub", s"$base/idx")
+            if (pct > 0) operators.Similarity
+              .appendToIvfFlatIndex(batch, s"$base/idx")
+            operators.Similarity.topkAgainstIvfFlatIndex(
+              queries10, s"$base/idx")
+          case "ivfpq" =>
+            operators.Similarity.saveIvfPqIndex(
+              spark, s"$base/sub", s"$base/idx")
+            if (pct > 0) operators.Similarity
+              .appendToIvfPqIndex(batch, s"$base/idx")
+            operators.Similarity.topkAgainstIvfPqIndex(
+              queries10, s"$base/idx")
+        }).collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+        val sec = (System.nanoTime() - t0) / 1e9
+        val recall = exact.count(served.contains).toDouble / exact.size
+        println(f"append $fam%-8s pct=$pct%-3d recall=$recall%.3f sec=$sec%.1f")
       case cfg =>
         val Array(c, p, it, a) = cfg.split(":").map(_.toInt)
         val t0 = System.nanoTime()

@@ -633,10 +633,11 @@ object Similarity {
     val v = normalized(s, d)
     val dim = corpusDim(s, d)
     val sv = subvectors(v, dim).persist()
-    var cent = sv.filter(col("vec_id") >= NumQueries &&
-      col("vec_id") < NumQueries + k)
-      .select(col("m"), (col("vec_id") - NumQueries).as("cell"),
-        col("sv").as("cu"))
+    // Rank-based seeding — see trainCentroids: the id-range form
+    // silently under-seeds (or empties) the codebook on sparse-id
+    // corpora; identical picks on dense ids.
+    var cent = sv.join(seedRanks(v, k).select("vec_id", "cell"), "vec_id")
+      .select(col("m"), col("cell"), col("sv").as("cu"))
     for (_ <- 1 to PqIters) {
       val comp = pqAssign(sv, cent)
         .join(sv, Seq("vec_id", "m"))
@@ -816,6 +817,13 @@ object Similarity {
     v.join(assign, "vec_id")
       .write.mode("overwrite").partitionBy("ccell")
       .parquet(s"$path/vectors")
+    // A save must never leave an unservable index on disk: the round-9
+    // sweep caught an empty-codebook build writing zero-row lists with
+    // no error (the failure then surfaced two calls later as an
+    // unreadable parquet dir). Both counts are metadata-only.
+    val nVec = s.read.parquet(s"$path/vectors").count()
+    require(nVec > 0, s"saveIvfPqIndex wrote an empty index at $path")
+    requireIvfPqConsistent(s, path, nVec)
   }
 
   /** Append new vectors to a persisted IVFPQ index WITHOUT retraining —
@@ -1284,14 +1292,38 @@ object Similarity {
     signFrame(v, dim).write.mode("append").parquet(path)
   }
 
+  /** The first `k` non-query vectors in id order with dense ranks
+    * 0..k-1 — the deterministic seed set both trainers (IVF Lloyd, PQ
+    * codebooks) draw from. Fails loudly on an effectively-empty corpus
+    * instead of letting an empty seed frame train an empty model that
+    * only surfaces (if ever) as an unreadable index directory.
+    */
+  private def seedRanks(v: DataFrame, k: Int): DataFrame = {
+    val seeds = v.filter(col("vec_id") >= NumQueries)
+      .orderBy("vec_id").limit(k)
+      .select(col("vec_id"), col("u"),
+        (row_number().over(Window.orderBy("vec_id")) - 1)
+          .cast("long").as("cell"))
+    require(!seeds.isEmpty,
+      "centroid training needs at least one non-query vector " +
+        s"(vec_id >= $NumQueries) in the corpus")
+    seeds
+  }
+
   private def trainCentroids(s: SparkSession, d: String,
       cells: Int, iters: Int): Seq[(Long, Seq[Double])] = {
     import s.implicits._
     val v = normalized(s, d)
-    // Seed centroids: first `cells` non-query vectors, id-deterministic.
-    var cent = v.filter(col("vec_id") >= NumQueries &&
-      col("vec_id") < NumQueries + cells)
-      .select((col("vec_id") - NumQueries).as("cell"), col("u").as("cu"))
+    // Seed centroids: the first `cells` non-query vectors in id ORDER —
+    // rank-based, not the id RANGE [NumQueries, NumQueries+cells): a
+    // corpus with sparse or arbitrary vec_ids (an index built on a
+    // filtered sub-corpus, a pct-split drift probe) would silently seed
+    // fewer cells than requested — or NONE — under the range form
+    // (round-9 sweep found exactly that: an empty codebook written to
+    // disk with no error). For dense-id corpora the two forms pick the
+    // same vectors, so shipped models are bit-unchanged. The rank
+    // window runs over `cells` rows (the limit applies first) — tiny.
+    var cent = seedRanks(v, cells).select(col("cell"), col("u").as("cu"))
     // Lloyd refinement: assign → exact per-component means → renormalize.
     for (_ <- 1 to iters) {
       val comp = assignCells(v, cent)

@@ -451,8 +451,9 @@ class SimilaritySpec extends GraftSuite {
     assert(served.exists(_._2 % 2 == 1),
       "no appended (odd) vector ever served as a neighbor")
     // serving recall vs the exact scan over the FULL corpus despite
-    // half the index being appended post-training: measured 0.72 here
-    // vs 0.83 for the fully-trained index — the documented drift cost
+    // half the index being appended post-training: measured 0.71 here
+    // (with rank-based seeding) vs 0.83 for the fully-trained index —
+    // the documented drift cost
     // of add-without-retrain (centroids/codebooks saw only the build
     // half), the signal that schedules the next full rebuild
     val exact = SparkEntry.queries("ann_topk_exact")(spark, sf)
