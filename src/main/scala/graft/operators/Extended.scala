@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -384,7 +384,38 @@ object Extended {
       .orderBy("cohort_week", "offset")
   }
 
+  /** Last-touch attribution — the third canonical event-sequence query
+    * next to the funnel and the cohort rollup: every purchase is
+    * attributed to the SAME user's latest preceding click (strictly
+    * earlier in the (ts, event_id) order; unattributed purchases keep a
+    * null, so coverage is part of the answer). One user-partitioned
+    * window with `last(..., ignoreNulls)` over the
+    * unbounded-preceding-to--1 frame — both the click id and its
+    * timestamp come from the same picked row because the two CASE
+    * columns are null on exactly the same rows. Scale shape: the
+    * standard per-user event-sequence shuffle (same key as
+    * sessionization); no self-join of purchases against clicks, which
+    * would shuffle the event table twice and skew on hot users.
+    */
+  private def esAttribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    def lastClick(c: Column) =
+      last(when(col("event_type") === "click", c), ignoreNulls = true).over(w)
+    Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        tsUs(col("ts")).as("ts_us"))
+      .withColumn("click_id", lastClick(col("event_id")))
+      .withColumn("gap_us", col("ts_us") - lastClick(col("ts_us")))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_us").as("purchase_ts_us"), col("click_id"), col("gap_us"))
+      .orderBy("user_id", "purchase_id")
+  }
+
   val queries: Map[String, Query] = Map(
+    "es_attribution" -> esAttribution _,
     "es_retention" -> esRetention _,
     "es_funnel" -> esFunnel _,
     "a19_bool_agg" -> a19BoolAgg _,
@@ -407,6 +438,20 @@ object Extended {
     "ta_bigrams" -> taBigrams _)
 
   val oracle: Map[String, String] = Map(
+    "es_attribution" ->
+      """SELECT user_id, purchase_id, purchase_ts_us, click_id, gap_us
+        |FROM (
+        |  SELECT user_id, event_type, event_id AS purchase_id,
+        |    epoch_us(ts) AS purchase_ts_us,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END
+        |      IGNORE NULLS) OVER w AS click_id,
+        |    epoch_us(ts) - last_value(CASE WHEN event_type = 'click'
+        |      THEN epoch_us(ts) END IGNORE NULLS) OVER w AS gap_us
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |WHERE event_type = 'purchase'
+        |ORDER BY user_id, purchase_id""".stripMargin,
     "es_retention" ->
       """WITH uw AS (SELECT DISTINCT user_id,
         |    epoch_us(ts) // 604800000000 AS wk FROM events),
