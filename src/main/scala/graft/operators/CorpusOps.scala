@@ -501,8 +501,12 @@ object CorpusOps {
     * text_deduped), unordered — shared by the registered query and the
     * pipeline stage.
     */
-  private[graft] def lineDedupSegments(docs: DataFrame): DataFrame = {
-    val segs = docs
+  /** (doc_id, seg_idx, seg): every non-overlapping [[SegTokens]]-token
+    * segment of every document — shared by the batch dedup and its
+    * streaming twin so the two can never disagree about segmentation.
+    */
+  private[graft] def segmentsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), col("t"),
         explode(sequence(lit(0), expr(s"(size(t) - 1) div $SegTokens")))
@@ -510,16 +514,22 @@ object CorpusOps {
       .select(col("doc_id"), col("seg_idx"),
         array_join(slice(col("t"), col("seg_idx") * SegTokens + 1,
           lit(SegTokens)), " ").as("seg"))
-    segs
-      .groupBy("seg").agg(min(struct(col("doc_id"), col("seg_idx"))).as("f"))
-      .select(col("f.doc_id").as("doc_id"), col("f.seg_idx").as("seg_idx"),
-        col("seg"))
-      .groupBy("doc_id")
+
+  /** Stitch surviving (doc_id, seg_idx, seg) rows back into documents:
+    * (doc_id, n_kept, text_deduped). Shared by batch and streaming.
+    */
+  private[graft] def reassemble(segs: DataFrame): DataFrame =
+    segs.groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(
           array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
           x => x.getField("seg")), " ").as("text_deduped"))
-  }
+
+  private[graft] def lineDedupSegments(docs: DataFrame): DataFrame =
+    reassemble(segmentsOf(docs)
+      .groupBy("seg").agg(min(struct(col("doc_id"), col("seg_idx"))).as("f"))
+      .select(col("f.doc_id").as("doc_id"), col("f.seg_idx").as("seg_idx"),
+        col("seg")))
 
   /** Full-row line dedup for pipeline composition: same semantics as
     * [[ppLineDedup]] but the output keeps the documents-table schema

@@ -73,6 +73,74 @@ object StreamingDedup {
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  case class Seg(doc_id: Long, seg_idx: Long, seg: String)
+
+  /** Streaming line-level (segment) dedup — the online twin of the
+    * batch `pp_line_dedup` operator: each micro-batch's segments are
+    * screened against every segment ever seen, and only first global
+    * occurrences survive (within a batch the minimum (doc_id, seg_idx)
+    * occurrence represents, matching the batch operator's keep-first).
+    * Segmentation is [[graft.operators.CorpusOps.segmentsOf]] — shared
+    * code, so the twins cannot disagree about the unit.
+    *
+    * State: one flag per DISTINCT segment, keyed by the segment's
+    * xxhash64 digest rather than its text — 8 bytes + flag per entry,
+    * so the state store scales with the segment vocabulary, not the
+    * corpus bytes. The digest contract is the gramDigests one: a 64-bit
+    * collision can only MERGE two segments (the later one is treated as
+    * already seen and dropped) — acceptable at ~2⁻³² for billions of
+    * segments, and the batch operator (string keys end to end) is the
+    * exact authority. Equivalence contract with the batch twin: equal
+    * output whenever documents arrive in ascending doc_id order across
+    * micro-batches (the append-only ingest order), same as
+    * [[firstSeen]]'s.
+    */
+  def firstSeenSegments(docs: Dataset[Doc]): Dataset[Seg] = {
+    import docs.sparkSession.implicits._
+    graft.operators.CorpusOps.segmentsOf(docs.toDF())
+      .select(col("doc_id"), col("seg_idx"), col("seg"),
+        xxhash64(col("seg")).as("gh"))
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._4)
+      .flatMapGroupsWithState[Boolean, Seg](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (_, batch, state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            val first = batch.minBy(r => (r._1, r._2))
+            Iterator.single(Seg(first._1, first._2, first._3))
+          }
+      }
+  }
+
+  /** Drive parquet document drops through the segment first-seen state
+    * and reassemble each batch's surviving segments into documents at
+    * `outDir` — a document arrives WHOLE in one micro-batch, so all its
+    * surviving segments are present when its batch reassembles
+    * (batch-local groupBy; documents whose every segment was seen
+    * before simply never appear). Reassembly is the batch operator's
+    * own [[graft.operators.CorpusOps.reassemble]].
+    */
+  def runLineDedupToParquet(spark: SparkSession, srcDir: String,
+      outDir: String, maxFilesPerTrigger: Int = 0): Unit = {
+    import spark.implicits._
+    val reader = spark.readStream.schema("doc_id LONG, text STRING")
+    val src = (if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader)
+      .parquet(srcDir)
+      .as[Doc]
+    val q = firstSeenSegments(src)
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: Dataset[Seg], _: Long) =>
+        graft.operators.CorpusOps.reassemble(b.toDF())
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Drive a stream of documents from `srcDir` (parquet drops) into an
     * in-memory table and block until all available input is processed.
     * `maxFilesPerTrigger` > 0 splits the backlog into several

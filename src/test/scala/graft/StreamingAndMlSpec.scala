@@ -444,6 +444,41 @@ class StreamingAndMlSpec extends GraftSuite {
     assert(failing.stages.head.attempts == 2)
   }
 
+  test("streaming line dedup equals the batch operator on ordered drops") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_stream_linededup").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    // 4 ascending doc_id ranges with increasing mtimes → FileStreamSource
+    // processes them oldest-first, satisfying the ascending-arrival
+    // equivalence contract
+    val ids = docs.select("doc_id").orderBy("doc_id").collect()
+      .map(_.getLong(0))
+    val cuts = Seq(ids(ids.length / 4), ids(ids.length / 2),
+      ids(3 * ids.length / 4))
+    val dropsDir = new java.io.File(s"$base/drops")
+    assert(dropsDir.mkdirs())
+    (Long.MinValue +: cuts :+ Long.MaxValue).sliding(2).zipWithIndex
+      .foreach { case (Seq(lo, hi), i) =>
+        val tmp = s"$base/tmp_$i"
+        docs.filter(col("doc_id") > lo && col("doc_id") <= hi)
+          .coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(dropsDir, f"drop-$i%02d.parquet")
+        java.nio.file.Files.copy(part.toPath, dst.toPath)
+        assert(dst.setLastModified(1700000000000L + i * 60000L))
+      }
+    streaming.StreamingDedup.runLineDedupToParquet(spark,
+      s"$base/drops", s"$base/out", maxFilesPerTrigger = 1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_kept", "text_deduped").orderBy("doc_id")
+        .collect().map(_.toString).toSeq
+    val streamed = rows(spark.read.parquet(s"$base/out"))
+    val batch = rows(SparkEntry.queries("pp_line_dedup")(spark, sf))
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming quota: single-batch stream reproduces pp_token_budget exactly") {
     // file streams need a DIRECTORY source; the testdata table is one file
     val tmp = java.nio.file.Files.createTempDirectory("graft-quota1").toString
