@@ -414,7 +414,37 @@ object Extended {
       .orderBy("user_id", "purchase_id")
   }
 
+  /** Data-quality profile — the table-stats gate a production ingest
+    * runs before accepting a drop: per measure column, row count,
+    * non-null count, exact distinct count, min/max and mean, one output
+    * row per column. Scale shape: ALL metrics come from ONE aggregate
+    * over the table (map-side partials; the multi-column exact
+    * distincts use Spark's Expand + two-stage aggregate, the standard
+    * distributed plan) and the per-column reshape is a `stack` over the
+    * single result row — no per-row explode that would shuffle the
+    * whole table keyed by a handful of column names (4 hot keys for
+    * every row is the straggler shape the long-format formulation
+    * bakes in).
+    */
+  private def dqProfile(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val aggs = (cols.flatMap { c => Seq(
+      count(col(c)).as(s"${c}__nn"),
+      countDistinct(col(c)).as(s"${c}__nd"),
+      min(col(c)).as(s"${c}__mn"),
+      max(col(c)).as(s"${c}__mx"),
+      r6(avg(col(c))).as(s"${c}__av")) } :+ count(lit(1)).as("__n"))
+    val one = Tables.lineitem(s, d).agg(aggs.head, aggs.tail: _*)
+    one.select(expr(
+      s"stack(${cols.length}, " + cols.map(c =>
+        s"'$c', __n, ${c}__nn, ${c}__nd, ${c}__mn, ${c}__mx, ${c}__av")
+        .mkString(", ") +
+        ") as (col_name, n_rows, n_non_null, n_distinct, vmin, vmax, vmean)"))
+      .orderBy("col_name")
+  }
+
   val queries: Map[String, Query] = Map(
+    "dq_profile" -> dqProfile _,
     "es_attribution" -> esAttribution _,
     "es_retention" -> esRetention _,
     "es_funnel" -> esFunnel _,
@@ -438,6 +468,13 @@ object Extended {
     "ta_bigrams" -> taBigrams _)
 
   val oracle: Map[String, String] = Map(
+    "dq_profile" ->
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map(c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count($c) AS n_non_null, count(DISTINCT $c) AS n_distinct,
+           |  min($c) AS vmin, max($c) AS vmax,
+           |  round(avg($c), 6) AS vmean FROM lineitem""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
     "es_attribution" ->
       """SELECT user_id, purchase_id, purchase_ts_us, click_id, gap_us
         |FROM (
