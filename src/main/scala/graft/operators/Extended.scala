@@ -443,8 +443,41 @@ object Extended {
       .orderBy("col_name")
   }
 
+  /** Data-quality rules — the sibling gate to [[dqProfile]]: violation
+    * counts per declared rule (domain checks plus the orders FK),
+    * (rule, n_violations, n_checked). The FK check is folded into the
+    * SAME single pass as the domain rules: a left join flags orphan
+    * lineitems and every rule is a conditional sum in one aggregate —
+    * no per-rule scan, no separate anti-join job. The join shuffles
+    * both sides on the order key (or broadcasts when orders is small)
+    * — the standard FK-validation shape.
+    */
+  private def dqRules(s: SparkSession, d: String): DataFrame = {
+    val flagged = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d)
+        .select(col("o_orderkey").as("l_orderkey"), lit(1).as("__ok")),
+        Seq("l_orderkey"), "left")
+    val one = flagged.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("r_qty"),
+      sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L)
+        .otherwise(0L)).as("r_disc"),
+      sum(when(col("l_extendedprice") < 0, 1L).otherwise(0L)).as("r_price"),
+      sum(when(col("l_tax").isNull, 1L).otherwise(0L)).as("r_tax"),
+      sum(when(col("__ok").isNull, 1L).otherwise(0L)).as("r_fk"))
+    one.select(expr("stack(5, " +
+      "'discount_in_unit_interval', r_disc, n, " +
+      "'orderkey_fk_resolves', r_fk, n, " +
+      "'price_non_negative', r_price, n, " +
+      "'quantity_positive', r_qty, n, " +
+      "'tax_not_null', r_tax, n" +
+      ") as (rule, n_violations, n_checked)"))
+      .orderBy("rule")
+  }
+
   val queries: Map[String, Query] = Map(
     "dq_profile" -> dqProfile _,
+    "dq_rules" -> dqRules _,
     "es_attribution" -> esAttribution _,
     "es_retention" -> esRetention _,
     "es_funnel" -> esFunnel _,
@@ -475,6 +508,27 @@ object Extended {
            |  min($c) AS vmin, max($c) AS vmax,
            |  round(avg($c), 6) AS vmean FROM lineitem""".stripMargin)
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+    "dq_rules" ->
+      """WITH j AS (SELECT l.*, o.o_orderkey AS ok FROM lineitem l
+        |  LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |a AS (SELECT count(*) AS n,
+        |  CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS r_qty,
+        |  CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1
+        |    ELSE 0 END) AS BIGINT) AS r_disc,
+        |  CAST(sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS r_price,
+        |  CAST(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS r_tax,
+        |  CAST(sum(CASE WHEN ok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS r_fk FROM j)
+        |SELECT 'discount_in_unit_interval' AS rule,
+        |  r_disc AS n_violations, n AS n_checked FROM a
+        |UNION ALL SELECT 'orderkey_fk_resolves', r_fk, n FROM a
+        |UNION ALL SELECT 'price_non_negative', r_price, n FROM a
+        |UNION ALL SELECT 'quantity_positive', r_qty, n FROM a
+        |UNION ALL SELECT 'tax_not_null', r_tax, n FROM a
+        |ORDER BY rule""".stripMargin,
     "es_attribution" ->
       """SELECT user_id, purchase_id, purchase_ts_us, click_id, gap_us
         |FROM (
