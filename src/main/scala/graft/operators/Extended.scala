@@ -475,9 +475,66 @@ object Extended {
       .orderBy("rule")
   }
 
+  /** Event-type transition matrix (first-order Markov counts): for
+    * every consecutive pair in each user's (ts, event_id)-ordered
+    * stream, count (from_type → to_type) and the per-from-type
+    * transition probability. One user-partitioned lead window (the
+    * sessionization shuffle), then the aggregate collapses to
+    * |types|² rows — the probability normalization windows over THAT
+    * tiny frame, not the events.
+    */
+  private def esTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        tsUs(col("ts")).as("ts_us"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", r6(col("n") /
+        sum(col("n")).over(Window.partitionBy("from_type"))))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** Daily volume drift (statistical process control over ingest
+    * volume): per (event_type, epoch day), the event count and its
+    * z-score against the trailing 7-PRESENT-day window's mean/stddev —
+    * the monitor that catches a broken producer or a silent drop
+    * before it poisons downstream stats. Days are pure int64 epoch
+    * arithmetic (the es_retention lesson); the SPC window runs over the
+    * per-(type, day) AGGREGATE (types × days rows), not raw events.
+    * The z-score is emitted r6-rounded rather than as a thresholded
+    * boolean: a boundary case differing by one ulp across engines
+    * would flip a boolean, while the rounded score stays comparable —
+    * thresholding is the caller's one-liner.
+    */
+  private def dqDrift(s: SparkSession, d: String): DataFrame = {
+    val DayUs = 86400L * 1000000
+    val daily = Tables.events(s, d)
+      .withColumn("tus", tsUs(col("ts")))
+      .select(col("event_type"),
+        expr(s"CAST(tus div ${DayUs}L AS BIGINT)").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-7, -1)
+    daily
+      .withColumn("n_prior", count(lit(1)).over(w))
+      .withColumn("mu", avg(col("n")).over(w))
+      .withColumn("sigma", stddev_pop(col("n")).over(w))
+      .filter(col("n_prior") === 7)
+      .select(col("event_type"), col("day"), col("n"), r6(col("mu")).as("mu"),
+        r6(col("sigma")).as("sigma"),
+        when(col("sigma") > 0,
+          r6((col("n") - col("mu")) / col("sigma"))).as("z"))
+      .orderBy("event_type", "day")
+  }
+
   val queries: Map[String, Query] = Map(
     "dq_profile" -> dqProfile _,
     "dq_rules" -> dqRules _,
+    "dq_drift" -> dqDrift _,
+    "es_transitions" -> esTransitions _,
     "es_attribution" -> esAttribution _,
     "es_retention" -> esRetention _,
     "es_funnel" -> esFunnel _,
@@ -508,6 +565,33 @@ object Extended {
            |  min($c) AS vmin, max($c) AS vmax,
            |  round(avg($c), 6) AS vmean FROM lineitem""".stripMargin)
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+    "es_transitions" ->
+      """WITH seq AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS to_type
+        |  FROM events),
+        |t AS (SELECT event_type AS from_type, to_type, count(*) AS n
+        |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6)
+        |    AS p
+        |FROM t ORDER BY from_type, to_type""".stripMargin,
+    "dq_drift" ->
+      """WITH daily AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |spc AS (SELECT event_type, day, n,
+        |    count(*) OVER w AS n_prior,
+        |    avg(n) OVER w AS mu,
+        |    stddev_pop(n) OVER w AS sigma
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, day, n, round(mu, 6) AS mu,
+        |  round(sigma, 6) AS sigma,
+        |  CASE WHEN sigma > 0 THEN round((n - mu) / sigma, 6) END AS z
+        |FROM spc WHERE n_prior = 7
+        |ORDER BY event_type, day""".stripMargin,
     "dq_rules" ->
       """WITH j AS (SELECT l.*, o.o_orderkey AS ok FROM lineitem l
         |  LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey),
