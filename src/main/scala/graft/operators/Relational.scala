@@ -109,8 +109,10 @@ object Relational {
       .select(col("l_orderkey"), col("l_linenumber"),
         nullif(col("l_discount"), lit(0.0)).as("disc"))
     // distributed value-grid median (see exactMedians) — the buffering
-    // median aggregate would single-task the whole column
-    val med = exactMedians(li, Seq("disc" -> "med"))
+    // median aggregate would single-task the whole column. buckets=1:
+    // l_discount's grid is the 11-value ladder [0.00..0.10] at every
+    // scale, so the one-window cumsum is an 11-row sort.
+    val med = exactMedians(li, Seq("disc" -> "med"), buckets = 1)
     li.crossJoin(broadcast(med))
       .select(col("l_orderkey"), col("l_linenumber"),
         r6(coalesce(col("disc"), col("med"))).as("disc_imputed"))
@@ -311,28 +313,75 @@ object Relational {
     * count, and a per-k cumulative-count window over the sorted grid
     * locates the two middle order statistics; their mean is the
     * interpolated median (ties resolved by the grid itself — equal
-    * values are one row with multiplicity). The only single-partition
-    * step is the per-column cumsum over DISTINCT values — bounded by the
-    * measure's representable grid (prices at cent resolution span ~10⁷
-    * cells regardless of row count), not by the data. For a genuinely
-    * continuous column whose grid approaches the row count, the
-    * extension is a two-phase range-partitioned prefix sum; the r6
-    * rounding absorbs the ulp difference between (a+b)/2 and DuckDB's
-    * a + 0.5·(b−a) interpolation. Nulls are excluded, matching both
-    * engines' aggregate semantics.
+    * values are one row with multiplicity). The cumsum itself runs as
+    * [[rangeCumsum]]'s two-phase range-partitioned prefix sum, so even a
+    * genuinely continuous column whose grid approaches the row count
+    * (sf0.1 `l_extendedprice`: 583k distinct in 600k rows) never lands
+    * in a single sort task; the r6 rounding absorbs the ulp difference
+    * between (a+b)/2 and DuckDB's a + 0.5·(b−a) interpolation. Nulls are
+    * excluded, matching both engines' aggregate semantics.
     */
+  /** Two-phase range-partitioned prefix sum over a distinct-value grid:
+    * returns `counts` (key columns, `v`, `c`) with the per-key cumulative
+    * count `cum` — the same value `sum(c) OVER (PARTITION BY keys ORDER
+    * BY v)` yields, without that window's fatal shape. A one-partition-
+    * per-key window sorts each key's ENTIRE grid in one task; for a
+    * continuous measure the grid approaches the row count (sf0.1
+    * lineitem: 583k distinct `l_extendedprice` in 600k rows), so at
+    * 100 TB that task is the job.
+    *
+    * Phase 1 splits each key's value range into `buckets` spans at
+    * approx-percentile boundaries computed over the GRID (unweighted by
+    * `c` — the cumsum's cost is per grid cell, so cells are what need
+    * balancing), and cumsums locally within each (key, bucket) span —
+    * parallel across spans. Phase 2 cumsums the per-span totals (a
+    * keys × buckets frame — tiny by construction) and broadcasts each
+    * span's starting offset back. Counts are integral, so the split sum
+    * is bit-identical to the single-window form. Boundary assignment is
+    * any deterministic monotone rule; `v > boundary` sends boundary-
+    * equal values left. Duplicate boundaries (grids smaller than the
+    * bucket count) just leave spans empty.
+    *
+    * `buckets = 1` short-circuits to the plain one-window form — the
+    * right shape when the caller can PROVE the grid bounded by the
+    * measure's resolution (an 11-value discount ladder, cent-granular
+    * prices ≤ ~10⁷ cells): three extra exchanges buy nothing against a
+    * provably small sort, locally or at 100 TB.
+    */
+  private[graft] def rangeCumsum(counts: DataFrame, keys: Seq[String],
+      buckets: Int = 32): DataFrame = {
+    if (buckets == 1)
+      return counts.withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(keys.map(col): _*).orderBy("v")))
+    val bounds = counts.groupBy(keys.map(col): _*)
+      .agg(min("v").as("vlo"), max("v").as("vhi"))
+    val bucketed = counts.join(broadcast(bounds), keys)
+      .withColumn("bkt", when(col("vhi") === col("vlo"), lit(0)).otherwise(
+        least(lit(buckets - 1), floor((col("v") - col("vlo")) /
+          ((col("vhi") - col("vlo")) / buckets)).cast("int"))))
+      .drop("vlo", "vhi")
+    val loc = bucketed.withColumn("loc", sum(col("c")).over(
+      Window.partitionBy((keys :+ "bkt").map(col): _*).orderBy("v")))
+    val offsets = bucketed
+      .groupBy((keys :+ "bkt").map(col): _*).agg(sum("c").as("bc"))
+      .withColumn("off", coalesce(sum(col("bc")).over(
+        Window.partitionBy(keys.map(col): _*).orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("bc")
+    loc.join(broadcast(offsets), keys :+ "bkt")
+      .withColumn("cum", col("loc") + col("off"))
+      .drop("bkt", "loc", "off")
+  }
+
   private[graft] def exactMedians(df: DataFrame,
-      cols: Seq[(String, String)]): DataFrame = {
+      cols: Seq[(String, String)], buckets: Int = 32): DataFrame = {
     val long = df.select(explode(array(cols.map { case (c, a) =>
         struct(lit(a).as("k"), col(c).cast("double").as("v")) }: _*)).as("e"))
       .select(col("e.k").as("k"), col("e.v").as("v"))
       .filter(col("v").isNotNull)
     val counts = long.groupBy("k", "v").agg(count(lit(1)).as("c"))
     val tot = counts.groupBy("k").agg(sum("c").as("n"))
-    val cum = counts
-      .withColumn("cum", sum(col("c")).over(
-        Window.partitionBy("k").orderBy("v")))
-      .join(broadcast(tot), "k")
+    val cum = rangeCumsum(counts, Seq("k"), buckets).join(broadcast(tot), "k")
     // 1-based middle ranks: lo = (n+1) div 2, hi = (n+2) div 2 (equal
     // when n is odd). A grid row covers rank r iff cum-c < r <= cum;
     // each covered rank contributes its value once, so sum/2 is the
@@ -357,7 +406,10 @@ object Relational {
     * Replaces the buffering `percentile` aggregate, whose per-group
     * value list is a single-task OOM once any one group reaches
     * executor-memory scale; here per-group state is the distinct value
-    * grid only. floor/frac are computed from the same 1 + p·(n−1)
+    * grid only, and the cumsum is [[rangeCumsum]]'s two-phase
+    * range-partitioned prefix sum (no per-group single sort task even
+    * when the grid approaches the data). floor/frac are computed from
+    * the same 1 + p·(n−1)
     * double both engines evaluate, and r6 absorbs terminal ulp drift.
     */
   private[graft] def gridQuantiles(df: DataFrame, keys: Seq[String],
@@ -367,10 +419,7 @@ object Relational {
       .filter(col("v").isNotNull)
       .groupBy((keys :+ "v").map(col): _*).agg(count(lit(1)).as("c"))
     val tot = counts.groupBy(keys.map(col): _*).agg(sum("c").as("n"))
-    val cum = counts
-      .withColumn("cum", sum(col("c")).over(
-        Window.partitionBy(keys.map(col): _*).orderBy("v")))
-      .join(broadcast(tot), keys)
+    val cum = rangeCumsum(counts, keys).join(broadcast(tot), keys)
     val qs = ps.map { case (p, alias) =>
       val rf = lit(1.0) + lit(p) * (col("n") - 1).cast("double")
       val rlo = floor(rf)
