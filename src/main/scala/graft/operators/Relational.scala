@@ -575,6 +575,25 @@ object Relational {
       approx_count_distinct(col("user_id")).as("approx_users"),
       approx_count_distinct(col("value"), 0.02).as("approx_values"))
 
+  /** A25: grouped exact mode (most frequent value, ties to the smallest)
+    * — on the same distinct-value grid as [[exactMedians]]: the
+    * `groupBy(flag, v).count()` collapse combines map-side, and the
+    * arg-max over the grid is a plain aggregate (`max(struct(n, -v))` —
+    * lexicographic struct order gives max count, then min value), so no
+    * per-group value buffering and no window anywhere. Spark's own
+    * `mode()` aggregate buffers a value→count map per group; this form's
+    * reducer state is one struct.
+    */
+  private def a25Mode(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_quantity")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("l_returnflag")
+      .agg(max(struct(col("n"), (-col("l_quantity")).as("nq"))).as("m"))
+      .select(col("l_returnflag"), (-col("m.nq")).as("mode_qty"),
+        col("m.n").as("mode_n"))
+      .orderBy("l_returnflag")
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Query] = Map(
@@ -616,9 +635,17 @@ object Relational {
     "f2_math" -> f2Math _,
     "f3_date" -> f3Date _,
     "f4_json" -> f4Json _,
-    "a16_approx_distinct" -> a16ApproxDistinct _)
+    "a16_approx_distinct" -> a16ApproxDistinct _,
+    "a25_mode" -> a25Mode _)
 
   val oracle: Map[String, String] = Map(
+    "a25_mode" ->
+      """WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS n
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY n DESC, l_quantity) AS rk FROM c)
+        |SELECT l_returnflag, l_quantity AS mode_qty, n AS mode_n
+        |FROM r WHERE rk = 1 ORDER BY l_returnflag""".stripMargin,
     "s1_text_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,

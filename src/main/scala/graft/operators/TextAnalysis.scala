@@ -260,6 +260,32 @@ object TextAnalysis {
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token")).limit(20)
 
+  /** Corpus Zipf fit: OLS slope/intercept of ln(frequency) on ln(rank)
+    * over the top-1000 vocabulary head — the rank-frequency diagnostic a
+    * corpus health check runs (natural text slopes near −1; a scraped
+    * corpus dominated by templates or spam drifts far from it). The
+    * head-only fit is the published convention AND the scale shape: the
+    * top-k by frequency is a distributed TakeOrdered over the
+    * map-side-combined token counts, so the only ordered frame is 1000
+    * rows — ranking the FULL vocabulary would be a corpus-sized global
+    * row_number. Ties rank deterministically ((n desc, token) on both
+    * engines); regr_slope/regr_intercept are the same least-squares
+    * moments in Spark and DuckDB, with r6 absorbing terminal ulp drift.
+    */
+  private def zipf(s: SparkSession, d: String): DataFrame = {
+    val head = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(1000)
+    head
+      .withColumn("x", log(row_number().over(
+        Window.orderBy(col("n").desc, col("token"))).cast("double")))
+      .withColumn("y", log(col("n").cast("double")))
+      .agg(r6(expr("regr_slope(y, x)")).as("zipf_slope"),
+        r6(expr("regr_intercept(y, x)")).as("zipf_intercept"),
+        count(lit(1)).as("n_head"))
+  }
+
   /** Composite curation pipeline: quality filter (length + type-token
     * ratio) then keep-first near-dup removal (drop every doc_b of a
     * jaccard pair) — the filter→dedup composition an LLM corpus pass
@@ -568,6 +594,7 @@ object TextAnalysis {
     "ta_quality" -> quality _,
     "ta_tokens" -> tokens _,
     "ta_vocab" -> vocab _,
+    "ta_zipf" -> zipf _,
     "ta_fingerprint" -> fingerprint _,
     "pipe_curate" -> curate _)
 
@@ -713,6 +740,16 @@ object TextAnalysis {
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    "ta_zipf" ->
+      """WITH c AS (SELECT token, count(*) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token
+        |        FROM documents)
+        |  GROUP BY token ORDER BY n DESC, token LIMIT 1000),
+        |r AS (SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, token)
+        |    AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y FROM c)
+        |SELECT round(regr_slope(y, x), 6) AS zipf_slope,
+        |  round(regr_intercept(y, x), 6) AS zipf_intercept,
+        |  count(*) AS n_head FROM r""".stripMargin,
     "pipe_curate" -> {
       val sh3 = {
         val parts = (0 until 3).map(j => s"w[i+$j]").mkString(" || ' ' || ")

@@ -151,7 +151,34 @@ object Windows {
       "value", Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99"))
       .orderBy("event_type")
 
+  /** W18: longest consecutive-day activity streak per user — the
+    * gaps-and-islands idiom. Distinct (user, epoch-day) pairs fall out
+    * of a map-side-combinable aggregate (NOT `distinct` over raw events
+    * — per-user daily volume collapses before the shuffle); the island
+    * key is `day − row_number()` over the per-user day sequence, whose
+    * window frame is the user's DISTINCT DAYS — bounded by the corpus
+    * timespan, not its event volume — and two more combinable
+    * aggregates (island length, max) finish it. Days are pure int64
+    * epoch arithmetic (the es_retention lesson: no timezone-dependent
+    * date truncation on either engine).
+    */
+  private def w18Streak(s: SparkSession, d: String): DataFrame = {
+    val DayUs = 86400L * 1000000
+    val days = Tables.events(s, d)
+      .select(col("user_id"), tsUs(col("ts")).as("tus"))
+      .select(col("user_id"),
+        expr(s"CAST(tus div ${DayUs}L AS BIGINT)").as("day"))
+      .groupBy("user_id", "day").agg(count(lit(1)).as("_n")).drop("_n")
+    val w = Window.partitionBy("user_id").orderBy("day")
+    days
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+      .groupBy("user_id").agg(max(col("len")).as("streak"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Query] = Map(
+    "w18_streak" -> w18Streak _,
     "w12_session_window" -> w12SessionWindow _,
     "w7_sessionize" -> w7Sessionize _,
     "w8_percentiles" -> w8Percentiles _,
@@ -166,6 +193,15 @@ object Windows {
   private val over = "PARTITION BY user_id ORDER BY epoch_us(ts), event_id"
 
   val oracle: Map[String, String] = Map(
+    "w18_streak" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |g AS (SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS grp FROM d),
+        |l AS (SELECT user_id, count(*) AS len FROM g GROUP BY user_id, grp)
+        |SELECT user_id, max(len) AS streak FROM l GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
     // Same gap-cumsum formulation as w7 rolled up to (session start,
     // count, sum) — with one boundary difference: Spark session windows
     // are end-EXCLUSIVE ([start, last_ts + gap)), so a gap of exactly
