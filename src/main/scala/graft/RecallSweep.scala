@@ -97,6 +97,48 @@ object RecallSweep {
         val sec = (System.nanoTime() - t0) / 1e9
         val recall = exact.count(served.contains).toDouble / exact.size
         println(f"append $fam%-8s pct=$pct%-3d recall=$recall%.3f sec=$sec%.1f")
+      // rebuild:<ivfflat|ivfpq>:<pct> — the recovery point of the drift
+      // curve: build on (100-pct)%, append the rest, REBUILD from the
+      // index's own resident vectors, measure serving recall from the
+      // fresh index. The (append, rebuild) recall pair at the same pct
+      // is the measured payoff of scheduling the rebuild.
+      case cfg if cfg.startsWith("rebuild:") =>
+        import org.apache.spark.sql.functions.col
+        val Array(_, fam, pctS) = cfg.split(":")
+        val pct = pctS.toInt
+        val base = java.nio.file.Files
+          .createTempDirectory(s"graft_sweep_rebuild_$fam$pct").toString
+        val all = Tables.embeddings(spark, sfDir)
+        all.filter(col("vec_id") < 10 || col("vec_id") % 100 >= pct)
+          .write.parquet(s"$base/sub/embeddings.parquet")
+        val batch = all.select("vec_id", "embedding")
+          .filter(col("vec_id") >= 10 && col("vec_id") % 100 < pct)
+        val queries10 = all.select("vec_id", "embedding")
+          .filter(col("vec_id") < 10)
+        val t0 = System.nanoTime()
+        val served = (fam match {
+          case "ivfflat" =>
+            operators.Similarity.saveIvfFlatIndex(
+              spark, s"$base/sub", s"$base/idx")
+            if (pct > 0) operators.Similarity
+              .appendToIvfFlatIndex(batch, s"$base/idx")
+            operators.Similarity.rebuildIvfFlatIndex(
+              spark, s"$base/idx", s"$base/idx2")
+            operators.Similarity.topkAgainstIvfFlatIndex(
+              queries10, s"$base/idx2")
+          case "ivfpq" =>
+            operators.Similarity.saveIvfPqIndex(
+              spark, s"$base/sub", s"$base/idx")
+            if (pct > 0) operators.Similarity
+              .appendToIvfPqIndex(batch, s"$base/idx")
+            operators.Similarity.rebuildIvfPqIndex(
+              spark, s"$base/idx", s"$base/idx2")
+            operators.Similarity.topkAgainstIvfPqIndex(
+              queries10, s"$base/idx2")
+        }).collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+        val sec = (System.nanoTime() - t0) / 1e9
+        val recall = exact.count(served.contains).toDouble / exact.size
+        println(f"rebuild $fam%-8s pct=$pct%-3d recall=$recall%.3f sec=$sec%.1f")
       case cfg =>
         val Array(c, p, it, a) = cfg.split(":").map(_.toInt)
         val t0 = System.nanoTime()

@@ -1243,6 +1243,68 @@ object Similarity {
       .write.mode("append").partitionBy("ccell").parquet(s"$indexPath/vectors")
   }
 
+  /** Snapshot a persisted index's resident vectors as a training corpus
+    * under the NEW index path and return the snapshot dir — the shared
+    * first step of both rebuilds. The dir name carries the resident
+    * count: appends only grow an index, so successive rebuilds of the
+    * same index never reuse a snapshot path, keeping the per-dir model/
+    * count/pin caches' immutable-dir contract intact. The snapshot
+    * stays on disk as the rebuild's audit record of exactly what was
+    * trained on.
+    */
+  private def snapshotResident(s: SparkSession, indexPath: String,
+      outPath: String): String = {
+    require(java.nio.file.Paths.get(outPath).normalize() !=
+        java.nio.file.Paths.get(indexPath).normalize(),
+      "rebuild writes a FRESH index: an in-place rebuild would yank the " +
+        "layout out from under concurrent readers — write to a new path " +
+        "and repoint serving after the build commits (blue/green swap)")
+    val vecs = s.read.parquet(s"$indexPath/vectors")
+    val n = vecs.count()
+    require(n > 0, s"index at $indexPath has no resident vectors")
+    val corpus = s"$outPath/_corpus_n$n"
+    // label satisfies the embeddings load contract; the index layout
+    // does not carry labels and no training path reads them.
+    vecs.select(col("vec_id"), col("u").as("embedding"),
+        lit(0L).as("label"))
+      .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+    corpus
+  }
+
+  /** Full rebuild of a persisted IVFPQ index from its own resident
+    * vectors — the lifecycle step the measured append-drift curve
+    * schedules (recall falls to the coarse-stage floor once ~half the
+    * index is appended; see SURVEY's add-without-retrain table).
+    * Coarse centroids and PQ codebooks retrain on the ENTIRE resident
+    * population (build-time vectors plus every appended batch, read
+    * from the index's own cell-partitioned vectors table — the corpus
+    * parquet is never touched, so a rebuild needs only the index), and
+    * a fresh index lands at `outPath` with the appended fraction reset
+    * to zero. The old index is never modified: concurrent readers stay
+    * consistent and serving swaps by repointing at the new path. A torn
+    * source index refuses to rebuild — retraining on a population whose
+    * rerank tier disagrees with its code tier would bake the damage in.
+    */
+  def rebuildIvfPqIndex(s: SparkSession, indexPath: String,
+      outPath: String): Unit = {
+    requireIvfPqConsistent(s, indexPath,
+      s.read.parquet(s"$indexPath/vectors").count())
+    saveIvfPqIndex(s, snapshotResident(s, indexPath, outPath), outPath)
+  }
+
+  /** Full rebuild of a persisted IVF-Flat index from its own resident
+    * vectors: same blue/green contract as [[rebuildIvfPqIndex]], only
+    * cheaper — flat serving stores exact vectors, so a rebuild buys
+    * back ONLY cell-boundary drift (the measured curve is ±0.02 around
+    * the build floor on this corpus), and the operational rule in the
+    * append docstring holds: flat indexes can defer rebuilds far
+    * longer. The LSH index needs no rebuild at all — its append is
+    * drift-free by construction (signatures are data-independent).
+    */
+  def rebuildIvfFlatIndex(s: SparkSession, indexPath: String,
+      outPath: String): Unit =
+    saveIvfFlatIndex(s, snapshotResident(s, indexPath, outPath), outPath)
+
   /** Persist the LSH index: the full signed corpus (vec_id, normalized
     * vector, signature) — unlike IVF's tiny centroid table this index
     * scales WITH the corpus, so it persists as a distributed write and

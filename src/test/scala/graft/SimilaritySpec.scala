@@ -493,6 +493,81 @@ class SimilaritySpec extends GraftSuite {
     assert(tornFrom.getMessage.contains("torn"))
   }
 
+  test("IVFPQ rebuild: retrains on the resident population; recall recovers from append drift") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_rebuild").toString
+    val all = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 10 || col("vec_id") % 2 === 0)
+      .write.parquet(s"$base/sub/embeddings.parquet")
+    operators.Similarity.saveIvfPqIndex(spark, s"$base/sub", s"$base/index")
+    operators.Similarity.appendToIvfPqIndex(
+      all.filter(col("vec_id") >= 10 && col("vec_id") % 2 === 1),
+      s"$base/index")
+    val queries10 = all.filter(col("vec_id") < 10)
+    val appended = operators.Similarity.topkAgainstIvfPqIndex(
+      queries10, s"$base/index")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // in-place rebuild is refused: readers of the old path must never
+    // see a half-written layout
+    val inPlace = intercept[IllegalArgumentException] {
+      operators.Similarity.rebuildIvfPqIndex(
+        spark, s"$base/index", s"$base/index")
+    }
+    assert(inPlace.getMessage.contains("FRESH"))
+    operators.Similarity.rebuildIvfPqIndex(
+      spark, s"$base/index", s"$base/index2")
+    // the fresh index holds the ENTIRE resident population (both
+    // halves), consistently (serving runs the torn-index check)
+    assert(spark.read.parquet(s"$base/index2/vectors").count() ==
+      spark.read.parquet(s"$base/index/vectors").count())
+    val rebuilt = operators.Similarity.topkAgainstIvfPqIndex(
+      queries10, s"$base/index2")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(rebuilt.exists(_._2 % 2 == 1),
+      "rebuilt index never served a formerly-appended (odd) neighbor")
+    val exact = SparkEntry.queries("ann_topk_exact")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rAppend = appended.count(exact.contains).toDouble / exact.size
+    val rRebuild = rebuilt.count(exact.contains).toDouble / exact.size
+    info(f"appended recall $rAppend%.3f -> rebuilt recall $rRebuild%.3f")
+    // retraining on the full population restores the fully-trained
+    // floor: the rebuilt index must clear the composed-index build
+    // floor, and must not sit below the drifted appended index
+    assert(rRebuild >= 0.75, f"rebuilt serving recall $rRebuild%.3f")
+    assert(rRebuild >= rAppend - 0.01,
+      f"rebuild lost recall: $rAppend%.3f -> $rRebuild%.3f")
+  }
+
+  test("IVF-Flat rebuild: fresh index serves the full resident population") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_ivfflat_rebuild").toString
+    val all = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 10 || col("vec_id") % 2 === 0)
+      .write.parquet(s"$base/sub/embeddings.parquet")
+    operators.Similarity.saveIvfFlatIndex(spark, s"$base/sub", s"$base/index")
+    operators.Similarity.appendToIvfFlatIndex(
+      all.filter(col("vec_id") >= 10 && col("vec_id") % 2 === 1),
+      s"$base/index")
+    operators.Similarity.rebuildIvfFlatIndex(
+      spark, s"$base/index", s"$base/index2")
+    assert(spark.read.parquet(s"$base/index2/vectors").count() ==
+      spark.read.parquet(s"$base/index/vectors").count())
+    val served = operators.Similarity.topkAgainstIvfFlatIndex(
+      all.filter(col("vec_id") < 10), s"$base/index2")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(served.exists(_._2 % 2 == 1),
+      "rebuilt IVF-Flat index never served a formerly-appended neighbor")
+    val exact = SparkEntry.queries("ann_topk_exact")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = served.count(exact.contains).toDouble / exact.size
+    info(f"rebuilt IVF-Flat serving recall: $recall%.3f")
+    assert(recall >= 0.7, f"rebuilt IVF-Flat serving recall $recall%.3f")
+  }
+
   test("LSH append: appended index is bit-identical to a rebuild over the union") {
     import org.apache.spark.sql.functions._
     val base = java.nio.file.Files
