@@ -619,6 +619,81 @@ class StreamingAndMlSpec extends GraftSuite {
         Option(r.get(3)).map(_.asInstanceOf[Long]), r.getInt(4))
     }.toMap
 
+  test("streaming drift: a day-ordered stream reproduces dq_drift on every closed day") {
+    streaming.StreamingDrift.runToMemory(spark, funnelFixture(1),
+      "drift_single")
+    val streamed = spark.table("drift_single").collect().map { r =>
+      (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4),
+          Option(r.get(5)).map(_.asInstanceOf[Double]))
+    }.toMap
+    // the final day of each type is still OPEN in the stream — batch
+    // recomputation has it, the online monitor (correctly) does not yet
+    val lastDay = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(max(expr("unix_micros(ts) div 86400000000")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = SparkEntry.queries("dq_drift")(spark, sf).collect()
+      .filter(r => r.getLong(1) < lastDay(r.getString(0)))
+      .map { r =>
+        (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getDouble(3), r.getDouble(4),
+            Option(r.get(5)).map(_.asInstanceOf[Double]))
+      }.toMap
+    assert(batch.nonEmpty && streamed.keySet == batch.keySet,
+      s"closed-day sets differ: ${streamed.keySet.size} streamed vs " +
+        s"${batch.keySet.size} batch")
+    batch.foreach { case (k, (n, mu, sigma, z)) =>
+      val (sn, smu, ssigma, sz) = streamed(k)
+      assert(sn == n, s"$k count")
+      // batch emits r6-rounded; the stream emits raw doubles
+      assert(math.abs(smu - mu) < 1e-6, s"$k mu")
+      assert(math.abs(ssigma - sigma) < 1e-6, s"$k sigma")
+      assert(z.isDefined == sz.isDefined, s"$k z nullability")
+      z.zip(sz).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-6, s"$k z") }
+    }
+  }
+
+  test("streaming drift: closed days are immutable; late events tally, not retract") {
+    import spark.implicits._
+    val DayUs = 86400L * 1000000
+    val tmp = Files.createTempDirectory("graft-drift-ooo").toString
+    var nextId = 0L
+    def write(rows: Seq[(Long, Int)]): Unit = { // (day, n events that day)
+      val evs = rows.flatMap { case (day, n) => (0 until n).map { i =>
+        nextId += 1; (nextId, day * DayUs + i * 1000L, 1L, "x")
+      } }
+      evs.toDF("event_id", "tus", "user_id", "event_type")
+        .select(col("event_id"), timestamp_micros(col("tus")).as("ts"),
+          col("user_id"), col("event_type"), lit(0.0).as("value"))
+        .coalesce(1).write.mode("append").parquet(s"$tmp/events.parquet")
+    }
+    write((0L to 6L).map(d => d -> (d.toInt + 1)))   // days 0..6: 1..7
+    write(Seq(7L -> 3, 8L -> 10))                    // close 0..7
+    write(Seq(3L -> 1, 9L -> 1))                     // LATE day-3 + close 8
+    streaming.StreamingDrift.runToMemory(spark, s"$tmp/events.parquet",
+      "drift_ooo", maxFilesPerTrigger = 1)
+    val rows = spark.table("drift_ooo").collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getDouble(3),
+        r.getDouble(4), Option(r.get(5)).map(_.asInstanceOf[Double])))
+      .toMap
+    // only days 7 and 8 ever close WITH a full 7-day baseline; day 9 is
+    // open, and the late day-3 event neither re-emits nor perturbs
+    assert(rows.keySet == Set(7L, 8L), s"emitted days: ${rows.keySet}")
+    val (n7, mu7, s7, z7) = rows(7L)
+    assert(n7 == 3 && mu7 == 4.0 && s7 == 2.0 && z7.contains(-0.5))
+    // day 8's baseline is days 1..7 = (2,3,4,5,6,7,3) — the late day-3
+    // arrival came AFTER day 3 closed, so the baseline still says 4
+    val xs = Seq(2.0, 3, 4, 5, 6, 7, 3)
+    val mu = xs.sum / 7
+    val sig = math.sqrt(xs.map(x => (x - mu) * (x - mu)).sum / 7)
+    val (n8, mu8, s8, z8) = rows(8L)
+    assert(n8 == 10 && math.abs(mu8 - mu) < 1e-12 &&
+      math.abs(s8 - sig) < 1e-12)
+    assert(z8.exists(z => math.abs(z - (10 - mu) / sig) < 1e-12))
+  }
+
   test("streaming funnel: single-batch stream reproduces es_funnel exactly") {
     streaming.StreamingFunnel.runToMemory(spark, funnelFixture(1),
       "funnel_single")
