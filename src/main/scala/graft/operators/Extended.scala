@@ -397,6 +397,46 @@ object Extended {
     * sessionization); no self-join of purchases against clicks, which
     * would shuffle the event table twice and skew on hot users.
     */
+  /** Event-type co-occurrence (the market-basket statistic over user
+    * behavior): for each unordered type pair, how many users produced
+    * both. The per-user type set collapses FIRST (a map-side-combinable
+    * aggregate — the shuffle carries ≤ users × types rows, never raw
+    * events), and the pair join is co-partitioned on user_id with
+    * fan-out bounded by types² per user — a bot with 10⁸ events still
+    * contributes exactly one row per type.
+    */
+  private def esCooccur(s: SparkSession, d: String): DataFrame = {
+    val ut = Tables.events(s, d)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("_n"))
+      .select("user_id", "event_type")
+    ut.select(col("user_id"), col("event_type").as("type_a"))
+      .join(ut.select(col("user_id"), col("event_type").as("type_b")),
+        "user_id")
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_users"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** Per-type ingest freshness: event count, last-seen timestamp, and
+    * the lag behind the corpus frontier — the staleness gate a feed
+    * monitor alarms on (a type whose producer died stops advancing
+    * while the frontier moves). Two tiny aggregates and a broadcast of
+    * the 1-row frontier; the stale flag thresholds at 2 days of lag.
+    */
+  private def dqFreshness(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), tsUs(col("ts")).as("tus"))
+    val frontier = ev.agg(max(col("tus")).as("frontier_us"))
+    ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), max(col("tus")).as("last_us"))
+      .crossJoin(broadcast(frontier))
+      .select(col("event_type"), col("n"), col("last_us"),
+        (col("frontier_us") - col("last_us")).as("lag_us"),
+        (col("frontier_us") - col("last_us") > 2L * 86400L * 1000000L)
+          .cast("int").as("stale"))
+      .orderBy("event_type")
+  }
+
   private def esAttribution(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -534,6 +574,8 @@ object Extended {
     "dq_profile" -> dqProfile _,
     "dq_rules" -> dqRules _,
     "dq_drift" -> dqDrift _,
+    "dq_freshness" -> dqFreshness _,
+    "es_cooccur" -> esCooccur _,
     "es_transitions" -> esTransitions _,
     "es_attribution" -> esAttribution _,
     "es_retention" -> esRetention _,
@@ -565,6 +607,20 @@ object Extended {
            |  min($c) AS vmin, max($c) AS vmax,
            |  round(avg($c), 6) AS vmean FROM lineitem""".stripMargin)
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+    "es_cooccur" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  count(*) AS n_users
+        |FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |  AND a.event_type < b.event_type
+        |GROUP BY 1, 2 ORDER BY type_a, type_b""".stripMargin,
+    "dq_freshness" ->
+      """WITH t AS (SELECT event_type, count(*) AS n,
+        |    max(epoch_us(ts)) AS last_us FROM events GROUP BY 1),
+        |f AS (SELECT max(epoch_us(ts)) AS frontier_us FROM events)
+        |SELECT event_type, n, last_us, frontier_us - last_us AS lag_us,
+        |  CAST(frontier_us - last_us > 172800000000 AS INT) AS stale
+        |FROM t, f ORDER BY event_type""".stripMargin,
     "es_transitions" ->
       """WITH seq AS (SELECT user_id, event_type,
         |    lead(event_type) OVER (PARTITION BY user_id

@@ -594,6 +594,34 @@ object Relational {
         col("m.n").as("mode_n"))
       .orderBy("l_returnflag")
 
+  /** A26: skewness and excess kurtosis via explicit TWO-PASS central
+    * moments — mean first, then decimal-accumulated Σ(x−μ)^{2,3,4}.
+    * The one-pass raw-moment form (m3 = s3/n − 3μs2/n + 2μ³) cancels
+    * catastrophically once μ dwarfs the central deviations, and
+    * Spark's own `skewness`/`kurtosis` use bias conventions that vary
+    * across engines — stating the estimator as explicit moments makes
+    * the number portable and the oracle exact. Both passes are plain
+    * combinable aggregates (the first broadcasts one row back), so the
+    * shape is two map-side-combined scans at any scale.
+    */
+  private def a26Moments(s: SparkSession, d: String): DataFrame = {
+    val x = Tables.events(s, d)
+      .select(col("value").as("x")).filter(col("x").isNotNull)
+    val mu = x.agg((sum(col("x").cast("decimal(38,18)")).cast("double") /
+      count(lit(1))).as("mu"))
+    def cm(k: Int) =
+      sum(pow(col("x") - col("mu"), k).cast("decimal(38,18)"))
+        .cast("double")
+    x.crossJoin(broadcast(mu))
+      .agg(count(lit(1)).as("n"), cm(2).as("s2"), cm(3).as("s3"),
+        cm(4).as("s4"))
+      .select(col("n"),
+        r6((col("s3") / col("n")) / pow(col("s2") / col("n"), 1.5))
+          .as("skew"),
+        r6((col("s4") / col("n")) / pow(col("s2") / col("n"), 2) - 3)
+          .as("kurt"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Query] = Map(
@@ -636,9 +664,20 @@ object Relational {
     "f3_date" -> f3Date _,
     "f4_json" -> f4Json _,
     "a16_approx_distinct" -> a16ApproxDistinct _,
-    "a25_mode" -> a25Mode _)
+    "a25_mode" -> a25Mode _,
+    "a26_moments" -> a26Moments _)
 
   val oracle: Map[String, String] = Map(
+    "a26_moments" ->
+      """WITH m AS (SELECT avg(value) AS mu FROM events
+        |  WHERE value IS NOT NULL),
+        |s AS (SELECT count(*) AS n,
+        |    sum(power(value - mu, 2)) AS s2,
+        |    sum(power(value - mu, 3)) AS s3,
+        |    sum(power(value - mu, 4)) AS s4
+        |  FROM events, m WHERE value IS NOT NULL)
+        |SELECT n, round((s3 / n) / power(s2 / n, 1.5), 6) AS skew,
+        |  round((s4 / n) / power(s2 / n, 2) - 3, 6) AS kurt FROM s""".stripMargin,
     "a25_mode" ->
       """WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS n
         |  FROM lineitem GROUP BY 1, 2),
