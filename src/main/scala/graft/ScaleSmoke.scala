@@ -64,6 +64,15 @@ object ScaleSmoke {
     }
 
     import org.apache.spark.sql.expressions.Window
+    // The continuous-grid median frame: deterministic sub-resolution
+    // jitter makes (almost) every value distinct, so the distinct-value
+    // grid tracks the row count — the shape exactMedians' range
+    // partitioning exists for. NaN-guarded so GRAFT_SMOKE_ONLY can run
+    // either grid stage alone.
+    def gridFrame(df: org.apache.spark.sql.DataFrame) =
+      df.select((col("value") +
+        (col("event_id") % 1000000L) * lit(1e-9)).as("x"))
+    var gridMedian: Double = Double.NaN
     val wp = Window.partitionBy("user_id")
     val wo = wp.orderBy(col("ts"), col("event_id"))
     val results = Seq(
@@ -116,6 +125,30 @@ object ScaleSmoke {
           .otherwise((element_at(arr, (n / 2).cast("int")) +
             element_at(arr, (n / 2 + 1).cast("int"))) / 2.0)
         full(big.select(col("event_id"), round(med, 6).as("med5")))
+      },
+      // Round-9: exact median when the value grid IS the data — a
+      // per-row jitter makes every value distinct, the continuous-
+      // measure worst case the range-partitioned prefix sum exists
+      // for. The pair measures the partitioned form against the
+      // one-window form ON THE SAME FRAME and requires bit-equal
+      // answers: the honest statement of what the three extra
+      // exchanges buy (the single-window form funnels the whole grid
+      // into ONE sort task — its wall time here is the straggler the
+      // partitioned shape deletes at scale).
+      time("grid_median_partitioned") {
+        gridMedian = operators.Relational
+          .exactMedians(gridFrame(big), Seq("x" -> "med"))
+          .first().getDouble(0)
+        0L
+      },
+      time("grid_median_one_window") {
+        val b = operators.Relational
+          .exactMedians(gridFrame(big), Seq("x" -> "med"), buckets = 1)
+          .first().getDouble(0)
+        require(gridMedian.isNaN || b == gridMedian,
+          s"grid median forms disagree: one-window $b vs " +
+            s"partitioned $gridMedian")
+        0L
       })
     // Skew stress: collapse every even user_id onto ONE key, putting
     // ≥50% of all rows on it, then join against a dim too large to

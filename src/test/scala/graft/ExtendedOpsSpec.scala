@@ -140,6 +140,31 @@ class ExtendedOpsSpec extends GraftSuite {
       s"expected 1 window shuffle, got $hashShuffles:\n" + plan.take(1500))
   }
 
+  test("grid order statistics: every cumsum window is range-bucketed, never one task per column") {
+    // a13's grid has a continuous column (583k distinct l_extendedprice
+    // at sf0.1) — its cumsum must run over (k, bkt) partitions, not a
+    // per-k window that funnels the whole grid into one sort task. The
+    // offsets window over bucket totals is the only k-partitioned one
+    // left, and it sees ≤ keys × buckets rows by construction.
+    val plan = SparkEntry.queries("a13_medians")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bkt"),
+      "no bucket column anywhere in the a13 plan:\n" + plan.take(1500))
+    // the local-cumsum exchange hashes on (k, bkt):
+    assert("hashpartitioning\\(k#\\d+, bkt#\\d+".r
+      .findFirstIn(plan).isDefined,
+      "local cumsum is not partitioned on (k, bkt):\n" + plan.take(2000))
+    // and the two forms agree on the data (the buckets=1 short circuit
+    // is the reference semantics):
+    val li = Tables.lineitem(spark, sf)
+    val cols = Seq("l_quantity" -> "q", "l_extendedprice" -> "p",
+      "l_discount" -> "d")
+    val a = operators.Relational.exactMedians(li, cols).collect()(0)
+    val b = operators.Relational.exactMedians(li, cols, buckets = 1)
+      .collect()(0)
+    assert(a == b, s"partitioned $a != one-window $b")
+  }
+
   test("as-of join is one shuffle: union + window, no join exchange") {
     val plan = operators.TemporalJoins.queries("j5_asof_join")(spark, sf)
       .queryExecution.executedPlan.toString
