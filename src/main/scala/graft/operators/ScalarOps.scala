@@ -160,7 +160,29 @@ object ScalarOps {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Higher-order lambda surface (transform / filter / exists / forall
+    * / sort-then-reduce) — the codegen'd array combinators a feature
+    * pipeline leans on instead of exploding vectors to rows (an explode
+    * multiplies the shuffle by the array width; a lambda keeps the work
+    * inside the row's codegen stage). DuckDB twins via list_filter /
+    * list_sort / list_sum — predicates are phrased so both engines
+    * evaluate identical arithmetic.
+    */
+  private def f14Lambda(s: SparkSession, d: String): DataFrame = {
+    val e = col("embedding").cast("array<double>")
+    Tables.embeddings(s, d).select(
+      col("vec_id"),
+      size(filter(e, _ > 0)).as("n_pos"),
+      r6(aggregate(transform(e, x => x * x), lit(0.0), _ + _)).as("sum_sq"),
+      exists(e, _ > 0.2).cast("int").as("has_big"),
+      forall(e, x => abs(x) < lit(1.0)).cast("int").as("all_small"),
+      r6(aggregate(slice(sort_array(e, asc = false), 1, 3),
+        lit(0.0), _ + _)).as("top3_sum"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Query] = Map(
+    "f14_lambda" -> f14Lambda _,
     "f5_array" -> f5Array _,
     "f6_regex" -> f6Regex _,
     "f7_datetime" -> f7Datetime _,
@@ -172,6 +194,17 @@ object ScalarOps {
     "p14_null_semantics" -> p14NullSemantics _)
 
   val oracle: Map[String, String] = Map(
+    "f14_lambda" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |           FROM embeddings)
+        |SELECT vec_id,
+        |  CAST(len(list_filter(e, x -> x > 0)) AS INT) AS n_pos,
+        |  round(list_sum(list_transform(e, x -> x * x)), 6) AS sum_sq,
+        |  CAST(len(list_filter(e, x -> x > 0.2)) > 0 AS INT) AS has_big,
+        |  CAST(len(list_filter(e, x -> abs(x) >= 1.0)) = 0 AS INT)
+        |    AS all_small,
+        |  round(list_sum(list_sort(e, 'DESC')[1:3]), 6) AS top3_sum
+        |FROM v ORDER BY vec_id""".stripMargin,
     "f5_array" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
         |           FROM embeddings)

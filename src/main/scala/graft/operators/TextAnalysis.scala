@@ -286,6 +286,27 @@ object TextAnalysis {
         count(lit(1)).as("n_head"))
   }
 
+  /** Simpson diversity over the corpus vocabulary: D = Σnᵢ(nᵢ−1) /
+    * (N(N−1)), the probability two tokens drawn without replacement are
+    * the same type — the concentration twin of `ta_entropy` (a
+    * template-flooded corpus shows D spiking while entropy sags). Runs
+    * entirely on the token-count grid: one map-side-combinable count
+    * per token, one global aggregate over the grid — no sort, no
+    * window, no per-group buffering at any corpus size. `inv_simpson`
+    * (1/D, the effective vocabulary size) is the operational dial.
+    */
+  private def simpson(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("vocab"), sum(col("n")).as("total"),
+        sum(col("n") * (col("n") - 1)).as("ss"))
+      .select(col("vocab"), col("total"),
+        r6(col("ss") / (col("total") * (col("total") - 1)))
+          .as("simpson"),
+        r6((col("total") * (col("total") - 1)) / col("ss"))
+          .as("inv_simpson"))
+
   /** Composite curation pipeline: quality filter (length + type-token
     * ratio) then keep-first near-dup removal (drop every doc_b of a
     * jaccard pair) — the filter→dedup composition an LLM corpus pass
@@ -594,6 +615,7 @@ object TextAnalysis {
     "ta_quality" -> quality _,
     "ta_tokens" -> tokens _,
     "ta_vocab" -> vocab _,
+    "ta_simpson" -> simpson _,
     "ta_zipf" -> zipf _,
     "ta_fingerprint" -> fingerprint _,
     "pipe_curate" -> curate _)
@@ -740,6 +762,16 @@ object TextAnalysis {
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    "ta_simpson" ->
+      """WITH c AS (SELECT token, count(*) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token
+        |        FROM documents) GROUP BY token),
+        |s AS (SELECT count(*) AS vocab, CAST(sum(n) AS BIGINT) AS total,
+        |    CAST(sum(n * (n - 1)) AS BIGINT) AS ss FROM c)
+        |SELECT vocab, total,
+        |  round(CAST(ss AS DOUBLE) / (total * (total - 1)), 6) AS simpson,
+        |  round(CAST(total * (total - 1) AS DOUBLE) / ss, 6)
+        |    AS inv_simpson FROM s""".stripMargin,
     "ta_zipf" ->
       """WITH c AS (SELECT token, count(*) AS n
         |  FROM (SELECT unnest(string_split(text, ' ')) AS token
