@@ -437,6 +437,54 @@ object Extended {
       .orderBy("event_type")
   }
 
+  /** Top user-journey prefixes: each user's first five events as a
+    * `>`-joined type path, ranked by how many users share it — the
+    * onboarding-path report behind every product-analytics tool. The
+    * prefix cap is applied BEFORE any collection (row_number then
+    * filter), so the per-user buffered state is ≤5 structs even for a
+    * bot with 10⁸ events — the same bounded-buffer discipline as the
+    * streaming funnel — and the path frame entering the count is one
+    * row per user. Top-20 is a distributed TakeOrdered.
+    */
+  private def esPaths(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        tsUs(col("ts")).as("tus"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .groupBy("user_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("rn"), col("event_type")))),
+        _.getField("event_type")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path")).limit(20)
+  }
+
+  /** Key-uniqueness audit across the warehouse's primary keys — the DQ
+    * gate that catches a double-loaded partition or a broken upsert
+    * before a join fans out downstream. Per declared key: row count,
+    * distinct keys, duplicated keys, and the worst multiplicity — each
+    * table one map-side-combinable grid aggregate (`groupBy(key)` then
+    * a global rollup of the count grid), unioned into one report. No
+    * distinct-subquery per metric, no window.
+    */
+  private def dqDupKeys(s: SparkSession, d: String): DataFrame = {
+    def audit(df: DataFrame, table: String, keys: Seq[String]): DataFrame =
+      df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("c")).as("n_rows"),
+          sum(when(col("c") > 1, 1L).otherwise(0L)).as("dup_keys"),
+          max(col("c")).as("max_mult"))
+        .select(lit(table).as("table_name"), col("n_rows"), col("n_keys"),
+          col("dup_keys"), col("max_mult"))
+    audit(Tables.events(s, d), "events", Seq("event_id"))
+      .unionByName(audit(Tables.orders(s, d), "orders", Seq("o_orderkey")))
+      .unionByName(audit(Tables.lineitem(s, d), "lineitem",
+        Seq("l_orderkey", "l_linenumber")))
+      .orderBy("table_name")
+  }
+
   private def esAttribution(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -575,7 +623,9 @@ object Extended {
     "dq_rules" -> dqRules _,
     "dq_drift" -> dqDrift _,
     "dq_freshness" -> dqFreshness _,
+    "dq_dup_keys" -> dqDupKeys _,
     "es_cooccur" -> esCooccur _,
+    "es_paths" -> esPaths _,
     "es_transitions" -> esTransitions _,
     "es_attribution" -> esAttribution _,
     "es_retention" -> esRetention _,
@@ -607,6 +657,34 @@ object Extended {
            |  min($c) AS vmin, max($c) AS vmax,
            |  round(avg($c), 6) AS vmean FROM lineitem""".stripMargin)
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+    "es_paths" ->
+      """WITH r AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS rn FROM events),
+        |p AS (SELECT user_id,
+        |    string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 5 GROUP BY user_id)
+        |SELECT path, count(*) AS n_users FROM p GROUP BY path
+        |ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
+    "dq_dup_keys" ->
+      """WITH e AS (SELECT count(*) AS c FROM events GROUP BY event_id),
+        |o AS (SELECT count(*) AS c FROM orders GROUP BY o_orderkey),
+        |l AS (SELECT count(*) AS c FROM lineitem
+        |  GROUP BY l_orderkey, l_linenumber),
+        |u AS (
+        |  SELECT 'events' AS table_name, CAST(sum(c) AS BIGINT) AS n_rows,
+        |    count(*) AS n_keys,
+        |    CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS dup_keys, max(c) AS max_mult FROM e
+        |  UNION ALL
+        |  SELECT 'orders', CAST(sum(c) AS BIGINT), count(*),
+        |    CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    max(c) FROM o
+        |  UNION ALL
+        |  SELECT 'lineitem', CAST(sum(c) AS BIGINT), count(*),
+        |    CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    max(c) FROM l)
+        |SELECT * FROM u ORDER BY table_name""".stripMargin,
     "es_cooccur" ->
       """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
         |SELECT a.event_type AS type_a, b.event_type AS type_b,
