@@ -485,6 +485,50 @@ object Extended {
       .orderBy("table_name")
   }
 
+  /** RFM segmentation (recency / frequency / monetary, the classic
+    * customer-value grid): per-user metrics in one aggregate, tertile
+    * thresholds via [[Relational.gridQuantiles]], and 1–3 scores by
+    * broadcast threshold comparison. The textbook formulation buckets
+    * with `ntile()` — a GLOBAL window that funnels every user through
+    * one ranking task; thresholds-then-compare is the same statistic
+    * with no global order anywhere (quantiles from the value grid,
+    * comparisons rowwise against a 1-row broadcast). Monetary sums in
+    * decimal and rounds BEFORE thresholding so both engines cut on
+    * identical values; recency is int64 epoch-day arithmetic.
+    */
+  private def esRfm(s: SparkSession, d: String): DataFrame = {
+    val DayUs = 86400L * 1000000
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), tsUs(col("ts")).as("tus"), col("value"))
+    val frontier = ev.agg(max(col("tus")).as("f_us"))
+    val per = ev.groupBy("user_id")
+      .agg(max(col("tus")).as("last_us"),
+        count(lit(1)).as("frequency"),
+        r6(dsum(col("value"))).as("monetary"))
+      .crossJoin(broadcast(frontier))
+      .select(col("user_id"),
+        expr(s"CAST((f_us - last_us) div ${DayUs}L AS BIGINT)")
+          .as("recency_d"),
+        col("frequency"), col("monetary"))
+      .pinned()
+    def cuts(c: String, a: String) = Relational.gridQuantiles(
+      per.withColumn("g", lit(1)), Seq("g"), c,
+      Seq((1.0 / 3) -> s"${a}1", (2.0 / 3) -> s"${a}2")).drop("g")
+    val t = cuts("recency_d", "rt")
+      .crossJoin(cuts("frequency", "ft"))
+      .crossJoin(cuts("monetary", "mt"))
+    def hi(c: String, t1: String, t2: String) =
+      (lit(1) + (col(c) > col(t1)).cast("int") +
+        (col(c) > col(t2)).cast("int")).as(s"${c.take(1)}_score")
+    per.crossJoin(broadcast(t))
+      .select(col("user_id"), col("recency_d"), col("frequency"),
+        col("monetary"),
+        (lit(4) - (lit(1) + (col("recency_d") > col("rt1")).cast("int") +
+          (col("recency_d") > col("rt2")).cast("int"))).as("r_score"),
+        hi("frequency", "ft1", "ft2"), hi("monetary", "mt1", "mt2"))
+      .orderBy("user_id")
+  }
+
   private def esAttribution(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -626,6 +670,7 @@ object Extended {
     "dq_dup_keys" -> dqDupKeys _,
     "es_cooccur" -> esCooccur _,
     "es_paths" -> esPaths _,
+    "es_rfm" -> esRfm _,
     "es_transitions" -> esTransitions _,
     "es_attribution" -> esAttribution _,
     "es_retention" -> esRetention _,
@@ -657,6 +702,27 @@ object Extended {
            |  min($c) AS vmin, max($c) AS vmax,
            |  round(avg($c), 6) AS vmean FROM lineitem""".stripMargin)
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+    "es_rfm" ->
+      """WITH f AS (SELECT max(epoch_us(ts)) AS f_us FROM events),
+        |u AS (SELECT user_id,
+        |    (f_us - max(epoch_us(ts))) // 86400000000 AS recency_d,
+        |    count(*) AS frequency, round(sum(value), 6) AS monetary
+        |  FROM events, f GROUP BY user_id, f_us),
+        |t AS (SELECT
+        |    round(quantile_cont(recency_d, 1.0/3), 6) AS rt1,
+        |    round(quantile_cont(recency_d, 2.0/3), 6) AS rt2,
+        |    round(quantile_cont(frequency, 1.0/3), 6) AS ft1,
+        |    round(quantile_cont(frequency, 2.0/3), 6) AS ft2,
+        |    round(quantile_cont(monetary, 1.0/3), 6) AS mt1,
+        |    round(quantile_cont(monetary, 2.0/3), 6) AS mt2 FROM u)
+        |SELECT user_id, recency_d, frequency, monetary,
+        |  CAST(4 - (1 + CAST(recency_d > rt1 AS INT)
+        |    + CAST(recency_d > rt2 AS INT)) AS INT) AS r_score,
+        |  CAST(1 + CAST(frequency > ft1 AS INT)
+        |    + CAST(frequency > ft2 AS INT) AS INT) AS f_score,
+        |  CAST(1 + CAST(monetary > mt1 AS INT)
+        |    + CAST(monetary > mt2 AS INT) AS INT) AS m_score
+        |FROM u, t ORDER BY user_id""".stripMargin,
     "es_paths" ->
       """WITH r AS (SELECT user_id, event_type,
         |    row_number() OVER (PARTITION BY user_id

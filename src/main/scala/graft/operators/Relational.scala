@@ -622,6 +622,30 @@ object Relational {
           .as("kurt"))
   }
 
+  /** A27: Gini coefficient of per-user event volume — the concentration
+    * statistic behind "what share of traffic is bots". The textbook
+    * form ranks every user globally (a corpus-sized single-task sort);
+    * this one needs only the VALUE GRID: ties occupy a contiguous rank
+    * run, so each distinct volume's rank-weighted mass is
+    * v·(2·cum−c+1)·c/2 straight from [[rangeCumsum]]'s cumulative
+    * counts, and G = 2·Σ/(n·S) − (n+1)/n falls out of one decimal-
+    * accumulated aggregate over the grid.
+    */
+  private def a27Gini(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.events(s, d)
+      .groupBy("user_id").agg(count(lit(1)).cast("double").as("v"))
+    val counts = per.groupBy("v").agg(count(lit(1)).as("c"))
+      .withColumn("g", lit(1))
+    val dec = (c: Column) => sum(c.cast("decimal(38,8)")).cast("double")
+    rangeCumsum(counts, Seq("g"))
+      .agg(sum(col("c")).as("n"), dec(col("v") * col("c")).as("s"),
+        dec(col("v") * (lit(2) * col("cum") - col("c") + 1) * col("c") / 2)
+          .as("rs"))
+      .select(col("n"),
+        r6(lit(2) * col("rs") / (col("n") * col("s")) -
+          (col("n") + lit(1.0)) / col("n")).as("gini"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Query] = Map(
@@ -665,9 +689,19 @@ object Relational {
     "f4_json" -> f4Json _,
     "a16_approx_distinct" -> a16ApproxDistinct _,
     "a25_mode" -> a25Mode _,
-    "a26_moments" -> a26Moments _)
+    "a26_moments" -> a26Moments _,
+    "a27_gini" -> a27Gini _)
 
   val oracle: Map[String, String] = Map(
+    "a27_gini" ->
+      """WITH per AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS v
+        |  FROM events GROUP BY user_id),
+        |c AS (SELECT v, count(*) AS c FROM per GROUP BY v),
+        |w AS (SELECT v, c, sum(c) OVER (ORDER BY v) AS cum FROM c),
+        |a AS (SELECT CAST(sum(c) AS BIGINT) AS n, sum(v * c) AS s,
+        |    sum(v * (2 * cum - c + 1) * c / 2) AS rs FROM w)
+        |SELECT n, round(2 * rs / (n * s) - (n + 1.0) / n, 6) AS gini
+        |FROM a""".stripMargin,
     "a26_moments" ->
       """WITH m AS (SELECT avg(value) AS mu FROM events
         |  WHERE value IS NOT NULL),

@@ -307,6 +307,37 @@ object TextAnalysis {
         r6((col("total") * (col("total") - 1)) / col("ss"))
           .as("inv_simpson"))
 
+  /** Jensen–Shannon divergence between the English slice's unigram
+    * distribution and the rest of the corpus — the distribution-drift
+    * statistic a corpus monitor tracks across sources, snapshots, or
+    * filter settings (JS is symmetric and bounded by ln 2, unlike raw
+    * KL, and tolerates disjoint support). Runs on the (token, side)
+    * count grid: one map-side-combinable aggregate pivots each token's
+    * two counts in place (no join of two vocab tables), totals
+    * broadcast as one row, and the per-token contributions sum in
+    * DECIMAL so the answer is partition-order-independent. Zero-count
+    * sides contribute zero to their KL term by construction.
+    */
+  private def jsDivergence(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .select((col("lang") === "en").cast("int").as("is_en"),
+        explode(split(col("text"), " ")).as("token"))
+      .groupBy("token")
+      .agg(sum(col("is_en")).as("np"),
+        sum(lit(1) - col("is_en")).as("nq"))
+    val tot = counts.agg(sum(col("np")).as("tp"), sum(col("nq")).as("tq"))
+    val withP = counts.crossJoin(broadcast(tot))
+      .select((col("np") / col("tp")).as("p"),
+        (col("nq") / col("tq")).as("q"))
+      .select(col("p"), col("q"), ((col("p") + col("q")) / 2).as("m"))
+    val term = (x: Column) =>
+      sum(when(x > 0, (x * log(x / col("m"))).cast("decimal(38,18)"))
+        .otherwise(lit(0).cast("decimal(38,18)"))).cast("double")
+    withP.agg(term(col("p")).as("klp"), term(col("q")).as("klq"))
+      .select(r6((col("klp") + col("klq")) / 2).as("js_nats"),
+        r6(((col("klp") + col("klq")) / 2) / log(lit(2.0))).as("js_bits"))
+  }
+
   /** Composite curation pipeline: quality filter (length + type-token
     * ratio) then keep-first near-dup removal (drop every doc_b of a
     * jaccard pair) — the filter→dedup composition an LLM corpus pass
@@ -616,6 +647,7 @@ object TextAnalysis {
     "ta_tokens" -> tokens _,
     "ta_vocab" -> vocab _,
     "ta_simpson" -> simpson _,
+    "ta_js_divergence" -> jsDivergence _,
     "ta_zipf" -> zipf _,
     "ta_fingerprint" -> fingerprint _,
     "pipe_curate" -> curate _)
@@ -762,6 +794,23 @@ object TextAnalysis {
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    "ta_js_divergence" ->
+      """WITH t AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en,
+        |    unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT token, CAST(sum(is_en) AS BIGINT) AS np,
+        |    CAST(sum(1 - is_en) AS BIGINT) AS nq FROM t GROUP BY token),
+        |tot AS (SELECT CAST(sum(np) AS BIGINT) AS tp,
+        |    CAST(sum(nq) AS BIGINT) AS tq FROM c),
+        |pq AS (SELECT np / CAST(tp AS DOUBLE) AS p,
+        |    nq / CAST(tq AS DOUBLE) AS q,
+        |    (np / CAST(tp AS DOUBLE) + nq / CAST(tq AS DOUBLE)) / 2 AS m
+        |  FROM c, tot),
+        |kl AS (SELECT
+        |    sum(CASE WHEN p > 0 THEN p * ln(p / m) ELSE 0 END) AS klp,
+        |    sum(CASE WHEN q > 0 THEN q * ln(q / m) ELSE 0 END) AS klq
+        |  FROM pq)
+        |SELECT round((klp + klq) / 2, 6) AS js_nats,
+        |  round(((klp + klq) / 2) / ln(2.0), 6) AS js_bits FROM kl""".stripMargin,
     "ta_simpson" ->
       """WITH c AS (SELECT token, count(*) AS n
         |  FROM (SELECT unnest(string_split(text, ' ')) AS token
