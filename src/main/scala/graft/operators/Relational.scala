@@ -646,6 +646,46 @@ object Relational {
           (col("n") + lit(1.0)) / col("n")).as("gini"))
   }
 
+  /** P15: winsorization — clamp a measure into its [p01, p99] band, the
+    * outlier repair a feature pipeline applies before scaling. The
+    * thresholds come from [[gridQuantiles]] (quantile_cont semantics on
+    * the distributed value grid — not a buffering percentile, not an
+    * approximation) and broadcast as one row; the clamp itself is
+    * rowwise codegen. Thresholds are r6-rounded on BOTH engines before
+    * comparing, so the band edges are bit-identical.
+    */
+  private def p15Winsorize(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    val t = gridQuantiles(li.withColumn("g", lit(1)), Seq("g"),
+      "l_extendedprice", Seq(0.01 -> "p01", 0.99 -> "p99")).drop("g")
+    li.crossJoin(broadcast(t))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        r6(least(greatest(col("l_extendedprice"), col("p01")), col("p99")))
+          .as("price_w"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** A28: weighted median (price level at which half the QUANTITY
+    * trades below) — the lower weighted median, smallest value whose
+    * cumulative weight reaches W/2. Same grid machinery as the exact
+    * medians: weights collapse map-side onto the distinct-value grid,
+    * [[rangeCumsum]] accumulates them without a single-task sort, and
+    * the answer is one filter + min. Weights here are integral
+    * quantities, so the split double sums stay exact.
+    */
+  private def a28WeightedMedian(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.lineitem(s, d)
+      .groupBy(col("l_extendedprice").as("v"))
+      .agg(sum(col("l_quantity")).as("c"))
+      .withColumn("g", lit(1))
+    val tot = counts.agg(sum(col("c")).as("w_total"))
+    rangeCumsum(counts, Seq("g")).crossJoin(broadcast(tot))
+      .filter(col("cum") >= col("w_total") / 2)
+      .agg(r6(min(col("v"))).as("wmedian"),
+        min(col("w_total").cast("bigint")).as("w_total"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Query] = Map(
@@ -690,9 +730,27 @@ object Relational {
     "a16_approx_distinct" -> a16ApproxDistinct _,
     "a25_mode" -> a25Mode _,
     "a26_moments" -> a26Moments _,
-    "a27_gini" -> a27Gini _)
+    "a27_gini" -> a27Gini _,
+    "a28_weighted_median" -> a28WeightedMedian _,
+    "p15_winsorize" -> p15Winsorize _)
 
   val oracle: Map[String, String] = Map(
+    "p15_winsorize" ->
+      """WITH t AS (SELECT
+        |    round(quantile_cont(l_extendedprice, 0.01), 6) AS p01,
+        |    round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |  round(least(greatest(l_extendedprice, p01), p99), 6) AS price_w
+        |FROM lineitem, t ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "a28_weighted_median" ->
+      """WITH c AS (SELECT l_extendedprice AS v, sum(l_quantity) AS c
+        |  FROM lineitem GROUP BY 1),
+        |w AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM c),
+        |t AS (SELECT sum(c) AS wt FROM c)
+        |SELECT round(min(v), 6) AS wmedian,
+        |  CAST(min(wt) AS BIGINT) AS w_total
+        |FROM w, t WHERE cum >= wt / 2""".stripMargin,
     "a27_gini" ->
       """WITH per AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS v
         |  FROM events GROUP BY user_id),

@@ -177,8 +177,36 @@ object Windows {
       .orderBy("user_id")
   }
 
+  /** W20: SCD-2 status history — collapse each user's event stream into
+    * validity intervals of consecutive same-type runs (valid_from
+    * inclusive, valid_to = next run's start, NULL while current): the
+    * type-2 dimension build every warehouse ETL ships. One
+    * user-partitioned window pass computes change flags and run ids
+    * together; the interval window then runs over the RUN frame (one
+    * row per run, bounded by the user's status changes, not their
+    * event volume).
+    */
+  private def w20Scd2(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+    val prev = lag(col("event_type"), 1).over(w)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        tsUs(col("ts")).as("tus"))
+      .withColumn("chg",
+        when(prev.isNull || col("event_type") =!= prev, 1).otherwise(0))
+      .withColumn("run_id", sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "run_id")
+      .agg(max(col("event_type")).as("status"),
+        min(col("tus")).as("valid_from"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(
+        Window.partitionBy("user_id").orderBy("run_id")))
+      .orderBy("user_id", "run_id")
+  }
+
   val queries: Map[String, Query] = Map(
     "w18_streak" -> w18Streak _,
+    "w20_scd2" -> w20Scd2 _,
     "w12_session_window" -> w12SessionWindow _,
     "w7_sessionize" -> w7Sessionize _,
     "w8_percentiles" -> w8Percentiles _,
@@ -193,6 +221,22 @@ object Windows {
   private val over = "PARTITION BY user_id ORDER BY epoch_us(ts), event_id"
 
   val oracle: Map[String, String] = Map(
+    "w20_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS tus FROM events),
+        |f AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |      OR event_type <> lag(event_type) OVER w
+        |    THEN 1 ELSE 0 END AS chg FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |r AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id
+        |    ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS run_id FROM f),
+        |g AS (SELECT user_id, run_id, max(event_type) AS status,
+        |    min(tus) AS valid_from FROM r GROUP BY 1, 2)
+        |SELECT user_id, run_id, status, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+        |    AS valid_to
+        |FROM g ORDER BY user_id, run_id""".stripMargin,
     "w18_streak" ->
       """WITH d AS (SELECT DISTINCT user_id,
         |    epoch_us(ts) // 86400000000 AS day FROM events),
