@@ -515,8 +515,8 @@ object Extended {
       per.withColumn("g", lit(1)), Seq("g"), c,
       Seq((1.0 / 3) -> s"${a}1", (2.0 / 3) -> s"${a}2")).drop("g")
     val t = cuts("recency_d", "rt")
-      .crossJoin(cuts("frequency", "ft"))
-      .crossJoin(cuts("monetary", "mt"))
+      .crossJoin(broadcast(cuts("frequency", "ft")))
+      .crossJoin(broadcast(cuts("monetary", "mt")))
     def hi(c: String, t1: String, t2: String) =
       (lit(1) + (col(c) > col(t1)).cast("int") +
         (col(c) > col(t2)).cast("int")).as(s"${c.take(1)}_score")
