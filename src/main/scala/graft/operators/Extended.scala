@@ -511,12 +511,22 @@ object Extended {
           .as("recency_d"),
         col("frequency"), col("monetary"))
       .pinned()
-    def cuts(c: String, a: String) = Relational.gridQuantiles(
-      per.withColumn("g", lit(1)), Seq("g"), c,
-      Seq((1.0 / 3) -> s"${a}1", (2.0 / 3) -> s"${a}2")).drop("g")
-    val t = cuts("recency_d", "rt")
-      .crossJoin(broadcast(cuts("frequency", "ft")))
-      .crossJoin(broadcast(cuts("monetary", "mt")))
+    // ONE keyed gridQuantiles pass cuts all three metrics (the same
+    // k-explode shape as exactMedians) — three separate pipelines cost
+    // ~18 stages of scheduling for identical thresholds (4.3 → 3.2s
+    // at sf0.1).
+    val long = per.select(explode(array(
+        struct(lit("r").as("k"), col("recency_d").cast("double").as("v")),
+        struct(lit("f").as("k"), col("frequency").cast("double").as("v")),
+        struct(lit("m").as("k"), col("monetary").as("v")))).as("e"))
+      .select(col("e.k").as("k"), col("e.v").as("v"))
+    val q = Relational.gridQuantiles(long, Seq("k"), "v",
+      Seq((1.0 / 3) -> "t1", (2.0 / 3) -> "t2"))
+    def pick(k: String, c: String, a: String) =
+      min(when(col("k") === k, col(c))).as(a)
+    val t = q.agg(pick("r", "t1", "rt1"), pick("r", "t2", "rt2"),
+      pick("f", "t1", "ft1"), pick("f", "t2", "ft2"),
+      pick("m", "t1", "mt1"), pick("m", "t2", "mt2"))
     def hi(c: String, t1: String, t2: String) =
       (lit(1) + (col(c) > col(t1)).cast("int") +
         (col(c) > col(t2)).cast("int")).as(s"${c.take(1)}_score")
