@@ -64,81 +64,18 @@ object RecallSweep {
       // measure serving recall over the FULL corpus vs exact. The curve
       // is the rebuild-scheduling signal the append docstrings cite.
       case cfg if cfg.startsWith("append:") =>
-        import org.apache.spark.sql.functions.col
         val Array(_, fam, pctS) = cfg.split(":")
-        val pct = pctS.toInt
-        val base = java.nio.file.Files
-          .createTempDirectory(s"graft_sweep_append_$fam$pct").toString
-        val all = Tables.embeddings(spark, sfDir)
-        // deterministic split: queries always in the build set
-        all.filter(col("vec_id") < 10 || col("vec_id") % 100 >= pct)
-          .write.parquet(s"$base/sub/embeddings.parquet")
-        val batch = all.select("vec_id", "embedding")
-          .filter(col("vec_id") >= 10 && col("vec_id") % 100 < pct)
-        val queries10 = all.select("vec_id", "embedding")
-          .filter(col("vec_id") < 10)
-        val t0 = System.nanoTime()
-        val served = (fam match {
-          case "ivfflat" =>
-            operators.Similarity.saveIvfFlatIndex(
-              spark, s"$base/sub", s"$base/idx")
-            if (pct > 0) operators.Similarity
-              .appendToIvfFlatIndex(batch, s"$base/idx")
-            operators.Similarity.topkAgainstIvfFlatIndex(
-              queries10, s"$base/idx")
-          case "ivfpq" =>
-            operators.Similarity.saveIvfPqIndex(
-              spark, s"$base/sub", s"$base/idx")
-            if (pct > 0) operators.Similarity
-              .appendToIvfPqIndex(batch, s"$base/idx")
-            operators.Similarity.topkAgainstIvfPqIndex(
-              queries10, s"$base/idx")
-        }).collect().map(r => (r.getLong(0), r.getLong(2))).toSet
-        val sec = (System.nanoTime() - t0) / 1e9
-        val recall = exact.count(served.contains).toDouble / exact.size
-        println(f"append $fam%-8s pct=$pct%-3d recall=$recall%.3f sec=$sec%.1f")
+        driftPoint(spark, sfDir, exact, "append", fam, pctS.toInt,
+          rebuild = false)
       // rebuild:<ivfflat|ivfpq>:<pct> — the recovery point of the drift
       // curve: build on (100-pct)%, append the rest, REBUILD from the
       // index's own resident vectors, measure serving recall from the
       // fresh index. The (append, rebuild) recall pair at the same pct
       // is the measured payoff of scheduling the rebuild.
       case cfg if cfg.startsWith("rebuild:") =>
-        import org.apache.spark.sql.functions.col
         val Array(_, fam, pctS) = cfg.split(":")
-        val pct = pctS.toInt
-        val base = java.nio.file.Files
-          .createTempDirectory(s"graft_sweep_rebuild_$fam$pct").toString
-        val all = Tables.embeddings(spark, sfDir)
-        all.filter(col("vec_id") < 10 || col("vec_id") % 100 >= pct)
-          .write.parquet(s"$base/sub/embeddings.parquet")
-        val batch = all.select("vec_id", "embedding")
-          .filter(col("vec_id") >= 10 && col("vec_id") % 100 < pct)
-        val queries10 = all.select("vec_id", "embedding")
-          .filter(col("vec_id") < 10)
-        val t0 = System.nanoTime()
-        val served = (fam match {
-          case "ivfflat" =>
-            operators.Similarity.saveIvfFlatIndex(
-              spark, s"$base/sub", s"$base/idx")
-            if (pct > 0) operators.Similarity
-              .appendToIvfFlatIndex(batch, s"$base/idx")
-            operators.Similarity.rebuildIvfFlatIndex(
-              spark, s"$base/idx", s"$base/idx2")
-            operators.Similarity.topkAgainstIvfFlatIndex(
-              queries10, s"$base/idx2")
-          case "ivfpq" =>
-            operators.Similarity.saveIvfPqIndex(
-              spark, s"$base/sub", s"$base/idx")
-            if (pct > 0) operators.Similarity
-              .appendToIvfPqIndex(batch, s"$base/idx")
-            operators.Similarity.rebuildIvfPqIndex(
-              spark, s"$base/idx", s"$base/idx2")
-            operators.Similarity.topkAgainstIvfPqIndex(
-              queries10, s"$base/idx2")
-        }).collect().map(r => (r.getLong(0), r.getLong(2))).toSet
-        val sec = (System.nanoTime() - t0) / 1e9
-        val recall = exact.count(served.contains).toDouble / exact.size
-        println(f"rebuild $fam%-8s pct=$pct%-3d recall=$recall%.3f sec=$sec%.1f")
+        driftPoint(spark, sfDir, exact, "rebuild", fam, pctS.toInt,
+          rebuild = true)
       case cfg =>
         val Array(c, p, it, a) = cfg.split(":").map(_.toInt)
         val t0 = System.nanoTime()
@@ -165,5 +102,52 @@ object RecallSweep {
         println(f"served $name%-16s recall=$recall%.3f sec=$sec%.1f")
       }
     spark.stop()
+  }
+
+  /** One (build-on-subset, append-the-rest, optionally rebuild, serve)
+    * drift measurement — the shared scaffolding of the append:/rebuild:
+    * sweep points, parameterized by the one step that differs.
+    */
+  private def driftPoint(spark: SparkSession, sfDir: String,
+      exact: Set[(Long, Long)], label: String, fam: String, pct: Int,
+      rebuild: Boolean): Unit = {
+    import org.apache.spark.sql.functions.col
+    val Sim = operators.Similarity
+    val base = java.nio.file.Files
+      .createTempDirectory(s"graft_sweep_$label$fam$pct").toString
+    val all = Tables.embeddings(spark, sfDir)
+    // deterministic split: queries always in the build set
+    all.filter(col("vec_id") < 10 || col("vec_id") % 100 >= pct)
+      .write.parquet(s"$base/sub/embeddings.parquet")
+    val batch = all.select("vec_id", "embedding")
+      .filter(col("vec_id") >= 10 && col("vec_id") % 100 < pct)
+    val queries10 = all.select("vec_id", "embedding")
+      .filter(col("vec_id") < 10)
+    val (save, append, rebuildIdx, serve): (
+        (SparkSession, String, String) => Unit,
+        (org.apache.spark.sql.DataFrame, String) => Unit,
+        (SparkSession, String, String) => Unit,
+        (org.apache.spark.sql.DataFrame, String) =>
+          org.apache.spark.sql.DataFrame) = fam match {
+      case "ivfflat" => (
+        (s, d, p) => Sim.saveIvfFlatIndex(s, d, p),
+        Sim.appendToIvfFlatIndex _, Sim.rebuildIvfFlatIndex _,
+        (q, p) => Sim.topkAgainstIvfFlatIndex(q, p))
+      case "ivfpq" => (
+        Sim.saveIvfPqIndex _, Sim.appendToIvfPqIndex _,
+        Sim.rebuildIvfPqIndex _,
+        (q, p) => Sim.topkAgainstIvfPqIndex(q, p))
+    }
+    val t0 = System.nanoTime()
+    save(spark, s"$base/sub", s"$base/idx")
+    if (pct > 0) append(batch, s"$base/idx")
+    val serveDir = if (rebuild) {
+      rebuildIdx(spark, s"$base/idx", s"$base/idx2"); s"$base/idx2"
+    } else s"$base/idx"
+    val served = serve(queries10, serveDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val sec = (System.nanoTime() - t0) / 1e9
+    val recall = exact.count(served.contains).toDouble / exact.size
+    println(f"$label $fam%-8s pct=$pct%-3d recall=$recall%.3f sec=$sec%.1f")
   }
 }

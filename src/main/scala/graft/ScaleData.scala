@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaled-corpus generators shared by the scale experiments
+  * ([[ScaleSmoke]], [[GrowthGate]]). All growth is DETERMINISTIC
+  * (sin-hash mixtures, md5 id arithmetic — no RNG) so runs are
+  * reproducible and resumable, and all id remapping preserves
+  * referential integrity WITHIN a replica (joins behave exactly like a
+  * partition-wise scale-up; cross-replica keys never collide).
+  */
+object ScaleData {
+
+  /** `factor`× the embeddings table by seeded manifold mixtures —
+    * NATURAL growth, not clone replication (round-6 verdict: recall on
+    * a clone-replicated corpus is trivially easy — every true neighbor
+    * is an exact duplicate). Reps 1..factor-1 interpolate each base
+    * vector with a deterministic partner (α ∈ [0.25, 0.95]) plus small
+    * per-dim jitter, then re-normalize — new points lie ON the corpus
+    * manifold but are nobody's duplicate, so index recall is measured
+    * against genuinely novel neighbors.
+    */
+  def grownVectors(spark: SparkSession, src: String, factor: Int): DataFrame = {
+    val v = Tables.embeddings(spark, src).select("vec_id", "embedding", "label")
+    val n = v.count()
+    // The modular partner pairing below requires DENSE 0..n-1 ids — on
+    // sparse ids the inner join would silently DROP grown rows and every
+    // scaled stage would run undersized while still labeled `factor`×.
+    // Fail loudly instead if the driver ever changes id assignment.
+    // getAs[Number]: the schema contract allows int OR bigint vec_id,
+    // and the guard must report sparse ids, not a ClassCastException.
+    val r0 = v.agg(min(col("vec_id")), max(col("vec_id"))).collect().head
+    val (idLo, idHi) =
+      (r0.getAs[Number](0).longValue, r0.getAs[Number](1).longValue)
+    require(idLo == 0L && idHi == n - 1,
+      s"embeddings ids not dense 0..${n - 1} (found $idLo..$idHi): " +
+        "the partner pairing would drop grown rows")
+    val partnerSide = v.select(col("vec_id").as("partner"),
+      col("embedding").as("p_embedding"))
+    // offset in [1, n-1] — never 0 mod n, so no vector partners with
+    // itself (a self-mix would be a near-clone, defeating the
+    // natural-growth premise for reps where n divides 137·rep).
+    val grown = v
+      .crossJoin(spark.range(1, factor.toLong).select(col("id").as("rep")))
+      .withColumn("partner",
+        (col("vec_id") + (col("rep") * 137L) % (n - 1) + 1L) % n)
+      .join(partnerSide, "partner")
+      .withColumn("alpha",
+        expr("0.6 + 0.35 * sin(1.7 * vec_id + 3.1 * rep)"))
+      .withColumn("mix", expr(
+        """transform(sequence(0, size(embedding) - 1), j ->
+          |  element_at(embedding, j + 1) * alpha
+          |  + element_at(p_embedding, j + 1) * (1.0 - alpha)
+          |  + 0.02 * sin(12.9898 * vec_id + 78.233 * rep + 0.77 * j))
+          |""".stripMargin))
+      .withColumn("nrm",
+        expr("sqrt(aggregate(mix, 0d, (a, x) -> a + x * x))"))
+      .select(
+        (col("vec_id") + col("rep") * n * factor).as("vec_id"),
+        expr("cast(transform(mix, x -> x / nrm) as array<float>)")
+          .as("embedding"),
+        col("label"))
+    v.unionByName(grown)
+  }
+
+  /** Write a full `factor`× warehouse (every TESTDATA table) under
+    * `outDir`, for whole-inventory scale measurement ([[GrowthGate]]).
+    * Idempotent: skips generation when the dir already exists.
+    *
+    * Replication strategy per table family:
+    *  - region/nation: fixed small dims, copied as-is (a 10× corpus
+    *    does not invent new nations; foreign keys into them stay valid).
+    *  - customer/supplier/part/orders/lineitem/events: each replica
+    *    shifts every SURROGATE key (custkey, orderkey, partkey,
+    *    suppkey, event_id, user_id) by rep·base with base = the
+    *    table's row count (ids are dense 0..n-1, asserted) — joins
+    *    resolve within a replica exactly as at 1×, so join/agg
+    *    selectivities are scale-invariant.
+    *  - documents: replicas get every TOKEN suffixed with the replica
+    *    id, so clones are NOT near-duplicates of their originals — the
+    *    corpus's planted dup structure replicates linearly instead of
+    *    forming factor-sized cliques whose pair output would grow
+    *    quadratically and masquerade as a plan regression in the
+    *    growth numbers. (ScaleSmoke's dup-heavy clone corpus measures
+    *    that worst case deliberately; this gate measures growth.)
+    *  - embeddings: [[grownVectors]] manifold mixtures (novel points,
+    *    same distribution).
+    */
+  def writeScaledWarehouse(spark: SparkSession, src: String, outDir: String,
+      factor: Int, partitions: Int): Unit = {
+    if (new java.io.File(outDir).exists()) return
+    val tmp = outDir + ".tmp"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    def reps: DataFrame =
+      spark.range(0, factor.toLong).select(col("id").as("rep"))
+    def write(name: String, df: DataFrame): Unit =
+      df.repartition(partitions)
+        .write.mode("overwrite").parquet(s"$tmp/$name.parquet")
+    def replicate(name: String, df: DataFrame,
+        shifts: Seq[(String, Long)]): Unit = {
+      // Shift bases must clear every existing id or replicas collide
+      // and silently merge rows; one cheap min/max scan guards it.
+      val maxes = df.agg(max(shifts.head._1),
+        shifts.tail.map(s => max(s._1)): _*).collect().head
+      shifts.zipWithIndex.foreach { case ((c, base), i) =>
+        val m = maxes.getAs[Number](i).longValue
+        require(m < base, s"$name.$c max id $m >= shift base $base: " +
+          "replicas would collide")
+      }
+      val crossed = df.crossJoin(reps)
+      val shifted = shifts.foldLeft(crossed) { case (d, (c, base)) =>
+        d.withColumn(c, col(c) + col("rep") * base)
+      }
+      write(name, shifted.select(df.columns.map(col): _*))
+    }
+    def n(name: String): Long = Tables(spark, src, name).count()
+    val (nCust, nOrd, nPart, nSupp) =
+      (n("customer"), n("orders"), n("part"), n("supplier"))
+    val (nEv, nUser) = {
+      val e = Tables.events(spark, src)
+      (e.count(),
+        e.agg(max(col("user_id"))).collect().head.getLong(0) + 1L)
+    }
+    write("region", Tables.region(spark, src))
+    write("nation", Tables.nation(spark, src))
+    replicate("customer", Tables.customer(spark, src),
+      Seq("c_custkey" -> nCust))
+    replicate("supplier", Tables.supplier(spark, src),
+      Seq("s_suppkey" -> nSupp))
+    replicate("part", Tables.part(spark, src), Seq("p_partkey" -> nPart))
+    replicate("orders", Tables.orders(spark, src),
+      Seq("o_orderkey" -> nOrd, "o_custkey" -> nCust))
+    replicate("lineitem", Tables.lineitem(spark, src),
+      Seq("l_orderkey" -> nOrd, "l_partkey" -> nPart,
+        "l_suppkey" -> nSupp))
+    replicate("events", Tables.events(spark, src),
+      Seq("event_id" -> nEv, "user_id" -> nUser))
+    locally {
+      val docs = Tables.documents(spark, src)
+      val nDoc = docs.count()
+      val mutated = docs.crossJoin(reps)
+        .withColumn("text",
+          when(col("rep") === 0, col("text")).otherwise(
+            regexp_replace(col("text"), lit("(\\S+)"),
+              concat(lit("$1r"), col("rep")))))
+        .withColumn("doc_id", col("doc_id") + col("rep") * nDoc)
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      write("documents", mutated.select(docs.columns.map(col): _*))
+    }
+    write("embeddings", grownVectors(spark, src, factor))
+    require(new java.io.File(tmp).renameTo(new java.io.File(outDir)),
+      s"rename $tmp -> $outDir failed")
+  }
+}

@@ -395,57 +395,11 @@ object ScaleSmoke {
     // scored pairs): the per-tile kernel emits one row per (probe,
     // tile) and the merge shuffles one row per vector — the plan shape
     // that replaces the whole-corpus broadcast past 200k vectors.
-    //
-    // NATURAL growth, not clone replication (round-6 verdict: recall on
-    // a clone-replicated corpus is trivially easy — every true neighbor
-    // is an exact duplicate). Reps 1–9 are seeded manifold mixtures:
-    // each new vector interpolates a base vector with a deterministic
-    // partner (α ∈ [0.25, 0.95]) plus small per-dim jitter, then
-    // re-normalizes — new points lie ON the corpus manifold but are
-    // nobody's duplicate, so index recall is measured against genuinely
-    // novel neighbors. Deterministic (sin-hash, no RNG) for resume/
-    // reproducibility.
+    // Growth is ScaleData.grownVectors' natural manifold mixtures, not
+    // clone replication — see its doc for why recall demands that.
     val vecScratch = s"$scratch-vecs"
     if (!new java.io.File(vecScratch).exists()) {
-      val v = Tables.embeddings(spark, src).select("vec_id", "embedding", "label")
-      val n = v.count()
-      // The modular partner pairing below requires DENSE 0..n-1 ids —
-      // on sparse ids the inner join would silently DROP grown rows and
-      // every *_10x stage would run undersized while still labeled 10×.
-      // Fail loudly instead if the driver ever changes id assignment.
-      // getAs[Number]: the schema contract allows int OR bigint vec_id,
-      // and the guard must report sparse ids, not a ClassCastException.
-      val r0 = v.agg(min(col("vec_id")), max(col("vec_id"))).collect().head
-      val (idLo, idHi) =
-        (r0.getAs[Number](0).longValue, r0.getAs[Number](1).longValue)
-      require(idLo == 0L && idHi == n - 1,
-        s"embeddings ids not dense 0..${n - 1} (found $idLo..$idHi): " +
-          "the partner pairing would drop grown rows")
-      val partnerSide = v.select(col("vec_id").as("partner"),
-        col("embedding").as("p_embedding"))
-      // offset in [1, n-1] — never 0 mod n, so no vector partners with
-      // itself (a self-mix would be a near-clone, defeating the
-      // natural-growth premise for reps where n divides 137·rep).
-      val grown = v.crossJoin(spark.range(1, 10).select(col("id").as("rep")))
-        .withColumn("partner",
-          (col("vec_id") + (col("rep") * 137L) % (n - 1) + 1L) % n)
-        .join(partnerSide, "partner")
-        .withColumn("alpha",
-          expr("0.6 + 0.35 * sin(1.7 * vec_id + 3.1 * rep)"))
-        .withColumn("mix", expr(
-          """transform(sequence(0, size(embedding) - 1), j ->
-            |  element_at(embedding, j + 1) * alpha
-            |  + element_at(p_embedding, j + 1) * (1.0 - alpha)
-            |  + 0.02 * sin(12.9898 * vec_id + 78.233 * rep + 0.77 * j))
-            |""".stripMargin))
-        .withColumn("nrm",
-          expr("sqrt(aggregate(mix, 0d, (a, x) -> a + x * x))"))
-        .select(
-          (col("vec_id") + col("rep") * n * 10L).as("vec_id"),
-          expr("cast(transform(mix, x -> x / nrm) as array<float>)")
-            .as("embedding"),
-          col("label"))
-      v.unionByName(grown)
+      ScaleData.grownVectors(spark, src, 10)
         .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(s"$vecScratch/embeddings.parquet")
     }

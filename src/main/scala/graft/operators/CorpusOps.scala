@@ -497,10 +497,6 @@ object CorpusOps {
   private def ppLineDedup(s: SparkSession, d: String): DataFrame =
     lineDedupSegments(Tables.documents(s, d)).orderBy("doc_id")
 
-  /** Frame-level core of [[ppLineDedup]]: (doc_id, n_kept,
-    * text_deduped), unordered — shared by the registered query and the
-    * pipeline stage.
-    */
   /** (doc_id, seg_idx, seg): every non-overlapping [[SegTokens]]-token
     * segment of every document — shared by the batch dedup and its
     * streaming twin so the two can never disagree about segmentation.
@@ -525,6 +521,10 @@ object CorpusOps {
           array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
           x => x.getField("seg")), " ").as("text_deduped"))
 
+  /** Frame-level core of [[ppLineDedup]]: (doc_id, n_kept,
+    * text_deduped), unordered — shared by the registered query and the
+    * pipeline stage.
+    */
   private[graft] def lineDedupSegments(docs: DataFrame): DataFrame =
     reassemble(segmentsOf(docs)
       .groupBy("seg").agg(min(struct(col("doc_id"), col("seg_idx"))).as("f"))
@@ -569,7 +569,9 @@ object CorpusOps {
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |segs AS (SELECT doc_id, s AS seg_idx,
         |    array_to_string(t[(s*10+1):(s*10+10)], ' ') AS seg
-        |  FROM toks, (SELECT unnest(generate_series(0, 4095)) AS s)
+        |  FROM toks, (SELECT unnest(generate_series(0,
+        |      (SELECT CAST(max(len(string_split(text, ' '))) // 10 AS INT)
+        |       FROM documents))) AS s)
         |  WHERE s*10 < len(t)),
         |keep AS (SELECT doc_id, seg_idx, seg FROM (
         |    SELECT *, row_number() OVER (

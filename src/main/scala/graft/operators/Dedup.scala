@@ -385,31 +385,24 @@ object Dedup {
   /** Connected components over the near-dup graph (edges = jaccard ≥ τ
     * pairs): every document labeled with the minimum doc_id reachable
     * through near-dup links — the canonical representative for keep-first
-    * cluster dedup. Iterative min-label propagation, the standard
-    * large-graph CC algorithm (alternating equi-joins, state = one label
-    * per node, converges in O(component diameter) rounds — near-dup
-    * components are tiny cliques, so 1–2 rounds). The convergence check
-    * is a scalar count per round, not a collect.
+    * cluster dedup. [[connectedComponents]] does the graph work: a
+    * certified min-label fast path for the tiny-clique common case,
+    * falling back to large-star/small-star contraction (O(log n)
+    * rounds regardless of diameter) for long chains — before round 10
+    * a capped propagation loop silently returned wrong labels on a
+    * chain longer than its cap. Convergence checks are scalar counts
+    * per round, not collects.
     */
   private def clusters(s: SparkSession, d: String): DataFrame = {
-    // Symmetrize in ONE pass: a pairs.union(pairs.swap) embeds the full
-    // PPJoin+verify subplan in BOTH branches and re-runs it for the
-    // swap side (measured 72s vs 22s for one pass at the 10x smoke
-    // scale — a lazily-populating cache does not dedup two occurrences
-    // within one action), while a pin+count+unpersist repair thrashed
-    // the cache across repeated query constructions (bench invocations
-    // re-ran the jaccard every pass: dd_clusters 1.8s → 5.0s). The
-    // explode references the subplan exactly once, so there is nothing
-    // to double-evaluate and only the edge list is retained.
-    val edges = ngramJaccard(s, d).select(explode(array(
-      struct(col("doc_a").as("doc_a"), col("doc_b").as("doc_b")),
-      struct(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))).as("e"))
-      .select(col("e.doc_a").as("doc_a"), col("e.doc_b").as("doc_b"))
+    // ngramJaccard's pair contract is doc_a < doc_b, so the pair list IS
+    // the canonical u > v directed edge list — no symmetrize pass. (The
+    // star ops re-derive both directions internally; pinning only the
+    // canonical form halves the retained edge list. Pinning matters:
+    // bench invocations re-ran the PPJoin+verify subplan every pass
+    // before it — dd_clusters 1.8s → 5.0s.)
+    val edges = ngramJaccard(s, d)
+      .select(col("doc_b").as("u"), col("doc_a").as("v"))
       .pinned()
-    var labels = Tables.documents(s, d)
-      .select(col("doc_id"), col("doc_id").as("cluster")).pinned()
-    var changed = 1L
-    var iter = 0
     // env for launch-time opt-in; the sysprop lets an in-JVM probe
     // (ScaleSmoke's cluster-split variance captures) toggle attribution
     // without a new process.
@@ -417,21 +410,63 @@ object Dedup {
       sys.props.contains("graft.cc.debug")
     if (dbg) {
       // Attribution split: materialize the pinned edge list under its
-      // own timer so iter=1 reads as pure label-prop. Same total work
-      // (iter=1 would populate the pin anyway), only the attribution
-      // moves — this is how the round-7 30→46s spread was pinned to
-      // the candidate-generation stage, not the iterations.
+      // own timer so round 1 reads as pure star contraction. Same total
+      // work (round 1 would populate the pin anyway), only the
+      // attribution moves — this is how the round-7 30→46s spread was
+      // pinned to the candidate-generation stage, not the iterations.
       val t0 = System.nanoTime()
       val ne = edges.count()
       println(f"[cc] edges=$ne built ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
-    while (changed > 0 && iter < 20) {
+    connectedComponents(edges, Tables.documents(s, d).select(col("doc_id")),
+      dbg).orderBy("doc_id")
+  }
+
+  /** Connected components over a canonical (u, v) edge list with u > v:
+    * returns (doc_id, cluster) where cluster is the minimum node id in
+    * each node's component.
+    *
+    * Two phases, both of which CERTIFY their answer instead of trusting
+    * an iteration cap:
+    *
+    * Phase 1 — min-label propagation, capped at [[HashMinRounds]]. One
+    * cheap action per round; converges in O(component diameter) rounds,
+    * which for real near-dup graphs (tiny cliques) means round 2
+    * already reports no change. The `changed == 0` exit is a PROOF of
+    * correctness, not a heuristic: at a fixpoint every adjacent pair
+    * has label(u) ≤ label(v) and label(v) ≤ label(u), so labels are
+    * component-constant, and the component minimum keeps its own id
+    * (all labels in a component are ids from that component, hence
+    * ≥ the min). A graph still changing at the cap falls through —
+    * never returns — to
+    *
+    * Phase 2 — alternating large-star/small-star contraction (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC'14):
+    * large-star connects every neighbor LARGER than u to the minimum
+    * of u's closed neighborhood, small-star connects u and its SMALLER
+    * neighbors to that minimum. Converges to per-component stars rooted
+    * at the minimum in O(log n) rounds REGARDLESS of diameter — the
+    * long-chain shape that made a capped propagation loop silently
+    * wrong before round 10. Per-round reducer state is one min per
+    * node, never a neighbor list. Its rounds cap is a safety net
+    * against an implementation bug and THROWS rather than returning
+    * unconverged labels.
+    */
+  private[graft] def connectedComponents(edges: DataFrame,
+      nodes: DataFrame, dbg: Boolean = false): DataFrame = {
+    val HashMinRounds = 4
+    var labels = nodes
+      .select(col("doc_id"), col("doc_id").as("cluster")).pinned()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < HashMinRounds) {
       val t0 = System.nanoTime()
       val neighborMin = edges
+        .select(col("u").as("doc_id"), col("v").as("nbr"))
+        .union(edges.select(col("v").as("doc_id"), col("u").as("nbr")))
         .join(labels.withColumnsRenamed(
-          Map("doc_id" -> "doc_b", "cluster" -> "nbr_cluster")), Seq("doc_b"))
-        .groupBy(col("doc_a").as("doc_id"))
-        .agg(min(col("nbr_cluster")).as("nbr_min"))
+          Map("doc_id" -> "nbr", "cluster" -> "nbr_cluster")), Seq("nbr"))
+        .groupBy("doc_id").agg(min(col("nbr_cluster")).as("nbr_min"))
       val next = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
@@ -442,10 +477,79 @@ object Dedup {
       labels.unpersist()
       labels = next
       iter += 1
-      if (dbg) println(f"[cc] iter=$iter changed=$changed " +
+      if (dbg) println(f"[cc] hashmin iter=$iter changed=$changed " +
         f"${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
-    labels.orderBy("doc_id")
+    if (changed == 0) labels
+    else {
+      if (dbg) println(s"[cc] hashmin not converged after $HashMinRounds " +
+        "rounds; switching to star contraction")
+      labels.unpersist()
+      starContraction(edges, nodes, dbg)
+    }
+  }
+
+  /** Phase 2 of [[connectedComponents]] — see its doc. */
+  private def starContraction(edges: DataFrame,
+      nodes: DataFrame, dbg: Boolean): DataFrame = {
+    def sym(e: DataFrame): DataFrame =
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+    // large-star: per node u, m = min(N(u) ∪ {u}); emit (v, m) for every
+    // neighbor v > u. Output stays canonical (v > u ≥ m).
+    def largeStar(e: DataFrame): DataFrame = {
+      val sy = sym(e)
+      val m = sy.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      sy.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    // small-star: per node u over its SMALLER neighbors N<(u) (m is
+    // their min), emit (u, m) and (v, m) for v ∈ N<(u) \ {m}.
+    def smallStar(e: DataFrame): DataFrame = {
+      val sy = sym(e).filter(col("v") < col("u"))
+      val m = sy.groupBy("u").agg(min("v").as("m"))
+      sy.join(m, "u")
+        .select(explode(array(
+          struct(col("u").as("u"), col("m").as("v")),
+          struct(col("v").as("u"), col("m").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .filter(col("u") > col("v"))
+        .distinct()
+    }
+    val MaxRounds = 50
+    // Iterative lineage discipline: each star op references its input
+    // twice (min-aggregate + fan-out join), so an unbroken lineage
+    // would grow the logical plan 4× PER ROUND — analysis alone becomes
+    // the bottleneck long before any data moves. An eager
+    // localCheckpoint truncates the plan to the materialized partitions
+    // every round (same device GraphX/GraphFrames iterative jobs use);
+    // the caller's `edges` frame itself stays pinned/unpinned on the
+    // caller's terms (ScaleSmoke's c2/c3 captures reuse it).
+    var cur = edges
+    var iter = 0
+    var done = false
+    while (!done && iter < MaxRounds) {
+      val t0 = System.nanoTime()
+      val next = smallStar(largeStar(cur)).localCheckpoint(eager = true)
+      val changed = next.join(cur, Seq("u", "v"), "left_anti").count() +
+        cur.join(next, Seq("u", "v"), "left_anti").count()
+      done = changed == 0
+      if (cur ne edges) cur.unpersist()
+      cur = next
+      iter += 1
+      if (dbg) println(f"[cc] round=$iter changed=$changed " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+    require(done,
+      s"connected components did not reach a star fixpoint within " +
+        s"$MaxRounds large/small-star rounds — refusing to return " +
+        "unconverged (silently wrong) cluster labels")
+    nodes
+      .join(cur.select(col("u").as("doc_id"), col("v").as("cluster")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"))
   }
 
   /** Incremental-ingestion dedup — the shape a 100 TB corpus actually

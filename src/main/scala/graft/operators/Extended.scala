@@ -384,19 +384,6 @@ object Extended {
       .orderBy("cohort_week", "offset")
   }
 
-  /** Last-touch attribution — the third canonical event-sequence query
-    * next to the funnel and the cohort rollup: every purchase is
-    * attributed to the SAME user's latest preceding click (strictly
-    * earlier in the (ts, event_id) order; unattributed purchases keep a
-    * null, so coverage is part of the answer). One user-partitioned
-    * window with `last(..., ignoreNulls)` over the
-    * unbounded-preceding-to--1 frame — both the click id and its
-    * timestamp come from the same picked row because the two CASE
-    * columns are null on exactly the same rows. Scale shape: the
-    * standard per-user event-sequence shuffle (same key as
-    * sessionization); no self-join of purchases against clicks, which
-    * would shuffle the event table twice and skew on hot users.
-    */
   /** Event-type co-occurrence (the market-basket statistic over user
     * behavior): for each unordered type pair, how many users produced
     * both. The per-user type set collapses FIRST (a map-side-combinable
@@ -528,17 +515,30 @@ object Extended {
       pick("f", "t1", "ft1"), pick("f", "t2", "ft2"),
       pick("m", "t1", "mt1"), pick("m", "t2", "mt2"))
     def hi(c: String, t1: String, t2: String) =
-      (lit(1) + (col(c) > col(t1)).cast("int") +
-        (col(c) > col(t2)).cast("int")).as(s"${c.take(1)}_score")
+      lit(1) + (col(c) > col(t1)).cast("int") + (col(c) > col(t2)).cast("int")
     per.crossJoin(broadcast(t))
       .select(col("user_id"), col("recency_d"), col("frequency"),
         col("monetary"),
-        (lit(4) - (lit(1) + (col("recency_d") > col("rt1")).cast("int") +
-          (col("recency_d") > col("rt2")).cast("int"))).as("r_score"),
-        hi("frequency", "ft1", "ft2"), hi("monetary", "mt1", "mt2"))
+        // Recency scores inverted: most-recent (lowest days) = 3.
+        (lit(4) - hi("recency_d", "rt1", "rt2")).as("r_score"),
+        hi("frequency", "ft1", "ft2").as("f_score"),
+        hi("monetary", "mt1", "mt2").as("m_score"))
       .orderBy("user_id")
   }
 
+  /** Last-touch attribution — the third canonical event-sequence query
+    * next to the funnel and the cohort rollup: every purchase is
+    * attributed to the SAME user's latest preceding click (strictly
+    * earlier in the (ts, event_id) order; unattributed purchases keep a
+    * null, so coverage is part of the answer). One user-partitioned
+    * window with `last(..., ignoreNulls)` over the
+    * unbounded-preceding-to--1 frame — both the click id and its
+    * timestamp come from the same picked row because the two CASE
+    * columns are null on exactly the same rows. Scale shape: the
+    * standard per-user event-sequence shuffle (same key as
+    * sessionization); no self-join of purchases against clicks, which
+    * would shuffle the event table twice and skew on hot users.
+    */
   private def esAttribution(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)

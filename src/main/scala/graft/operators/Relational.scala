@@ -302,6 +302,93 @@ object Relational {
         sum(pow(col("t") - col("tbar"), 2))).as("r2"))
   }
 
+  /** Two-phase range-partitioned prefix sum over a distinct-value grid:
+    * returns `counts` (key columns, `v`, `c`) with the per-key cumulative
+    * count `cum` — the same value `sum(c) OVER (PARTITION BY keys ORDER
+    * BY v)` yields, without that window's fatal shape. A one-partition-
+    * per-key window sorts each key's ENTIRE grid in one task; for a
+    * continuous measure the grid approaches the row count (sf0.1
+    * lineitem: 583k distinct `l_extendedprice` in 600k rows), so at
+    * 100 TB that task is the job.
+    *
+    * Phase 1 splits each key's grid into `buckets` spans at sample-
+    * quantile boundaries computed over the GRID (unweighted by `c` —
+    * the cumsum's cost is per grid cell, so cells are what need
+    * balancing), and cumsums locally within each (key, bucket) span —
+    * parallel across spans. Phase 2 cumsums the per-span totals (a
+    * keys × buckets frame — tiny by construction) and broadcasts each
+    * span's starting offset back. Counts are integral, so the split sum
+    * is bit-identical to the single-window form. Boundary assignment is
+    * any deterministic monotone rule; `v > boundary` sends boundary-
+    * equal values left. A key whose sample yields fewer boundaries than
+    * requested (tiny grids) just leaves spans empty.
+    *
+    * Boundaries come from a deterministic md5-hash sample of ~128
+    * cells per span, so a single outlier stretching the value range
+    * cannot collapse every cell into one span the way a uniform
+    * [min, max] split would (heavy range skew recreates exactly the
+    * single-task sort this two-phase form exists to delete). The
+    * sample must be DETERMINISTIC, not `percentile_approx`: `bucketed`
+    * is referenced by both the local-cumsum and the offsets branch, and
+    * a sketch whose merge is partition-order-sensitive could assign a
+    * cell different buckets in the two evaluations, silently corrupting
+    * the sum. md5-of-value sampling + a sort over the (distinct by
+    * construction) sampled values is bit-stable however many times the
+    * subplan runs. The per-key boundary-selection sort is over the
+    * SAMPLE (~buckets·128 values regardless of grid size), not the
+    * grid, so its aggregate state is bounded.
+    *
+    * `buckets = 1` short-circuits to the plain one-window form — the
+    * right shape when the caller can PROVE the grid bounded by the
+    * measure's resolution (an 11-value discount ladder, cent-granular
+    * prices ≤ ~10⁷ cells): three extra exchanges buy nothing against a
+    * provably small sort, locally or at 100 TB.
+    */
+  private[graft] def rangeCumsum(counts: DataFrame, keys: Seq[String],
+      buckets: Int = 32): DataFrame = {
+    if (buckets == 1)
+      return counts.withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(keys.map(col): _*).orderBy("v")))
+    val nc = counts.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_cells"))
+    val target = buckets * 128
+    // Uniform-in-[0,1) deterministic hash of the value: md5 low 32 bits.
+    val u = conv(substring(md5(col("v").cast("string")), 25, 8), 16, 10)
+      .cast("long").cast("double") / 4294967296.0
+    // One bounded aggregate turns the sample into per-key boundaries:
+    // collect_list state is capped by the sample size (~target values
+    // per key however large the grid), and the sample quantiles are
+    // read straight out of the sorted array — no window over the
+    // sample, no second aggregate. Sub-sample duplicate indices (grids
+    // smaller than the bucket count) just repeat a boundary, which
+    // leaves that span empty.
+    val bnds = counts.join(broadcast(nc), keys)
+      .filter(u < lit(target.toDouble) / col("n_cells"))
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(col("v").cast("double"))).as("smp"))
+      .select((keys.map(col) :+ expr(
+        s"""transform(sequence(1, ${buckets - 1}),
+           |  i -> element_at(smp, greatest(1,
+           |         cast(i * size(smp) / $buckets as int))))
+           |""".stripMargin).as("bnds")): _*)
+    val bucketed = counts.join(broadcast(bnds), keys, "left")
+      .withColumn("bkt", when(col("bnds").isNull, lit(0)).otherwise(
+        aggregate(col("bnds"), lit(0),
+          (acc, b) => acc + (col("v") > b).cast("int"))))
+      .drop("bnds")
+    val loc = bucketed.withColumn("loc", sum(col("c")).over(
+      Window.partitionBy((keys :+ "bkt").map(col): _*).orderBy("v")))
+    val offsets = bucketed
+      .groupBy((keys :+ "bkt").map(col): _*).agg(sum("c").as("bc"))
+      .withColumn("off", coalesce(sum(col("bc")).over(
+        Window.partitionBy(keys.map(col): _*).orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("bc")
+    loc.join(broadcast(offsets), keys :+ "bkt")
+      .withColumn("cum", col("loc") + col("off"))
+      .drop("bkt", "loc", "off")
+  }
+
   /** Distributed exact medians of several columns in one pass, returned
     * as a single row with the given aliases.
     *
@@ -321,58 +408,6 @@ object Relational {
     * between (a+b)/2 and DuckDB's a + 0.5·(b−a) interpolation. Nulls are
     * excluded, matching both engines' aggregate semantics.
     */
-  /** Two-phase range-partitioned prefix sum over a distinct-value grid:
-    * returns `counts` (key columns, `v`, `c`) with the per-key cumulative
-    * count `cum` — the same value `sum(c) OVER (PARTITION BY keys ORDER
-    * BY v)` yields, without that window's fatal shape. A one-partition-
-    * per-key window sorts each key's ENTIRE grid in one task; for a
-    * continuous measure the grid approaches the row count (sf0.1
-    * lineitem: 583k distinct `l_extendedprice` in 600k rows), so at
-    * 100 TB that task is the job.
-    *
-    * Phase 1 splits each key's value range into `buckets` spans at
-    * approx-percentile boundaries computed over the GRID (unweighted by
-    * `c` — the cumsum's cost is per grid cell, so cells are what need
-    * balancing), and cumsums locally within each (key, bucket) span —
-    * parallel across spans. Phase 2 cumsums the per-span totals (a
-    * keys × buckets frame — tiny by construction) and broadcasts each
-    * span's starting offset back. Counts are integral, so the split sum
-    * is bit-identical to the single-window form. Boundary assignment is
-    * any deterministic monotone rule; `v > boundary` sends boundary-
-    * equal values left. Duplicate boundaries (grids smaller than the
-    * bucket count) just leave spans empty.
-    *
-    * `buckets = 1` short-circuits to the plain one-window form — the
-    * right shape when the caller can PROVE the grid bounded by the
-    * measure's resolution (an 11-value discount ladder, cent-granular
-    * prices ≤ ~10⁷ cells): three extra exchanges buy nothing against a
-    * provably small sort, locally or at 100 TB.
-    */
-  private[graft] def rangeCumsum(counts: DataFrame, keys: Seq[String],
-      buckets: Int = 32): DataFrame = {
-    if (buckets == 1)
-      return counts.withColumn("cum", sum(col("c")).over(
-        Window.partitionBy(keys.map(col): _*).orderBy("v")))
-    val bounds = counts.groupBy(keys.map(col): _*)
-      .agg(min("v").as("vlo"), max("v").as("vhi"))
-    val bucketed = counts.join(broadcast(bounds), keys)
-      .withColumn("bkt", when(col("vhi") === col("vlo"), lit(0)).otherwise(
-        least(lit(buckets - 1), floor((col("v") - col("vlo")) /
-          ((col("vhi") - col("vlo")) / buckets)).cast("int"))))
-      .drop("vlo", "vhi")
-    val loc = bucketed.withColumn("loc", sum(col("c")).over(
-      Window.partitionBy((keys :+ "bkt").map(col): _*).orderBy("v")))
-    val offsets = bucketed
-      .groupBy((keys :+ "bkt").map(col): _*).agg(sum("c").as("bc"))
-      .withColumn("off", coalesce(sum(col("bc")).over(
-        Window.partitionBy(keys.map(col): _*).orderBy("bkt")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .drop("bc")
-    loc.join(broadcast(offsets), keys :+ "bkt")
-      .withColumn("cum", col("loc") + col("off"))
-      .drop("bkt", "loc", "off")
-  }
-
   private[graft] def exactMedians(df: DataFrame,
       cols: Seq[(String, String)], buckets: Int = 32): DataFrame = {
     val long = df.select(explode(array(cols.map { case (c, a) =>
@@ -411,11 +446,19 @@ object Relational {
     * when the grid approaches the data). floor/frac are computed from
     * the same 1 + p·(n−1)
     * double both engines evaluate, and r6 absorbs terminal ulp drift.
+    *
+    * A group whose value column is entirely NULL still appears in the
+    * output, with NULL quantiles — the replaced `percentile` aggregate's
+    * (and the DuckDB oracle's) row set. The null filter only prunes the
+    * grid, so the group list comes from BEFORE it and the results
+    * null-safe-left-join back onto it.
     */
   private[graft] def gridQuantiles(df: DataFrame, keys: Seq[String],
       valueCol: String, ps: Seq[(Double, String)]): DataFrame = {
-    val counts = df
+    val proj = df
       .select((keys.map(col) :+ col(valueCol).cast("double").as("v")): _*)
+    val allKeys = proj.select(keys.map(col): _*).distinct()
+    val counts = proj
       .filter(col("v").isNotNull)
       .groupBy((keys :+ "v").map(col): _*).agg(count(lit(1)).as("c"))
     val tot = counts.groupBy(keys.map(col): _*).agg(sum("c").as("n"))
@@ -431,7 +474,13 @@ object Relational {
           when(frac > 0 && covers(rlo + 1), col("v") * frac)
             .otherwise(lit(0.0)))).as(alias)
     }
-    cum.groupBy(keys.map(col): _*).agg(qs.head, qs.tail: _*)
+    val res = cum.groupBy(keys.map(col): _*).agg(qs.head, qs.tail: _*)
+    // <=> join keeps any NULL group key working like groupBy's null
+    // group; both sides are group-cardinality frames partitioned on the
+    // same keys.
+    val cond = keys.map(k => allKeys(k) <=> res(k)).reduce(_ && _)
+    allKeys.join(res, cond, "left")
+      .select(keys.map(allKeys(_)) ++ ps.map { case (_, a) => res(a) }: _*)
   }
 
   /** A13 (scripts/ml_pipeline.py:238): exact column medians in one pass

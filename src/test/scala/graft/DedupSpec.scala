@@ -75,6 +75,49 @@ class DedupSpec extends GraftSuite {
       .foreach { case (id, c) => assert(id == c, s"singleton $id got label $c") }
   }
 
+  test("connected components survive a 500-long chain (diameter ≫ rounds)") {
+    // The adversarial shape that broke capped min-label propagation: a
+    // single path a−b−c−… where the min label must travel the whole
+    // diameter. Large/small-star must converge in O(log n) rounds and
+    // label every node 0 — a 20-round propagation cap would have
+    // returned wrong labels silently on this graph.
+    import spark.implicits._
+    val n = 500
+    val edges = (1 until n).map(i => (i.toLong, (i - 1).toLong))
+      .toDF("u", "v")
+    val nodes = (0 until n).map(_.toLong).toDF("doc_id")
+    val labels = operators.Dedup.connectedComponents(edges, nodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == n)
+    labels.foreach { case (id, c) => assert(c == 0L, s"node $id got $c") }
+  }
+
+  test("connected components match driver-side union-find on a mixed graph") {
+    // Several components of different shapes: two chains, a clique, a
+    // star, singletons — labels must equal the component-min computed by
+    // a plain union-find reference.
+    import spark.implicits._
+    val raw = Seq(
+      (5L, 3L), (7L, 5L), (9L, 7L),              // chain 3-5-7-9
+      (12L, 10L), (14L, 12L),                    // chain 10-12-14
+      (21L, 20L), (22L, 20L), (22L, 21L),        // clique {20,21,22}
+      (31L, 30L), (32L, 30L), (33L, 30L),        // star on 30
+      (9L, 2L))                                  // bridges chain1 to 2
+    val nodeIds = (0L to 35L).toSeq
+    val parent = scala.collection.mutable.Map(nodeIds.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    raw.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = nodeIds.map(i => i -> find(i)).toMap
+    val labels = operators.Dedup.connectedComponents(
+      raw.toDF("u", "v"), nodeIds.toDF("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == expected)
+  }
+
   test("span coverage matches a brute-force recomputation") {
     val texts = Tables.documents(spark, sf).select("doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
