@@ -349,7 +349,17 @@ object Relational {
     if (buckets == 1)
       return counts.withColumn("cum", sum(col("c")).over(
         Window.partitionBy(keys.map(col): _*).orderBy("v")))
-    val nc = counts.groupBy(keys.map(col): _*)
+    // Pin the grid: its consumers (cell count for the sample fraction,
+    // the sample itself, the local cumsum, the span offsets, callers'
+    // group totals) each prune different columns, so their exchanges
+    // are NOT identical subtrees and exchange reuse cannot dedupe them
+    // — unpinned, the scan+collapse under `counts` executes once PER
+    // CONSUMER (the round-10 p15_winsorize plan showed five lineitem
+    // scans). One cache entry of grid-sized (v, c) rows replaces them;
+    // CacheManager plan-matching routes every reference here AND in
+    // the caller (same canonical plan) through it.
+    val cnt = counts.pinned()
+    val nc = cnt.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_cells"))
     val target = buckets * 128
     // Uniform-in-[0,1) deterministic hash of the value: md5 low 32 bits.
@@ -362,7 +372,7 @@ object Relational {
     // sample, no second aggregate. Sub-sample duplicate indices (grids
     // smaller than the bucket count) just repeat a boundary, which
     // leaves that span empty.
-    val bnds = counts.join(broadcast(nc), keys)
+    val bnds = cnt.join(broadcast(nc), keys)
       .filter(u < lit(target.toDouble) / col("n_cells"))
       .groupBy(keys.map(col): _*)
       .agg(sort_array(collect_list(col("v").cast("double"))).as("smp"))
@@ -371,7 +381,7 @@ object Relational {
            |  i -> element_at(smp, greatest(1,
            |         cast(i * size(smp) / $buckets as int))))
            |""".stripMargin).as("bnds")): _*)
-    val bucketed = counts.join(broadcast(bnds), keys, "left")
+    val bucketed = cnt.join(broadcast(bnds), keys, "left")
       .withColumn("bkt", when(col("bnds").isNull, lit(0)).otherwise(
         aggregate(col("bnds"), lit(0),
           (acc, b) => acc + (col("v") > b).cast("int"))))

@@ -165,6 +165,47 @@ class ExtendedOpsSpec extends GraftSuite {
     assert(a == b, s"partitioned $a != one-window $b")
   }
 
+  test("ta_bigrams tops out in TakeOrdered, never a global sort") {
+    // The bench's most expensive text query: the top-20 must be a
+    // distributed TakeOrdered over the map-side-combined counts — an
+    // Exchange rangepartitioning here would mean the vocabulary-sized
+    // frame is being globally sorted to read 20 rows.
+    val plan = SparkEntry.queries("ta_bigrams")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "ta_bigrams lost its TakeOrdered:\n" + plan.take(1500))
+    assert(!plan.contains("Exchange rangepartitioning"),
+      "ta_bigrams plans a global sort:\n" + plan.take(1500))
+  }
+
+  test("p15_winsorize materializes the value grid once and reuses it") {
+    // The grid's consumers prune different columns, so without the
+    // rangeCumsum pin each would re-run the scan+collapse (round-10
+    // found FIVE lineitem scans in this plan). Pinned, every consumer
+    // (sample fraction, sample, local cumsum, span offsets, group
+    // total) must read the one materialized grid — the plan string
+    // reprints the cached build plan under each reference, so the
+    // meaningful count is cache REFERENCES, not FileScan lines.
+    val plan = SparkEntry.queries("p15_winsorize")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val cacheReads = "InMemoryTableScan".r.findAllIn(plan).length
+    assert(cacheReads >= 3,
+      s"expected >=3 grid cache reads, got $cacheReads:\n" + plan.take(2000))
+  }
+
+  test("sim_knn_self tiled path: one shuffle for the winner merge") {
+    // The tiled kernel emits one row per (probe, tile) into scratch;
+    // the returned frame must be scratch-scan + a single hash-shuffle
+    // argmax — any extra exchange means the N²/tiles candidates leaked
+    // into the merge.
+    val plan = operators.Similarity.knnSelfTiled(spark, sf, 3)
+      .queryExecution.executedPlan.toString
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashShuffles == 1,
+      s"expected 1 merge shuffle, got $hashShuffles:\n" + plan.take(1500))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("as-of join is one shuffle: union + window, no join exchange") {
     val plan = operators.TemporalJoins.queries("j5_asof_join")(spark, sf)
       .queryExecution.executedPlan.toString
@@ -319,6 +360,71 @@ class ExtendedOpsSpec extends GraftSuite {
     val out = spark.read.parquet(table)
     assert(out.count() == 2)
     assert(out.groupBy("id").count().filter(col("count") > 1).count() == 0)
+  }
+
+  // --- upsert crash-replay contract (streaming at-least-once => table
+  // exactly-once). foreachBatch delivery is at-least-once: after ANY
+  // mid-write crash, the engine replays the same batch. These specs
+  // reconstruct each crash window's exact on-disk state and prove the
+  // replay converges to the once-applied table.
+
+  private def upsertTripleState(tag: String) = {
+    import spark.implicits._
+    val table = Files.createTempDirectory(s"graft_upsert_$tag").toString + "/t"
+    val b1 = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "v")
+    UpsertSink.upsert(b1, table, "id")
+    val b2 = Seq((2L, "b2", 21.0), (3L, "c", 30.0)).toDF("id", "name", "v")
+    val expected = Seq((1L, "a", 10.0), (2L, "b2", 21.0), (3L, "c", 30.0))
+    (table, b2, expected)
+  }
+
+  private def readTriple(table: String) =
+    spark.read.parquet(table).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+
+  test("upsert replay after crash between delete and rename heals the table") {
+    // The worst window: old snapshot deleted, fully-committed .next not
+    // yet renamed — the table is MISSING on disk. The replay must first
+    // finish the stranded swap (or the merge would read an empty table
+    // and silently drop every pre-existing key), then apply the batch
+    // idempotently.
+    val (table, b2, expected) = upsertTripleState("crash_mid")
+    // Reconstruct the crash state exactly: committed .next (parquet
+    // write => _SUCCESS), current dir gone.
+    val merged = spark.read.parquet(table)
+      .join(b2.select("id"), Seq("id"), "left_anti").unionByName(b2)
+    merged.write.parquet(table + ".next")
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(table), true))
+    UpsertSink.upsert(b2, table, "id") // the engine's replay
+    assert(readTriple(table) == expected)
+  }
+
+  test("upsert replay ignores a torn (uncommitted) stranded .next") {
+    // Crash DURING the .next write: no _SUCCESS, current table intact.
+    // The replay must not treat the torn dir as a snapshot — it simply
+    // re-merges over the intact table and overwrites the debris.
+    val (table, b2, expected) = upsertTripleState("crash_torn")
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val torn = new org.apache.hadoop.fs.Path(table + ".next")
+    fs.mkdirs(torn)
+    val out = fs.create(new org.apache.hadoop.fs.Path(torn,
+      "part-00000-torn.snappy.parquet"))
+    out.write(Array.fill[Byte](64)(0x13)) // half-written garbage
+    out.close()
+    UpsertSink.upsert(b2, table, "id")
+    assert(readTriple(table) == expected)
+  }
+
+  test("upsert replay after a completed swap is idempotent") {
+    // Crash AFTER the rename but before the checkpoint commit: the
+    // replay re-applies a batch the table already absorbed.
+    val (table, b2, expected) = upsertTripleState("crash_replay")
+    UpsertSink.upsert(b2, table, "id")
+    UpsertSink.upsert(b2, table, "id")
+    assert(readTriple(table) == expected)
   }
 
   test("approx percentiles stay within the declared rank-error bound") {
