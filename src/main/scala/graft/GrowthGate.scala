@@ -44,6 +44,12 @@ object GrowthGate {
     "dd_cosine_neardup" -> (150.0,
       "exact all-pairs cosine screen: quadratic scored-pair count by " +
         "definition (the LSH/semantic variants are the scale path)"),
+    "dd_semantic" -> (30.0,
+      "near-dup pair OUTPUT grows superlinearly when corpus growth " +
+        "densifies the embedding manifold (measured at 10x: true " +
+        "tau=0.45 pairs 144 -> 162,589 = 1129x while wall grew 20x — " +
+        "sublinear per output pair; candidate generation stays " +
+        "cell-bounded)"),
     "ml_model_compare" -> (40.0,
       "CV model training: optimizer iteration count is data-dependent, " +
         "not a relational plan property"))
@@ -116,11 +122,15 @@ object GrowthGate {
         s""""bound":$DefaultBound,"material_sec":$MaterialSec,""" +
         s""""flags":${arr(flags.toSeq)},"failed":${arr(failed.toSeq)},""" +
         s""""exemptions":$exJson,"queries":$qJson,"sf":"$src"}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("growth_gate.json"),
+    // Subset (dev) runs write a side file — overwriting the full-run
+    // artifact with a partial map would destroy the committed gate.
+    val artifact =
+      if (only.isEmpty) "growth_gate.json" else "growth_gate_subset.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
       (line + "\n").getBytes("UTF-8"))
     println(s"""{"metric":"growth_gate","factor":$factor,"n":${rows.size},""" +
       s""""flags":${arr(flags.toSeq)},"failed":${arr(failed.toSeq)},""" +
-      s""""detail":"growth_gate.json"}""")
+      s""""detail":"$artifact"}""")
     spark.stop()
   }
 }

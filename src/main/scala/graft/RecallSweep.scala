@@ -76,6 +76,22 @@ object RecallSweep {
         val Array(_, fam, pctS) = cfg.split(":")
         driftPoint(spark, sfDir, exact, "rebuild", fam, pctS.toInt,
           rebuild = true)
+      // mm:<cells>:<probes>:<iters>[:assign] — same grid point with
+      // k-means++ (d²-weighted) coarse seeding instead of rank
+      // seeding; the (cfg, mm:cfg) recall pair isolates what seed
+      // quality buys at fixed serve cost.
+      case cfg if cfg.startsWith("mm:") =>
+        val parts = cfg.split(":").drop(1).map(_.toInt)
+        val Array(c, p, it) = parts.take(3)
+        val a = parts.lift(3).getOrElse(1)
+        val t0 = System.nanoTime()
+        val got = operators.Similarity
+          .annTopkIvfTuned(spark, sfDir, c, p, it, a, seed = "kmeanspp")
+          .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+        val sec = (System.nanoTime() - t0) / 1e9
+        val recall = exact.count(got.contains).toDouble / exact.size
+        println(f"mm cells=$c probes=$p iters=$it assign=$a  " +
+          f"recall=$recall%.3f frac=${p.toDouble * a / c}%.3f sec=$sec%.1f")
       case cfg =>
         val Array(c, p, it, a) = cfg.split(":").map(_.toInt)
         val t0 = System.nanoTime()

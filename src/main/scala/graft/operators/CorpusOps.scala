@@ -544,7 +544,38 @@ object CorpusOps {
       .select(col("doc_id"), col("text_deduped").as("text"), col("lang"),
         col("source"), length(col("text_deduped")).cast("long").as("n_chars"))
 
+  /** Gopher-style rule-based quality filter (Rae et al. 2021's
+    * document-quality heuristics, the standard pre-dedup gate of a
+    * pretraining pipeline): per document, each rule's pass flag plus
+    * the conjunction. Rules: length in tokens, mean word length band,
+    * stopword-evidence (≥2 distinct stopwords), and a repetition cap
+    * (most frequent token ≤ 25% of the document). Entirely rowwise —
+    * array combinators inside the row's codegen stage, no shuffle at
+    * all before the output-contract sort — so the filter scans at
+    * I/O speed at any corpus size. Thresholds are corpus-appropriate
+    * constants (the synthetic corpus mixes pass and fail on each
+    * rule); production would read them from config.
+    */
+  private def ppQualityFilter(s: SparkSession, d: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val stop = typedLit(Seq("the", "a", "and", "of", "to"))
+    val meanLen = aggregate(w, lit(0L), (a, x) => a + length(x))
+      .cast("double") / size(w)
+    val topFreq = array_max(transform(array_distinct(w),
+      x => size(filter(w, y => y === x)))).cast("double") / size(w)
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      (size(w) >= 20 && size(w) <= 10000).as("r_len"),
+      (meanLen >= 3.0 && meanLen <= 10.0).as("r_word_len"),
+      (size(array_intersect(array_distinct(w), stop)) >= 2).as("r_stop"),
+      (topFreq <= 0.25).as("r_rep"))
+      .withColumn("keep",
+        col("r_len") && col("r_word_len") && col("r_stop") && col("r_rep"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Query] = Map(
+    "pp_quality_filter" -> ppQualityFilter _,
     "pp_line_dedup" -> ppLineDedup _,
     "pp_decontaminate" -> ppDecontaminate _,
     "pp_temperature_mix" -> ppTemperatureMix _,
@@ -560,6 +591,27 @@ object CorpusOps {
     "io_orc_roundtrip" -> ioOrc _)
 
   val oracle: Map[String, String] = Map(
+    "pp_quality_filter" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |m AS (SELECT doc_id, w, len(w) AS nw,
+        |  CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / len(w)
+        |    AS mean_len,
+        |  len(list_intersect(list_distinct(w),
+        |    ['the', 'a', 'and', 'of', 'to'])) AS n_stop,
+        |  CAST(list_max(list_transform(list_distinct(w),
+        |    x -> len(list_filter(w, y -> y = x)))) AS DOUBLE) / len(w)
+        |    AS top_freq
+        |  FROM t)
+        |SELECT doc_id,
+        |  nw >= 20 AND nw <= 10000 AS r_len,
+        |  mean_len >= 3.0 AND mean_len <= 10.0 AS r_word_len,
+        |  n_stop >= 2 AS r_stop,
+        |  top_freq <= 0.25 AS r_rep,
+        |  (nw >= 20 AND nw <= 10000) AND
+        |    (mean_len >= 3.0 AND mean_len <= 10.0) AND
+        |    n_stop >= 2 AND top_freq <= 0.25 AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
     "pp_line_dedup" ->
       // The oracle states first-occurrence-wins as a window rank (the
       // natural SQL form); the Spark plan states it as a map-side

@@ -472,6 +472,95 @@ object Extended {
       .orderBy("table_name")
   }
 
+  /** Referential-integrity audit — the sixth standard data-quality
+    * gate: every declared foreign key checked for orphaned child rows
+    * in one pass per relationship. Each check is a left join of the
+    * child's key column against the parent's distinct key set with an
+    * unmatched-count aggregate — at scale that is a shuffle (or
+    * broadcast, for dimensions) semi-join probe, never a collect; NULL
+    * foreign keys are reported separately (SQL FK semantics: NULL is
+    * not a violation). Synthetic corpus ships referentially intact, so
+    * the audit's green state is itself the assertion.
+    */
+  private def dqReferential(s: SparkSession, d: String): DataFrame = {
+    def fk(name: String, child: DataFrame, ck: String,
+        parent: DataFrame, pk: String): DataFrame =
+      child.select(col(ck).as("k"))
+        .join(parent.select(col(pk).as("k")).distinct()
+          .withColumn("hit", lit(1)), Seq("k"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col("k").isNotNull && col("hit").isNull, 1))
+            .as("n_orphans"),
+          count(when(col("k").isNull, 1)).as("n_null_fk"))
+        .select(lit(name).as("relationship"), col("n_rows"),
+          col("n_orphans"), col("n_null_fk"))
+    fk("customer.nation", Tables.customer(s, d), "c_nationkey",
+        Tables.nation(s, d), "n_nationkey")
+      .unionByName(fk("lineitem.orders", Tables.lineitem(s, d),
+        "l_orderkey", Tables.orders(s, d), "o_orderkey"))
+      .unionByName(fk("lineitem.part", Tables.lineitem(s, d),
+        "l_partkey", Tables.part(s, d), "p_partkey"))
+      .unionByName(fk("lineitem.supplier", Tables.lineitem(s, d),
+        "l_suppkey", Tables.supplier(s, d), "s_suppkey"))
+      .unionByName(fk("nation.region", Tables.nation(s, d),
+        "n_regionkey", Tables.region(s, d), "r_regionkey"))
+      .unionByName(fk("orders.customer", Tables.orders(s, d),
+        "o_custkey", Tables.customer(s, d), "c_custkey"))
+      .unionByName(fk("supplier.nation", Tables.supplier(s, d),
+        "s_nationkey", Tables.nation(s, d), "n_nationkey"))
+      .orderBy("relationship")
+  }
+
+  /** Deterministic A/B test readout — the experimentation query every
+    * event warehouse serves: users hash-split 50/50 (same md5-bucket
+    * scheme as pp_hash_split, so assignment is reproducible across
+    * engines and runs), per-arm conversion = "user has ≥1 purchase
+    * purchase count than the corpus mean". Any FIXED count threshold
+    * degenerates somewhere — per-user event density varies by an order
+    * of magnitude across scale factors, so ≥1 (and ≥5) saturate to
+    * all-converted and the pooled variance collapses to 0 (ANSI
+    * division-by-zero caught exactly that in development); above-mean
+    * is ~half the users at every density, and the comparison is EXACT
+    * integer arithmetic (purchases·n_users > total_purchases), so both
+    * engines cut identically with no float threshold. z is NULL when
+    * an arm is empty or the pooled rate is degenerate — guarded
+    * identically in both engines. One map-side-combinable per-user
+    * aggregate, a 1-row broadcast of the corpus stats, one tiny
+    * per-arm rollup, and pure arithmetic on a 2-row frame — nothing
+    * global anywhere.
+    */
+  private def esAbTest(s: SparkSession, d: String): DataFrame = {
+    val arm = when(conv(substring(md5(col("user_id").cast("string")), 29, 4),
+      16, 10).cast("long") % 2 === 0, "A").otherwise("B")
+    val purchases = Tables.events(s, d).groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("purchases"))
+    val stats = purchases.agg(count(lit(1)).as("n_users"),
+      sum(col("purchases")).as("total_p"))
+    val per = purchases.crossJoin(broadcast(stats))
+      .select(arm.as("arm"),
+        when(col("purchases") * col("n_users") > col("total_p"), 1)
+          .otherwise(0).as("converted"))
+      .groupBy("arm").agg(count(lit(1)).as("n"),
+        sum(col("converted")).as("conv"))
+    def pick(a: String, c: String, alias: String) =
+      min(when(col("arm") === a, col(c))).as(alias)
+    val denom = sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+      (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    per.agg(pick("A", "n", "n_a"), pick("A", "conv", "conv_a"),
+        pick("B", "n", "n_b"), pick("B", "conv", "conv_b"))
+      .withColumn("rate_a", r6(col("conv_a").cast("double") / col("n_a")))
+      .withColumn("rate_b", r6(col("conv_b").cast("double") / col("n_b")))
+      .withColumn("p_pool",
+        (col("conv_a") + col("conv_b")).cast("double") /
+          (col("n_a") + col("n_b")))
+      .withColumn("z", r6(when(
+        col("p_pool") > 0 && col("p_pool") < 1,
+        (col("conv_a").cast("double") / col("n_a") -
+          col("conv_b").cast("double") / col("n_b")) / denom)))
+      .select("n_a", "conv_a", "rate_a", "n_b", "conv_b", "rate_b", "z")
+  }
+
   /** RFM segmentation (recency / frequency / monetary, the classic
     * customer-value grid): per-user metrics in one aggregate, tertile
     * thresholds via [[Relational.gridQuantiles]], and 1–3 scores by
@@ -678,6 +767,8 @@ object Extended {
     "dq_drift" -> dqDrift _,
     "dq_freshness" -> dqFreshness _,
     "dq_dup_keys" -> dqDupKeys _,
+    "dq_referential" -> dqReferential _,
+    "es_ab_test" -> esAbTest _,
     "es_cooccur" -> esCooccur _,
     "es_paths" -> esPaths _,
     "es_rfm" -> esRfm _,
@@ -761,6 +852,77 @@ object Extended {
         |    CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT),
         |    max(c) FROM l)
         |SELECT * FROM u ORDER BY table_name""".stripMargin,
+    "dq_referential" ->
+      """WITH checks AS (
+        |  SELECT 'customer.nation' AS relationship, c_nationkey AS k,
+        |    n_nationkey AS hit FROM customer
+        |    LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation)
+        |      ON c_nationkey = n_nationkey
+        |  UNION ALL
+        |  SELECT 'lineitem.orders', l_orderkey, o_orderkey FROM lineitem
+        |    LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders)
+        |      ON l_orderkey = o_orderkey
+        |  UNION ALL
+        |  SELECT 'lineitem.part', l_partkey, p_partkey FROM lineitem
+        |    LEFT JOIN (SELECT DISTINCT p_partkey FROM part)
+        |      ON l_partkey = p_partkey
+        |  UNION ALL
+        |  SELECT 'lineitem.supplier', l_suppkey, s_suppkey FROM lineitem
+        |    LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier)
+        |      ON l_suppkey = s_suppkey
+        |  UNION ALL
+        |  SELECT 'nation.region', n_regionkey, r_regionkey FROM nation
+        |    LEFT JOIN (SELECT DISTINCT r_regionkey FROM region)
+        |      ON n_regionkey = r_regionkey
+        |  UNION ALL
+        |  SELECT 'orders.customer', o_custkey, c_custkey FROM orders
+        |    LEFT JOIN (SELECT DISTINCT c_custkey FROM customer)
+        |      ON o_custkey = c_custkey
+        |  UNION ALL
+        |  SELECT 'supplier.nation', s_nationkey, n_nationkey FROM supplier
+        |    LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation)
+        |      ON s_nationkey = n_nationkey)
+        |SELECT relationship, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN k IS NOT NULL AND hit IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+        |  CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null_fk
+        |FROM checks GROUP BY relationship
+        |ORDER BY relationship""".stripMargin,
+    "es_ab_test" ->
+      """WITH per AS (SELECT user_id,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS purchases
+        |  FROM events GROUP BY user_id),
+        |st AS (SELECT count(*) AS n_users,
+        |    CAST(sum(purchases) AS BIGINT) AS total_p FROM per),
+        |armed AS (SELECT CASE WHEN
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 29, 4))::BIGINT
+        |      % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+        |    CASE WHEN purchases * n_users > total_p THEN 1 ELSE 0 END
+        |      AS converted
+        |  FROM per, st),
+        |arms AS (SELECT arm, count(*) AS n,
+        |    CAST(sum(converted) AS BIGINT) AS conv
+        |  FROM armed GROUP BY arm),
+        |w AS (SELECT
+        |    min(CASE WHEN arm = 'A' THEN n END) AS n_a,
+        |    min(CASE WHEN arm = 'A' THEN conv END) AS conv_a,
+        |    min(CASE WHEN arm = 'B' THEN n END) AS n_b,
+        |    min(CASE WHEN arm = 'B' THEN conv END) AS conv_b
+        |  FROM arms),
+        |p AS (SELECT *,
+        |    CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) AS p_pool
+        |  FROM w)
+        |SELECT n_a, conv_a,
+        |  round(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+        |  n_b, conv_b,
+        |  round(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+        |  round(CASE WHEN p_pool > 0 AND p_pool < 1 THEN
+        |    (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+        |    / sqrt(p_pool * (1.0 - p_pool) * (1.0 / n_a + 1.0 / n_b))
+        |  END, 6) AS z
+        |FROM p""".stripMargin,
     "es_cooccur" ->
       """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
         |SELECT a.event_type AS type_a, b.event_type AS type_b,

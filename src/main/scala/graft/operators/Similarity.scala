@@ -235,8 +235,18 @@ object Similarity {
   // 96/24 0.70 · 128/32 0.75; corpus-side 2-assign spill on 64 cells
   // reaches 0.72 and 4-assign on 64 reaches 0.74, both short of plain
   // 128-cell quantization. Extra Lloyd iterations (8) buy nothing at
-  // 128 cells. Recall remains bounded by the weak cluster structure
-  // (max pair cosine ≈ 0.5).
+  // 128 cells.
+  //
+  // Round 10 pushed the same axis further: 256/64 0.83 · 512/128 0.90
+  // (rank seeds) / 0.92 (k-means++ seeds) — still 25% scan. The round-9
+  // "weak cluster structure" recall ceiling was a quantization-grain
+  // artifact, not a corpus property: target cell size drops 16 → 4 and
+  // seeding ships as k-means++ (seedPlusPlus; pure maximin measured
+  // WORSE than rank, 0.70 — it chases outliers; the d² weighting is
+  // the part that matters). Per-vector index-build cost is N·cells
+  // comparisons, so cells ∝ N makes training quadratic-ish —
+  // acceptable to the 4096-cell cap, another reason the cap marks the
+  // hand-off to a hierarchical coarse quantizer.
   //
   // Round 8: cell COUNTS are corpus-derived, not fixed — prior rounds
   // shipped 128/32 with a scaladoc note that "production guidance is
@@ -266,7 +276,7 @@ object Similarity {
   // quantization (measured: see the RecallSweep curve note below).
   // Determinism: N comes from the cached corpusCount, so the derived
   // config is fixed per (context, dir) like the trained models.
-  private[graft] val IvfTargetCellSize = 16
+  private[graft] val IvfTargetCellSize = 4
   private[graft] val SemTargetCellSize = 64
   private[graft] val IvfCellFloor = 128
   private[graft] val SemCellFloor = 32
@@ -312,6 +322,9 @@ object Similarity {
       math.ceil(IvfPqProbeBoost * probesFor(cells, n)).toInt)
 
   private val IvfIters = 4
+  // Coarse-quantizer seeding, measured by RecallSweep's mm: mode
+  // (round-10): see the sweep notes in SURVEY before changing.
+  private[graft] val IvfSeeding = "kmeanspp"
   private[graft] val IvfCorpusAssign = 1
 
   // SemDeDup keeps its own coarser geometry: pair recall needs both
@@ -330,12 +343,30 @@ object Similarity {
     */
   private def assignCells(v: DataFrame, cent: DataFrame,
       nAssign: Int = 1): DataFrame =
-    v.crossJoin(broadcast(cent))
-      .withColumn("cs", dot(col("u"), col("cu")))
-      .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
-        .orderBy(col("cs").desc, col("cell"))))
-      .filter(col("rn") <= nAssign)
-      .select(col("vec_id"), col("u"), col("cell"))
+    if (nAssign == 1)
+      // Argmax as an AGGREGATE, not a window: the broadcast nested-loop
+      // product is consumed streamingly by the partial max_by, so the
+      // shuffle carries one row per vector — the window form shuffled
+      // and sorted all N·cells scored rows (82M at the 10× smoke's
+      // 20k × 4096), which dominated training once cells ∝ N got fine.
+      // Tie semantics identical: max over (cs, −cell) == first row of
+      // (cs desc, cell asc).
+      v.crossJoin(broadcast(cent))
+        .withColumn("cs", dot(col("u"), col("cu")))
+        .groupBy("vec_id")
+        .agg(first(col("u")).as("u"),
+          max_by(col("cell"),
+            struct(col("cs"), (-col("cell")).as("nc"))).as("cell"))
+        .select(col("vec_id"), col("u"), col("cell"))
+    else
+      // nAssign > 1 (SemDeDup's 3-assign over its ≤ a few hundred
+      // coarse cells): the top-k window stays affordable there.
+      v.crossJoin(broadcast(cent))
+        .withColumn("cs", dot(col("u"), col("cu")))
+        .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
+          .orderBy(col("cs").desc, col("cell"))))
+        .filter(col("rn") <= nAssign)
+        .select(col("vec_id"), col("u"), col("cell"))
 
   /** ANN via IVF (inverted-file index): the corpus is coarse-quantized
     * to [[ivfCells]] centroid cells (corpus-derived — constant expected
@@ -349,10 +380,10 @@ object Similarity {
     * trained index is bit-identical across runs and partitionings (a
     * plain double avg would drift with partition order and could flip
     * boundary assignments run-to-run). Recall@10 vs exact at the
-    * derived config: 0.75 at sf0.1 (the tuned anchor, same numbers as
-    * the fixed-config rounds) — bounded by this corpus's weak cluster
-    * structure (max pair cosine ≈ 0.5); on clustered real embeddings
-    * the same index recalls far higher.
+    * derived config: 0.90 at sf0.1 and 0.98 at the 10× natural-growth
+    * smoke (round 10's finer cells-∝-N grain + k-means++ seeding; the
+    * earlier 0.75 plateau was quantization grain, not corpus
+    * structure).
     */
   def annTopkIvf(s: SparkSession, d: String): DataFrame = {
     val cells = ivfCells(s, d)
@@ -368,29 +399,32 @@ object Similarity {
   // the corpus cache: dirs are assumed immutable for the context's
   // lifetime, and entries are evicted when the context stops.
   private val centroidCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.SparkContext, String, Int, Int),
+    .empty[(org.apache.spark.SparkContext, String, Int, Int, String),
       Seq[(Long, Seq[Double])]]
 
-  /** The cached trained-centroid table for (dir, cells, iters) — the
-    * one eviction-hooked lookup every centroid consumer (IVF search,
-    * index save, SemDeDup) goes through, so cache keying and eviction
-    * cannot diverge between them.
+  /** The cached trained-centroid table for (dir, cells, iters, seed) —
+    * the one eviction-hooked lookup every centroid consumer (IVF
+    * search, index save, SemDeDup) goes through, so cache keying and
+    * eviction cannot diverge between them.
     */
   private def trainedCentroids(s: SparkSession, d: String, cells: Int,
-      iters: Int): DataFrame = {
+      iters: Int, seed: String = IvfSeeding): DataFrame = {
     import s.implicits._
     graft.ContextCaches.evictOnStop(s.sparkContext, "ivf-centroids")(() =>
-      centroidCache.filterInPlace { case ((c, _, _, _), _) =>
+      centroidCache.filterInPlace { case ((c, _, _, _, _), _) =>
         c ne s.sparkContext })
     centroidCache.getOrElseUpdate(
-      (s.sparkContext, d, cells, iters), trainCentroids(s, d, cells, iters))
+      (s.sparkContext, d, cells, iters, seed),
+      trainCentroids(s, d, cells, iters, seed))
       .toDF("cell", "cu")
   }
 
   private[graft] def annTopkIvfTuned(s: SparkSession, d: String,
       cells: Int, probes: Int, iters: Int,
-      nAssign: Int = IvfCorpusAssign): DataFrame =
-    ivfSearch(s, d, trainedCentroids(s, d, cells, iters), probes, nAssign)
+      nAssign: Int = IvfCorpusAssign,
+      seed: String = IvfSeeding): DataFrame =
+    ivfSearch(s, d, trainedCentroids(s, d, cells, iters, seed), probes,
+      nAssign)
 
   /** Probe-and-rerank against a given centroid table — shared by the
     * train-resident path and the persisted-index path, so a reloaded
@@ -405,7 +439,13 @@ object Similarity {
   private def ivfSearch(s: SparkSession, d: String, cent: DataFrame,
       probes: Int, nAssign: Int = IvfCorpusAssign): DataFrame = {
     val v = normalized(s, d)
-    val assign = assignCells(v, cent, nAssign)
+    // Pinned: the corpus-side assignment IS the inverted index — a
+    // vector store serves queries against materialized inverted lists,
+    // it does not re-run the N·cells argmin per query batch (at
+    // cells ∝ N that recompute is the quadratic-ish term the round-10
+    // growth gate surfaced on this query). Same residency contract as
+    // the trained centroids and semanticAssignments.
+    val assign = assignCells(v, cent, nAssign).pinned()
     val qcells = v.filter(col("vec_id") < NumQueries).crossJoin(broadcast(cent))
       .withColumn("cs", dot(col("u"), col("cu")))
       .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
@@ -546,8 +586,17 @@ object Similarity {
     */
   private[graft] def semanticAssignments(s: SparkSession, d: String,
       cells: Int, nAssign: Int): DataFrame =
+    // seed = "rank" PINNED: SemDeDup's pair-recall floor (0.757 at
+    // sf0.1) was tuned for its deliberately coarse few-cell geometry
+    // under rank seeding; round 10's k-means++ default reshaped those
+    // 32 cells and pair recall fell to 0.708 in the full bench. Search
+    // wants tight cells (finer quantization = higher recall); dedup
+    // wants both members of a pair in ONE cell, where the seed spread
+    // that helps search HURTS — so the two families pin their own
+    // seeding like they already pin their own cell counts.
     assignCells(normalized(s, d),
-      trainedCentroids(s, d, cells, IvfIters), nAssign).pinned()
+      trainedCentroids(s, d, cells, IvfIters, seed = "rank"), nAssign)
+      .pinned()
 
   // -------------------------------------------------------- PQ variant
 
@@ -1354,6 +1403,92 @@ object Similarity {
     signFrame(v, dim).write.mode("append").parquet(path)
   }
 
+  /** k-means++ seeding, deterministic and scale-bounded: a
+    * md5-hash-ordered sample of the corpus (fixed [[SeedSampleN]]
+    * vectors — driver state is bounded however large the corpus, the
+    * same contract as the trained model itself) is collected, and
+    * centers are drawn by the true k-means++ rule — each next center
+    * chosen with probability ∝ d²(x) (squared chord 2 − 2·cos to the
+    * nearest chosen center). NOT pure farthest-point/maximin: that
+    * variant chases outliers (measured on this corpus: maximin 0.70 vs
+    * rank 0.75 recall at 128/32) — the d² WEIGHTING is what balances
+    * spread against density. The "random" draw is the
+    * Efraimidis–Spirakis weighted choice argmax ln(u)/w with
+    * u = md5(vec_id, round) uniform — fully deterministic, so the
+    * trained model stays reproducible across runs and partitionings
+    * like every other model in this file.
+    */
+  private[graft] val SeedSampleN = 4096
+  private def seedPlusPlus(s: SparkSession, v: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
+    val smp = v.filter(col("vec_id") >= NumQueries)
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy("h", "vec_id").limit(math.max(SeedSampleN, 4 * k))
+      .select(col("vec_id"), col("u")).as[(Long, Seq[Double])].collect()
+    require(smp.nonEmpty,
+      "centroid training needs at least one non-query vector " +
+        s"(vec_id >= $NumQueries) in the corpus")
+    val ids = smp.map(_._1)
+    val xs = smp.map(_._2.toArray)
+    val kk = math.min(k, xs.length)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    // Deterministic uniform in (0,1) keyed by (vec_id, draw round):
+    // splitmix64 finalizer (public-domain mixing constants) over the
+    // pair. One mix per (point, round) — an earlier MD5-per-draw form
+    // spent ~67M digests (k·|sample|) dominating the whole 4096-cell
+    // training at the 10× smoke scale.
+    def mix64(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def unif(id: Long, round: Int): Double =
+      ((mix64(mix64(id) ^ round.toLong) >>> 11) + 1).toDouble /
+        (1L << 53).toDouble
+    val chosen = new Array[Int](kk)
+    chosen(0) = 0 // minimum-hash vector (the sample is hash-ordered)
+    val dist = xs.map(x => 2.0 - 2.0 * dot(x, xs(0)))
+    var c = 1
+    while (c < kk) {
+      // argmax ln(u)/d² — the weighted-sampling key; d² = 0 (duplicate
+      // of a chosen center) gives -inf and is never picked.
+      var best = -1
+      var bestKey = Double.NegativeInfinity
+      var i = 0
+      while (i < xs.length) {
+        if (dist(i) > 0) {
+          val key = math.log(unif(ids(i), c)) / dist(i)
+          if (key > bestKey || (key == bestKey && best >= 0 &&
+              ids(i) < ids(best))) { bestKey = key; best = i }
+        }
+        i += 1
+      }
+      if (best < 0) {
+        // every remaining sample point duplicates a center — reuse the
+        // first center to fill the codebook (empty cells are harmless)
+        chosen(c) = chosen(0)
+      } else {
+        chosen(c) = best
+        val cx = xs(best)
+        i = 0
+        while (i < xs.length) {
+          val dd = 2.0 - 2.0 * dot(xs(i), cx)
+          if (dd < dist(i)) dist(i) = dd
+          i += 1
+        }
+      }
+      c += 1
+    }
+    chosen.zipWithIndex
+      .map { case (idx, cell) => (ids(idx), cell.toLong, smp(idx)._2) }
+      .toSeq.toDF("vec_id", "cell", "u")
+  }
+
   /** The first `k` non-query vectors in id order with dense ranks
     * 0..k-1 — the deterministic seed set both trainers (IVF Lloyd, PQ
     * codebooks) draw from. Fails loudly on an effectively-empty corpus
@@ -1373,19 +1508,26 @@ object Similarity {
   }
 
   private def trainCentroids(s: SparkSession, d: String,
-      cells: Int, iters: Int): Seq[(Long, Seq[Double])] = {
+      cells: Int, iters: Int,
+      seed: String = IvfSeeding): Seq[(Long, Seq[Double])] = {
     import s.implicits._
     val v = normalized(s, d)
-    // Seed centroids: the first `cells` non-query vectors in id ORDER —
-    // rank-based, not the id RANGE [NumQueries, NumQueries+cells): a
-    // corpus with sparse or arbitrary vec_ids (an index built on a
-    // filtered sub-corpus, a pct-split drift probe) would silently seed
-    // fewer cells than requested — or NONE — under the range form
-    // (round-9 sweep found exactly that: an empty codebook written to
-    // disk with no error). For dense-id corpora the two forms pick the
-    // same vectors, so shipped models are bit-unchanged. The rank
-    // window runs over `cells` rows (the limit applies first) — tiny.
-    var cent = seedRanks(v, cells).select(col("cell"), col("u").as("cu"))
+    // Seeding ("rank", the pre-round-10 default): the first `cells`
+    // non-query vectors in id ORDER — rank-based, not the id RANGE
+    // [NumQueries, NumQueries+cells): a corpus with sparse or arbitrary
+    // vec_ids (an index built on a filtered sub-corpus, a pct-split
+    // drift probe) would silently seed fewer cells than requested — or
+    // NONE — under the range form (round-9 sweep found exactly that: an
+    // empty codebook written to disk with no error). For dense-id
+    // corpora the two forms pick the same vectors, so shipped models
+    // are bit-unchanged. The rank window runs over `cells` rows (the
+    // limit applies first) — tiny. "maximin" is the k-means++-style
+    // spread seeding — see [[seedMaximin]].
+    var cent = (seed match {
+      case "kmeanspp" => seedPlusPlus(s, v, cells)
+      case "rank" => seedRanks(v, cells)
+      case other => sys.error(s"unknown IVF seeding '$other'")
+    }).select(col("cell"), col("u").as("cu"))
     // Lloyd refinement: assign → exact per-component means → renormalize.
     for (_ <- 1 to iters) {
       val comp = assignCells(v, cent)

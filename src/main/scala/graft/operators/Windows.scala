@@ -204,7 +204,29 @@ object Windows {
       .orderBy("user_id", "run_id")
   }
 
+  /** W21 — forward fill (last observation carried forward): each
+    * event's `props` replaced by the user's latest non-null props at or
+    * before it. The sensor-stream repair every feature pipeline needs;
+    * ONE pass over the standard per-user event shuffle with
+    * `last(ignoreNulls)` over the unbounded-preceding frame — Spark
+    * evaluates that frame incrementally (running state = the one held
+    * value), so per-row cost is O(1) and per-task state is one value
+    * per open partition, at any history length.
+    */
+  private def w21Ffill(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(tsUs(col("ts")), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("props"))
+      .withColumn("props_ffill",
+        last(col("props"), ignoreNulls = true).over(w))
+      .select("event_id", "user_id", "props_ffill")
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Query] = Map(
+    "w21_ffill" -> w21Ffill _,
     "w18_streak" -> w18Streak _,
     "w20_scd2" -> w20Scd2 _,
     "w12_session_window" -> w12SessionWindow _,
@@ -221,6 +243,11 @@ object Windows {
   private val over = "PARTITION BY user_id ORDER BY epoch_us(ts), event_id"
 
   val oracle: Map[String, String] = Map(
+    "w21_ffill" ->
+      s"""SELECT event_id, user_id,
+         |  last_value(props IGNORE NULLS) OVER ($over
+         |    ROWS UNBOUNDED PRECEDING) AS props_ffill
+         |FROM events ORDER BY event_id""".stripMargin,
     "w20_scd2" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
         |    epoch_us(ts) AS tus FROM events),
