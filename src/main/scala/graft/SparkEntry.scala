@@ -31,6 +31,7 @@ object SparkEntry {
       operators.TpchQueries.queries ++
       operators.CorpusOps.queries ++
       operators.Layout.queries ++
+      operators.Graph.queries ++
       pipeline.MlPipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -53,5 +54,6 @@ object SparkEntry {
       operators.TpchQueries.oracle ++
       operators.CorpusOps.oracle ++
       operators.Layout.oracle ++
+      operators.Graph.oracle ++
       pipeline.MlPipeline.oracle
 }

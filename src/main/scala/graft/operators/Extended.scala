@@ -236,6 +236,209 @@ object Extended {
       .orderBy("event_id")
   }
 
+  /** Rolling Pearson correlation between quantity and price per
+    * supplier over a trailing 20-row frame — the co-movement monitor of
+    * a metrics pipeline. Computed from the five FRAME SUMS (n, Σx, Σy,
+    * Σx², Σy², Σxy) rather than a corr() window aggregate: the inputs
+    * are cast to DECIMAL(18,6) and the sums (products in DECIMAL 37,12)
+    * accumulate exactly, so the doubles entering the correlation
+    * formula are bit-identical between engines (the oracle casts to
+    * DECIMAL(19,6) — same exact values, but the one extra digit pushes
+    * DuckDB's product onto int128 storage instead of overflowing
+    * int64; Spark at (19,6) would instead hit its 38-precision cap and
+    * LOSE product scale, so the widths deliberately differ) — corr's
+    * cancellation-
+    * prone numerator (n·Σxy − Σx·Σy) would otherwise amplify summation-
+    * order ulp drift right past the 6-decimal gate. Zero variance on
+    * either side → NULL (the 0/0 guard both engines share). Spark
+    * evaluates all five sums in one window pass; state is one 20-row
+    * frame per open partition at any history length.
+    */
+  private def w22RollingCorr(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      .rowsBetween(-19, 0)
+    val x = col("l_quantity").cast(DecimalType(18, 6))
+    val y = col("l_extendedprice").cast(DecimalType(18, 6))
+    def dw(c: Column) = sum(c).over(w).cast("double")
+    val n = count(lit(1)).over(w).cast("double")
+    val (sx, sy) = (dw(x), dw(y))
+    val (sxx, syy, sxy) = (dw(x * x), dw(y * y), dw(x * y))
+    val (vx, vy) = (n * sxx - sx * sx, n * syy - sy * sy)
+    Tables.lineitem(s, d)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        when(vx > 0 && vy > 0,
+          r6((n * sxy - sx * sy) / sqrt(vx * vy))).as("roll_corr"))
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic between the l_quantity
+    * distributions of returned ('A') vs delivered ('N') lineitems —
+    * the canonical distribution-shift test a data-quality layer runs
+    * between cohorts. D = max over the merged value grid of
+    * |F_A(v) − F_N(v)|.
+    *
+    * Scale shape: this is the value-grid pattern
+    * ([[Relational.rangeCumsum]]) — rows collapse map-side to
+    * (value, side-count) grid cells, BOTH sides' cells exist at every
+    * grid value (a zero-count cell is emitted for the absent side, so
+    * each side's step CDF is defined at every merged-grid point), and
+    * the two prefix sums run range-partitioned with no single big sort
+    * task. The final max is an ordinary partial+final aggregate. No
+    * per-group buffering anywhere — the same plan family MemSmoke
+    * proved under a 2g heap.
+    */
+  private def a29Ks(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_returnflag").isin("A", "N"))
+      .select(col("l_returnflag").as("side"),
+        col("l_quantity").cast("double").as("v"))
+    val grid = li.groupBy("v").agg(
+      sum(when(col("side") === "A", 1L).otherwise(0L)).as("ca"),
+      sum(when(col("side") === "N", 1L).otherwise(0L)).as("cn"))
+    val long = grid.select(col("v"), explode(array(
+        struct(lit("A").as("side"), col("ca").as("c")),
+        struct(lit("N").as("side"), col("cn").as("c")))).as("e"))
+      .select(col("e.side").as("side"), col("v"), col("e.c").as("c"))
+    val tot = li.groupBy("side").agg(count(lit(1)).as("n"))
+    val cdf = Relational.rangeCumsum(long, Seq("side"))
+      .join(broadcast(tot), "side")
+      .select(col("side"), col("v"),
+        (col("cum").cast("double") / col("n").cast("double")).as("f"))
+    val d2 = cdf.groupBy("v").agg(
+      max(when(col("side") === "A", col("f"))).as("fa"),
+      max(when(col("side") === "N", col("f"))).as("fn"))
+    val ns = tot.select(
+      max(when(col("side") === "A", col("n"))).as("n_a"),
+      max(when(col("side") === "N", col("n"))).as("n_n"))
+    d2.select(max(abs(col("fa") - col("fn"))).as("ks"))
+      .crossJoin(broadcast(ns)) // 1-row stats frames
+      .select(col("n_a"), col("n_n"), r6(col("ks")).as("ks_stat"))
+  }
+
+  /** Robust outlier audit per event type: median, MAD (median absolute
+    * deviation), and the count beyond the 3σ-equivalent robust band
+    * |v − med| > 3·1.4826·MAD — the anomaly gate that, unlike dq_drift's
+    * mean/std z-score, a single wild value cannot recruit into its own
+    * threshold. Both medians come from [[Relational.gridQuantiles]]'
+    * distributed value grid (never a buffering percentile); the
+    * group-level median/MAD frames are model-sized → broadcast back
+    * onto the stream, and the band count is one partial+final
+    * aggregate. 4.4478 = 3·1.4826 (the normal-consistency constant),
+    * written as one literal in both engines.
+    */
+  private def dqMad(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+    val med = Relational.gridQuantiles(
+      ev, Seq("event_type"), "value", Seq(0.5 -> "med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("ad", abs(col("value") - col("med")))
+    val mad = Relational.gridQuantiles(
+      dev, Seq("event_type"), "ad", Seq(0.5 -> "mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), max("med").as("med"), max("mad").as("mad"),
+        sum(when(col("ad") > lit(4.4478) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  /** Population Stability Index per event type between the first and
+    * second half of the event timeline (split at the integer midpoint
+    * of the epoch-micros range — pure integer arithmetic, no calendar
+    * functions to disagree on): reference-half deciles become the 10
+    * bins (cut points from [[Relational.gridQuantiles]]' distributed
+    * grid), both halves are binned against them, and
+    * PSI = Σ (p−q)·ln(p/q) with the standard 1e-6 proportion clamp for
+    * empty bins. The drift gate risk teams run between a model's
+    * training window and today.
+    *
+    * Scale shape: cut points are a groups×9 frame → broadcast; binning
+    * is a codegen'd 9-comparison sum on the stream; the per-(type, bin)
+    * counts are partial+final aggregates; the dense bin skeleton comes
+    * from exploding a 10-element literal against the distinct types
+    * (no join). The 10-addend PSI sum accumulates per-addend in
+    * DECIMAL(38,18) so partition order can't move it.
+    */
+  private def dqPsi(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"), tsUs(col("ts")).as("us"))
+      .pinned() // consumed by the split bound and both halves
+    val mm = ev.agg(min("us").as("lo"), max("us").as("hi")).head()
+    val mid = (mm.getLong(0) + mm.getLong(1)) / 2
+    val ref = ev.filter(col("us") <= lit(mid))
+    val cur = ev.filter(col("us") > lit(mid))
+    val cuts = Relational.gridQuantiles(ref, Seq("event_type"), "value",
+      (1 to 9).map(i => (i / 10.0) -> s"t$i"))
+    def binned(df: DataFrame, cnt: String) = df
+      .join(broadcast(cuts), "event_type")
+      .withColumn("bin", (1 to 9).map(i =>
+        when(col("value") > col(s"t$i"), 1).otherwise(0))
+        .foldLeft(lit(1))(_ + _))
+      .groupBy("event_type", "bin").agg(count(lit(1)).as(cnt))
+    val bins = ev.select("event_type").distinct()
+      .select(col("event_type"),
+        explode(sequence(lit(1), lit(10))).as("bin"))
+    val dense = bins
+      .join(binned(ref, "cr"), Seq("event_type", "bin"), "left")
+      .join(binned(cur, "cc"), Seq("event_type", "bin"), "left")
+      .na.fill(0L, Seq("cr", "cc"))
+    val wTot = Window.partitionBy("event_type")
+    val d1 = dense
+      .withColumn("nr", sum("cr").over(wTot))
+      .withColumn("nc", sum("cc").over(wTot))
+      .withColumn("p",
+        greatest(col("cr").cast("double") / col("nr"), lit(1e-6)))
+      .withColumn("q",
+        greatest(col("cc").cast("double") / col("nc"), lit(1e-6)))
+    d1.groupBy("event_type")
+      .agg(max("nr").as("n_ref"), max("nc").as("n_cur"),
+        sum(((col("p") - col("q")) * log(col("p") / col("q")))
+          .cast(DecimalType(38, 18))).cast("double").as("psi0"))
+      .select(col("event_type"), col("n_ref"), col("n_cur"),
+        when(col("n_ref") > 0 && col("n_cur") > 0, r6(col("psi0")))
+          .as("psi"))
+      .orderBy("event_type")
+  }
+
+  /** Cohort lifetime-value curves: users cohorted by first-event week,
+    * cumulative purchase revenue per user by cohort age — the
+    * retention-economics readout next to es_retention's activity
+    * triangle. All week math is integer epoch-microsecond division
+    * (shared constant 604800000000), so both engines cut cohorts
+    * identically with no calendar/timezone surface. Scale shape: one
+    * per-user min (partial+final), one shuffle join back on user_id,
+    * one (cohort, age) aggregate with DECIMAL-exact revenue sums, and
+    * a cumulative window over age within each cohort — partitions are
+    * cohort-sized cell lists (bounded by weeks in the corpus), and the
+    * cohort-size frame is broadcast.
+    */
+  private def esCohortLtv(s: SparkSession, d: String): DataFrame = {
+    val wk = 604800000000L // 7 * 86400 * 1e6 micros
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), tsUs(col("ts")).as("us"),
+        col("event_type"), col("value"))
+    val coh = ev.groupBy("user_id").agg(min("us").as("c_us"))
+      .withColumn("cohort_week", expr(s"c_us div $wk"))
+      .pinned() // consumed by the join and the cohort-size frame
+    val sizes = coh.groupBy("cohort_week").agg(count(lit(1)).as("n_users"))
+    val rev = ev.join(coh, "user_id")
+      .withColumn("age_week", expr(s"(us - c_us) div $wk"))
+      .groupBy("cohort_week", "age_week")
+      .agg(dsum(when(col("event_type") === "purchase", col("value"))
+        .otherwise(lit(0.0))).as("rev"))
+    val wcum = Window.partitionBy("cohort_week").orderBy("age_week")
+    rev
+      .withColumn("cum_rev",
+        sum(col("rev").cast(DecimalType(38, 6))).over(wcum).cast("double"))
+      .join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("age_week"), col("n_users"),
+        r6(col("cum_rev")).as("cum_rev"),
+        r6(col("cum_rev") / col("n_users")).as("ltv_per_user"))
+      .orderBy("cohort_week", "age_week")
+  }
+
   /** Value-RANGE window frame: per-user trailing band [v-10, v] over the
     * value order — frames defined by the ORDER key's values, not row
     * counts (the other half of the SQL window-frame spec; W1/W2 cover
@@ -787,6 +990,11 @@ object Extended {
     "w14_rolling_distinct" -> w14RollingDistinct _,
     "w16_rolling_median" -> w16RollingMedian _,
     "w17_ewma" -> w17Ewma _,
+    "w22_rolling_corr" -> w22RollingCorr _,
+    "a29_ks" -> a29Ks _,
+    "dq_mad" -> dqMad _,
+    "dq_psi" -> dqPsi _,
+    "es_cohort_ltv" -> esCohortLtv _,
     "a24_topk_agg" -> a24TopkAgg _,
     "w11_range_frame" -> w11RangeFrame _,
     "p13_pivot" -> p13Pivot _,
@@ -796,6 +1004,146 @@ object Extended {
     "ta_bigrams" -> taBigrams _)
 
   val oracle: Map[String, String] = Map(
+    "dq_psi" ->
+      """WITH ev AS (SELECT event_type, value, epoch_us(ts) AS us
+        |  FROM events WHERE value IS NOT NULL),
+        |mm AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+        |ref AS (SELECT event_type, value FROM ev, mm WHERE us <= mid),
+        |cur AS (SELECT event_type, value FROM ev, mm WHERE us > mid),
+        |cuts AS (SELECT event_type,
+        |    round(quantile_cont(value, 0.1), 6) AS t1,
+        |    round(quantile_cont(value, 0.2), 6) AS t2,
+        |    round(quantile_cont(value, 0.3), 6) AS t3,
+        |    round(quantile_cont(value, 0.4), 6) AS t4,
+        |    round(quantile_cont(value, 0.5), 6) AS t5,
+        |    round(quantile_cont(value, 0.6), 6) AS t6,
+        |    round(quantile_cont(value, 0.7), 6) AS t7,
+        |    round(quantile_cont(value, 0.8), 6) AS t8,
+        |    round(quantile_cont(value, 0.9), 6) AS t9
+        |  FROM ref GROUP BY event_type),
+        |rb AS (SELECT r.event_type,
+        |    1 + (CASE WHEN value > t1 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN value > t2 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN value > t3 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN value > t4 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN value > t5 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN value > t6 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN value > t7 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN value > t8 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN value > t9 THEN 1 ELSE 0 END) AS bin
+        |  FROM ref r JOIN cuts USING (event_type)),
+        |rc AS (SELECT event_type, bin, count(*) AS cr FROM rb
+        |       GROUP BY event_type, bin),
+        |cb AS (SELECT c.event_type,
+        |    1 + (CASE WHEN value > t1 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN value > t2 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN value > t3 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN value > t4 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN value > t5 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN value > t6 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN value > t7 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN value > t8 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN value > t9 THEN 1 ELSE 0 END) AS bin
+        |  FROM cur c JOIN cuts USING (event_type)),
+        |cc AS (SELECT event_type, bin, count(*) AS cc FROM cb
+        |       GROUP BY event_type, bin),
+        |bins AS (SELECT event_type, unnest(range(1, 11)) AS bin
+        |  FROM (SELECT DISTINCT event_type FROM ev)),
+        |d0 AS (SELECT b.event_type, b.bin,
+        |    coalesce(rc.cr, 0) AS cr, coalesce(cc.cc, 0) AS cc
+        |  FROM bins b LEFT JOIN rc USING (event_type, bin)
+        |    LEFT JOIN cc USING (event_type, bin)),
+        |d1 AS (SELECT *,
+        |    sum(cr) OVER (PARTITION BY event_type) AS nr,
+        |    sum(cc) OVER (PARTITION BY event_type) AS nc FROM d0),
+        |t AS (SELECT event_type, nr, nc,
+        |    greatest(CAST(cr AS DOUBLE) / nr, 1e-6) AS p,
+        |    greatest(CAST(cc AS DOUBLE) / nc, 1e-6) AS q FROM d1)
+        |SELECT event_type, CAST(max(nr) AS BIGINT) AS n_ref,
+        |  CAST(max(nc) AS BIGINT) AS n_cur,
+        |  CASE WHEN max(nr) > 0 AND max(nc) > 0 THEN
+        |    round(CAST(sum(CAST((p - q) * ln(p / q) AS DECIMAL(38,18)))
+        |      AS DOUBLE), 6) END AS psi
+        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "es_cohort_ltv" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_type,
+        |    value FROM events),
+        |coh AS (SELECT user_id, min(us) AS c_us,
+        |    min(us) // 604800000000 AS cohort_week
+        |  FROM ev GROUP BY user_id),
+        |sz AS (SELECT cohort_week, count(*) AS n_users FROM coh
+        |       GROUP BY cohort_week),
+        |rev AS (SELECT coh.cohort_week,
+        |    (e.us - coh.c_us) // 604800000000 AS age_week,
+        |    CAST(sum(CAST(CASE WHEN e.event_type = 'purchase'
+        |      THEN e.value ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE)
+        |      AS rev
+        |  FROM ev e JOIN coh USING (user_id)
+        |  GROUP BY coh.cohort_week, age_week),
+        |c AS (SELECT cohort_week, age_week,
+        |    CAST(sum(CAST(rev AS DECIMAL(38,6))) OVER (
+        |      PARTITION BY cohort_week ORDER BY age_week) AS DOUBLE)
+        |      AS cum_rev
+        |  FROM rev)
+        |SELECT c.cohort_week, c.age_week, sz.n_users,
+        |  round(c.cum_rev, 6) AS cum_rev,
+        |  round(c.cum_rev / sz.n_users, 6) AS ltv_per_user
+        |FROM c JOIN sz USING (cohort_week)
+        |ORDER BY cohort_week, age_week""".stripMargin,
+    "w22_rolling_corr" ->
+      """WITH b AS (SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+        |    CAST(l_quantity AS DECIMAL(19,6)) AS x,
+        |    CAST(l_extendedprice AS DECIMAL(19,6)) AS y FROM lineitem),
+        |w AS (SELECT l_suppkey, l_orderkey, l_linenumber,
+        |    CAST(count(*) OVER fr AS DOUBLE) AS n,
+        |    CAST(sum(x) OVER fr AS DOUBLE) AS sx,
+        |    CAST(sum(y) OVER fr AS DOUBLE) AS sy,
+        |    CAST(sum(x * x) OVER fr AS DOUBLE) AS sxx,
+        |    CAST(sum(y * y) OVER fr AS DOUBLE) AS syy,
+        |    CAST(sum(x * y) OVER fr AS DOUBLE) AS sxy
+        |  FROM b
+        |  WINDOW fr AS (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |    THEN round((n * sxy - sx * sy)
+        |      / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+        |    END AS roll_corr
+        |FROM w ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "a29_ks" ->
+      """WITH li AS (SELECT l_returnflag AS side, l_quantity AS v
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'N')),
+        |g AS (SELECT v,
+        |    sum(CASE WHEN side = 'A' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN side = 'N' THEN 1 ELSE 0 END) AS cn
+        |  FROM li GROUP BY v),
+        |c AS (SELECT v, sum(ca) OVER (ORDER BY v) AS cuma,
+        |    sum(cn) OVER (ORDER BY v) AS cumn FROM g),
+        |t AS (SELECT
+        |    CAST(sum(CASE WHEN side = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(sum(CASE WHEN side = 'N' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_n
+        |  FROM li)
+        |SELECT n_a, n_n, round(max(abs(CAST(cuma AS DOUBLE) / n_a
+        |  - CAST(cumn AS DOUBLE) / n_n)), 6) AS ks_stat
+        |FROM c, t GROUP BY n_a, n_n""".stripMargin,
+    "dq_mad" ->
+      """WITH m AS (SELECT event_type,
+        |    round(quantile_cont(value, 0.5), 6) AS med
+        |  FROM events GROUP BY event_type),
+        |d AS (SELECT e.event_type, e.value, m.med,
+        |    abs(e.value - m.med) AS ad
+        |  FROM events e JOIN m USING (event_type)),
+        |md AS (SELECT event_type, round(quantile_cont(ad, 0.5), 6) AS mad
+        |  FROM d GROUP BY event_type)
+        |SELECT d.event_type, count(*) AS n, max(d.med) AS med,
+        |  max(md.mad) AS mad,
+        |  CAST(sum(CASE WHEN d.ad > CAST(4.4478 AS DOUBLE) * md.mad
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM d JOIN md USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
     "dq_profile" ->
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map(c =>
         s"""SELECT '$c' AS col_name, count(*) AS n_rows,

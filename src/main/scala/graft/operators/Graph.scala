@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Iterative graph analytics over relationship graphs derived from the
+  * warehouse — the ranking/centrality complement to [[Dedup]]'s
+  * connected components. First member: PageRank over the bipartite
+  * customer–supplier purchase graph.
+  *
+  * Scale shape of the iteration: each round is ONE shuffle equi-join of
+  * the rank frame with the (pinned) edge list plus one partial+final
+  * aggregate keyed by destination — the standard distributed PageRank
+  * plan, no driver-side graph state, no all-pairs stage. The rank
+  * frame is node-cardinality (≪ edges) and is eagerly
+  * `localCheckpoint`ed per round so the 10-iteration lineage stays a
+  * 10-step chain instead of an exponentially re-analyzed tree (the
+  * [[Dedup]] connected-components lesson).
+  */
+object Graph {
+
+  // Fixed-iteration PageRank: the damping factor everyone uses (Page et
+  // al. 1999) and enough rounds for rank mass to stabilize well past
+  // the 6-decimal comparison gate on graphs of this diameter (the
+  // bipartite purchase graph has diameter ~4 at every SF).
+  private val PrDamp = 0.85
+  private val PrIters = 10
+  private val PrTopK = 25
+
+  /** Exact, order-independent sum of O(1)-magnitude doubles: per-addend
+    * cast to DECIMAL(38,18) (rank contributions are ~1/degree/N, where
+    * 18 decimals keep the terms themselves exact — dsum's 6 would
+    * quantize them) so partition order can't move the result and the
+    * oracle's identically-shaped sum is bit-equal.
+    */
+  private def d18(c: Column): Column =
+    sum(c.cast(DecimalType(38, 18))).cast("double")
+
+  /** PageRank over the bipartite customer–supplier purchase graph:
+    * nodes are customers and suppliers connected by "bought from"
+    * edges (distinct (custkey, suppkey) pairs via orders ⋈ lineitem),
+    * made symmetric so rank flows both ways — the entity-importance
+    * score a curation/analytics stack uses to weight sources. Nodes
+    * live in one id space (customer k → 2k, supplier k → 2k+1).
+    *
+    * The graph is connected-by-construction to its edge endpoints
+    * (isolated entities carry no rank), every node has degree ≥ 1 and,
+    * being symmetric, an inbound edge — so there is no dangling mass
+    * and the per-round aggregate covers every node. Rank update:
+    * r'(v) = (1−d)/N + d·Σ_{u→v} r(u)/deg(u), 10 rounds from the
+    * uniform start. Contribution sums accumulate in DECIMAL(38,18)
+    * ([[d18]]) making each round's ranks bit-identical to the oracle's
+    * unrolled-CTE twin; the head is the top-[[PrTopK]] nodes.
+    */
+  private def pagerank(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+    val cs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
+      .distinct()
+    val edges = cs
+      .select((col("c") * 2).cast("long").as("src"),
+        (col("sup") * 2 + 1).cast("long").as("dst"))
+      .union(cs.select((col("sup") * 2 + 1).cast("long").as("src"),
+        (col("c") * 2).cast("long").as("dst")))
+      .pinned() // consumed once per iteration
+    val nodes = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+      .pinned() // deg re-attached once per iteration
+    val nNodes = nodes.count().toDouble
+    var ranks = nodes
+      .select(col("node"), lit(1.0 / nNodes).as("rank"), col("deg"))
+    for (_ <- 1 to PrIters) {
+      val contribs = ranks.join(edges, col("node") === col("src"))
+        .select(col("dst").as("node"),
+          (col("rank") / col("deg").cast("double")).as("w"))
+      ranks = contribs.groupBy("node")
+        .agg(((lit(1.0) - lit(PrDamp)) / lit(nNodes) +
+          lit(PrDamp) * d18(col("w"))).as("rank"))
+        .join(nodes, "node")
+        .select(col("node"), col("rank"), col("deg"))
+        .localCheckpoint(eager = true)
+    }
+    ranks
+      .orderBy(col("rank").desc, col("node"))
+      .limit(PrTopK)
+      .select(
+        when(col("node") % 2 === 0, "customer").otherwise("supplier")
+          .as("node_type"),
+        expr("node div 2").as("node_key"),
+        r6(col("rank")).as("rank"))
+  }
+
+  val queries: Map[String, Query] = Map(
+    "g1_pagerank" -> pagerank _)
+
+  /** The oracle unrolls the [[PrIters]] rounds as chained CTE pairs
+    * (update, re-attach degree) — recursive CTEs can't aggregate over
+    * the recursive term portably, and the unrolled form is the same
+    * dataflow the engine runs.
+    */
+  val oracle: Map[String, String] = {
+    val rounds = (1 to PrIters).map { i =>
+      s"""r$i AS (SELECT e.dst AS node,
+         |    (1 - CAST($PrDamp AS DOUBLE)) / n + CAST($PrDamp AS DOUBLE) *
+         |      CAST(sum(CAST(p.rank / CAST(p.deg AS DOUBLE)
+         |        AS DECIMAL(38,18))) AS DOUBLE) AS rank
+         |  FROM r${i - 1}d p JOIN e ON p.node = e.src, n0
+         |  GROUP BY e.dst, n),
+         |r${i}d AS (SELECT r$i.node, r$i.rank, deg.deg
+         |  FROM r$i JOIN deg ON r$i.node = deg.node)""".stripMargin
+    }.mkString(",\n")
+    Map("g1_pagerank" ->
+      s"""WITH cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sup
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS (SELECT c * 2 AS src, sup * 2 + 1 AS dst FROM cs
+         |      UNION ALL SELECT sup * 2 + 1, c * 2 FROM cs),
+         |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY src),
+         |n0 AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+         |r0d AS (SELECT node, CAST(1 AS DOUBLE) / n AS rank, deg
+         |        FROM deg, n0),
+         |$rounds
+         |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier'
+         |    END AS node_type,
+         |  CAST(node // 2 AS BIGINT) AS node_key, round(rank, 6) AS rank
+         |FROM r${PrIters}d
+         |ORDER BY rank DESC, node LIMIT $PrTopK""".stripMargin)
+  }
+}

@@ -516,6 +516,140 @@ object TextAnalysis {
       .orderBy("doc_id", "rnk")
   }
 
+  // ------------------------------------------------------------- BM25
+
+  // Okapi BM25 constants — the Robertson et al. defaults Lucene ships
+  // (k1 = 1.2, b = 0.75) with Lucene's always-positive idf variant.
+  // K1 + 1 is its own literal: 1.2 + 1.0 in doubles is a round-to-even
+  // TIE (exact sum lands halfway between neighbors), so deriving it
+  // arithmetically risks disagreeing with the oracle's CAST(2.2 AS
+  // DOUBLE); both engines parse the literal to the same canonical bits.
+  private val Bm25K1 = 1.2
+  private val Bm25K1Plus1 = 2.2
+  private val Bm25B = 0.75
+  private val Bm25TopK = 5
+
+  /** The fixed retrieval query set: multi-term queries over the corpus
+    * vocabulary — the RAG-retrieval shape (query text → top-k docs).
+    * Shared verbatim with the oracle's VALUES list.
+    */
+  private[graft] val Bm25Queries: Seq[(Long, String)] = Seq(
+    1L -> "spark window agg",
+    2L -> "hash join table",
+    3L -> "stream batch merge",
+    4L -> "fast scan filter slow",
+    5L -> "vector group sort")
+
+  /** BM25 lexical retrieval: score every document against each query in
+    * [[Bm25Queries]] and keep the top [[Bm25TopK]] per query — the
+    * retrieval primitive a RAG/data-curation stack runs next to ANN.
+    *
+    * Scale shape: the token stream is semi-joined to the (tiny,
+    * broadcast) query vocabulary BEFORE the tf aggregation, so only
+    * postings of query terms ever shuffle — the corpus-wide dictionary
+    * is never built. Per-query top-k goes through [[graft.functions.TopKAggregator]]
+    * (bounded k-row partial buffers merge associatively), NOT a
+    * row_number window that would shuffle and sort every scored row
+    * into nqueries partitions. Per-term score contributions accumulate
+    * in DECIMAL(38,18) (magnitudes are O(1), where 18 decimals keep the
+    * terms exact) so the (query, doc) score is partition-order-free and
+    * bit-identical to the oracle's.
+    */
+  private def bm25(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    // Exact global doc count / avg doc length from integer sums: one
+    // driver-side division, bit-identical to the oracle's.
+    val st = docs.select(
+      sum(size(split(col("text"), " ")).cast("long")).as("tot"),
+      count(lit(1)).as("n")).head()
+    val n = st.getLong(1)
+    val avgdl = st.getLong(0).toDouble / n
+    val q = Bm25Queries.toDF("query_id", "query_text")
+    val qt = q.select(col("query_id"),
+      explode(split(col("query_text"), " ")).as("t")).distinct()
+    val toks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), size(col("w")).cast("double").as("dl"),
+        explode(col("w")).as("t"))
+      .join(broadcast(qt.select("t").distinct()), "t")
+    // Postings of query terms only; pinned — both the df dictionary and
+    // the scoring join consume it.
+    val tf = toks.groupBy("doc_id", "t")
+      .agg(count(lit(1)).cast("double").as("tf"), max("dl").as("dl"))
+      .pinned()
+    val dfreq = tf.groupBy("t").agg(count(lit(1)).cast("double").as("df"))
+    val contrib =
+      log(lit(1.0) + (lit(n.toDouble) - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))) *
+        (col("tf") * lit(Bm25K1Plus1)) /
+        (col("tf") + lit(Bm25K1) *
+          (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / lit(avgdl)))
+    val scored = tf.join(broadcast(dfreq), "t").join(broadcast(qt), "t")
+      .groupBy("query_id", "doc_id")
+      .agg(sum(contrib.cast(org.apache.spark.sql.types.DecimalType(38, 18)))
+        .cast("double").as("score"))
+    scored
+      .select(col("query_id"), r6(col("score")).as("score"), col("doc_id"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(v => graft.functions.ScoredId(v._2, v._3))
+      .agg(new graft.functions.TopKAggregator(Bm25TopK).toColumn)
+      .flatMap { case (qid, top) =>
+        top.zipWithIndex.map { case (r, i) => (qid, i + 1, r.id, r.score) }
+      }
+      .toDF("query_id", "rnk", "doc_id", "score")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("query_text"), col("rnk"),
+        col("doc_id"), col("score"))
+      .orderBy("query_id", "rnk")
+  }
+
+  // -------------------------------------------------- PMI collocations
+
+  // A bigram must occur at least this often to be scored — the standard
+  // guard against PMI's low-count explosion (a hapax pair maximizes PMI).
+  private val PmiMinCount = 5L
+
+  /** Top-20 bigram collocations by pointwise mutual information:
+    * pmi(x,y) = ln(P(x,y) / (P(x)·P(y))) with bigram probability over
+    * the bigram stream and unigram probabilities over the token stream.
+    *
+    * Scale shape: one explode for unigram counts, one windowless
+    * adjacent-pair explode for bigram counts (both map-side combined);
+    * the unigram dictionary is vocabulary-bounded → broadcast to the
+    * count-filtered bigram frame; the head is TakeOrdered(20), never a
+    * global sort. Totals are exact integer sums; the probability
+    * arithmetic is a fixed left-associated double expression shared
+    * with the oracle.
+    */
+  private def pmi(s: SparkSession, d: String): DataFrame = {
+    val w0 = Tables.documents(s, d).select(split(col("text"), " ").as("w"))
+    val st = w0.select(
+      sum(size(col("w")).cast("long")).as("nt"),
+      sum(greatest(size(col("w")) - 1, lit(0)).cast("long")).as("nb")).head()
+    val nt = st.getLong(0).toDouble
+    val nb = st.getLong(1).toDouble
+    val uni = w0.select(explode(col("w")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val bc = w0.filter(size(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("w")) - 1),
+        i => struct(element_at(col("w"), i).as("x"),
+          element_at(col("w"), i + 1).as("y")))).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= PmiMinCount)
+    bc
+      .join(broadcast(uni.select(col("t").as("x"), col("c").as("cx"))), "x")
+      .join(broadcast(uni.select(col("t").as("y"), col("c").as("cy"))), "y")
+      .withColumn("pmi", r6(log(
+        col("cxy").cast("double") * lit(nt) / col("cx").cast("double") *
+          lit(nt) / col("cy").cast("double") / lit(nb))))
+      .select(col("x"), col("y"), col("cxy"), col("pmi"))
+      .orderBy(col("pmi").desc, col("x"), col("y"))
+      .limit(20)
+  }
+
   // Chunking geometry: 64-token windows advancing by 48 (16-token
   // overlap) — the context-window packing shape an LLM pre-training
   // pipeline runs over every document.
@@ -636,6 +770,8 @@ object TextAnalysis {
     "ta_chunks" -> chunk _,
     "ta_pii" -> pii _,
     "ta_tfidf" -> tfidf _,
+    "ta_bm25" -> bm25 _,
+    "ta_pmi" -> pmi _,
     "ta_rep_ngrams" -> repNgrams _,
     "f11_url" -> urlParse _,
     "ta_unigram_logprob" -> unigramLogprob _,
@@ -716,6 +852,57 @@ object TextAnalysis {
          |  CAST(round(CAST(n_boiler AS DOUBLE) / n_shingles, 6) <= 0.1
          |    AS INT) AS keep
          |FROM per ORDER BY doc_id""".stripMargin,
+    "ta_bm25" ->
+      s"""WITH q(query_id, query_text) AS (VALUES
+         |${Bm25Queries.map { case (i, t) =>
+             s"  (CAST($i AS BIGINT), '$t')" }.mkString(",\n")}),
+         |qt AS (SELECT DISTINCT query_id,
+         |    unnest(string_split(query_text, ' ')) AS t FROM q),
+         |st AS (SELECT
+         |    CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*)
+         |      AS avgdl,
+         |    CAST(count(*) AS DOUBLE) AS n FROM documents),
+         |dt AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl, unnest(w) AS t
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+         |        FROM documents)),
+         |tf AS (SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf,
+         |    max(dl) AS dl
+         |  FROM dt WHERE t IN (SELECT DISTINCT t FROM qt)
+         |  GROUP BY doc_id, t),
+         |dfq AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf
+         |        GROUP BY t),
+         |sc AS (SELECT qt.query_id, tf.doc_id,
+         |    CAST(sum(CAST(
+         |      ln(1.0 + (n - df + 0.5) / (df + 0.5))
+         |        * (tf * CAST(2.2 AS DOUBLE))
+         |        / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+         |            + CAST(0.75 AS DOUBLE) * dl / avgdl))
+         |      AS DECIMAL(38,18))) AS DOUBLE) AS score
+         |  FROM tf JOIN dfq USING (t) JOIN qt USING (t), st
+         |  GROUP BY qt.query_id, tf.doc_id),
+         |rr AS (SELECT query_id, doc_id, round(score, 6) AS score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY round(score, 6) DESC, doc_id) AS rn FROM sc)
+         |SELECT rr.query_id, q.query_text, CAST(rn AS INT) AS rnk,
+         |  doc_id, score
+         |FROM rr JOIN q USING (query_id) WHERE rn <= $Bm25TopK
+         |ORDER BY query_id, rnk""".stripMargin,
+    "ta_pmi" ->
+      s"""WITH w0 AS (SELECT string_split(text, ' ') AS w FROM documents),
+         |st AS (SELECT CAST(sum(len(w)) AS DOUBLE) AS nt,
+         |  CAST(sum(greatest(len(w) - 1, 0)) AS DOUBLE) AS nb FROM w0),
+         |uc AS (SELECT t, count(*) AS c
+         |  FROM (SELECT unnest(w) AS t FROM w0) GROUP BY t),
+         |bi AS (SELECT w[i] AS x, w[i + 1] AS y
+         |  FROM (SELECT w, unnest(range(1, len(w))) AS i FROM w0
+         |        WHERE len(w) >= 2)),
+         |bc AS (SELECT x, y, count(*) AS cxy FROM bi GROUP BY x, y
+         |  HAVING count(*) >= $PmiMinCount)
+         |SELECT x, y, cxy,
+         |  round(ln(CAST(cxy AS DOUBLE) * nt / CAST(ux.c AS DOUBLE) * nt
+         |    / CAST(uy.c AS DOUBLE) / nb), 6) AS pmi
+         |FROM bc JOIN uc ux ON bc.x = ux.t JOIN uc uy ON bc.y = uy.t, st
+         |ORDER BY pmi DESC, x, y LIMIT 20""".stripMargin,
     "ta_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
         |             FROM documents),

@@ -1,0 +1,309 @@
+package graft
+
+import graft.operators.{Extended, Graph, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Brute-force driver-side twins for the round-10 statistics/retrieval
+  * operators: every distributed result is recomputed with plain Scala
+  * collections on sf0.001 and compared value-for-value. These are the
+  * engine-internal correctness nets; the DuckDB oracle is the
+  * cross-engine gate.
+  */
+class GraphAndStatsSpec extends GraftSuite {
+
+  private def docs: Map[Long, Array[String]] =
+    Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+
+  // ------------------------------------------------------------ BM25
+
+  test("bm25: five ranked rows per query, scores descend, ids tie-break") {
+    val got = TextAnalysis.queries("ta_bm25")(spark, sf).collect()
+    assert(got.length == 25)
+    got.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getInt(2))
+      assert(byRank.map(_.getInt(2)).toSeq == (1 to 5))
+      val pairs = byRank.map(r => (r.getDouble(4), r.getLong(3)))
+      // (score desc, doc_id asc) must be strictly ordered
+      assert(pairs.sliding(2).forall { case Array((s1, d1), (s2, d2)) =>
+        s1 > s2 || (s1 == s2 && d1 < d2) })
+    }
+  }
+
+  test("bm25: distributed top-5 equals the driver-side brute force") {
+    val d = docs
+    val n = d.size.toDouble
+    val avgdl = d.values.map(_.length.toLong).sum.toDouble / d.size
+    val dfr = scala.collection.mutable.Map.empty[String, Double]
+    d.values.foreach(_.distinct.foreach(t => dfr(t) = dfr.getOrElse(t, 0.0) + 1))
+    def score(q: String, w: Array[String]): Double = {
+      val tf = w.groupBy(identity).map { case (t, o) => t -> o.length.toDouble }
+      q.split(" ").distinct.filter(tf.contains).map { t =>
+        val df = dfr(t)
+        math.log(1.0 + (n - df + 0.5) / (df + 0.5)) *
+          (tf(t) * 2.2) / (tf(t) + 1.2 * (0.25 + 0.75 * w.length / avgdl))
+      }.sum
+    }
+    val got = TextAnalysis.queries("ta_bm25")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(3)).toMap
+    TextAnalysis.Bm25Queries.foreach { case (qid, qtext) =>
+      val want = d.toSeq
+        .map { case (id, w) => (BigDecimal(score(qtext, w))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, id) }
+        .sortBy { case (s, id) => (-s, id) }.take(5).map(_._2)
+      val have = (1 to 5).map(r => got((qid, r)))
+      assert(have == want, s"query $qid: engine=$have brute=$want")
+    }
+  }
+
+  // ------------------------------------------------------------- PMI
+
+  test("pmi: min-count gate holds and the head matches the brute force") {
+    val rows = TextAnalysis.queries("ta_pmi")(spark, sf).collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_.getLong(2) >= 5L))
+    val d = docs.values.toSeq
+    val nt = d.map(_.length.toLong).sum.toDouble
+    val nb = d.map(w => math.max(w.length - 1, 0).toLong).sum.toDouble
+    val uni = d.flatten.groupBy(identity).map { case (t, o) => t -> o.length }
+    val bc = d.flatMap(w => w.zip(w.drop(1)))
+      .groupBy(identity).map { case (p, o) => p -> o.length }
+      .filter(_._2 >= 5)
+    def pmi(x: String, y: String, cxy: Long): Double =
+      BigDecimal(math.log(cxy.toDouble * nt / uni(x) * nt / uni(y) / nb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = bc.toSeq
+      .map { case ((x, y), c) => (x, y, c.toLong, pmi(x, y, c.toLong)) }
+      .sortBy { case (x, y, _, p) => (-p, x, y) }.take(20)
+    val have = rows.map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(have == want)
+  }
+
+  // ---------------------------------------------------------- KS test
+
+  test("ks statistic matches an exact driver-side two-sample computation") {
+    val r = Extended.queries("a29_ks")(spark, sf).head()
+    val li = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_quantity").collect()
+      .map(x => (x.getString(0), x.getDouble(1)))
+    val a = li.filter(_._1 == "A").map(_._2).sorted
+    val b = li.filter(_._1 == "N").map(_._2).sorted
+    assert(r.getLong(0) == a.length && r.getLong(1) == b.length)
+    val grid = (a ++ b).distinct.sorted
+    val ks = grid.map { v =>
+      math.abs(a.count(_ <= v).toDouble / a.length -
+        b.count(_ <= v).toDouble / b.length)
+    }.max
+    assert(math.abs(r.getDouble(2) - ks) < 1e-6)
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+  }
+
+  // --------------------------------------------------------- MAD gate
+
+  test("mad outlier audit matches exact medians and band counts") {
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      (s((n - 1) / 2) + s(n / 2)) / 2.0
+    }
+    def r6d(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ev = Tables.events(spark, sf).select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+    val got = Extended.queries("dq_mad")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(got.keySet == ev.keySet)
+    ev.foreach { case (k, vs) =>
+      val med = r6d(median(vs))
+      val mad = r6d(median(vs.map(v => math.abs(v - med))))
+      val out = vs.count(v => math.abs(v - med) > 4.4478 * mad).toLong
+      assert(got(k) == ((vs.length.toLong, med, mad, out)), s"group $k")
+    }
+  }
+
+  // ------------------------------------------------------ rolling corr
+
+  test("rolling correlation: in [-1,1] or null; frame matches brute force") {
+    val got = Extended.queries("w22_rolling_corr")(spark, sf).collect()
+    assert(got.length == 6000)
+    got.foreach { r =>
+      if (!r.isNullAt(3))
+        assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-9)
+    }
+    // Key columns are INT or BIGINT depending on the driver's parquet
+    // encoding — widen through Number.
+    def asL(r: org.apache.spark.sql.Row, i: Int): Long =
+      r.get(i).asInstanceOf[Number].longValue
+    // Brute-force one supplier's partition with exact decimal sums.
+    val sup = asL(got.head, 0)
+    val rows = Tables.lineitem(spark, sf)
+      .filter(col("l_suppkey") === sup)
+      .select(tsUs(col("l_shipdate").cast("timestamp")).as("ship_us"),
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"))
+      .collect()
+      .map(r => (r.getLong(0), asL(r, 1),
+        asL(r, 2), r.getDouble(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._2, t._3))
+    def dec(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val want = rows.indices.map { i =>
+      val fr = rows.slice(math.max(0, i - 19), i + 1)
+      val n = BigDecimal(fr.length)
+      val xs = fr.map(t => dec(t._4)); val ys = fr.map(t => dec(t._5))
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxx = xs.map(x => x * x).sum
+      val syy = ys.map(y => y * y).sum
+      val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+      val vx = n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble
+      val vy = n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble
+      val key = (rows(i)._2, rows(i)._3)
+      if (vx > 0 && vy > 0)
+        key -> Some(BigDecimal(
+          (n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+            math.sqrt(vx * vy))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      else key -> None
+    }.toMap
+    val have = got.filter(asL(_, 0) == sup).map { r =>
+      (asL(r, 1), asL(r, 2)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    }.toMap
+    assert(have.keySet == want.keySet)
+    have.foreach { case (k, v) =>
+      (v, want(k)) match {
+        case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-6, s"row $k")
+        case (a, b) => assert(a == b, s"row $k")
+      }
+    }
+  }
+
+  // -------------------------------------------------------------- PSI
+
+  test("psi matches an exact driver-side recomputation") {
+    val got = Extended.queries("dq_psi")(spark, sf).collect()
+    val ev = Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"), tsUs(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val mid = (ev.map(_._3).min + ev.map(_._3).max) / 2
+    val types = ev.map(_._1).distinct.sorted
+    assert(got.map(_.getString(0)).toSeq == types.toSeq)
+    def r6d(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // quantile_cont at rank 1 + p(n−1), then r6 — the gridQuantiles
+    // contract.
+    def qc(sorted: IndexedSeq[Double], p: Double): Double = {
+      val rf = 1.0 + p * (sorted.length - 1)
+      val lo = math.floor(rf).toInt
+      val frac = rf - lo
+      r6d(sorted(lo - 1) * (1.0 - frac) +
+        (if (frac > 0) sorted(lo) * frac else 0.0))
+    }
+    got.foreach { r =>
+      val t = r.getString(0)
+      val ref = ev.filter(e => e._1 == t && e._3 <= mid).map(_._2)
+      val cur = ev.filter(e => e._1 == t && e._3 > mid).map(_._2)
+      assert(r.getLong(1) == ref.length && r.getLong(2) == cur.length)
+      val sorted = ref.sorted.toIndexedSeq
+      val cuts = (1 to 9).map(i => qc(sorted, i / 10.0))
+      def binOf(v: Double) = 1 + cuts.count(v > _)
+      def props(vs: Array[Double]) = {
+        val c = vs.groupBy(binOf).map { case (b, o) => b -> o.length }
+        (1 to 10).map(b =>
+          math.max(c.getOrElse(b, 0).toDouble / vs.length, 1e-6))
+      }
+      val (p, q) = (props(ref), props(cur))
+      val psi = p.zip(q).map { case (pi, qi) =>
+        BigDecimal((pi - qi) * math.log(pi / qi))
+          .setScale(18, BigDecimal.RoundingMode.HALF_UP) }.sum
+      assert(r.getDouble(3) == r6d(psi.toDouble), s"$t psi=${r.get(3)}")
+      assert(r.getDouble(3) >= 0.0)
+    }
+  }
+
+  // ------------------------------------------------------- cohort LTV
+
+  test("cohort ltv: cumulative revenue matches a driver-side rollup") {
+    val got = Extended.queries("es_cohort_ltv")(spark, sf).collect()
+    val wk = 604800000000L
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), tsUs(col("ts")).as("us"),
+        col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    val cUs = ev.groupBy(_._1).map { case (u, rows) => u -> rows.map(_._2).min }
+    val cohortOf = cUs.map { case (u, c) => u -> c / wk }
+    val sizes = cohortOf.groupBy(_._2).map { case (c, m) => c -> m.size }
+    def d6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val rev = ev.groupBy(e => (cohortOf(e._1), (e._2 - cUs(e._1)) / wk))
+      .map { case (k, rows) =>
+        k -> rows.collect { case (_, _, "purchase", Some(v)) => d6(v) }.sum }
+    got.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(r.getLong(2) == sizes(key._1).toLong)
+      val cum = rev.filter { case ((c, a), _) =>
+        c == key._1 && a <= key._2 }.values.sum
+      assert(r.getDouble(3) == cum.toDouble, s"cell $key")
+      assert(r.getDouble(4) ==
+        d6(cum.toDouble / sizes(key._1)).toDouble, s"ltv $key")
+    }
+    // every cohort's curve is monotone non-decreasing
+    got.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val curve = rows.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(curve.sliding(2).forall {
+        case Array(a, b) => b >= a; case _ => true })
+    }
+  }
+
+  // --------------------------------------------------------- PageRank
+
+  test("pagerank top-25 matches a driver-side power iteration") {
+    val got = Graph.queries("g1_pagerank")(spark, sf).collect()
+    assert(got.length == 25)
+    // Brute force on the same bipartite graph.
+    val cs = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").cast("long"), col("l_suppkey").cast("long"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = cs.flatMap { case (c, s0) =>
+      Seq((c * 2, s0 * 2 + 1), (s0 * 2 + 1, c * 2)) }
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.length }
+    val n = deg.size.toDouble
+    var rank = deg.map { case (k, _) => k -> (1.0 / n) }
+    // Contributions sum EXACTLY (per-addend quantization to 18 decimals,
+    // mirroring the engine's DECIMAL(38,18) accumulator): customers with
+    // identical supplier neighborhoods have identical rank by symmetry,
+    // and plain double sums would fake-differentiate those exact ties —
+    // the top-25 cut then disagrees not because the engine is wrong but
+    // because the brute force is sloppier than the engine.
+    for (_ <- 1 to 10) {
+      val contrib = scala.collection.mutable.Map.empty[Long, BigDecimal]
+      edges.foreach { case (src, dst) =>
+        contrib(dst) = contrib.getOrElse(dst, BigDecimal(0)) +
+          BigDecimal(rank(src) / deg(src))
+            .setScale(18, BigDecimal.RoundingMode.HALF_UP) }
+      rank = contrib.map { case (k, v) =>
+        k -> ((1.0 - 0.85) / n + 0.85 * v.toDouble) }.toMap
+    }
+    val want = rank.toSeq.sortBy { case (k, r) => (-r, k) }.take(25)
+    val have = got.map { r =>
+      val key = r.getLong(1)
+      val node = if (r.getString(0) == "customer") key * 2 else key * 2 + 1
+      (node, r.getDouble(2))
+    }.toSeq
+    assert(have.map(_._1) == want.map(_._1))
+    // The engine emits r6-rounded ranks; the mirrored-exact brute force
+    // must agree bit-for-bit after the same rounding.
+    have.zip(want).foreach { case ((_, a), (_, b)) =>
+      assert(a == BigDecimal(b)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    // Total rank mass over the full graph is 1 (teleport + conserved
+    // flow, no dangling nodes).
+    assert(math.abs(rank.values.sum - 1.0) < 1e-9)
+  }
+}
