@@ -11,13 +11,13 @@ import org.apache.spark.sql.types.DecimalType
   * customer–supplier purchase graph.
   *
   * Scale shape of the iteration: each round is ONE shuffle equi-join of
-  * the rank frame with the (pinned) edge list plus one partial+final
-  * aggregate keyed by destination — the standard distributed PageRank
-  * plan, no driver-side graph state, no all-pairs stage. The rank
-  * frame is node-cardinality (≪ edges) and is eagerly
-  * `localCheckpoint`ed per round so the 10-iteration lineage stays a
-  * 10-step chain instead of an exponentially re-analyzed tree (the
-  * [[Dedup]] connected-components lesson).
+  * the rank frame with the (pinned, degree-annotated) edge list plus
+  * one partial+final aggregate keyed by destination — the standard
+  * distributed PageRank plan, no driver-side graph state, no all-pairs
+  * stage. Rank lineage is linear (each frame consumed once by the next
+  * round), so the fixed 10 rounds run lazily as one job; an unbounded
+  * or self-referencing iteration would need the checkpoint treatment
+  * [[Dedup]]'s star contraction uses.
   */
 object Graph {
 
@@ -60,28 +60,37 @@ object Graph {
     val cs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
       .distinct()
-    val edges = cs
+    val rawEdges = cs
       .select((col("c") * 2).cast("long").as("src"),
         (col("sup") * 2 + 1).cast("long").as("dst"))
       .union(cs.select((col("sup") * 2 + 1).cast("long").as("src"),
         (col("c") * 2).cast("long").as("dst")))
-      .pinned() // consumed once per iteration
-    val nodes = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = rawEdges.groupBy("src").agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg"))
-      .pinned() // deg re-attached once per iteration
+      .pinned() // initial rank frame + the edge-degree attach
+    // Degree rides ON the pinned edge list, so each round is exactly
+    // one rank⋈edges join + one dst aggregate — a first cut re-joined
+    // degrees onto the rank frame every round (2 joins/round) and
+    // eagerly localCheckpoint'ed each one (10 blocking jobs); rank
+    // lineage is LINEAR (each frame referenced once by the next), so
+    // unlike star contraction nothing re-analyzes exponentially and the
+    // whole 10-round dataflow can run lazily as one job. 11.0s → ~2s at
+    // sf0.1.
+    val edges = rawEdges
+      .join(nodes, col("src") === col("node"))
+      .select(col("src"), col("dst"), col("deg").cast("double").as("dsrc"))
+      .repartition(col("src")) // pin WITH src partitioning: every round's
+      // join then moves only the node-cardinality rank frame — unpinned
+      // partitioning the big edge side would re-shuffle 10×
+      .pinned() // consumed once per iteration
     val nNodes = nodes.count().toDouble
-    var ranks = nodes
-      .select(col("node"), lit(1.0 / nNodes).as("rank"), col("deg"))
+    var ranks = nodes.select(col("node"), lit(1.0 / nNodes).as("rank"))
     for (_ <- 1 to PrIters) {
       val contribs = ranks.join(edges, col("node") === col("src"))
-        .select(col("dst").as("node"),
-          (col("rank") / col("deg").cast("double")).as("w"))
+        .select(col("dst").as("node"), (col("rank") / col("dsrc")).as("w"))
       ranks = contribs.groupBy("node")
         .agg(((lit(1.0) - lit(PrDamp)) / lit(nNodes) +
           lit(PrDamp) * d18(col("w"))).as("rank"))
-        .join(nodes, "node")
-        .select(col("node"), col("rank"), col("deg"))
-        .localCheckpoint(eager = true)
     }
     ranks
       .orderBy(col("rank").desc, col("node"))

@@ -259,6 +259,33 @@ class GraphAndStatsSpec extends GraftSuite {
     }
   }
 
+  // ------------------------------------------------------- plan shapes
+
+  test("plan shapes: bm25 broadcasts + bounded top-k; one-pass corr; pinned psi scan") {
+    // BM25: the query vocabulary, df dictionary and query frame are all
+    // broadcast (no shuffle join anywhere), and per-query top-k runs
+    // through the typed aggregator (ObjectHashAggregate), never a
+    // row_number window.
+    val bm25 = TextAnalysis.queries("ta_bm25")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(bm25).length >= 3, bm25.take(1200))
+    assert(bm25.contains("ObjectHashAggregate"), bm25.take(1200))
+    assert(!bm25.contains("Window"), "top-k must not be a window")
+    // Rolling corr: prefix sums + lag differences stack on ONE window
+    // shuffle (same partitioning/ordering); the final orderBy is the
+    // only other exchange. No sliding-frame recompute anywhere.
+    val corr = Extended.queries("w22_rolling_corr")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(corr).length == 1,
+      corr.take(1200))
+    // PSI: the filtered events projection is pinned; both halves, the
+    // type skeleton and the split bound must read it from cache instead
+    // of re-scanning events per consumer.
+    val psi = Extended.queries("dq_psi")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("InMemoryTableScan".r.findAllIn(psi).length >= 3, psi.take(1200))
+  }
+
   // --------------------------------------------------------- PageRank
 
   test("pagerank top-25 matches a driver-side power iteration") {
