@@ -32,6 +32,7 @@ object SparkEntry {
       operators.CorpusOps.queries ++
       operators.Layout.queries ++
       operators.Graph.queries ++
+      operators.Stats.queries ++
       pipeline.MlPipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -55,5 +56,6 @@ object SparkEntry {
       operators.CorpusOps.oracle ++
       operators.Layout.oracle ++
       operators.Graph.oracle ++
+      operators.Stats.oracle ++
       pipeline.MlPipeline.oracle
 }

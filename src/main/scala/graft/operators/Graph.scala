@@ -55,16 +55,7 @@ object Graph {
     * unrolled-CTE twin; the head is the top-[[PrTopK]] nodes.
     */
   private def pagerank(s: SparkSession, d: String): DataFrame = {
-    val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
-    val cs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
-      .distinct()
-    val rawEdges = cs
-      .select((col("c") * 2).cast("long").as("src"),
-        (col("sup") * 2 + 1).cast("long").as("dst"))
-      .union(cs.select((col("sup") * 2 + 1).cast("long").as("src"),
-        (col("c") * 2).cast("long").as("dst")))
+    val rawEdges = purchaseEdges(s, d)
     val nodes = rawEdges.groupBy("src").agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg"))
       .pinned() // initial rank frame + the edge-degree attach
@@ -102,8 +93,116 @@ object Graph {
         r6(col("rank")).as("rank"))
   }
 
+  // ------------------------------------------------------- triangles
+
+  private val TriYear = 1995
+  private val TriTopK = 15
+
+  /** Triangle participation counts on the part co-purchase graph (parts
+    * appearing on the same order, restricted to lineitems shipped in
+    * [[TriYear]] to keep the cohort graph sparse): the local-clustering
+    * primitive behind community detection and recommendation features.
+    * Output: top-[[TriTopK]] parts by number of triangles they sit in.
+    *
+    * Scale shape: the canonical degree-ordered node-iterator (Schank &
+    * Wagner 2005). Edges are directed from the lower-(degree, id) node
+    * to the higher, so every triangle is enumerated exactly once and
+    * per-node wedge fan-out is bounded by O(√m) on any degree
+    * distribution — id-ordering alone would let one high-degree hub
+    * with a small id generate a quadratic wedge list. Wedges stream
+    * through one equi-join on the middle node and close against the
+    * directed edge list on the (endpoint, endpoint) pair key; no stage
+    * is all-pairs. The oracle counts the same triangles with plain
+    * id-ordering — the triangle SET is ordering-independent.
+    */
+  private def triangles(s: SparkSession, d: String): DataFrame = {
+    val pp = Tables.lineitem(s, d)
+      .filter(year(col("l_shipdate")) === TriYear)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .distinct()
+    val e = pp.as("a").join(pp.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+      .distinct()
+      .pinned() // consumed by the degree count and the directed rewrite
+    val deg = e.select(col("p1").as("p"))
+      .unionAll(e.select(col("p2").as("p")))
+      .groupBy("p").agg(count(lit(1)).as("dg"))
+    val ed = e
+      .join(deg.select(col("p").as("p1"), col("dg").as("d1")), "p1")
+      .join(deg.select(col("p").as("p2"), col("dg").as("d2")), "p2")
+    val fwd = col("d1") < col("d2") ||
+      (col("d1") === col("d2") && col("p1") < col("p2"))
+    val de = ed.select(
+        when(fwd, col("p1")).otherwise(col("p2")).as("src"),
+        when(fwd, col("p2")).otherwise(col("p1")).as("dst"))
+      .pinned() // consumed by both sides of the wedge join + the close
+    val wedges = de.as("x").join(de.as("y"), col("x.dst") === col("y.src"))
+      .select(col("x.src").as("u"), col("x.dst").as("v"),
+        col("y.dst").as("w"))
+    val tri = wedges.join(de.as("z"),
+      col("u") === col("z.src") && col("w") === col("z.dst"))
+    tri
+      .select(explode(array(col("u"), col("v"), col("w"))).as("p_partkey"))
+      .groupBy("p_partkey").agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("n_tri").desc, col("p_partkey"))
+      .limit(TriTopK)
+  }
+
+  // ------------------------------------------------------ reachability
+
+  private val BfsSource = 3L // supplier key 1 in the shared node id space
+  private val BfsRounds = 6
+
+  /** BFS hop-distance profile from a fixed source (supplier 1) over the
+    * bipartite purchase graph: how many entities sit at each hop count —
+    * the reachability/diameter readout next to PageRank's centrality.
+    * [[BfsRounds]] rounds cover the graph's ~4-hop diameter with slack;
+    * nodes never reached are (correctly) absent.
+    *
+    * Scale shape: frontier-free min-distance iteration — each round is
+    * one equi-join of the node-cardinality distance frame with the
+    * pinned edge list plus a min-aggregate, the same bounded shape as
+    * PageRank's rounds. Unlike PageRank's linear lineage, each round
+    * references its predecessor TWICE (join + union), so every round is
+    * eagerly localCheckpoint'ed — the [[Dedup]] star-contraction lesson;
+    * an unbroken lineage would double per round.
+    */
+  private def reach(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val edges = purchaseEdges(s, d).pinned()
+    var dist = Seq((BfsSource, 0)).toDF("node", "dist")
+    for (_ <- 1 to BfsRounds) {
+      val next = dist.join(edges, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+      dist = dist.unionByName(next)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint(true)
+    }
+    dist.groupBy("dist").agg(count(lit(1)).as("n_nodes")).orderBy("dist")
+  }
+
+  /** Symmetric customer–supplier purchase edges in the shared node id
+    * space (customer k → 2k, supplier k → 2k+1) — the graph under both
+    * [[pagerank]] and [[reach]].
+    */
+  private def purchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+    val cs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
+      .distinct()
+    cs.select((col("c") * 2).cast("long").as("src"),
+        (col("sup") * 2 + 1).cast("long").as("dst"))
+      .union(cs.select((col("sup") * 2 + 1).cast("long").as("src"),
+        (col("c") * 2).cast("long").as("dst")))
+  }
+
   val queries: Map[String, Query] = Map(
-    "g1_pagerank" -> pagerank _)
+    "g1_pagerank" -> pagerank _,
+    "g2_triangles" -> triangles _,
+    "g3_reach" -> reach _)
 
   /** The oracle unrolls the [[PrIters]] rounds as chained CTE pairs
     * (update, re-attach degree) — recursive CTEs can't aggregate over
@@ -135,6 +234,42 @@ object Graph {
          |    END AS node_type,
          |  CAST(node // 2 AS BIGINT) AS node_key, round(rank, 6) AS rank
          |FROM r${PrIters}d
-         |ORDER BY rank DESC, node LIMIT $PrTopK""".stripMargin)
+         |ORDER BY rank DESC, node LIMIT $PrTopK""".stripMargin,
+      // Plain id-ordering (a < b < c): the triangle SET is identical to
+      // the engine's degree-ordering; only the distributed fan-out bound
+      // differs, which a single-node oracle doesn't need.
+      "g2_triangles" ->
+        s"""WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey
+           |  FROM lineitem WHERE year(l_shipdate) = $TriYear),
+           |e AS (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+           |  FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey
+           |    AND a.l_partkey < b.l_partkey),
+           |t AS (SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+           |  FROM e e1
+           |  JOIN e e2 ON e1.p2 = e2.p1
+           |  JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2)
+           |SELECT p_partkey, count(*) AS n_tri
+           |FROM (SELECT a AS p_partkey FROM t
+           |      UNION ALL SELECT b FROM t
+           |      UNION ALL SELECT c FROM t)
+           |GROUP BY p_partkey
+           |ORDER BY n_tri DESC, p_partkey LIMIT $TriTopK""".stripMargin,
+      // Recursive BFS: the UNION (distinct) bounds the working set to
+      // (node, dist≤rounds) pairs, so cycles terminate; min(dist) per
+      // node afterwards is the hop distance.
+      "g3_reach" ->
+        s"""WITH RECURSIVE cs AS (SELECT DISTINCT o_custkey AS c,
+           |    l_suppkey AS sup
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |e AS (SELECT c * 2 AS src, sup * 2 + 1 AS dst FROM cs
+           |      UNION ALL SELECT sup * 2 + 1, c * 2 FROM cs),
+           |b(node, dist) AS (
+           |  SELECT CAST($BfsSource AS BIGINT), 0
+           |  UNION
+           |  SELECT e.dst, b.dist + 1 FROM b JOIN e ON b.node = e.src
+           |  WHERE b.dist < $BfsRounds)
+           |SELECT dist, count(*) AS n_nodes
+           |FROM (SELECT node, min(dist) AS dist FROM b GROUP BY node)
+           |GROUP BY dist ORDER BY dist""".stripMargin)
   }
 }

@@ -333,4 +333,192 @@ class GraphAndStatsSpec extends GraftSuite {
     // flow, no dangling nodes).
     assert(math.abs(rank.values.sum - 1.0) < 1e-9)
   }
+
+  // ------------------------------------------- triangles + reachability
+
+  test("triangles: top-15 matches driver-side set enumeration") {
+    val got = Graph.queries("g2_triangles")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // Brute force: same 1995 part co-purchase graph, all C(3) checks
+    // over the edge SET — ordering-scheme-free, unlike the engine.
+    val pp = Tables.lineitem(spark, sf)
+      .filter(year(col("l_shipdate")) === 1995)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = pp.groupBy(_._1).values.map(_.map(_._2).sorted)
+    val edges = byOrder.flatMap { ps =>
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j)) }.toSet
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val triPerNode = scala.collection.mutable.Map.empty[Long, Long]
+    edges.foreach { case (a, b) =>
+      (adj(a) intersect adj(b)).filter(c => c > b).foreach { c =>
+        Seq(a, b, c).foreach(p =>
+          triPerNode(p) = triPerNode.getOrElse(p, 0L) + 1) } }
+    // (a,b) with a<b and common neighbor c>b counts each triangle once
+    // with a<b<c.
+    val want = triPerNode.toSeq.sortBy { case (p, n) => (-n, p) }.take(15)
+    assert(got.toSeq == want, s"got=${got.toSeq}\nwant=$want")
+  }
+
+  test("reach: hop profile matches a driver-side BFS") {
+    val got = Graph.queries("g3_reach")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    val cs = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").cast("long"), col("l_suppkey").cast("long"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = cs.flatMap { case (c, s0) =>
+      Seq((c * 2) -> (s0 * 2 + 1), (s0 * 2 + 1) -> (c * 2)) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct }
+    val dist = scala.collection.mutable.Map(3L -> 0)
+    var frontier = Seq(3L)
+    for (d <- 1 to 6) {
+      frontier = frontier.flatMap(n =>
+        adj.getOrElse(n, Array.empty[Long]).toSeq)
+        .distinct.filterNot(n => dist.contains(n))
+      frontier.foreach(dist(_) = d)
+    }
+    val want = dist.values.groupBy(identity)
+      .map { case (d, v) => d -> v.size.toLong }
+    assert(got == want, s"got=$got want=$want")
+    // Symmetric connected purchase graph: everything with an edge is
+    // reached within the 6-round horizon at this SF.
+    assert(got.values.sum == adj.size)
+  }
+
+  // ------------------------------------------------- statistical audits
+
+  test("chi-square: matches driver-side recomputation from exact counts") {
+    val row = operators.Stats.queries("dq_chisq")(spark, sf).head()
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), unix_micros(col("ts"))).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val mid = (ev.map(_._2).min + ev.map(_._2).max) / 2
+    val types = ev.groupBy(_._1)
+    val cells = types.map { case (_, rows) =>
+      (rows.count(_._2 <= mid).toLong, rows.count(_._2 > mid).toLong) }
+    val (tr, tc) = (cells.map(_._1).sum, cells.map(_._2).sum)
+    val chi2 = cells.map { case (cr, cc) =>
+      val er = ((cr + cc) * tr).toDouble / (tr + tc).toDouble
+      val ec = ((cr + cc) * tc).toDouble / (tr + tc).toDouble
+      BigDecimal((cr - er) * (cr - er) / er + (cc - ec) * (cc - ec) / ec)
+        .setScale(18, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble
+    assert(row.getLong(1) == types.size - 1)
+    assert(row.getLong(2) == ev.length)
+    assert(row.getDouble(0) ==
+      BigDecimal(chi2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("benford: dense 9 digits, shares sum to 1, audit math checks out") {
+    val got = operators.Stats.queries("dq_benford")(spark, sf).collect()
+    assert(got.map(_.getInt(0)).toSeq == (1 to 9))
+    val n = got.map(_.getLong(1)).sum
+    val cents = Tables.events(spark, sf).select(col("value")).collect()
+      .map(r => math.floor(r.getDouble(0) * 100.0).toLong)
+      .filter(_ >= 1)
+    assert(n == cents.length)
+    val want = cents.groupBy(_.toString.head).map { case (k, v) =>
+      k.toString.toInt -> v.length.toLong }
+    got.foreach { r =>
+      assert(r.getLong(1) == want.getOrElse(r.getInt(0), 0L))
+      assert(r.getDouble(4) >= 0.0)
+    }
+    // Observed shares are n_d / n rounded to 6 — must re-sum to ~1.
+    assert(math.abs(got.map(_.getDouble(2)).sum - 1.0) < 1e-5)
+  }
+
+  test("hhi: per-nation concentration matches brute force; bounds hold") {
+    val got = operators.Stats.queries("a30_hhi")(spark, sf).collect()
+    val rev = Tables.lineitem(spark, sf)
+      .join(Tables.supplier(spark, sf), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.nation(spark, sf), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("l_suppkey"),
+        col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val byNation = rev.groupBy(_._1)
+    assert(got.map(_.getString(0)).toSeq == byNation.keys.toSeq.sorted)
+    got.foreach { r =>
+      val sups = byNation(r.getString(0)).groupBy(_._2)
+        .map { case (_, v) => v.map(x => BigDecimal(x._3)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum }
+      val tot = sups.sum.toDouble
+      val shares = sups.map(_.toDouble / tot)
+      val hhi = shares.map(s => BigDecimal(s * s)
+        .setScale(18, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      assert(r.getLong(2) == sups.size)
+      assert(r.getDouble(1) == BigDecimal(hhi)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      // 1/n ≤ HHI ≤ 1 for any share vector.
+      assert(r.getDouble(1) >= 1.0 / sups.size - 1e-9 &&
+        r.getDouble(1) <= 1.0 + 1e-9)
+      assert(r.getDouble(3) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("seasonal: residual means per dow match brute force; 7 dense rows") {
+    val got = operators.Stats.queries("w23_seasonal")(spark, sf).collect()
+    assert(got.map(_.getInt(0)).toSeq == (0 to 6))
+    val daily = Tables.orders(spark, sf)
+      .select(to_date(col("o_orderdate")), col("o_totalprice")).collect()
+      .map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getDouble(1)))
+      .groupBy(_._1).toSeq
+      .map { case (day, v) => day -> v.map(x => BigDecimal(x._2)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum }
+      .sortBy(_._1)
+    val resid = daily.indices.map { i =>
+      val lo = math.max(0, i - 3)
+      val hi = math.min(daily.length - 1, i + 3)
+      val frame = (lo to hi).map(daily(_)._2)
+      val trend = frame.sum.toDouble / frame.length.toDouble
+      (daily(i)._1 % 7, daily(i)._2.toDouble - trend)
+    }
+    got.foreach { r =>
+      val rs = resid.filter(_._1 == r.getInt(0)).map(_._2)
+      assert(r.getLong(1) == rs.length)
+      val want = rs.map(BigDecimal(_)
+        .setScale(18, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble /
+        rs.length.toDouble
+      assert(r.getDouble(2) == BigDecimal(want)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // Centered detrending kills most of the weekly signal only if there
+    // IS no weekly signal; either way residual means stay small relative
+    // to daily revenue scale — a sanity bound, not an exactness claim.
+    val scale = daily.map(_._2.toDouble).max
+    got.foreach(r => assert(math.abs(r.getDouble(2)) < scale))
+  }
+
+  // ------------------------------------------------------ PPS sampling
+
+  test("pps sample: exact systematic draw matches driver-side replay") {
+    val got = operators.Stats.queries("pp_weighted_sample")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(v: String): String =
+      md.digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val d = docs.map { case (id, toks) => (id, md5hex(id.toString),
+      toks.length.toLong) }.toSeq.sortBy(_._2)
+    val w = d.map(_._3).sum
+    val k = 40L
+    var cw = 0L
+    val want = d.flatMap { case (id, _, nt) =>
+      cw += nt
+      if (cw * k / w > (cw - nt) * k / w) Some((id, nt, cw, cw * k / w))
+      else None
+    }
+    assert(got.toSeq == want, s"got=${got.toSeq.take(5)}…")
+    // ≤ k docs, one per crossed stratum boundary, strata strictly
+    // increasing.
+    assert(want.length <= k)
+    assert(want.map(_._4) == want.map(_._4).sorted)
+    assert(want.map(_._4).distinct.length == want.length)
+    // Inclusion probability ∝ weight: every doc heavier than one full
+    // stratum W/k is always selected.
+    val full = d.filter(_._3 >= (w + k - 1) / k).map(_._1).toSet
+    assert(full.subsetOf(want.map(_._1).toSet))
+  }
 }
