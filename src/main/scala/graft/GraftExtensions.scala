@@ -20,6 +20,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // extension plan AsOfJoinPlan without the runtime registration that
     // AsOf.lastMatch otherwise performs via experimental.extraStrategies.
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // Transparent scale rewrite: median()/percentile()/percentile_cont
+    // aggregates become the distributed value-grid plan (bit-compatible
+    // with the builtin — see GridOrderStatsRule's scaladoc). Injected
+    // into the operator-optimization fixpoint so the rewritten subtree
+    // still gets pruning/pushdown from the surrounding batch.
+    e.injectOptimizerRule(_ => graft.plans.GridOrderStatsRule)
   }
 }
 

@@ -345,7 +345,7 @@ object Relational {
     * provably small sort, locally or at 100 TB.
     */
   private[graft] def rangeCumsum(counts: DataFrame, keys: Seq[String],
-      buckets: Int = 32): DataFrame = {
+      buckets: Int = 32, pin: Boolean = true): DataFrame = {
     if (buckets == 1)
       return counts.withColumn("cum", sum(col("c")).over(
         Window.partitionBy(keys.map(col): _*).orderBy("v")))
@@ -357,8 +357,11 @@ object Relational {
     // CONSUMER (the round-10 p15_winsorize plan showed five lineitem
     // scans). One cache entry of grid-sized (v, c) rows replaces them;
     // CacheManager plan-matching routes every reference here AND in
-    // the caller (same canonical plan) through it.
-    val cnt = counts.pinned()
+    // the caller (same canonical plan) through it. `pin = false` is for
+    // callers that compile plans repeatedly (the GridOrderStatsRule
+    // rewrite), where per-query cache entries would accumulate for the
+    // context lifetime.
+    val cnt = if (pin) counts.pinned() else counts
     val nc = cnt.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_cells"))
     val target = buckets * 128

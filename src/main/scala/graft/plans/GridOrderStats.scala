@@ -1,0 +1,222 @@
+package graft.plans
+
+import graft.operators.Relational
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference,
+  Cast, CreateStruct, Expression, GetStructField, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
+  Complete, Percentile}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan,
+  Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftglue.Glue
+import org.apache.spark.sql.types.{DoubleType, NumericType}
+
+/** Optimizer rule: rewrites buffering order-statistic aggregates —
+  * `median(v)`, `percentile(v, p)` (and `percentile_cont`, which the
+  * analyzer lowers to `Percentile`) — into the distributed value-grid
+  * plan, so the SQL everyone writes gets the plan that survives 100 TB.
+  *
+  * Spark's exact `Percentile` buffers EVERY input value of a group in
+  * one reducer (an `OpenHashMap[value, count]` per group that is
+  * unspillable within a group): a global median over a large table is a
+  * single-task OOM by construction — `MemSmoke` demonstrates it dying
+  * at 30M distinct doubles under a 2g heap while the grid form
+  * survives. The rewrite produces the same dataflow the library's own
+  * a13/w8/es_rfm queries use: collapse to the distinct value grid with
+  * a map-side-combinable count, two-phase range-partitioned prefix sums
+  * ([[Relational.rangeCumsum]]), then each percentile reads its two
+  * bracketing order statistics out of the cumulative counts.
+  *
+  * Numerics are BIT-COMPATIBLE with the builtin: the final projection
+  * mirrors `PercentileBase.getPercentile` exactly — position
+  * `(n−1)·p`, `floor`/`ceil` bracketing ranks, the same short-circuits
+  * (integral position → lower value; equal bracketing values → lower
+  * value), and the identical IEEE expression
+  * `(ceil−pos)·lo + (pos−floor)·hi` — verified per-bit against the
+  * builtin in `GridRewriteSpec`.
+  *
+  * Scope (conservative by design — anything else keeps the builtin):
+  *  - every aggregate in the `Aggregate` is a `Percentile` with scalar
+  *    foldable percentage, unit frequency, `reverse = false`, no
+  *    DISTINCT and no FILTER, in `Complete` mode;
+  *  - all percentile children resolve to the same expression (one value
+  *    column per rewrite), of numeric type;
+  *  - grouping expressions are plain attributes (also allowed aliased
+  *    in the output list);
+  *  - the child is a batch (non-streaming) plan.
+  *
+  * The rewritten plan preserves the original output attribute ids, so
+  * parent operators are untouched. Install via [[GraftExtensions]]
+  * (`injectOptimizerRule`) or [[GridOrderStatsRule.install]] on a live
+  * session (`experimental.extraOptimizations`, the same seam
+  * [[AsOf.lastMatch]] uses for its strategy).
+  */
+object GridOrderStatsRule extends Rule[LogicalPlan] {
+
+  /** Append to a live session's optimizer (idempotent). */
+  def install(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(this))
+      spark.experimental.extraOptimizations = cur :+ this
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case agg: Aggregate if eligible(agg) => rewrite(agg)
+  }
+
+  /** The Percentile behind an output column, when it is rewritable. */
+  private def hitOf(e: NamedExpression): Option[(Alias, Percentile)] =
+    e match {
+      case al @ Alias(AggregateExpression(
+          pc: Percentile, Complete, false, None, _), _)
+        if pc.frequencyExpression == Literal(1L) && !pc.reverse &&
+          pc.percentageExpression.foldable &&
+          pc.percentageExpression.dataType == DoubleType &&
+          pc.child.dataType.isInstanceOf[NumericType] &&
+          pc.child.deterministic =>
+        Some((al, pc))
+      case _ => None
+    }
+
+  private def eligible(agg: Aggregate): Boolean = {
+    if (agg.child.isStreaming) return false
+    if (!agg.groupingExpressions.forall(_.isInstanceOf[AttributeReference]))
+      return false
+    val keyIds = agg.groupingExpressions
+      .map(_.asInstanceOf[AttributeReference].exprId).toSet
+    val hits = agg.aggregateExpressions.flatMap(hitOf)
+    if (hits.isEmpty) return false
+    // One value expression per rewrite; all hits must share it.
+    if (!hits.tail.forall(_._2.child.semanticEquals(hits.head._2.child)))
+      return false
+    // Percentage literals must eval to a plain non-null double.
+    if (!hits.forall(_._2.percentageExpression.eval() != null)) return false
+    // Every output column is a grouping attribute (possibly re-aliased)
+    // or one of the hits — no mixed sum/count legs in v1.
+    agg.aggregateExpressions.forall {
+      case ar: AttributeReference => keyIds.contains(ar.exprId)
+      case al: Alias => al.child match {
+        case ar: AttributeReference => keyIds.contains(ar.exprId)
+        case _ => hitOf(al).isDefined
+      }
+      case _ => false
+    }
+  }
+
+  private def rewrite(agg: Aggregate): LogicalPlan = {
+    val spark = SparkSession.active
+    val keys = agg.groupingExpressions.map(_.asInstanceOf[AttributeReference])
+    val keyNames = keys.indices.map(i => s"__gk$i")
+    val hits = agg.aggregateExpressions.flatMap(hitOf)
+    val ps = hits.map { case (_, pc) =>
+      pc.percentageExpression.eval().asInstanceOf[Double] }
+    // Hand the (already optimized) child back to the analyzer under
+    // collision-free names; everything downstream is ordinary DataFrame
+    // code over __gk*/v. Keys travel wrapped in single-field structs:
+    // the grid's internal equi-joins (cum⋈tot, the prefix-sum offsets)
+    // would silently drop NULL-keyed groups — a struct is never null
+    // and struct comparison treats null fields as equal, making every
+    // downstream join/groupBy null-safe without touching rangeCumsum.
+    val projList = keys.zip(keyNames).map { case (a, n) =>
+      Alias(CreateStruct(Seq(a)), n)() } :+
+      Alias(Cast(hits.head._2.child, DoubleType), "v")()
+    val base = Glue.ofRows(spark,
+      Project(projList.toSeq, agg.child))
+    val res = gridPercentiles(base, keyNames, ps)
+    // The replacement subtree must be OPTIMIZED, not merely analyzed:
+    // it contains Deduplicate/ResolvedHint nodes that only early
+    // optimizer batches rewrite, and when this rule runs from a late
+    // batch (experimental.extraOptimizations) those batches won't visit
+    // the new subtree again — the planner then fails on the leftovers.
+    // Running the child QueryExecution's optimizer here is reentrancy-
+    // safe (fresh QueryExecution; this rule no-ops on the subtree, which
+    // contains no Percentile). Output attribute ids survive optimization.
+    val resolved = res.queryExecution.optimizedPlan
+    val byName = resolved.output.map(a => a.name -> a).toMap
+    var hitIdx = -1
+    def unwrapKey(i: Int): Expression =
+      GetStructField(byName(keyNames(i)), 0, None)
+    val outs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      case ar: AttributeReference =>
+        val i = keys.indexWhere(_.exprId == ar.exprId)
+        Alias(unwrapKey(i), ar.name)(exprId = ar.exprId)
+      case al: Alias => al.child match {
+        case ar: AttributeReference =>
+          val i = keys.indexWhere(_.exprId == ar.exprId)
+          Alias(unwrapKey(i), al.name)(exprId = al.exprId)
+        case _ =>
+          hitIdx += 1
+          Alias(byName(s"__q$hitIdx"), al.name)(exprId = al.exprId)
+      }
+      case other => // unreachable under eligible()
+        throw new IllegalStateException(s"unexpected aggregate output $other")
+    }
+    Project(outs, resolved)
+  }
+
+  /** The grid plan: distinct-value collapse → two-phase prefix sums →
+    * bracketing order statistics → the builtin's interpolation, one
+    * result column `__q<i>` per requested percentage.
+    *
+    * `pin = false` on the cumsum: an optimizer rule runs once per query
+    * compilation, and a pinned grid would leave one cache entry behind
+    * per DISTINCT rewritten query for the life of the context. The
+    * consumers re-evaluate the collapse instead — the scale-critical
+    * property (no buffering reducer, no single sort task) is unaffected.
+    */
+  private def gridPercentiles(base: DataFrame, keyNames: Seq[String],
+      ps: Seq[Double]): DataFrame = {
+    val global = keyNames.isEmpty
+    val keys = if (global) Seq("__gkc") else keyNames
+    val withKeys = if (global) base.withColumn("__gkc", lit(0)) else base
+    val allKeys = withKeys.select(keys.map(col): _*).distinct()
+    val counts = withKeys.filter(col("v").isNotNull)
+      .groupBy((keys :+ "v").map(col): _*).agg(count(lit(1)).as("c"))
+    val tot = counts.groupBy(keys.map(col): _*).agg(sum("c").as("n"))
+    val cum = Relational.rangeCumsum(counts, keys, pin = false)
+      .join(broadcast(tot), keys)
+    val qs = ps.zipWithIndex.flatMap { case (p, i) =>
+      // 0-based fractional position (n−1)·p, exactly the builtin's
+      // arithmetic; a grid row covers 1-based rank r iff
+      // cum − c < r ≤ cum.
+      val pos = (col("n") - 1).cast("double") * lit(p)
+      val cover = (r: org.apache.spark.sql.Column) =>
+        col("cum") - col("c") < r && col("cum") >= r
+      Seq(
+        min(when(cover(floor(pos) + 1), col("v"))).as(s"__lo$i"),
+        min(when(cover(ceil(pos) + 1), col("v"))).as(s"__hi$i"),
+        max(col("n")).as(s"__n$i"))
+    }
+    val res = cum.groupBy(keys.map(col): _*).agg(qs.head, qs.tail: _*)
+    val out = ps.indices.map { i =>
+      val pos = (col(s"__n$i") - 1).cast("double") * lit(ps(i))
+      // Mirrors PercentileBase.getPercentile branch for branch:
+      // integral position → lower; equal bracketing values → lower;
+      // else (ceil−pos)·lo + (pos−floor)·hi.
+      when(ceil(pos) === floor(pos), col(s"__lo$i"))
+        .when(col(s"__lo$i") === col(s"__hi$i"), col(s"__lo$i"))
+        .otherwise(
+          (ceil(pos).cast("double") - pos) * col(s"__lo$i") +
+            (pos - floor(pos).cast("double")) * col(s"__hi$i"))
+        .as(s"__q$i")
+    }
+    val scored = res.select((keys.map(col) ++ out): _*)
+    if (global) {
+      // A global aggregate yields exactly one row even over zero input
+      // rows (value NULL) — forced by the final global min over the
+      // ≤1-row grouped result.
+      scored.groupBy()
+        .agg(min(col("__q0")).as("__q0"),
+          ps.indices.drop(1).map(i => min(col(s"__q$i")).as(s"__q$i")): _*)
+    } else {
+      // Null-safe left join keeps all-NULL (and NULL-keyed) groups in
+      // the output with NULL quantiles — the builtin's row set.
+      val cond = keys.map(k => allKeys(k) <=> scored(k)).reduce(_ && _)
+      allKeys.join(scored, cond, "left")
+        .select(keys.map(allKeys(_)) ++
+          ps.indices.map(i => scored(s"__q$i")): _*)
+    }
+  }
+}

@@ -1,0 +1,141 @@
+package graft
+
+import graft.plans.GridOrderStatsRule
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftglue.Glue
+
+/** GridOrderStatsRule: the optimizer rewrite of median()/percentile()
+  * into the distributed value-grid plan must be invisible — same rows,
+  * same bits — while removing the buffering Percentile aggregate from
+  * the plan. Baseline results come from the UNTOUCHED shared session;
+  * rewritten results from a cloned session with the rule installed.
+  */
+class GridRewriteSpec extends GraftSuite {
+
+  private lazy val rewritten: SparkSession = {
+    val s = Glue.cloneSession(spark)
+    GridOrderStatsRule.install(s)
+    s
+  }
+
+  /** Fixture with every interpolation edge: odd/even group sizes, heavy
+    * duplicates (equal bracketing keys), single-value groups, an
+    * all-NULL group, NULLs mixed into live groups, and a NULL group key.
+    */
+  private def fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    val rows: Seq[(Option[String], Option[Double])] =
+      (1 to 97).map(i => (Some("a"), Some((i * 37 % 19).toDouble / 4))) ++ // odd, dups
+      (1 to 96).map(i => (Some("b"), Some(math.sin(i).abs * 100))) ++      // even, continuous
+      Seq((Some("c"), Some(42.0))) ++                                      // single value
+      Seq((Some("d"), None), (Some("d"), None)) ++                         // all-NULL group
+      (1 to 10).map(i => (Some("e"),
+        if (i % 3 == 0) None else Some(i.toDouble))) ++                    // mixed NULLs
+      Seq((None, Some(7.0)), (None, Some(9.0)))                            // NULL key
+    rows.toDF("k", "v").createOrReplaceTempView("grs")
+  }
+
+  private val grouped =
+    """SELECT k, median(v) AS med, percentile(v, 0.9) AS p90,
+      |  percentile(v, 0.25) AS q1
+      |FROM grs GROUP BY k""".stripMargin
+
+  test("rewrite removes the buffering aggregate from the plan") {
+    fixture(rewritten)
+    val qe = rewritten.sql(grouped).queryExecution
+    val opt = qe.optimizedPlan.toString
+    assert(!opt.toLowerCase.contains("percentile"), opt.take(1500))
+    // The grid shape is present: the distinct-value collapse aggregate
+    // and the two-phase cumsum windows.
+    assert(opt.contains("Window"), opt.take(1500))
+    // Baseline keeps the buffering form.
+    fixture(spark)
+    assert(spark.sql(grouped).queryExecution.optimizedPlan
+      .toString.toLowerCase.contains("percentile"))
+  }
+
+  test("grouped results are bit-identical to the builtin") {
+    fixture(spark); fixture(rewritten)
+    def canon(s: SparkSession) = s.sql(grouped).collect()
+      .map(r => (Option(r.get(0)),
+        Option(r.get(1)), Option(r.get(2)), Option(r.get(3))))
+      .sortBy(_._1.map(_.toString).getOrElse(""))
+    val base = canon(spark)
+    val grid = canon(rewritten)
+    assert(base.length == grid.length && base.length == 6)
+    base.zip(grid).foreach { case (b, g) => assert(b == g, s"\n$b\n$g") }
+    // The all-NULL group survives with NULL quantiles in both.
+    assert(base.exists(r => r._1.contains("d") && r._2.isEmpty))
+  }
+
+  test("global + empty-input aggregates keep the one-row contract") {
+    fixture(spark); fixture(rewritten)
+    val globalSql = "SELECT median(v) AS med, percentile(v, 0.75) AS q FROM grs"
+    val b = spark.sql(globalSql).collect()
+    val g = rewritten.sql(globalSql).collect()
+    assert(b.length == 1 && g.length == 1)
+    assert(b.head.getDouble(0) == g.head.getDouble(0))
+    assert(b.head.getDouble(1) == g.head.getDouble(1))
+    val emptySql =
+      "SELECT median(v) AS med FROM grs WHERE v > 1e18"
+    val be = spark.sql(emptySql).collect()
+    val ge = rewritten.sql(emptySql).collect()
+    assert(be.length == 1 && ge.length == 1)
+    assert(be.head.isNullAt(0) && ge.head.isNullAt(0))
+  }
+
+  test("percentile_cont lowers to the same rewrite") {
+    fixture(rewritten)
+    val sql =
+      """SELECT k, percentile_cont(0.5) WITHIN GROUP (ORDER BY v) AS med
+        |FROM grs GROUP BY k""".stripMargin
+    val qe = rewritten.sql(sql).queryExecution
+    assert(!qe.optimizedPlan.toString.toLowerCase.contains("percentile"))
+    fixture(spark)
+    val b = spark.sql(sql).collect().map(r =>
+      (Option(r.get(0)), Option(r.get(1)))).sortBy(_._1.map(_.toString))
+    val g = rewritten.sql(sql).collect().map(r =>
+      (Option(r.get(0)), Option(r.get(1)))).sortBy(_._1.map(_.toString))
+    assert(b.toSeq == g.toSeq)
+  }
+
+  test("out-of-scope shapes keep the builtin and stay correct") {
+    fixture(spark); fixture(rewritten)
+    // Array percentage, mixed other aggregates, DISTINCT, FILTER: all
+    // must NOT be rewritten — and still agree with the baseline session.
+    val guards = Seq(
+      "SELECT k, percentile(v, array(0.25, 0.75)) AS q FROM grs GROUP BY k",
+      "SELECT k, median(v) AS med, count(*) AS n FROM grs GROUP BY k",
+      "SELECT k, percentile(DISTINCT v, 0.5) AS med FROM grs GROUP BY k",
+      "SELECT k, percentile(v, 0.5) FILTER (WHERE v > 1) AS med " +
+        "FROM grs GROUP BY k")
+    guards.foreach { q =>
+      val qe = rewritten.sql(q).queryExecution
+      assert(qe.optimizedPlan.toString.toLowerCase.contains("percentile"),
+        s"should not rewrite: $q")
+      val b = spark.sql(q).collect().map(_.toString).sorted.toSeq
+      val g = rewritten.sql(q).collect().map(_.toString).sorted.toSeq
+      assert(b == g, q)
+    }
+  }
+
+  test("rewrite matches the builtin on a large continuous column") {
+    // lineitem prices: ~6k rows, grid cardinality near row count — the
+    // shape where interpolation almost always lands between two distinct
+    // grid values.
+    Tables.lineitem(spark, sf).createOrReplaceTempView("grs_li")
+    Tables.lineitem(rewritten, sf).createOrReplaceTempView("grs_li")
+    val q =
+      """SELECT l_returnflag, median(l_extendedprice) AS med,
+        |  percentile(l_extendedprice, 0.99) AS p99
+        |FROM grs_li GROUP BY l_returnflag""".stripMargin
+    val b = spark.sql(q).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val g = rewritten.sql(q).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(b.toSeq == g.toSeq)
+  }
+}
