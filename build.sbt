@@ -30,5 +30,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 48g default on the 128 GiB bench box: local[32] runs 32 executor
+  // threads in ONE JVM, and the warm-bench protocol keeps every
+  // query's pinned frames resident across the whole 219-query run —
+  // at 8g the storage pool thrashed (bimodal per-pass timings, grid
+  // queries 2-3x inflated from eviction + GC). Constrained-memory
+  // claims are NOT tested through this default: MemSmoke forks its own
+  // java -Xmx2g per stage.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -106,6 +106,37 @@ object CorpusOps {
     s.read.schema(Tables.DocumentsSchema).orc(dir).orderBy("doc_id")
   }
 
+  /** The reference's native input format (headerless whitespace-numeric
+    * sensor text) through the first-class DSv2 connector
+    * ([[graft.sources.WhitespaceText]]) instead of s1's per-query
+    * split/try_cast pipeline: lineitem serializes to text, reads back
+    * via `format("graft-text")` with a quantity filter and a
+    * 3-of-5-column projection — BOTH pushed into the scan (byte-range
+    * splittable; PushedFilters/ReadSchema are plan-spec-pinned in
+    * SourcesSpec) — then aggregates per orderkey bucket. The roundtrip
+    * is exact: Spark's double→string is shortest-roundtrip and the
+    * reader parses with Double.parseDouble, so the oracle simply
+    * recomputes from the parquet table.
+    */
+  private def ioTextScan(s: SparkSession, d: String): DataFrame = {
+    val dir = roundtripScratch(s, "gtext")
+    Tables.lineitem(s, d)
+      .select(concat_ws(" ", col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .as("value"))
+      .write.mode("overwrite").text(dir)
+    s.read.format("graft-text")
+      .schema("l_orderkey DOUBLE, l_linenumber DOUBLE, l_quantity DOUBLE," +
+        " l_extendedprice DOUBLE, l_discount DOUBLE")
+      .load(dir)
+      .filter(col("l_quantity") > 25.0)
+      .select((col("l_orderkey").cast("long") % 7).as("bucket"),
+        col("l_extendedprice"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("bucket")
+  }
+
   /** Stratified deterministic downsampling: per-language keep rates
     * (the language-rebalancing pass a multilingual corpus pipeline runs
     * before training) applied through the same md5-bucket scheme as
@@ -588,7 +619,8 @@ object CorpusOps {
     "pp_pack" -> ppPack _,
     "io_jsonl_roundtrip" -> ioJsonl _,
     "io_csv_roundtrip" -> ioCsv _,
-    "io_orc_roundtrip" -> ioOrc _)
+    "io_orc_roundtrip" -> ioOrc _,
+    "io_text_scan" -> ioTextScan _)
 
   val oracle: Map[String, String] = Map(
     "pp_quality_filter" ->
@@ -762,5 +794,11 @@ object CorpusOps {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "io_orc_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "io_text_scan" ->
+      """SELECT l_orderkey % 7 AS bucket, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+        |    AS sum_price
+        |FROM lineitem WHERE l_quantity > 25.0
+        |GROUP BY 1 ORDER BY bucket""".stripMargin)
 }

@@ -1,0 +1,392 @@
+package graft.sources
+
+import java.util
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
+  TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition,
+  PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
+  SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DSv2 connector for the reference's native input format — headerless
+  * whitespace-separated numeric text (the CMAPSS sensor files,
+  * `scripts/etl_turbofan.py:10-19`) — re-expressed as a first-class
+  * Spark data source instead of a per-query split/try_cast pipeline:
+  * `spark.read.format("graft-text").load(dir)`.
+  *
+  * Built for the 100 TB shape a text corpus actually has:
+  *
+  *  - **Byte-range splitting.** Files are carved into
+  *    `maxSplitBytes`-sized input partitions (default 16 MiB), so ONE
+  *    huge file still fans out across the cluster — the classic
+  *    line-reader convention applies (a line belongs to the split it
+  *    STARTS in; a split whose offset is mid-line skips to the next
+  *    newline; the last line of a split may read past its end). UTF-8
+  *    is newline-safe for this (no multibyte code unit is 0x0A).
+  *  - **Column pruning** (`SupportsPushDownRequiredColumns`): the
+  *    reader tokenizes each line but converts ONLY the pruned columns
+  *    to doubles — on a 26-column sensor file projected to 3 columns,
+  *    ~90% of the numeric parsing (the dominant scan cost) disappears.
+  *    `.explain` shows the pruned ReadSchema.
+  *  - **Filter pushdown** (`SupportsPushDownFilters`): comparison /
+  *    null-test / boolean-combinator filters on numeric columns are
+  *    evaluated inside the reader against the parsed primitives,
+  *    before any InternalRow is materialized; everything else is
+  *    reported back as post-scan. `.explain` shows PushedFilters.
+  *
+  * Semantics: every column is nullable DOUBLE (`c0..cN`, or a
+  * user-supplied all-double schema); missing trailing fields and
+  * unparseable tokens read as NULL (the try_cast convention of the
+  * replaced pipeline); runs of blanks count as one separator; blank
+  * lines are skipped. Schema inference reads ONE line of one file.
+  */
+class WhitespaceText extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-text"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val files = WhitespaceText.listFiles(options)
+    require(files.nonEmpty, s"graft-text: no input files under " +
+      s"'${options.get("path")}'")
+    val fs = files.head.getFileSystem(
+      SparkSession.active.sessionState.newHadoopConf())
+    val in = fs.open(files.head)
+    val line = try {
+      val sb = new StringBuilder
+      var b = in.read()
+      while (b != -1 && b != '\n') { sb.append(b.toChar); b = in.read() }
+      sb.toString
+    } finally in.close()
+    val n = line.trim.split("\\s+").count(_.nonEmpty)
+    require(n > 0, s"graft-text: first line of ${files.head} is blank; " +
+      "pass an explicit schema")
+    StructType((0 until n).map(i => StructField(s"c$i", DoubleType)))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val bad = schema.fields.filterNot(_.dataType == DoubleType)
+    require(bad.isEmpty, "graft-text is an all-DOUBLE format; non-double " +
+      s"fields: ${bad.map(_.name).mkString(", ")}")
+    new WhitespaceTextTable(schema, properties)
+  }
+}
+
+private[sources] object WhitespaceText {
+  def listFiles(options: CaseInsensitiveStringMap): Seq[Path] = {
+    val raw = Option(options.get("path"))
+      .orElse(Option(options.get("paths")))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-text: 'path' option is required"))
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val root = new Path(raw)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return Nil
+    val it = fs.listFiles(root, true)
+    val out = Seq.newBuilder[Path]
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (f.isFile && f.getLen > 0 &&
+        !name.startsWith("_") && !name.startsWith("."))
+        out += f.getPath
+    }
+    out.result()
+  }
+}
+
+private class WhitespaceTextTable(tableSchema: StructType,
+    properties: util.Map[String, String]) extends Table with SupportsRead {
+
+  override def name(): String =
+    s"graft-text ${properties.getOrDefault("path", "")}"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new WhitespaceTextScanBuilder(tableSchema, options)
+}
+
+private class WhitespaceTextScanBuilder(full: StructType,
+    options: CaseInsensitiveStringMap) extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** A filter is pushable when the reader can evaluate it on parsed
+    * doubles: (in)equality/comparison against a numeric literal,
+    * null tests, and And/Or/Not over pushable children.
+    */
+  private def pushable(f: Filter): Boolean = f match {
+    case EqualTo(_, v) => v.isInstanceOf[Number]
+    case GreaterThan(_, v) => v.isInstanceOf[Number]
+    case GreaterThanOrEqual(_, v) => v.isInstanceOf[Number]
+    case LessThan(_, v) => v.isInstanceOf[Number]
+    case LessThanOrEqual(_, v) => v.isInstanceOf[Number]
+    case IsNull(_) | IsNotNull(_) => true
+    case And(l, r) => pushable(l) && pushable(r)
+    case Or(l, r) => pushable(l) && pushable(r)
+    case Not(c) => pushable(c)
+    case _ => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, rest) = filters.partition(pushable)
+    pushed = ok
+    // Pushed comparisons are exact on the parsed doubles, so Spark need
+    // not re-check them — only the unsupported remainder comes back.
+    rest
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new WhitespaceTextScan(full, required, pushed,
+      WhitespaceText.listFiles(options).map(_.toString),
+      Option(options.get("maxSplitBytes")).map(_.toLong)
+        .getOrElse(16L * 1024 * 1024),
+      SparkSession.active.sessionState.newHadoopConf())
+}
+
+/** One input partition: a byte range of one file. */
+private case class TextSplit(path: String, start: Long, end: Long)
+  extends InputPartition
+
+private class WhitespaceTextScan(full: StructType, required: StructType,
+    pushed: Array[Filter], files: Seq[String], maxSplitBytes: Long,
+    hadoopConf: org.apache.hadoop.conf.Configuration)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"graft-text, PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.catalogString}"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    files.flatMap { f =>
+      val p = new Path(f)
+      val len = p.getFileSystem(hadoopConf).getFileStatus(p).getLen
+      (0L until len by maxSplitBytes).map(off =>
+        TextSplit(f, off, math.min(off + maxSplitBytes, len)))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // Column ordinal in the FULL row for each required field, and the
+    // max ordinal any consumer (projection or filter) needs — tokens
+    // past it are never even sliced out of the line.
+    val fullIdx = full.fieldNames.zipWithIndex.toMap
+    val reqIdx = required.fieldNames.map(fullIdx).toSeq
+    val filterIdx = pushed.flatMap(_.references).distinct.map(fullIdx).toSeq
+    WhitespaceTextReaderFactory(reqIdx, filterIdx, pushed, fullIdx,
+      (reqIdx ++ filterIdx ++ Seq(-1)).max,
+      new org.apache.spark.util.SerializableConfiguration(hadoopConf))
+  }
+}
+
+private case class WhitespaceTextReaderFactory(reqIdx: Seq[Int],
+    filterIdx: Seq[Int], pushed: Array[Filter], fullIdx: Map[String, Int],
+    maxNeeded: Int,
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val split = partition.asInstanceOf[TextSplit]
+    new WhitespaceTextReader(split, reqIdx, filterIdx, pushed, fullIdx,
+      maxNeeded, conf.value)
+  }
+}
+
+/** Streams one byte range, parsing only the needed columns and applying
+  * the pushed filters before materializing a row. Runs on executors —
+  * everything it closes over is the small serialized factory state.
+  */
+private class WhitespaceTextReader(split: TextSplit, reqIdx: Seq[Int],
+    filterIdx: Seq[Int], pushed: Array[Filter], fullIdx: Map[String, Int],
+    maxNeeded: Int, conf: org.apache.hadoop.conf.Configuration)
+    extends PartitionReader[InternalRow] {
+
+  private val fs = new Path(split.path).getFileSystem(conf)
+  private val in = fs.open(new Path(split.path))
+  private var pos: Long = split.start
+  if (split.start > 0) {
+    // Mid-line start: the previous split owns this line — skip to just
+    // past the next newline.
+    in.seek(split.start)
+    var b = in.read(); pos += 1
+    while (b != -1 && b != '\n') { b = in.read(); pos += 1 }
+  } else in.seek(0)
+
+  // Per-row parse state: the needed field ordinals' double values with
+  // a null bitmap (primitives — no boxing on the per-token path).
+  private val fieldVal = new Array[Double](maxNeeded + 1)
+  private val fieldNull = new Array[Boolean](maxNeeded + 1)
+  private val needed = {
+    val a = new Array[Boolean](maxNeeded + 1)
+    (reqIdx ++ filterIdx).foreach(i => a(i) = true)
+    a
+  }
+  private val predicate = TextFilters.compile(pushed, fullIdx,
+    fieldVal, fieldNull)
+  private var row: GenericInternalRow = _
+  private val buf = new StringBuilder(256)
+
+  override def next(): Boolean = {
+    while (true) {
+      // A line belongs to this split iff it STARTS at or before `end`
+      // (the Hadoop LineRecordReader convention): the NEXT split always
+      // discards its first line, so the line beginning exactly on the
+      // boundary must be owned HERE or it would be read by no one.
+      if (pos > split.end) return false
+      val line = readLine()
+      if (line == null) return false
+      if (parse(line) && predicate()) {
+        val out = new Array[Any](reqIdx.length)
+        var i = 0
+        while (i < reqIdx.length) {
+          val src = reqIdx(i)
+          out(i) = if (fieldNull(src)) null else fieldVal(src)
+          i += 1
+        }
+        row = new GenericInternalRow(out)
+        return true
+      }
+    }
+    false // unreachable
+  }
+
+  /** Reads bytes to the next '\n' (or EOF), advancing `pos`; returns
+    * null at EOF with nothing read.
+    */
+  private def readLine(): String = {
+    buf.clear()
+    var b = in.read()
+    if (b == -1) return null
+    while (b != -1 && b != '\n') {
+      pos += 1; buf.append(b.toChar); b = in.read()
+    }
+    if (b == '\n') pos += 1
+    buf.toString
+  }
+
+  /** Tokenizes fields up to the last needed ordinal and parses ONLY the
+    * needed ones; returns false for blank lines (skipped). A projection
+    * that needs no columns at all (count(*)) still distinguishes blank
+    * from non-blank.
+    */
+  private def parse(line: String): Boolean = {
+    java.util.Arrays.fill(fieldNull, true)
+    var idx = 0 // field ordinal
+    var i = 0
+    val n = line.length
+    var sawAny = false
+    while (i < n && idx <= maxNeeded) {
+      while (i < n && (line.charAt(i) == ' ' || line.charAt(i) == '\t' ||
+        line.charAt(i) == '\r')) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && line.charAt(i) != ' ' && line.charAt(i) != '\t' &&
+          line.charAt(i) != '\r') i += 1
+        sawAny = true
+        if (needed(idx)) {
+          try {
+            fieldVal(idx) = java.lang.Double.parseDouble(
+              line.substring(start, i))
+            fieldNull(idx) = false
+          } catch { case _: NumberFormatException => () } // stays NULL
+        }
+        idx += 1
+      }
+    }
+    if (!sawAny && maxNeeded < 0)
+      sawAny = line.exists(c => c != ' ' && c != '\t' && c != '\r')
+    sawAny
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = in.close()
+}
+
+/** Compiles v1 source Filters into a closure over the reader's parsed
+  * field arrays. SQL three-valued logic: a comparison on NULL is
+  * UNKNOWN, which a WHERE clause treats as filtered-out — And/Or/Not
+  * follow Kleene semantics so e.g. `NOT(x > 5)` does NOT pass NULL x.
+  */
+private object TextFilters {
+  private type Tri = () => java.lang.Boolean // null = UNKNOWN
+
+  def compile(filters: Array[Filter], ord: Map[String, Int],
+      vals: Array[Double], nulls: Array[Boolean]): () => Boolean = {
+    val tris = filters.map(compileOne(_, ord, vals, nulls))
+    // Top level: all must be TRUE (UNKNOWN filters the row out).
+    () => tris.forall(t => { val r = t(); r != null && r })
+  }
+
+  private def compileOne(f: Filter, ord: Map[String, Int],
+      vals: Array[Double], nulls: Array[Boolean]): Tri = {
+    def cmp(attr: String, v: Any, op: (Double, Double) => Boolean): Tri = {
+      val i = ord(attr)
+      val lit = v.asInstanceOf[Number].doubleValue()
+      () => if (nulls(i)) null else java.lang.Boolean.valueOf(
+        op(vals(i), lit))
+    }
+    f match {
+      case EqualTo(a, v) => cmp(a, v, _ == _)
+      case GreaterThan(a, v) => cmp(a, v, _ > _)
+      case GreaterThanOrEqual(a, v) => cmp(a, v, _ >= _)
+      case LessThan(a, v) => cmp(a, v, _ < _)
+      case LessThanOrEqual(a, v) => cmp(a, v, _ <= _)
+      case IsNull(a) =>
+        val i = ord(a); () => java.lang.Boolean.valueOf(nulls(i))
+      case IsNotNull(a) =>
+        val i = ord(a); () => java.lang.Boolean.valueOf(!nulls(i))
+      case And(l, r) =>
+        val (cl, cr) = (compileOne(l, ord, vals, nulls),
+          compileOne(r, ord, vals, nulls))
+        () => {
+          val (a, b) = (cl(), cr())
+          if (a != null && !a) java.lang.Boolean.FALSE
+          else if (b != null && !b) java.lang.Boolean.FALSE
+          else if (a == null || b == null) null
+          else java.lang.Boolean.TRUE
+        }
+      case Or(l, r) =>
+        val (cl, cr) = (compileOne(l, ord, vals, nulls),
+          compileOne(r, ord, vals, nulls))
+        () => {
+          val (a, b) = (cl(), cr())
+          if (a != null && a) java.lang.Boolean.TRUE
+          else if (b != null && b) java.lang.Boolean.TRUE
+          else if (a == null || b == null) null
+          else java.lang.Boolean.FALSE
+        }
+      case Not(c) =>
+        val cc = compileOne(c, ord, vals, nulls)
+        () => {
+          val a = cc()
+          if (a == null) null else java.lang.Boolean.valueOf(!a)
+        }
+      case other => throw new IllegalStateException(
+        s"unpushable filter reached the reader: $other")
+    }
+  }
+}
