@@ -62,6 +62,15 @@ object MemSmoke {
       case "grid_one_window" =>
         operators.Relational.exactMedians(frame, Seq("x" -> "med"),
           buckets = 1).first().getDouble(0)
+      case "sql_median_rewritten" =>
+        // The SAME SQL text that dies as median_agg, but with
+        // GridOrderStatsRule installed: the optimizer swaps the
+        // buffering aggregate for the grid plan, so plain user SQL
+        // survives the constrained heap — the end-to-end payoff of the
+        // rewrite (bit-compatibility is GridRewriteSpec's job).
+        plans.GridOrderStatsRule.install(spark)
+        frame.createOrReplaceTempView("mem_t")
+        spark.sql("SELECT median(x) AS m FROM mem_t").first().getDouble(0)
       case q if q.startsWith("query:") =>
         val name = q.stripPrefix("query:")
         SparkEntry.queries(name)(spark, sfDir)
