@@ -82,6 +82,15 @@ object Graph {
       ranks = contribs.groupBy("node")
         .agg(((lit(1.0) - lit(PrDamp)) / lit(nNodes) +
           lit(PrDamp) * d18(col("w"))).as("rank"))
+        // LAZY plan truncation: each round's Catalyst tree stays 3
+        // nodes deep (join+agg over a LogicalRDD leaf) instead of the
+        // full accumulated chain — a 10-round lazy chain paid
+        // O(rounds²) re-analysis plus per-stage AQE re-optimization of
+        // the whole 40-stage plan (43s cold at sf0.1; this form ~7s).
+        // eager=false defers materialization, so unlike the eager
+        // checkpoint there are still no 10 blocking driver round-trips:
+        // the final collect drives the whole RDD chain.
+        .localCheckpoint(false)
     }
     ranks
       .orderBy(col("rank").desc, col("node"))
@@ -176,9 +185,15 @@ object Graph {
     for (_ <- 1 to BfsRounds) {
       val next = dist.join(edges, col("node") === col("src"))
         .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+      // eager=false: the plan still truncates to a LogicalRDD leaf per
+      // round (each round references its predecessor twice — join +
+      // union — so an unbroken lineage would double per round), but
+      // materialization happens inside the final job instead of 6
+      // blocking driver round-trips; both references compute the
+      // checkpointed RDD once.
       dist = dist.unionByName(next)
         .groupBy("node").agg(min("dist").as("dist"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     dist.groupBy("dist").agg(count(lit(1)).as("n_nodes")).orderBy("dist")
   }
