@@ -198,6 +198,52 @@ object Graph {
     dist.groupBy("dist").agg(count(lit(1)).as("n_nodes")).orderBy("dist")
   }
 
+  // ------------------------------------------------- node similarity
+
+  private val JacTopK = 20
+
+  /** Supplier-pair Jaccard similarity of customer neighborhoods — the
+    * graph-native "related entities" primitive (who serves the same
+    * customer base?): J(a,b) = |C(a) ∩ C(b)| / |C(a) ∪ C(b)| over the
+    * distinct customer sets, top-[[JacTopK]] pairs.
+    *
+    * Scale shape: candidate pairs come ONLY from co-occurrence — a
+    * self-join of the (customer, supplier) incidence list keyed on the
+    * customer — so disjoint suppliers never meet (no all-pairs stage),
+    * exactly the PPJoin/minhash candidate philosophy [[Dedup]] uses on
+    * text. Intersections are the pair co-counts from that equi-join;
+    * unions come from broadcast degree counts (supplier-cardinality
+    * frame). Per-customer fan-out is C(deg, 2) — bounded by the
+    * customer-side degree distribution; a pathological hub customer
+    * would call for the same salting treatment as any hot join key.
+    * All counts are exact BIGINTs; the one division happens in doubles
+    * on both engines.
+    */
+  private def jaccard(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+    val cs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
+      .distinct()
+      .pinned() // consumed by both sides of the pair join + degrees
+    val deg = cs.groupBy("sup").agg(count(lit(1)).as("dg"))
+    val pairs = cs.as("a").join(cs.as("b"),
+        col("a.c") === col("b.c") && col("a.sup") < col("b.sup"))
+      .groupBy(col("a.sup").as("s1"), col("b.sup").as("s2"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(broadcast(deg.select(col("sup").as("s1"), col("dg").as("d1"))),
+        "s1")
+      .join(broadcast(deg.select(col("sup").as("s2"), col("dg").as("d2"))),
+        "s2")
+      .select(col("s1"), col("s2"),
+        r6(col("inter").cast("double") /
+          (col("d1") + col("d2") - col("inter")).cast("double"))
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("s1"), col("s2"))
+      .limit(JacTopK)
+  }
+
   /** Symmetric customer–supplier purchase edges in the shared node id
     * space (customer k → 2k, supplier k → 2k+1) — the graph under both
     * [[pagerank]] and [[reach]].
@@ -217,7 +263,8 @@ object Graph {
   val queries: Map[String, Query] = Map(
     "g1_pagerank" -> pagerank _,
     "g2_triangles" -> triangles _,
-    "g3_reach" -> reach _)
+    "g3_reach" -> reach _,
+    "g4_jaccard" -> jaccard _)
 
   /** The oracle unrolls the [[PrIters]] rounds as chained CTE pairs
     * (update, re-attach degree) — recursive CTEs can't aggregate over
@@ -272,6 +319,20 @@ object Graph {
       // Recursive BFS: the UNION (distinct) bounds the working set to
       // (node, dist≤rounds) pairs, so cycles terminate; min(dist) per
       // node afterwards is the hop distance.
+      "g4_jaccard" ->
+        s"""WITH cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sup
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |deg AS (SELECT sup, count(*) AS dg FROM cs GROUP BY sup),
+           |p AS (SELECT a.sup AS s1, b.sup AS s2, count(*) AS inter
+           |  FROM cs a JOIN cs b ON a.c = b.c AND a.sup < b.sup
+           |  GROUP BY 1, 2)
+           |SELECT s1, s2,
+           |  round(CAST(inter AS DOUBLE) /
+           |    CAST(d1.dg + d2.dg - inter AS DOUBLE), 6) AS jaccard
+           |FROM p
+           |JOIN deg d1 ON p.s1 = d1.sup
+           |JOIN deg d2 ON p.s2 = d2.sup
+           |ORDER BY jaccard DESC, s1, s2 LIMIT $JacTopK""".stripMargin,
       "g3_reach" ->
         s"""WITH RECURSIVE cs AS (SELECT DISTINCT o_custkey AS c,
            |    l_suppkey AS sup

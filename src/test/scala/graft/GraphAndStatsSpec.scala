@@ -388,6 +388,27 @@ class GraphAndStatsSpec extends GraftSuite {
     assert(got.values.sum == adj.size)
   }
 
+  test("jaccard: top-20 supplier pairs match driver-side set math") {
+    val got = Graph.queries("g4_jaccard")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val cs = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").cast("long"), col("l_suppkey").cast("long"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bySup = cs.groupBy(_._2).map { case (s0, v) => s0 -> v.map(_._1).toSet }
+    val sups = bySup.keys.toSeq.sorted
+    val all = for {
+      i <- sups.indices; j <- (i + 1) until sups.length
+      inter = (bySup(sups(i)) intersect bySup(sups(j))).size if inter > 0
+    } yield (sups(i), sups(j),
+      BigDecimal(inter.toDouble /
+        (bySup(sups(i)).size + bySup(sups(j)).size - inter))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val want = all.sortBy { case (a, b, jc) => (-jc, a, b) }.take(20)
+    assert(got.toSeq == want)
+    got.foreach { case (_, _, jc) => assert(jc > 0.0 && jc <= 1.0) }
+  }
+
   // ------------------------------------------------- statistical audits
 
   test("chi-square: matches driver-side recomputation from exact counts") {
