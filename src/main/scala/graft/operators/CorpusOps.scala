@@ -592,8 +592,14 @@ object CorpusOps {
     val stop = typedLit(Seq("the", "a", "and", "of", "to"))
     val meanLen = aggregate(w, lit(0L), (a, x) => a + length(x))
       .cast("double") / size(w)
-    val topFreq = array_max(transform(array_distinct(w),
-      x => size(filter(w, y => y === x)))).cast("double") / size(w)
+    // Top-token share via the run-length kernel over the sorted array —
+    // O(n log n)/doc. The first cut (`array_max(transform(array_distinct
+    // (w), x => size(filter(w, ...))))`) was O(distinct·n)/doc: invisible
+    // on short repetitive docs, 33.9× wall growth at the 10× corpus
+    // (whose token mutation also raises per-doc distinct counts) — the
+    // growth gate's flag, and a real liability for long documents.
+    val topFreq = element_at(graft.functions.FreqFunctions
+        .sortedFreqStats(sort_array(w)), 1).cast("double") / size(w)
     Tables.documents(s, d).select(
       col("doc_id"),
       (size(w) >= 20 && size(w) <= 10000).as("r_len"),

@@ -3,7 +3,9 @@ package graft.plans
 import graft.operators.Relational
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference,
-  Cast, CreateStruct, Expression, GetStructField, Literal, NamedExpression}
+  Cast, CreateArray, CreateStruct, Expression, GetStructField, If, IsNull,
+  KnownNotNull, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
   Complete, Percentile}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan,
@@ -11,7 +13,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan,
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftglue.Glue
-import org.apache.spark.sql.types.{DoubleType, NumericType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, NumericType}
 
 /** Optimizer rule: rewrites buffering order-statistic aggregates —
   * `median(v)`, `percentile(v, p)` (and `percentile_cont`, which the
@@ -38,9 +40,11 @@ import org.apache.spark.sql.types.{DoubleType, NumericType}
   * builtin in `GridRewriteSpec`.
   *
   * Scope (conservative by design — anything else keeps the builtin):
-  *  - every aggregate in the `Aggregate` is a `Percentile` with scalar
-  *    foldable percentage, unit frequency, `reverse = false`, no
-  *    DISTINCT and no FILTER, in `Complete` mode;
+  *  - every aggregate in the `Aggregate` is a `Percentile` with a
+  *    foldable scalar or array percentage, unit frequency,
+  *    `reverse = false`, no DISTINCT and no FILTER, in `Complete` mode
+  *    (the array form returns the builtin's
+  *    `ArrayType(double, containsNull=false)`, NULL for empty groups);
   *  - all percentile children resolve to the same expression (one value
   *    column per rewrite), of numeric type;
   *  - grouping expressions are plain attributes (also allowed aliased
@@ -66,19 +70,31 @@ object GridOrderStatsRule extends Rule[LogicalPlan] {
     case agg: Aggregate if eligible(agg) => rewrite(agg)
   }
 
-  /** The Percentile behind an output column, when it is rewritable. */
-  private def hitOf(e: NamedExpression): Option[(Alias, Percentile)] =
-    e match {
-      case al @ Alias(AggregateExpression(
-          pc: Percentile, Complete, false, None, _), _)
-        if pc.frequencyExpression == Literal(1L) && !pc.reverse &&
-          pc.percentageExpression.foldable &&
-          pc.percentageExpression.dataType == DoubleType &&
-          pc.child.dataType.isInstanceOf[NumericType] &&
-          pc.child.deterministic =>
-        Some((al, pc))
-      case _ => None
-    }
+  /** A rewritable Percentile behind an output column: the alias, the
+    * aggregate, its percentage list, and whether the output is the
+    * array form (`percentile(v, array(...))`) or a scalar.
+    */
+  private case class Hit(alias: Alias, pc: Percentile, ps: Seq[Double],
+    isArray: Boolean)
+
+  private def hitOf(e: NamedExpression): Option[Hit] = e match {
+    case al @ Alias(AggregateExpression(
+        pc: Percentile, Complete, false, None, _), _)
+      if pc.frequencyExpression == Literal(1L) && !pc.reverse &&
+        pc.percentageExpression.foldable &&
+        pc.child.dataType.isInstanceOf[NumericType] &&
+        pc.child.deterministic =>
+      (pc.percentageExpression.dataType, pc.percentageExpression.eval()) match {
+        case (DoubleType, p: java.lang.Double) =>
+          Some(Hit(al, pc, Seq(p), isArray = false))
+        case (ArrayType(DoubleType, _), arr: ArrayData)
+          if arr.numElements() > 0 &&
+            (0 until arr.numElements()).forall(!arr.isNullAt(_)) =>
+          Some(Hit(al, pc, arr.toDoubleArray().toSeq, isArray = true))
+        case _ => None
+      }
+    case _ => None
+  }
 
   private def eligible(agg: Aggregate): Boolean = {
     if (agg.child.isStreaming) return false
@@ -89,10 +105,8 @@ object GridOrderStatsRule extends Rule[LogicalPlan] {
     val hits = agg.aggregateExpressions.flatMap(hitOf)
     if (hits.isEmpty) return false
     // One value expression per rewrite; all hits must share it.
-    if (!hits.tail.forall(_._2.child.semanticEquals(hits.head._2.child)))
+    if (!hits.tail.forall(_.pc.child.semanticEquals(hits.head.pc.child)))
       return false
-    // Percentage literals must eval to a plain non-null double.
-    if (!hits.forall(_._2.percentageExpression.eval() != null)) return false
     // Every output column is a grouping attribute (possibly re-aliased)
     // or one of the hits — no mixed sum/count legs in v1.
     agg.aggregateExpressions.forall {
@@ -110,8 +124,9 @@ object GridOrderStatsRule extends Rule[LogicalPlan] {
     val keys = agg.groupingExpressions.map(_.asInstanceOf[AttributeReference])
     val keyNames = keys.indices.map(i => s"__gk$i")
     val hits = agg.aggregateExpressions.flatMap(hitOf)
-    val ps = hits.map { case (_, pc) =>
-      pc.percentageExpression.eval().asInstanceOf[Double] }
+    val ps = hits.flatMap(_.ps)
+    // First flat __q ordinal of each hit (array hits own a range).
+    val hitOffsets = hits.map(_.ps.length).scanLeft(0)(_ + _)
     // Hand the (already optimized) child back to the analyzer under
     // collision-free names; everything downstream is ordinary DataFrame
     // code over __gk*/v. Keys travel wrapped in single-field structs:
@@ -121,7 +136,7 @@ object GridOrderStatsRule extends Rule[LogicalPlan] {
     // downstream join/groupBy null-safe without touching rangeCumsum.
     val projList = keys.zip(keyNames).map { case (a, n) =>
       Alias(CreateStruct(Seq(a)), n)() } :+
-      Alias(Cast(hits.head._2.child, DoubleType), "v")()
+      Alias(Cast(hits.head.pc.child, DoubleType), "v")()
     val base = Glue.ofRows(spark,
       Project(projList.toSeq, agg.child))
     val res = gridPercentiles(base, keyNames, ps)
@@ -138,6 +153,21 @@ object GridOrderStatsRule extends Rule[LogicalPlan] {
     var hitIdx = -1
     def unwrapKey(i: Int): Expression =
       GetStructField(byName(keyNames(i)), 0, None)
+    // Scalar hit → its __q column. Array hit → the builtin's array
+    // shape: NULL for an empty group (never an array OF nulls — a
+    // non-empty group's quantiles are provably non-null, so the first
+    // element's nullness IS group-emptiness), elements marked
+    // KnownNotNull so the output type matches the builtin's
+    // ArrayType(double, containsNull = false).
+    def hitExpr(h: Hit, off: Int): Expression =
+      if (!h.isArray) byName(s"__q$off")
+      else {
+        val elems = h.ps.indices.map(j =>
+          KnownNotNull(byName(s"__q${off + j}")))
+        If(IsNull(byName(s"__q$off")),
+          Literal(null, ArrayType(DoubleType, containsNull = false)),
+          CreateArray(elems))
+      }
     val outs: Seq[NamedExpression] = agg.aggregateExpressions.map {
       case ar: AttributeReference =>
         val i = keys.indexWhere(_.exprId == ar.exprId)
@@ -148,7 +178,8 @@ object GridOrderStatsRule extends Rule[LogicalPlan] {
           Alias(unwrapKey(i), al.name)(exprId = al.exprId)
         case _ =>
           hitIdx += 1
-          Alias(byName(s"__q$hitIdx"), al.name)(exprId = al.exprId)
+          Alias(hitExpr(hits(hitIdx), hitOffsets(hitIdx)), al.name)(
+            exprId = al.exprId)
       }
       case other => // unreachable under eligible()
         throw new IllegalStateException(s"unexpected aggregate output $other")

@@ -100,12 +100,32 @@ class GridRewriteSpec extends GraftSuite {
     assert(b.toSeq == g.toSeq)
   }
 
+  test("array-percentage form rewrites with the builtin's array shape") {
+    fixture(spark); fixture(rewritten)
+    val sql =
+      """SELECT k, percentile(v, array(0.25, 0.5, 0.75, 0.99)) AS qs
+        |FROM grs GROUP BY k""".stripMargin
+    val qe = rewritten.sql(sql).queryExecution
+    assert(!qe.optimizedPlan.toString.toLowerCase.contains("percentile"))
+    def canon(s: org.apache.spark.sql.SparkSession) = s.sql(sql).collect()
+      .map(r => (Option(r.get(0)).map(_.toString),
+        if (r.isNullAt(1)) null else r.getSeq[Double](1).toList))
+      .sortBy(_._1.getOrElse(""))
+    val b = canon(spark)
+    val g = canon(rewritten)
+    assert(b.length == g.length)
+    b.zip(g).foreach { case (x, y) => assert(x == y, s"\n$x\n$y") }
+    // Schema parity, including containsNull=false on the element type.
+    assert(spark.sql(sql).schema == rewritten.sql(sql).schema)
+    // The all-NULL group yields a NULL array, not an array of NULLs.
+    assert(b.exists(r => r._1.contains("d") && r._2 == null))
+  }
+
   test("out-of-scope shapes keep the builtin and stay correct") {
     fixture(spark); fixture(rewritten)
-    // Array percentage, mixed other aggregates, DISTINCT, FILTER: all
-    // must NOT be rewritten — and still agree with the baseline session.
+    // Mixed other aggregates, DISTINCT, FILTER: all must NOT be
+    // rewritten — and still agree with the baseline session.
     val guards = Seq(
-      "SELECT k, percentile(v, array(0.25, 0.75)) AS q FROM grs GROUP BY k",
       "SELECT k, median(v) AS med, count(*) AS n FROM grs GROUP BY k",
       "SELECT k, percentile(DISTINCT v, 0.5) AS med FROM grs GROUP BY k",
       "SELECT k, percentile(v, 0.5) FILTER (WHERE v > 1) AS med " +
