@@ -84,8 +84,12 @@ class WhitespaceText extends TableProvider with DataSourceRegister {
 
 private[sources] object WhitespaceText {
   def listFiles(options: CaseInsensitiveStringMap): Seq[Path] = {
+    // Multi-path load() arrives as a JSON-array "paths" option; refuse
+    // it loudly rather than treating the JSON text as one path.
+    require(options.get("paths") == null,
+      "graft-text: multi-path load() is not supported; pass one " +
+        "directory (its files are listed recursively)")
     val raw = Option(options.get("path"))
-      .orElse(Option(options.get("paths")))
       .getOrElse(throw new IllegalArgumentException(
         "graft-text: 'path' option is required"))
     val conf = SparkSession.active.sessionState.newHadoopConf()
