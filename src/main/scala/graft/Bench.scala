@@ -5,39 +5,49 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every declared query on SPARK_GRAFT_SF_DIR and
   * reports timings as driver-parseable JSON.
   *
-  * Output protocol (rounds 1 and 2 both landed `parsed: null` because the
-  * driver tail-captures only the last ~2 KB of stdout and a single long
-  * JSON line gets its HEAD chopped — and sbt's own "[success]" line eats
-  * the end of the window):
-  *   - full results are written to ./bench_results.json (always complete);
-  *   - per-query timings are printed as several SHORT standalone JSON
-  *     lines `{"part":i,"of":n,"queries":{...}}` — each well under the
-  *     tail window, so at most the first can be chopped and every later
-  *     line still parses on its own;
-  *   - the LAST line printed is a compact summary in the contract shape
-  *     `{"metric":"total","value":…,"unit":"sec",…}` small enough that it
-  *     plus sbt's trailer always fits in the tail window.
+  * Output protocol — shaped by three driver failures: rounds 1–2 landed
+  * `parsed: null` because a single long JSON line printed at the end got
+  * its head chopped by the driver's ~2 KB stdout tail window; round 10
+  * landed `rc: 124 / parsed: null` because the whole protocol printed
+  * NOTHING until a ~42-minute run finished and the driver's wall-clock
+  * budget expired first. So output is now INCREMENTAL:
+  *   - queries are processed in sorted-name chunks; as each chunk
+  *     finishes its full measurement (warmup, passes, re-measures) a
+  *     standalone short line `{"part":i,"of":n,"queries":{...}}` prints
+  *     immediately and ./bench_results.json is REWRITTEN with everything
+  *     measured so far (marked `"provisional":true`, `"completed"` <
+  *     `"n"`) — a kill at ANY point after the first chunk (~2 min in)
+  *     leaves parsable per-query data both on stdout and on disk;
+  *   - after each chunk a compact PROVISIONAL summary line in the
+  *     contract shape (`"metric":"total"`, `"value":-1` while
+  *     incomplete, `"provisional":true`) prints, so the tail window
+  *     always contains a summary no matter where a kill lands;
+  *   - the LAST line printed (after spark.stop()) is the final summary
+  *     `{"metric":"total","value":…,"unit":"sec",…}` — small enough
+  *     that it plus sbt's trailer always fits in the tail window.
   *
-  * Methodology: one warmup pass (JIT, codegen caches, and the persisted
-  * signature tables the dedup/ANN pipelines would keep materialized in
-  * production) then THREE measured passes in sorted name order; each
-  * query reports the MEDIAN of its three timings. Round 3's single
-  * measured pass recorded a 1.5x phantom regression when a co-tenant
-  * spiked during the driver's run — a median absorbs one bad pass.
-  * Queries whose spread still exceeds max(1s, 2× median) get up to two
-  * extra samples, and their stats come from the `passes` samples
-  * nearest the median — so one co-tenant burst cannot dominate
-  * max_spread_sec (round 4 carried a 19s spread from a single burst);
-  * re-measured query names are recorded in "remeasured". Per-query
-  * spread goes to bench_results.json; the summary line carries the
-  * worst spread so a noisy capture is visible in the artifact itself.
-  * The artifact also carries recall@10 of each approximate ANN variant
-  * vs the exact baseline ("recall") and any queries left unwarmed by a
-  * fatal warmup break ("cold").
+  * Methodology — shaped by the same wall-clock budget: per chunk, one
+  * warmup pass (JIT, codegen caches, and the persisted signature tables
+  * the dedup/ANN pipelines would keep materialized in production), then
+  * TWO measured passes; only queries whose two samples DISAGREE (gap
+  * beyond [[BenchGate.passesAgree]]'s noise bound) get a third pass,
+  * and only still-noisy queries get up to two re-measure samples. An
+  * agreeing pair publishes its MIN (noise only inflates); three-plus
+  * samples publish the median of the [[BenchGate.trimmed]] SMALLEST
+  * three — round 10's nearest-to-overall-median trim let a co-tenant
+  * burst drag the median itself (w22_rolling_corr published 12.1s vs
+  * 3.85s isolated). Re-measured query names are recorded in
+  * "remeasured". Per-query spread goes to bench_results.json; the
+  * summary carries the worst spread so a noisy capture is visible in
+  * the artifact itself. The artifact also carries recall@10 of each
+  * approximate ANN variant vs the exact baseline ("recall") and any
+  * queries left unwarmed by a fatal warmup break ("cold").
   *
-  * Cross-round gate policy (flag rules and committed-prior refresh,
-  * both noise-aware) lives in [[BenchGate]] — pure functions, specced
-  * by BenchGateSpec without a Spark session.
+  * Cross-round gate policy (flag rules, committed-prior refresh, the
+  * agreement/trim rules — all noise-aware) lives in [[BenchGate]] —
+  * pure functions, specced by BenchGateSpec without a Spark session.
+  * A run that did not complete every query never refreshes the
+  * committed prior ([[BenchGate.mergedPrior]] `complete=false`).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -71,13 +81,9 @@ object Bench {
       """"sf_dir":"([^"]*)"""".r.findFirstMatchIn(txt)
         .forall(_.group(1) == sfDir)
     // Prior run's per-query medians, read BEFORE this run overwrites the
-    // artifact: cross-round regressions surface in the artifact itself
-    // (round 5's comparison required hand-reconstructing truncated chunk
-    // lines). Same-format file, so a targeted regex parse suffices; any
-    // failure just disables the comparison. Fallback to the legacy
-    // uncommitted artifact (useful for back-to-back local runs), with a
-    // same-SF guard — a prior at a different scale factor would flag
-    // phantom regressions on every query.
+    // artifact. Fallback to the legacy uncommitted artifact (useful for
+    // back-to-back local runs), with a same-SF guard — a prior at a
+    // different scale factor would flag phantom regressions everywhere.
     val prev: Map[String, Double] =
       try {
         if (java.nio.file.Files.exists(prevPath)) {
@@ -110,36 +116,15 @@ object Bench {
         }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.isEmpty || only(n))
-    // Warmup: non-fatal failures re-surface in the measured pass; a
-    // FATAL here (OOM-class) must not kill the process before any
-    // artifact exists — same contract as the measured-pass fatal path,
-    // so the measured loop (skipping nothing) reproduces the fatal and
-    // emits the artifact with value:-1. Queries left unwarmed by an
-    // early break run COLD in the measured pass — their timings are not
-    // comparable across rounds, so they are listed in the artifact's
-    // "cold" field for the cross-round reader to discount.
-    var cold = Seq.empty[String]
-    val warm = new scala.util.control.Breaks
-    warm.breakable {
-      names.foreach { n =>
-        try runFull(n) catch {
-          case scala.util.control.NonFatal(_) =>
-          case e: Throwable =>
-            System.err.println(s"[bench] warmup $n FATAL: $e")
-            cold = names.dropWhile(_ != n)
-            warm.break()
-        }
-      }
-    }
-    // A crashed query must NOT be reported as a near-zero timing: record
-    // -1 for it and list it in "failed" so the driver sees the signal.
-    // Three interleaved measured passes (pass 1 of all queries, then pass
-    // 2, then pass 3): a co-tenant spike lasting up to a whole pass can
-    // corrupt at most one of each query's three samples, and the median
-    // discards it. A query that crashes once is failed outright — no
-    // retry masking.
-    val passes = 3
+    // Sorted-name chunks sized so each part line stays ~500 bytes —
+    // well inside the driver's tail window — and the first part prints
+    // a couple of minutes in.
+    val chunkSize = 20
+    val chunkList = names.grouped(chunkSize).toSeq
+    val passes = 3 // max regular samples; trim/stat keep at most this many
     var failed = Set.empty[String]
+    var cold = Seq.empty[String]
+    var remeasured = Set.empty[String]
     // The first failure's exception class + message, carried into the
     // artifact: round 6's artifact showed 55 `-1`s but not WHY — the
     // cause had to be re-derived by rerunning Verify by hand.
@@ -147,85 +132,175 @@ object Bench {
     def noteErr(name: String, e: Throwable): Unit =
       if (firstErr.isEmpty) firstErr = Some(errLine(name, e))
     var fatal = false
+    // Once a warmup hits a FATAL (OOM-class) the JVM must not run more
+    // warmups; every query not yet warmed runs COLD in the measured
+    // passes — their timings are not cross-round comparable, so they
+    // are listed in "cold" for the reader to discount.
+    var warmBroken = false
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
-    val loop = new scala.util.control.Breaks
-    loop.breakable {
-      for (_ <- 1 to passes; name <- names if !failed(name)) {
-        val t0 = System.nanoTime()
-        try {
-          runFull(name)
-          samples(name) =
-            ((System.nanoTime() - t0) / 1e9) :: samples.getOrElse(name, Nil)
-        } catch {
-          case scala.util.control.NonFatal(e) =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            noteErr(name, e)
-            failed += name
-          case e: Throwable =>
-            // Fatal (OOM-class): the JVM is poisoned — any further
-            // timings would be garbage. Stop measuring, but still fall
-            // through and EMIT the artifact (value:-1 + this query in
-            // "failed"); dying here with no summary line would
-            // reproduce the parsed:null failure mode this protocol
-            // exists to prevent.
-            System.err.println(s"[bench] $name FATAL: $e")
-            noteErr(name, e)
-            failed += name
-            fatal = true
-            loop.break()
-        }
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val spreadsBuf = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+
+    // Locale.ROOT: f"%.3f" uses the JVM default locale, and a
+    // comma-decimal locale would emit invalid JSON.
+    def f3(v: Double): String =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def qJson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    def jArr(xs: Seq[String]): String =
+      xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // First failure cause, JSON-escaped — so a red artifact says WHY in
+    // the artifact itself. Length is bounded by errLine BEFORE escaping:
+    // truncating the escaped form could split an escape pair and emit
+    // an unterminated string, corrupting the whole summary line.
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => " "
+        case c => c.toString
+      } + "\""
+
+    // Subset (dev) runs write a SIDE file: overwriting the full-run
+    // artifact with a partial query map would destroy the baseline the
+    // next round's regression comparison reads.
+    val artifact =
+      if (only.isEmpty) "bench_results.json" else "bench_results_subset.json"
+
+    // Rewrite the on-disk artifact with everything measured so far —
+    // called after EVERY chunk, so a kill at any point leaves complete
+    // per-query data for the chunks that finished. `extra` carries the
+    // final run's recall/regression fields; provisional writes omit
+    // them (they are only computable at the end).
+    def writeArtifact(provisional: Boolean, extra: String): Unit = {
+      val done = results.count(_._2 >= 0)
+      val total = results.map(_._2).filter(_ >= 0).sum
+      val value = if (!provisional && failed.isEmpty) f3(total) else "-1"
+      val maxSpread =
+        if (spreadsBuf.isEmpty) 0.0 else spreadsBuf.map(_._2).max
+      val line =
+        s"""{"metric":"total","value":$value,"unit":"sec","n":${names.size},"completed":$done,"provisional":$provisional,"total_sec":${f3(total)},"passes":$passes,"stat":"median","max_spread_sec":${f3(maxSpread)},"queries":${qJson(results.toSeq)},"spread":${qJson(spreadsBuf.toSeq)}$extra,"remeasured":${jArr(remeasured.toSeq.sorted)},"cold":${jArr(cold)},"failed":${jArr(failed.toSeq.sorted)},"first_error":${firstErr.map(jstr).getOrElse("null")},"sf":"$sfDir"}"""
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(artifact), (line + "\n").getBytes("UTF-8"))
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] artifact write failed: $e")
       }
     }
-    // After a fatal abort, queries never reached in the first pass have
-    // no samples at all — report them as failed, not as timings.
-    if (fatal) failed ++= names.filterNot(samples.contains)
-    def median(xs: List[Double]): Double = {
-      val s = xs.sorted
-      s(s.size / 2)
+    def summaryLine(provisional: Boolean, recallJson: String,
+        regNamesJson: String): String = {
+      val done = results.count(_._2 >= 0)
+      val total = results.map(_._2).filter(_ >= 0).sum
+      val value = if (!provisional && failed.isEmpty) f3(total) else "-1"
+      val maxSpread =
+        if (spreadsBuf.isEmpty) 0.0 else spreadsBuf.map(_._2).max
+      s"""{"metric":"total","value":$value,"unit":"sec","n":${names.size},"completed":$done,"provisional":$provisional,"total_sec":${f3(total)},"passes":$passes,"stat":"median","max_spread_sec":${f3(maxSpread)},"recall":$recallJson,"regressions_vs_prev":$regNamesJson,"prev_n":${prev.size},"failed":${jArr(failed.toSeq.sorted)},"first_error":${firstErr.map(jstr).getOrElse("null")},"sf":"$sfDir","detail":"$artifact"}"""
     }
-    // Spread-triggered re-measure: a query whose three samples spread
-    // wider than max(1s, 2× its median) was hit by co-tenant noise —
-    // one more sample per extra pass (at most 2) tightens ITS stats
-    // without re-running the whole inventory. The final median/spread
-    // for a re-measured query come from the `passes` samples closest
-    // to its overall median, so one absorbed burst no longer dominates
-    // max_spread_sec while every raw sample stays in the artifact.
+
+    // One timed sample; returns false on a FATAL (OOM-class) throw —
+    // the JVM is poisoned, any further timings would be garbage, but
+    // the artifact must still be emitted (value:-1 + query in "failed");
+    // dying with no summary would reproduce the parsed:null failure
+    // mode this protocol exists to prevent.
+    def measure(name: String): Boolean = {
+      val t0 = System.nanoTime()
+      try {
+        runFull(name)
+        samples(name) =
+          ((System.nanoTime() - t0) / 1e9) :: samples.getOrElse(name, Nil)
+        true
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          noteErr(name, e)
+          failed += name
+          true
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FATAL: $e")
+          noteErr(name, e)
+          failed += name
+          fatal = true
+          false
+      }
+    }
+    // Still-noisy rule for the re-measure loop: spread beyond
+    // max(1s, 2× median) over ALL samples so far.
     def noisy(name: String): Boolean =
       !failed(name) && samples.get(name).exists { xs =>
-        xs.size >= passes && (xs.max - xs.min) > math.max(1.0, 2 * median(xs))
+        xs.size >= passes &&
+          (xs.max - xs.min) > math.max(1.0, 2 * BenchGate.stat(xs, passes))
       }
-    var remeasured = Set.empty[String]
-    if (!fatal) {
-      for (_ <- 1 to 2) {
-        for (name <- names if noisy(name)) {
-          remeasured += name
-          val t0 = System.nanoTime()
-          try {
-            runFull(name)
-            samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
-          } catch {
-            case scala.util.control.NonFatal(e) =>
-              System.err.println(s"[bench] $name FAILED on re-measure: ${e.getMessage}")
-              noteErr(name, e)
-              failed += name
+
+    val chunkLoop = new scala.util.control.Breaks
+    var partsPrinted = 0
+    chunkLoop.breakable {
+      for ((chunk, ci) <- chunkList.zipWithIndex) {
+        // Warmup (non-fatal failures re-surface in the measured pass).
+        if (!warmBroken) {
+          val w = new scala.util.control.Breaks
+          w.breakable {
+            for (n <- chunk) {
+              try runFull(n) catch {
+                case scala.util.control.NonFatal(_) =>
+                case e: Throwable =>
+                  System.err.println(s"[bench] warmup $n FATAL: $e")
+                  warmBroken = true
+                  cold = cold :+ n
+                  w.break()
+              }
+            }
           }
+          if (warmBroken)
+            cold = (cold ++ chunk.dropWhile(c => !cold.contains(c)).drop(1))
+              .distinct
+        } else cold = (cold ++ chunk).distinct
+        // Two interleaved measured passes over the chunk.
+        for (_ <- 1 to 2; n <- chunk if !fatal && !failed(n)) measure(n)
+        // Third pass only for pass-1/pass-2 disagreers.
+        for (n <- chunk if !fatal && !failed(n)
+            && samples.get(n).exists(xs =>
+              xs.size == 2 && !BenchGate.passesAgree(xs.head, xs(1))))
+          measure(n)
+        // Up to two re-measure samples for still-noisy queries.
+        for (_ <- 1 to 2; n <- chunk if !fatal && noisy(n)) {
+          remeasured += n
+          measure(n)
         }
+        // Chunk close-out: publish stats, print the part line, rewrite
+        // the artifact, print a provisional summary — so a kill during
+        // ANY later chunk leaves this one fully recorded.
+        val chunkResults = chunk.map { n =>
+          n -> (if (failed(n) || !samples.contains(n)) -1.0
+                else BenchGate.stat(samples(n), passes))
+        }
+        results ++= chunkResults
+        spreadsBuf ++= chunk.collect {
+          case n if !failed(n) && samples.get(n).exists(_.size >= 2) =>
+            n -> BenchGate.spreadOf(samples(n), passes)
+        }
+        partsPrinted += 1
+        println(s"""{"part":$partsPrinted,"of":${chunkList.size},"queries":${qJson(chunkResults)}}""")
+        val last = ci == chunkList.size - 1
+        writeArtifact(provisional = !last && !fatal, extra = "")
+        if (!last && !fatal)
+          println(summaryLine(provisional = true, "{}", "[]"))
+        if (fatal) chunkLoop.break()
       }
     }
-    // The `passes` samples nearest the overall median (trimmed set).
-    def trimmed(name: String): List[Double] = {
-      val xs = samples(name)
-      val m = median(xs)
-      xs.sortBy(x => math.abs(x - m)).take(passes)
+    // After a fatal abort, queries never reached have no samples —
+    // report them as failed with -1 timings, and emit their part lines
+    // so the stdout record covers the full inventory.
+    if (results.size < names.size) {
+      val unreached = names.drop(results.size)
+      failed ++= unreached
+      unreached.grouped(chunkSize).foreach { chunk =>
+        val rs = chunk.map(_ -> -1.0)
+        results ++= rs
+        partsPrinted += 1
+        println(s"""{"part":$partsPrinted,"of":${chunkList.size},"queries":${qJson(rs)}}""")
+      }
     }
-    val results = names.map { name =>
-      name -> (if (failed(name)) -1.0 else median(trimmed(name)))
-    }
-    val spreads = names.collect {
-      case name if !failed(name) && samples(name).size >= passes =>
-        val t = trimmed(name)
-        name -> (t.max - t.min)
-    }
+
     // Approximate-query quality, computed inside the bench run — row
     // counts (the only driver-side signal for no-oracle queries) cannot
     // catch an index/bucketing regression; these numbers can. Tiny
@@ -266,98 +341,33 @@ object Bench {
       recallOf("dd_cosine_neardup", Seq("dd_semantic"), Seq("id_a", "id_b"))
     // Cross-round regressions — policy in [[BenchGate.regressionFlags]]:
     // >1.5× slower AND delta above max(0.5s, 3× the query's own spread).
-    // The spread term is what the round-7 artifact showed missing: all
-    // three of its flags had per-query spread ≥ their delta (phantoms
-    // from a 6.9s-spread co-tenant window), while a real shift — the
-    // deliberate PQ k=32 retune — had spread ≪ delta and still flags.
     // Cold queries (unwarmed after a warmup fatal) are excluded: their
     // timings are not comparable across rounds by this file's own
     // contract, so a cold 1.8s vs a prior warm 1.0s must not read as a
     // regression.
-    val regressions =
-      BenchGate.regressionFlags(results, prev, spreads.toMap, cold)
-    // Locale.ROOT: f"%.3f" uses the JVM default locale, and a
-    // comma-decimal locale would emit invalid JSON.
-    def f3(v: Double): String =
-      if (v < 0) "-1"
-      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def qJson(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val failedJson =
-      failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // A run with failures must never have its total compared against a
-    // clean run's (the missing queries would read as a speedup): value is
-    // -1 unless every query completed; "completed"/"n" carry the counts.
-    val value = if (failed.isEmpty) f3(total) else "-1"
-    // Worst per-query spread: if this rivals the query timings themselves
-    // the capture was noisy and the total shouldn't be trusted blindly.
-    val maxSpread = if (spreads.isEmpty) 0.0 else spreads.map(_._2).max
-    val recallJson = qJson(recall)
-    val coldJson = cold.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val remeasuredJson =
-      remeasured.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // Summary carries at most 8 regressed names (it must stay inside the
-    // driver's ~2 KB tail window); the full ratio map is in the on-disk
-    // artifact. "prev_n":0 distinguishes "no prior run" from "no
-    // regressions".
-    // Subset (dev) runs write a SIDE file: overwriting the full-run
-    // artifact with a partial query map would destroy the baseline the
-    // next round's regression comparison reads.
-    val artifact =
-      if (only.isEmpty) "bench_results.json" else "bench_results_subset.json"
-    val regSummaryJson = regressions.toSeq.sortBy(-_._2).take(8)
-      .map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val regressions = BenchGate.regressionFlags(
+      results.toSeq, prev, spreadsBuf.toMap, cold)
+    val regSummaryJson = jArr(
+      regressions.toSeq.sortBy(-_._2).take(8).map(_._1))
     val regFullJson = qJson(regressions.toSeq.sortBy(-_._2))
-    // First failure cause, JSON-escaped — so a red artifact says WHY in
-    // the artifact itself. Length is bounded by errLine BEFORE escaping:
-    // truncating the escaped form could split an escape pair and emit
-    // an unterminated string, corrupting the whole summary line.
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => " "
-        case c => c.toString
-      } + "\""
-    val firstErrJson = firstErr.map(jstr).getOrElse("null")
-    val summary =
-      s"""{"metric":"total","value":$value,"unit":"sec","n":${names.size},"completed":${names.size - failed.size},"total_sec":${f3(total)},"passes":$passes,"stat":"median","max_spread_sec":${f3(maxSpread)},"recall":$recallJson,"regressions_vs_prev":$regSummaryJson,"prev_n":${prev.size},"failed":$failedJson,"first_error":$firstErrJson,"sf":"$sfDir","detail":"$artifact"}"""
-    // Chunk timings into standalone JSON lines of ~600 bytes each.
-    val chunks = {
-      val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Double)]]
-      var cur = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-      var len = 0
-      results.foreach { kv =>
-        val entryLen = kv._1.length + 12
-        if (len + entryLen > 600 && cur.nonEmpty) {
-          buf += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer.empty; len = 0
-        }
-        cur += kv; len += entryLen
-      }
-      if (cur.nonEmpty) buf += cur.toSeq
-      buf.toSeq
-    }
-    val fullLine =
-      s"""{"metric":"total","value":$value,"unit":"sec","n":${names.size},"completed":${names.size - failed.size},"total_sec":${f3(total)},"passes":$passes,"stat":"median","max_spread_sec":${f3(maxSpread)},"queries":${qJson(results)},"spread":${qJson(spreads)},"recall":$recallJson,"regressions_vs_prev":$regFullJson,"prev_n":${prev.size},"remeasured":$remeasuredJson,"cold":$coldJson,"failed":$failedJson,"first_error":$firstErrJson,"sf":"$sfDir"}"""
-    // Complete results on disk survive any stdout truncation — written
-    // BEFORE spark.stop(), which may itself wedge in a poisoned JVM.
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(artifact),
-      (fullLine + "\n").getBytes("UTF-8"))
+    val recallJson = qJson(recall)
+    // Final artifact: complete results + the end-of-run-only fields.
+    writeArtifact(provisional = false,
+      extra = s""","recall":$recallJson,"regressions_vs_prev":$regFullJson,"prev_n":${prev.size}""")
     // Refresh the committed prior for the NEXT run's regression gate —
-    // policy in [[BenchGate.mergedPrior]]: a fatal run never writes, a
-    // quiet run's medians replace the prior, a NOISY run (max spread >
-    // 1s, like the round-7 driver window that baked a 1.7×-inflated
-    // dd_ngram_jaccard median into the gate) only merges per-query
-    // minima, so co-tenant inflation cannot overwrite quiet baselines.
-    // Merging over the existing prior means a query that failed this
-    // time keeps its last good number (round 6's 55 dark queries would
-    // otherwise have erased their priors). Full runs only — a dev
-    // subset must not shrink the baseline. COLD timings are excluded
-    // for the same reason they are excluded from the regression check.
+    // policy in [[BenchGate.mergedPrior]]: a fatal or INCOMPLETE run
+    // never writes (round 10 closed on a 67/221 artifact; its floors
+    // must not leak), a quiet run's medians replace the prior, a NOISY
+    // run (max spread > 1s) only merges per-query minima, so co-tenant
+    // inflation cannot overwrite quiet baselines. Merging over the
+    // existing prior means a query missing this time keeps its last
+    // good number. Full runs only — a dev subset must not shrink the
+    // baseline. COLD timings are excluded for the same reason they are
+    // excluded from the regression check.
+    val maxSpread = if (spreadsBuf.isEmpty) 0.0 else spreadsBuf.map(_._2).max
     if (only.isEmpty)
-      BenchGate.mergedPrior(prev, results, cold, maxSpread, fatal).foreach {
+      BenchGate.mergedPrior(prev, results.toSeq, cold, maxSpread, fatal,
+        complete = failed.isEmpty && results.size == names.size).foreach {
         merged =>
           try {
             val mergedJson = qJson(merged.toSeq.sortBy(_._1))
@@ -371,10 +381,8 @@ object Bench {
       }
     spark.stop()
     // After spark.stop() so no stray executor logging lands after it; the
-    // short summary line goes LAST so the tail window always contains it.
-    chunks.zipWithIndex.foreach { case (c, i) =>
-      println(s"""{"part":${i + 1},"of":${chunks.size},"queries":${qJson(c)}}""")
-    }
-    println(summary)
+    // final short summary line goes LAST so the tail window always
+    // contains it.
+    println(summaryLine(provisional = false, recallJson, regSummaryJson))
   }
 }

@@ -34,6 +34,44 @@ object BenchGate {
     */
   val SpreadMult = 3.0
 
+  /** Two-pass agreement rule: after the first two measured passes, a
+    * query whose samples already agree within noise skips the third
+    * pass entirely. Round 10's ~42-min protocol wall (3 unconditional
+    * passes + re-measures over 221 queries) overflowed the driver's
+    * budget and turned a healthy 221/221 run into rc=124/parsed:null;
+    * most queries' pass-1/pass-2 samples agree to well under this
+    * bound, so the third pass buys nothing for them. Agreement =
+    * absolute gap within max(0.5s, half the faster sample).
+    */
+  def passesAgree(a: Double, b: Double): Boolean =
+    math.abs(a - b) <= math.max(0.5, 0.5 * math.min(a, b))
+
+  /** The samples a query's published stat comes from: the `keep`
+    * SMALLEST. Round 10 instead kept the `keep` nearest the overall
+    * median, and a co-tenant burst long enough to pollute 3 of 5
+    * samples dragged the median itself — w22_rolling_corr published
+    * 12.1s (spread 9.8s) against 3.85s isolated minutes later. On a
+    * shared box noise only ever INFLATES a timing, so the smallest
+    * samples are the trustworthy ones.
+    */
+  def trimmed(samples: List[Double], keep: Int): List[Double] =
+    samples.sorted.take(keep)
+
+  /** Published stat over the trimmed samples: median for 3+, min for a
+    * two-sample (agreeing) query — the two agree within noise and noise
+    * only inflates, so the min is the cleaner estimate.
+    */
+  def stat(samples: List[Double], keep: Int): Double = {
+    val t = trimmed(samples, keep)
+    if (t.size <= 2) t.head else t(t.size / 2)
+  }
+
+  /** Published spread (max−min) over the same trimmed samples. */
+  def spreadOf(samples: List[Double], keep: Int): Double = {
+    val t = trimmed(samples, keep)
+    t.max - t.min
+  }
+
   /** Queries that completed in both runs and got decisively slower:
     * ratio above [[RatioFloor]] AND delta above both [[AbsFloorSec]]
     * and [[SpreadMult]]× the query's own spread. Cold (unwarmed)
@@ -54,6 +92,10 @@ object BenchGate {
 
   /** The next committed prior, or None to leave the file untouched.
     *
+    *  - An INCOMPLETE run (completed < n: fatal abort, a failed query,
+    *    or a kill before the last chunk) never writes — round 10 closed
+    *    with a 67/221 artifact on disk, and a partial run's floors must
+    *    not leak into the gate the next full run compares against.
     *  - A FATAL run (OOM-class abort) never writes: its samples come
     *    from a degrading JVM and possibly fewer than the full passes.
     *  - A QUIET run (max spread ≤ [[QuietSpreadSec]]) replaces each
@@ -72,8 +114,9 @@ object BenchGate {
       results: Seq[(String, Double)],
       cold: Seq[String],
       maxSpread: Double,
-      fatal: Boolean): Option[Map[String, Double]] = {
-    if (fatal) None
+      fatal: Boolean,
+      complete: Boolean = true): Option[Map[String, Double]] = {
+    if (fatal || !complete) None
     else {
       val completed = results.collect {
         case (n, v) if v > 0 && !cold.contains(n) => n -> v }

@@ -22,6 +22,13 @@ object RecallSweep {
     spark.sparkContext.setLogLevel("ERROR")
     val exact = operators.Similarity.annTopkExact(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
+    // Exact near-dup PAIR baseline for the sem: mode — computed once,
+    // only if a sem: point is requested (the all-pairs pass is the
+    // expensive exact baseline SemDeDup exists to avoid).
+    lazy val exactPairs: Set[(Long, Long)] =
+      SparkEntry.queries("dd_cosine_neardup")(spark, sfDir)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
     // The corpus-derived config (round 8: cells ∝ N, probes at the
     // constant scan fraction) — printed so every sweep records the
     // shipped geometry it ran against. (`locally`: a bare block here
@@ -76,6 +83,26 @@ object RecallSweep {
         val Array(_, fam, pctS) = cfg.split(":")
         driftPoint(spark, sfDir, exact, "rebuild", fam, pctS.toInt,
           rebuild = true)
+      // sem:<cells>:<assign> — SemDeDup PAIR recall vs the exact
+      // all-pairs cosine pass (dd_cosine_neardup), the number the bench
+      // artifact floors for dd_semantic; sweeps the coarse-cell count
+      // and the multi-assignment breadth together since pair recall
+      // trades against candidate volume ∝ assign²·N²/cells.
+      case cfg if cfg.startsWith("sem:") =>
+        val Array(_, c, a) = cfg.split(":")
+        val t0 = System.nanoTime()
+        val got = operators.Similarity
+          .semanticNearDupTuned(spark, sfDir, c.toInt, a.toInt,
+            operators.Dedup.CosTau)
+          .select("id_a", "id_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val sec = (System.nanoTime() - t0) / 1e9
+        val ep = exactPairs
+        val recall =
+          if (ep.isEmpty) Double.NaN
+          else ep.count(got.contains).toDouble / ep.size
+        println(f"sem cells=${c.toInt}%-4d assign=${a.toInt}%-2d  " +
+          f"pair_recall=$recall%.3f pairs=${got.size}%-6d sec=$sec%.1f")
       // mm:<cells>:<probes>:<iters>[:assign] — same grid point with
       // k-means++ (d²-weighted) coarse seeding instead of rank
       // seeding; the (cfg, mm:cfg) recall pair isolates what seed

@@ -254,10 +254,15 @@ object Graph {
     val cs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
       .distinct()
-    cs.select((col("c") * 2).cast("long").as("src"),
-        (col("sup") * 2 + 1).cast("long").as("dst"))
-      .union(cs.select((col("sup") * 2 + 1).cast("long").as("src"),
-        (col("c") * 2).cast("long").as("dst")))
+    // Cast to long BEFORE the ×2 encode: Tables allows INT keys, and a
+    // custkey above 2^30 would wrap in 32-bit arithmetic pre-cast at
+    // the large scale factors this family targets (DuckDB's oracle
+    // arithmetic would not wrap the same way, so the gate would also
+    // diverge).
+    val c2 = col("c").cast("long") * 2
+    val s2 = col("sup").cast("long") * 2 + 1
+    cs.select(c2.as("src"), s2.as("dst"))
+      .union(cs.select(s2.as("src"), c2.as("dst")))
   }
 
   val queries: Map[String, Query] = Map(
@@ -285,8 +290,8 @@ object Graph {
     Map("g1_pagerank" ->
       s"""WITH cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sup
          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-         |e AS (SELECT c * 2 AS src, sup * 2 + 1 AS dst FROM cs
-         |      UNION ALL SELECT sup * 2 + 1, c * 2 FROM cs),
+         |e AS (SELECT CAST(c AS BIGINT) * 2 AS src, CAST(sup AS BIGINT) * 2 + 1 AS dst FROM cs
+         |      UNION ALL SELECT CAST(sup AS BIGINT) * 2 + 1, CAST(c AS BIGINT) * 2 FROM cs),
          |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY src),
          |n0 AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
          |r0d AS (SELECT node, CAST(1 AS DOUBLE) / n AS rank, deg
@@ -337,8 +342,8 @@ object Graph {
         s"""WITH RECURSIVE cs AS (SELECT DISTINCT o_custkey AS c,
            |    l_suppkey AS sup
            |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-           |e AS (SELECT c * 2 AS src, sup * 2 + 1 AS dst FROM cs
-           |      UNION ALL SELECT sup * 2 + 1, c * 2 FROM cs),
+           |e AS (SELECT CAST(c AS BIGINT) * 2 AS src, CAST(sup AS BIGINT) * 2 + 1 AS dst FROM cs
+           |      UNION ALL SELECT CAST(sup AS BIGINT) * 2 + 1, CAST(c AS BIGINT) * 2 FROM cs),
            |b(node, dist) AS (
            |  SELECT CAST($BfsSource AS BIGINT), 0
            |  UNION

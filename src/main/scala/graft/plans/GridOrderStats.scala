@@ -2,14 +2,16 @@ package graft.plans
 
 import graft.operators.Relational
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference,
-  Cast, CreateArray, CreateStruct, Expression, GetStructField, If, IsNull,
-  KnownNotNull, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And,
+  AttributeReference, Cast, CreateArray, CreateStruct, EqualNullSafe,
+  Expression, GetStructField, If, IsNull, KnownNotNull, Literal,
+  NamedExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
   Complete, Percentile}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan,
-  Project}
+import org.apache.spark.sql.catalyst.plans.{Cross, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, JoinHint,
+  LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftglue.Glue
@@ -107,13 +109,22 @@ object GridOrderStatsRule extends Rule[LogicalPlan] {
     // One value expression per rewrite; all hits must share it.
     if (!hits.tail.forall(_.pc.child.semanticEquals(hits.head.pc.child)))
       return false
-    // Every output column is a grouping attribute (possibly re-aliased)
-    // or one of the hits — no mixed sum/count legs in v1.
+    // Every output column is a grouping attribute (possibly re-aliased),
+    // one of the hits, or a RESIDUAL leg — any aliased expression with
+    // no Percentile anywhere in its tree (sum/count/avg/min/max legs,
+    // including arithmetic over them like sum(x)/count(*)). Residual
+    // legs keep running as an ordinary Aggregate over the same child
+    // and join back on the grouping keys; real BI SQL mixes `median(x)`
+    // with `count(*)` in one GROUP BY, and v1's bail-out sent exactly
+    // those queries back to the buffering builtin. A Percentile INSIDE
+    // arithmetic (median(x)+1) still bails — only direct aliases
+    // rewrite.
     agg.aggregateExpressions.forall {
       case ar: AttributeReference => keyIds.contains(ar.exprId)
       case al: Alias => al.child match {
         case ar: AttributeReference => keyIds.contains(ar.exprId)
-        case _ => hitOf(al).isDefined
+        case _ => hitOf(al).isDefined ||
+          !al.child.exists(_.isInstanceOf[Percentile])
       }
       case _ => false
     }
@@ -122,8 +133,21 @@ object GridOrderStatsRule extends Rule[LogicalPlan] {
   private def rewrite(agg: Aggregate): LogicalPlan = {
     val spark = SparkSession.active
     val keys = agg.groupingExpressions.map(_.asInstanceOf[AttributeReference])
+    val keyIds = keys.map(_.exprId).toSet
     val keyNames = keys.indices.map(i => s"__gk$i")
     val hits = agg.aggregateExpressions.flatMap(hitOf)
+    // Residual legs: aliased non-Percentile aggregate expressions. They
+    // re-run as an ordinary Aggregate over the same child (the ORIGINAL
+    // Alias objects, so their exprIds survive) and join back on the
+    // grouping keys. This reads the child twice — the price of turning
+    // the percentile legs' single-reducer value buffer into the grid
+    // plan; the residual pass itself stays map-side-combinable.
+    val residual = agg.aggregateExpressions.collect {
+      case al: Alias if (al.child match {
+        case ar: AttributeReference => !keyIds.contains(ar.exprId)
+        case _ => hitOf(al).isEmpty
+      }) => al
+    }
     val ps = hits.flatMap(_.ps)
     // First flat __q ordinal of each hit (array hits own a range).
     val hitOffsets = hits.map(_.ps.length).scanLeft(0)(_ + _)
@@ -139,7 +163,12 @@ object GridOrderStatsRule extends Rule[LogicalPlan] {
       Alias(Cast(hits.head.pc.child, DoubleType), "v")()
     val base = Glue.ofRows(spark,
       Project(projList.toSeq, agg.child))
-    val res = gridPercentiles(base, keyNames, ps)
+    // When residual legs exist their Aggregate already yields exactly
+    // one row per group (incl. all-NULL-value and NULL-keyed groups),
+    // so the grid side can skip its own all-keys frame — the join
+    // below re-attaches missing groups as NULL quantiles.
+    val res = gridPercentiles(base, keyNames, ps,
+      needAllKeys = residual.isEmpty)
     // The replacement subtree must be OPTIMIZED, not merely analyzed:
     // it contains Deduplicate/ResolvedHint nodes that only early
     // optimizer batches rewrite, and when this rule runs from a late
@@ -151,8 +180,6 @@ object GridOrderStatsRule extends Rule[LogicalPlan] {
     val resolved = res.queryExecution.optimizedPlan
     val byName = resolved.output.map(a => a.name -> a).toMap
     var hitIdx = -1
-    def unwrapKey(i: Int): Expression =
-      GetStructField(byName(keyNames(i)), 0, None)
     // Scalar hit → its __q column. Array hit → the builtin's array
     // shape: NULL for an empty group (never an array OF nulls — a
     // non-empty group's quantiles are provably non-null, so the first
@@ -168,23 +195,70 @@ object GridOrderStatsRule extends Rule[LogicalPlan] {
           Literal(null, ArrayType(DoubleType, containsNull = false)),
           CreateArray(elems))
       }
-    val outs: Seq[NamedExpression] = agg.aggregateExpressions.map {
-      case ar: AttributeReference =>
-        val i = keys.indexWhere(_.exprId == ar.exprId)
-        Alias(unwrapKey(i), ar.name)(exprId = ar.exprId)
-      case al: Alias => al.child match {
+    if (residual.isEmpty) {
+      def unwrapKey(i: Int): Expression =
+        GetStructField(byName(keyNames(i)), 0, None)
+      val outs: Seq[NamedExpression] = agg.aggregateExpressions.map {
         case ar: AttributeReference =>
           val i = keys.indexWhere(_.exprId == ar.exprId)
-          Alias(unwrapKey(i), al.name)(exprId = al.exprId)
-        case _ =>
-          hitIdx += 1
-          Alias(hitExpr(hits(hitIdx), hitOffsets(hitIdx)), al.name)(
-            exprId = al.exprId)
+          Alias(unwrapKey(i), ar.name)(exprId = ar.exprId)
+        case al: Alias => al.child match {
+          case ar: AttributeReference =>
+            val i = keys.indexWhere(_.exprId == ar.exprId)
+            Alias(unwrapKey(i), al.name)(exprId = al.exprId)
+          case _ =>
+            hitIdx += 1
+            Alias(hitExpr(hits(hitIdx), hitOffsets(hitIdx)), al.name)(
+              exprId = al.exprId)
+        }
+        case other => // unreachable under eligible()
+          throw new IllegalStateException(
+            s"unexpected aggregate output $other")
       }
-      case other => // unreachable under eligible()
-        throw new IllegalStateException(s"unexpected aggregate output $other")
+      Project(outs, resolved)
+    } else {
+      // Mixed legs: the residual Aggregate (original Alias objects, so
+      // downstream references resolve unchanged) provides one row per
+      // group — exactly the builtin's row set — and the grid result
+      // LEFT-joins onto it per grouping key, null-safely so NULL-keyed
+      // groups match their grid row. Global form: both sides are
+      // single-row frames, a 1×1 broadcast nested-loop join.
+      val keyAliases = keys.zipWithIndex.map { case (k, i) =>
+        Alias(k, s"__rk$i")() }
+      val residualAgg = Aggregate(agg.groupingExpressions,
+        (keyAliases ++ residual).toSeq, agg.child)
+      val joined =
+        if (keys.isEmpty)
+          Join(residualAgg, resolved, Cross, None, JoinHint.NONE)
+        else {
+          val cond = keys.indices
+            .map { i =>
+              EqualNullSafe(keyAliases(i).toAttribute,
+                GetStructField(byName(keyNames(i)), 0, None))
+            }
+            .reduceLeft[Expression](And(_, _))
+          Join(residualAgg, resolved, LeftOuter, Some(cond), JoinHint.NONE)
+        }
+      val outs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+        case ar: AttributeReference =>
+          val i = keys.indexWhere(_.exprId == ar.exprId)
+          Alias(keyAliases(i).toAttribute, ar.name)(exprId = ar.exprId)
+        case al: Alias => al.child match {
+          case ar: AttributeReference if keyIds.contains(ar.exprId) =>
+            val i = keys.indexWhere(_.exprId == ar.exprId)
+            Alias(keyAliases(i).toAttribute, al.name)(exprId = al.exprId)
+          case _ if hitOf(al).isDefined =>
+            hitIdx += 1
+            Alias(hitExpr(hits(hitIdx), hitOffsets(hitIdx)), al.name)(
+              exprId = al.exprId)
+          case _ => al.toAttribute // residual leg, exprId preserved
+        }
+        case other => // unreachable under eligible()
+          throw new IllegalStateException(
+            s"unexpected aggregate output $other")
+      }
+      Project(outs, joined)
     }
-    Project(outs, resolved)
   }
 
   /** The grid plan: distinct-value collapse → two-phase prefix sums →
@@ -198,11 +272,10 @@ object GridOrderStatsRule extends Rule[LogicalPlan] {
     * property (no buffering reducer, no single sort task) is unaffected.
     */
   private def gridPercentiles(base: DataFrame, keyNames: Seq[String],
-      ps: Seq[Double]): DataFrame = {
+      ps: Seq[Double], needAllKeys: Boolean): DataFrame = {
     val global = keyNames.isEmpty
     val keys = if (global) Seq("__gkc") else keyNames
     val withKeys = if (global) base.withColumn("__gkc", lit(0)) else base
-    val allKeys = withKeys.select(keys.map(col): _*).distinct()
     val counts = withKeys.filter(col("v").isNotNull)
       .groupBy((keys :+ "v").map(col): _*).agg(count(lit(1)).as("c"))
     val tot = counts.groupBy(keys.map(col): _*).agg(sum("c").as("n"))
@@ -241,9 +314,15 @@ object GridOrderStatsRule extends Rule[LogicalPlan] {
       scored.groupBy()
         .agg(min(col("__q0")).as("__q0"),
           ps.indices.drop(1).map(i => min(col(s"__q$i")).as(s"__q$i")): _*)
+    } else if (!needAllKeys) {
+      // A residual Aggregate upstream already carries the full group
+      // list (incl. all-NULL-value groups); skipping the all-keys frame
+      // here avoids a second pass over the child.
+      scored
     } else {
       // Null-safe left join keeps all-NULL (and NULL-keyed) groups in
       // the output with NULL quantiles — the builtin's row set.
+      val allKeys = withKeys.select(keys.map(col): _*).distinct()
       val cond = keys.map(k => allKeys(k) <=> scored(k)).reduce(_ && _)
       allKeys.join(scored, cond, "left")
         .select(keys.map(allKeys(_)) ++

@@ -345,20 +345,32 @@ private object TextFilters {
     () => tris.forall(t => { val r = t(); r != null && r })
   }
 
+  /** Spark SQL's double ordering, NOT Java primitive comparison: the
+    * text format parses "NaN"/"Infinity" tokens (Double.parseDouble
+    * accepts both), and pushFilters() returns only the residual — Spark
+    * never re-checks a pushed predicate, so a primitive `>` (all NaN
+    * comparisons false) would silently drop NaN rows Spark's own
+    * evaluator keeps. Mirror of SQLOrderingUtil.compareDoubles:
+    * `==` first so -0.0 equals 0.0, then Double.compare so NaN equals
+    * NaN and sorts greater than every other value.
+    */
+  private def sparkCompare(x: Double, y: Double): Int =
+    if (x == y) 0 else java.lang.Double.compare(x, y)
+
   private def compileOne(f: Filter, ord: Map[String, Int],
       vals: Array[Double], nulls: Array[Boolean]): Tri = {
-    def cmp(attr: String, v: Any, op: (Double, Double) => Boolean): Tri = {
+    def cmp(attr: String, v: Any, op: Int => Boolean): Tri = {
       val i = ord(attr)
       val lit = v.asInstanceOf[Number].doubleValue()
       () => if (nulls(i)) null else java.lang.Boolean.valueOf(
-        op(vals(i), lit))
+        op(sparkCompare(vals(i), lit)))
     }
     f match {
-      case EqualTo(a, v) => cmp(a, v, _ == _)
-      case GreaterThan(a, v) => cmp(a, v, _ > _)
-      case GreaterThanOrEqual(a, v) => cmp(a, v, _ >= _)
-      case LessThan(a, v) => cmp(a, v, _ < _)
-      case LessThanOrEqual(a, v) => cmp(a, v, _ <= _)
+      case EqualTo(a, v) => cmp(a, v, _ == 0)
+      case GreaterThan(a, v) => cmp(a, v, _ > 0)
+      case GreaterThanOrEqual(a, v) => cmp(a, v, _ >= 0)
+      case LessThan(a, v) => cmp(a, v, _ < 0)
+      case LessThanOrEqual(a, v) => cmp(a, v, _ <= 0)
       case IsNull(a) =>
         val i = ord(a); () => java.lang.Boolean.valueOf(nulls(i))
       case IsNotNull(a) =>

@@ -91,6 +91,39 @@ class BenchGateSpec extends AnyFunSuite {
       Map("inflated" -> 2.69, "sped_up" -> 1.1, "new" -> 0.7)))
   }
 
+  test("a co-tenant burst polluting a majority of samples is discarded") {
+    // w22_rolling_corr, round 10: published 12.1s (spread 9.8s) while
+    // the same query measured 3.85s in isolation minutes later. The
+    // burst spanned 3 of the 5 samples, so the nearest-to-overall-
+    // median trim kept burst samples — the burst dragged the median
+    // itself. The smallest-3 trim publishes the clean cluster.
+    val polluted = List(11.9, 12.1, 13.6, 3.9, 3.8)
+    assert(BenchGate.stat(polluted, 3) === 3.9)
+    // With fewer burst samples the result is unchanged vs a median.
+    assert(BenchGate.stat(List(3.8, 12.1, 3.9), 3) === 3.9)
+  }
+
+  test("two agreeing passes publish the min; disagreers get a 3rd pass") {
+    assert(BenchGate.passesAgree(1.0, 1.2))
+    assert(BenchGate.stat(List(1.2, 1.0), 3) === 1.0)
+    // Half-the-faster-sample bound: a 6s query may jitter by 2s...
+    assert(BenchGate.passesAgree(6.0, 8.0))
+    // ...but a 3× gap is a disagreement at any size above the floor.
+    assert(!BenchGate.passesAgree(1.0, 3.0))
+    // Sub-half-second gaps always agree (scheduler noise floor).
+    assert(BenchGate.passesAgree(0.1, 0.55))
+  }
+
+  test("an incomplete run never refreshes the prior") {
+    // Round 10 closed with a 67/221 artifact on disk; a partial run's
+    // floors must not leak into the committed gate.
+    assert(BenchGate.mergedPrior(
+      prev = Map("q" -> 1.0),
+      results = Seq("q" -> 0.4),
+      cold = Nil, maxSpread = 0.1, fatal = false,
+      complete = false).isEmpty)
+  }
+
   test("failed and cold results never enter the prior in any mode") {
     for (spread <- Seq(0.1, 9.0)) {
       val merged = BenchGate.mergedPrior(

@@ -123,13 +123,13 @@ class GridRewriteSpec extends GraftSuite {
 
   test("out-of-scope shapes keep the builtin and stay correct") {
     fixture(spark); fixture(rewritten)
-    // Mixed other aggregates, DISTINCT, FILTER: all must NOT be
-    // rewritten — and still agree with the baseline session.
+    // DISTINCT, FILTER, and a Percentile inside arithmetic: all must
+    // NOT be rewritten — and still agree with the baseline session.
     val guards = Seq(
-      "SELECT k, median(v) AS med, count(*) AS n FROM grs GROUP BY k",
       "SELECT k, percentile(DISTINCT v, 0.5) AS med FROM grs GROUP BY k",
       "SELECT k, percentile(v, 0.5) FILTER (WHERE v > 1) AS med " +
-        "FROM grs GROUP BY k")
+        "FROM grs GROUP BY k",
+      "SELECT k, median(v) + 1 AS medp1 FROM grs GROUP BY k")
     guards.foreach { q =>
       val qe = rewritten.sql(q).queryExecution
       assert(qe.optimizedPlan.toString.toLowerCase.contains("percentile"),
@@ -138,6 +138,52 @@ class GridRewriteSpec extends GraftSuite {
       val g = rewritten.sql(q).collect().map(_.toString).sorted.toSeq
       assert(b == g, q)
     }
+  }
+
+  test("mixed sum/count legs rewrite; residual joins back bit-equal") {
+    fixture(spark); fixture(rewritten)
+    // Real BI SQL mixes median with plain aggregates in one GROUP BY —
+    // v1 bailed on exactly this shape and kept the buffering builtin.
+    // The percentile legs take the grid plan; the residual legs run as
+    // an ordinary Aggregate joined back on the (null-safe) group key.
+    val q =
+      """SELECT k, median(v) AS med, count(*) AS n, sum(v) AS sv,
+        |  avg(v) AS av, sum(v) / count(v) AS ratio,
+        |  percentile(v, array(0.25, 0.75)) AS iqr
+        |FROM grs GROUP BY k""".stripMargin
+    val opt = rewritten.sql(q).queryExecution.optimizedPlan.toString
+    assert(!opt.toLowerCase.contains("percentile"), opt.take(1500))
+    def canon(s: SparkSession) = s.sql(q).collect()
+      .map(r => (0 until r.length).map(i => Option(r.get(i))).toList)
+      .sortBy(_.head.map(_.toString).getOrElse(""))
+    val b = canon(spark)
+    val g = canon(rewritten)
+    assert(b.length == g.length && b.length == 6)
+    b.zip(g).foreach { case (x, y) => assert(x == y, s"\n$x\n$y") }
+    assert(spark.sql(q).schema == rewritten.sql(q).schema)
+    // The all-NULL group keeps NULL quantiles but a live count(*).
+    assert(g.exists(r => r.head.contains("d") && r(1).isEmpty &&
+      r(2).contains(2L)))
+    // The NULL group key joins back null-safely (present exactly once).
+    assert(g.count(_.head.isEmpty) == 1)
+  }
+
+  test("global mixed legs keep the one-row contract, even on empty input") {
+    fixture(spark); fixture(rewritten)
+    val q = "SELECT median(v) AS med, count(*) AS n FROM grs"
+    assert(!rewritten.sql(q).queryExecution.optimizedPlan
+      .toString.toLowerCase.contains("percentile"))
+    val b = spark.sql(q).collect()
+    val g = rewritten.sql(q).collect()
+    assert(b.length == 1 && g.length == 1)
+    assert(b.head.getDouble(0) == g.head.getDouble(0))
+    assert(b.head.getLong(1) == g.head.getLong(1))
+    val qe = "SELECT median(v) AS med, count(*) AS n FROM grs WHERE v > 1e18"
+    val be = spark.sql(qe).collect()
+    val ge = rewritten.sql(qe).collect()
+    assert(be.length == 1 && ge.length == 1)
+    assert(be.head.isNullAt(0) && ge.head.isNullAt(0))
+    assert(be.head.getLong(1) == 0 && ge.head.getLong(1) == 0)
   }
 
   test("rewrite matches the builtin on a large continuous column") {

@@ -96,6 +96,36 @@ class SourcesSpec extends GraftSuite {
         (a >= 4.0 && b < 300.0) || c == 0.0
       }
     assert(pushedRes.getLong(0) == rawRes.length)
-    assert(pushedRes.getDouble(1) == rawRes.map(_.getDouble(1)).sum)
+    // Tolerance, not exact equality: Spark's sum("c1") adds in
+    // partition order, the driver-side Seq.sum in line order — equal
+    // bit patterns are only guaranteed while the fixture lands in one
+    // input split, and a split-size or parallelism change must not
+    // flake this test.
+    assert(math.abs(
+      pushedRes.getDouble(1) - rawRes.map(_.getDouble(1)).sum) < 1e-6)
+  }
+
+  test("pushed comparisons use Spark's NaN/-0.0 ordering, not Java's") {
+    // Double.parseDouble accepts "NaN" and "Infinity" tokens, and
+    // pushFilters() returns only the residual — Spark never re-checks a
+    // pushed predicate, so the scan-side comparator must match Spark's
+    // ordering (NaN = NaN true, NaN greater than everything, -0.0 =
+    // 0.0) or pushdown silently changes the row set.
+    val dir = writeFixture("nan_order", Seq(
+      "1.0 NaN", "2.0 5.0", "3.0 Infinity", "4.0 -0.0"))
+    def scan = spark.read.format("graft-text")
+      .schema("a DOUBLE, b DOUBLE").load(dir)
+    // NaN passes b > 5.0 (sorts greater than any double, incl. +Inf).
+    assert(scan.filter(col("b") > 5.0).collect().map(_.getDouble(0))
+      .sorted.toSeq == Seq(1.0, 3.0))
+    // NaN = NaN is TRUE in Spark SQL.
+    assert(scan.filter(col("b") === Double.NaN).collect()
+      .map(_.getDouble(0)).toSeq == Seq(1.0))
+    // -0.0 = 0.0 is TRUE (SQLOrderingUtil semantics).
+    assert(scan.filter(col("b") === 0.0).collect()
+      .map(_.getDouble(0)).toSeq == Seq(4.0))
+    // NaN must NOT pass b <= Infinity (it sorts above +Inf).
+    assert(scan.filter(col("b") <= Double.PositiveInfinity).collect()
+      .map(_.getDouble(0)).sorted.toSeq == Seq(2.0, 3.0, 4.0))
   }
 }
