@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Planted-skew gate for the graph family: the degree-bound arguments in
+  * [[operators.Graph]] ("jaccard's C(deg,2) fan-out is degree-bounded",
+  * "triangles' orientation tames hubs") were arguments, not tests. This
+  * gate MEASURES them: it plants, into the 10× warehouse,
+  *
+  *  - one customer buying from 30% of ALL suppliers (purchase-graph hub
+  *    of degree ~3000 where the natural max is ~100 — its C(deg,2)
+  *    ≈ 4.5M supplier pairs land on ONE g4 self-join key), and
+  *  - one part appearing on 30% of ALL orders inside g2's 1995 cohort
+  *    (a co-purchase node of near-maximal degree, the shape the
+  *    degree-ordered Schank–Wagner orientation exists to tame),
+  *
+  * then times every graph query on the plain 10× warehouse and the
+  * hub-planted one (warm pass + measured pass each, same protocol as
+  * [[GrowthGate]]). A query is flagged when the hub inflates its wall
+  * beyond [[Bound]]× — one planted node may add its own output (the hub
+  * pairs are REAL pairs) but must not straggle the stage.
+  *
+  * Usage: runMain graft.HubGate [factor] [srcSfDir] [scratchDir]
+  * Artifact: hub_gate.json (per-query plain/hub walls + inflation).
+  */
+object HubGate {
+  /** Inflation bound: the hub adds ≲10% genuine output to g4 and ≲1
+    * edge per targeted order to g2, so anything beyond 3× wall is a
+    * straggler, not work.
+    */
+  val Bound = 3.0
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val src = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val scratch = args.lift(2).getOrElse(s"/tmp/graft_growth$factor")
+    val hubDir = scratch + "_hub"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    ScaleData.writeScaledWarehouse(spark, src, scratch, factor, cpus.toInt)
+    ScaleData.writeHubWarehouse(spark, scratch, hubDir)
+
+    def runFull(name: String, dir: String): Unit =
+      SparkEntry.queries(name)(spark, dir)
+        .queryExecution.toRdd.foreachPartition { it =>
+          while (it.hasNext) it.next()
+        }
+    def timed(name: String, dir: String): Double = {
+      runFull(name, dir) // warm: JIT + per-dir pins
+      val t0 = System.nanoTime()
+      runFull(name, dir)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val names = Seq("g1_pagerank", "g2_triangles", "g3_reach", "g4_jaccard")
+    val rows = names.map { name =>
+      val plain = timed(name, scratch)
+      val hub = timed(name, hubDir)
+      val inflation = hub / math.max(plain, 0.05)
+      println(f"[hub] $name%-16s plain=$plain%7.2f hub=$hub%7.2f " +
+        f"inflation=$inflation%5.2f")
+      (name, plain, hub, inflation)
+    }
+    def fmt(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val flags = rows.collect { case (n, _, _, inf) if inf > Bound => n }
+    val qJson = rows.map { case (n, p, h, inf) =>
+      s""""$n":{"plain":${fmt(p)},"hub":${fmt(h)},"inflation":${fmt(inf)}}"""
+    }.mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"hub_gate","factor":$factor,"bound":$Bound,""" +
+        s""""hub_supplier_frac":0.3,"hot_part_order_frac":0.3,""" +
+        s""""flags":${flags.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""queries":$qJson,"sf":"$src"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("hub_gate.json"),
+      (line + "\n").getBytes("UTF-8"))
+    println(line)
+    spark.stop()
+  }
+}

@@ -152,4 +152,117 @@ object ScaleData {
     require(new java.io.File(tmp).renameTo(new java.io.File(outDir)),
       s"rename $tmp -> $outDir failed")
   }
+
+  /** Derive a PLANTED-SKEW warehouse from an existing (scaled) one:
+    *
+    *  - a HUB CUSTOMER: one new order whose lineitems cover `supFrac`
+    *    of all suppliers — so the purchase graph gains one customer
+    *    node of degree supFrac·nSupp where the natural max is ~100.
+    *    This is the C(deg,2) fan-out hazard `g4_jaccard`'s in-code
+    *    comment flags by argument: all the hub's supplier pairs land on
+    *    ONE self-join key.
+    *  - a HOT PART: one extra lineitem (the same part, shipped inside
+    *    g2's 1995 cohort) appended to `ordFrac` of orders — the
+    *    high-degree node the degree-ordered triangle orientation exists
+    *    to tame (edges orient INTO the max-degree node, so it generates
+    *    no wedges).
+    *
+    * Every other table hardlinks to the source warehouse (read-only
+    * reuse, no copy). The hub order's lineitems share one part, so the
+    * hub customer does NOT also plant a part-graph clique — a single
+    * order holding 30% of all parts would contain C(0.3·nPart, 3)
+    * genuine triangles, which no plan can enumerate cheaply; the two
+    * hazards are planted independently so each gate number isolates one
+    * mechanism. [[HubGate]] measures the graph family on (scaled,
+    * scaled+hub) and bounds the inflation.
+    */
+  def writeHubWarehouse(spark: SparkSession, scaled: String, outDir: String,
+      supFrac: Double = 0.3, ordFrac: Double = 0.3): Unit = {
+    import org.apache.spark.sql.types.DataType
+    if (new java.io.File(outDir).exists()) return
+    val tmp = outDir + ".tmp"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    Seq("region", "nation", "customer", "supplier", "part", "events",
+      "documents", "embeddings").foreach { t =>
+      linkTree(java.nio.file.Paths.get(scaled, s"$t.parquet"),
+        java.nio.file.Paths.get(tmp, s"$t.parquet"))
+    }
+    val ord = spark.read.parquet(s"$scaled/orders.parquet")
+    val li = spark.read.parquet(s"$scaled/lineitem.parquet")
+    def oType(c: String): DataType = ord.schema(c).dataType
+    def lType(c: String): DataType = li.schema(c).dataType
+    val hubCust = ord.agg(min(col("o_custkey"))).collect()
+      .head.getAs[Number](0).longValue
+    val hubOrderKey = ord.agg(max(col("o_orderkey"))).collect()
+      .head.getAs[Number](0).longValue + 1L
+    val sup = spark.read.parquet(s"$scaled/supplier.parquet")
+    val nSupp = sup.count()
+    val hubSup = sup
+      .select(col("s_suppkey").cast("long").as("s_suppkey"))
+      .orderBy("s_suppkey").limit((nSupp * supFrac).toInt)
+    // Templates: one real row supplies every column the fixture does
+    // not care about, so the written schema matches the source bit for
+    // bit however the driver generated it.
+    val ordT = ord.orderBy("o_orderkey").limit(1)
+    val liT = li.orderBy("l_orderkey", "l_linenumber").limit(1)
+    val hubOrder = ordT.select(ord.columns.map {
+      case "o_orderkey" => lit(hubOrderKey).cast(oType("o_orderkey"))
+        .as("o_orderkey")
+      case "o_custkey" => lit(hubCust).cast(oType("o_custkey"))
+        .as("o_custkey")
+      case c => col(c)
+    }.toSeq: _*)
+    val hubLi = liT.crossJoin(hubSup).select(li.columns.map {
+      case "l_orderkey" => lit(hubOrderKey).cast(lType("l_orderkey"))
+        .as("l_orderkey")
+      case "l_suppkey" => col("s_suppkey").cast(lType("l_suppkey"))
+        .as("l_suppkey")
+      // s_suppkey doubles as a unique-within-order line number.
+      case "l_linenumber" => col("s_suppkey")
+        .cast(lType("l_linenumber")).as("l_linenumber")
+      case c => col(c)
+    }.toSeq: _*)
+    val hotPartKey = spark.read.parquet(s"$scaled/part.parquet")
+      .agg(min(col("p_partkey"))).collect().head.getAs[Number](0).longValue
+    val targets = ord
+      .filter(pmod(col("o_orderkey").cast("long"), lit(100)) <
+        lit(math.round(ordFrac * 100)))
+      .select(col("o_orderkey").cast("long").as("t_orderkey"))
+    val hotLi = targets.crossJoin(broadcast(liT)).select(li.columns.map {
+      case "l_orderkey" => col("t_orderkey").cast(lType("l_orderkey"))
+        .as("l_orderkey")
+      case "l_partkey" => lit(hotPartKey).cast(lType("l_partkey"))
+        .as("l_partkey")
+      case "l_linenumber" => lit(9999).cast(lType("l_linenumber"))
+        .as("l_linenumber")
+      case "l_shipdate" => lit("1995-06-15").cast(lType("l_shipdate"))
+        .as("l_shipdate")
+      case c => col(c)
+    }.toSeq: _*)
+    ord.unionByName(hubOrder).write.mode("overwrite")
+      .parquet(s"$tmp/orders.parquet")
+    li.unionByName(hubLi).unionByName(hotLi).write.mode("overwrite")
+      .parquet(s"$tmp/lineitem.parquet")
+    require(new java.io.File(tmp).renameTo(new java.io.File(outDir)),
+      s"rename $tmp -> $outDir failed")
+  }
+
+  /** Hardlink a parquet directory tree (fallback to copy when the
+    * filesystem refuses links) — unchanged tables of a derived
+    * warehouse share the source's bytes.
+    */
+  private def linkTree(src: java.nio.file.Path,
+      dst: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Path}
+    Files.createDirectories(dst)
+    Files.walk(src).forEach { p: Path =>
+      val rel = src.relativize(p)
+      val target = dst.resolve(rel)
+      if (Files.isDirectory(p)) Files.createDirectories(target)
+      else if (!Files.exists(target)) {
+        try Files.createLink(target, p)
+        catch { case _: Exception => Files.copy(p, target) }
+      }
+    }
+  }
 }

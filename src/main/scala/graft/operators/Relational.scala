@@ -470,12 +470,20 @@ object Relational {
       valueCol: String, ps: Seq[(Double, String)]): DataFrame = {
     val proj = df
       .select((keys.map(col) :+ col(valueCol).cast("double").as("v")): _*)
-    val allKeys = proj.select(keys.map(col): _*).distinct()
-    val counts = proj
-      .filter(col("v").isNotNull)
+    // ONE scan: the collapse keeps NULL-v cells so the full group list
+    // (incl. all-NULL groups) reads off the same pinned grid — r10's
+    // separate allKeys distinct() re-scanned the raw input just for the
+    // group list, a whole extra scan+shuffle charged to every caller.
+    // The pin moves HERE (pin = false below) so rangeCumsum's consumers
+    // and the allKeys branch all share the one cache entry.
+    val gridAll = proj
       .groupBy((keys :+ "v").map(col): _*).agg(count(lit(1)).as("c"))
+      .pinned()
+    val allKeys = gridAll.select(keys.map(col): _*).distinct()
+    val counts = gridAll.filter(col("v").isNotNull)
     val tot = counts.groupBy(keys.map(col): _*).agg(sum("c").as("n"))
-    val cum = rangeCumsum(counts, keys).join(broadcast(tot), keys)
+    val cum = rangeCumsum(counts, keys, pin = false)
+      .join(broadcast(tot), keys)
     val qs = ps.map { case (p, alias) =>
       val rf = lit(1.0) + lit(p) * (col("n") - 1).cast("double")
       val rlo = floor(rf)
@@ -489,11 +497,12 @@ object Relational {
     }
     val res = cum.groupBy(keys.map(col): _*).agg(qs.head, qs.tail: _*)
     // <=> join keeps any NULL group key working like groupBy's null
-    // group; both sides are group-cardinality frames partitioned on the
-    // same keys.
-    val cond = keys.map(k => allKeys(k) <=> res(k)).reduce(_ && _)
-    allKeys.join(res, cond, "left")
-      .select(keys.map(allKeys(_)) ++ ps.map { case (_, a) => res(a) }: _*)
+    // group; both sides are group-cardinality frames, so the quantile
+    // side broadcasts.
+    val resB = broadcast(res)
+    val cond = keys.map(k => allKeys(k) <=> resB(k)).reduce(_ && _)
+    allKeys.join(resB, cond, "left")
+      .select(keys.map(allKeys(_)) ++ ps.map { case (_, a) => resB(a) }: _*)
   }
 
   /** A13 (scripts/ml_pipeline.py:238): exact column medians in one pass
