@@ -180,7 +180,7 @@ object Bench {
       val maxSpread =
         if (spreadsBuf.isEmpty) 0.0 else spreadsBuf.map(_._2).max
       val line =
-        s"""{"metric":"total","value":$value,"unit":"sec","n":${names.size},"completed":$done,"provisional":$provisional,"total_sec":${f3(total)},"passes":$passes,"stat":"median","max_spread_sec":${f3(maxSpread)},"queries":${qJson(results.toSeq)},"spread":${qJson(spreadsBuf.toSeq)}$extra,"remeasured":${jArr(remeasured.toSeq.sorted)},"cold":${jArr(cold)},"failed":${jArr(failed.toSeq.sorted)},"first_error":${firstErr.map(jstr).getOrElse("null")},"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$value,"unit":"sec","n":${names.size},"completed":$done,"provisional":$provisional,"total_sec":${f3(total)},"passes":$passes,"stat":"min2/median3","max_spread_sec":${f3(maxSpread)},"queries":${qJson(results.toSeq)},"spread":${qJson(spreadsBuf.toSeq)}$extra,"remeasured":${jArr(remeasured.toSeq.sorted)},"cold":${jArr(cold)},"failed":${jArr(failed.toSeq.sorted)},"first_error":${firstErr.map(jstr).getOrElse("null")},"sf":"$sfDir"}"""
       try java.nio.file.Files.write(
         java.nio.file.Paths.get(artifact), (line + "\n").getBytes("UTF-8"))
       catch { case scala.util.control.NonFatal(e) =>
@@ -194,7 +194,7 @@ object Bench {
       val value = if (!provisional && failed.isEmpty) f3(total) else "-1"
       val maxSpread =
         if (spreadsBuf.isEmpty) 0.0 else spreadsBuf.map(_._2).max
-      s"""{"metric":"total","value":$value,"unit":"sec","n":${names.size},"completed":$done,"provisional":$provisional,"total_sec":${f3(total)},"passes":$passes,"stat":"median","max_spread_sec":${f3(maxSpread)},"recall":$recallJson,"regressions_vs_prev":$regNamesJson,"prev_n":${prev.size},"failed":${jArr(failed.toSeq.sorted)},"first_error":${firstErr.map(jstr).getOrElse("null")},"sf":"$sfDir","detail":"$artifact"}"""
+      s"""{"metric":"total","value":$value,"unit":"sec","n":${names.size},"completed":$done,"provisional":$provisional,"total_sec":${f3(total)},"passes":$passes,"stat":"min2/median3","max_spread_sec":${f3(maxSpread)},"recall":$recallJson,"regressions_vs_prev":$regNamesJson,"prev_n":${prev.size},"failed":${jArr(failed.toSeq.sorted)},"first_error":${firstErr.map(jstr).getOrElse("null")},"sf":"$sfDir","detail":"$artifact"}"""
     }
 
     // One timed sample; returns false on a FATAL (OOM-class) throw —
@@ -269,6 +269,11 @@ object Bench {
         // Chunk close-out: publish stats, print the part line, rewrite
         // the artifact, print a provisional summary — so a kill during
         // ANY later chunk leaves this one fully recorded.
+        // A FATAL mid-chunk leaves the chunk's later queries sample-less;
+        // they publish -1 below, so they must ALSO join `failed` or the
+        // artifact's n − completed stops reconciling with failed.length.
+        if (fatal)
+          failed ++= chunk.filterNot(n => samples.contains(n) || failed(n))
         val chunkResults = chunk.map { n =>
           n -> (if (failed(n) || !samples.contains(n)) -1.0
                 else BenchGate.stat(samples(n), passes))

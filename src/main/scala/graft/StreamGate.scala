@@ -61,7 +61,11 @@ object StreamGate {
       val q = streaming.StreamingDedup.firstSeen(mem.toDS())
         .writeStream.outputMode("append")
         .format("memory").queryName(qname).start()
-      val chunk = math.max(1, docs.length / Batches)
+      // Ceil division: floor would yield Batches+1 groups with a tiny
+      // remainder micro-batch as walls.last, and the last/first slope
+      // would then compare unequal batch sizes (understating state
+      // growth). Ceil keeps every batch within 1 doc of equal size.
+      val chunk = math.max(1, (docs.length + Batches - 1) / Batches)
       val walls = docs.grouped(chunk).map { batch =>
         val t0 = System.nanoTime()
         mem.addData(batch.toSeq)

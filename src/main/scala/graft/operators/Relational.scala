@@ -465,9 +465,21 @@ object Relational {
     * (and the DuckDB oracle's) row set. The null filter only prunes the
     * grid, so the group list comes from BEFORE it and the results
     * null-safe-left-join back onto it.
+    *
+    * `lowCardGroups` (default true) PRECONDITION: the per-group frames
+    * (`tot`, the quantile result) have one row per GROUP, and the
+    * default broadcasts them — correct and fastest when the grouping
+    * keys are low-cardinality (every current caller: flags, segments,
+    * months). A caller grouping by a high-cardinality key (user ids,
+    * order keys) must pass `lowCardGroups = false`: broadcasting a
+    * group-cardinality frame there would collect every group's
+    * quantiles to the driver — at 100 TB an OOM — where the plain
+    * shuffled join these fall back to is the right plan.
     */
   private[graft] def gridQuantiles(df: DataFrame, keys: Seq[String],
-      valueCol: String, ps: Seq[(Double, String)]): DataFrame = {
+      valueCol: String, ps: Seq[(Double, String)],
+      lowCardGroups: Boolean = true): DataFrame = {
+    def perGroup(f: DataFrame) = if (lowCardGroups) broadcast(f) else f
     val proj = df
       .select((keys.map(col) :+ col(valueCol).cast("double").as("v")): _*)
     // ONE scan: the collapse keeps NULL-v cells so the full group list
@@ -483,7 +495,7 @@ object Relational {
     val counts = gridAll.filter(col("v").isNotNull)
     val tot = counts.groupBy(keys.map(col): _*).agg(sum("c").as("n"))
     val cum = rangeCumsum(counts, keys, pin = false)
-      .join(broadcast(tot), keys)
+      .join(perGroup(tot), keys)
     val qs = ps.map { case (p, alias) =>
       val rf = lit(1.0) + lit(p) * (col("n") - 1).cast("double")
       val rlo = floor(rf)
@@ -498,8 +510,8 @@ object Relational {
     val res = cum.groupBy(keys.map(col): _*).agg(qs.head, qs.tail: _*)
     // <=> join keeps any NULL group key working like groupBy's null
     // group; both sides are group-cardinality frames, so the quantile
-    // side broadcasts.
-    val resB = broadcast(res)
+    // side broadcasts (under the lowCardGroups precondition above).
+    val resB = perGroup(res)
     val cond = keys.map(k => allKeys(k) <=> resB(k)).reduce(_ && _)
     allKeys.join(resB, cond, "left")
       .select(keys.map(allKeys(_)) ++ ps.map { case (_, a) => resB(a) }: _*)

@@ -190,6 +190,46 @@ object SqlSurface {
         |ORDER BY month""".stripMargin)
   }
 
+  // One rule-installed session clone per context, so sql_grid_mixed
+  // exercises GridOrderStatsRule's rewrite without mutating the shared
+  // session's optimizer (a clone shares SparkContext/warehouse but owns
+  // its experimental optimizations). Evicted with the context like the
+  // other per-context caches.
+  private val ruleSessions = scala.collection.concurrent.TrieMap
+    .empty[org.apache.spark.SparkContext, SparkSession]
+  private def ruleSession(s: SparkSession): SparkSession = {
+    ContextCaches.evictOnStop(s.sparkContext, "rule-sessions")(() =>
+      ruleSessions.remove(s.sparkContext))
+    ruleSessions.getOrElseUpdate(s.sparkContext, {
+      val c = org.apache.spark.sql.graftglue.Glue.cloneSession(s)
+      graft.plans.GridOrderStatsRule.install(c)
+      c
+    })
+  }
+
+  /** Mixed order-statistic + plain aggregates in ONE GROUP BY — the
+    * real-BI shape (`median(x)` next to `count(*)`/`sum`) that
+    * [[graft.plans.GridOrderStatsRule]] rewrites into the grid plan
+    * with a residual-Aggregate join-back, reading the fact table ONCE
+    * through the shared pinned projection. Declared as a registry query
+    * so the rewrite path gets a standing oracle check and a growth-gate
+    * measurement, not just specs. Decimal sum + round(…,6) keep the
+    * comparison engine-deterministic (the rule's interpolation mirrors
+    * the builtin bit-for-bit; round absorbs the builtin-vs-DuckDB ulp).
+    */
+  private def gridMixedSql(s: SparkSession, d: String): DataFrame = {
+    val exec = registerViews(ruleSession(s), d)
+    exec.sql(
+      """SELECT l_returnflag,
+        |  round(median(l_quantity), 6) AS med_qty,
+        |  round(percentile(l_extendedprice, 0.9), 6) AS p90_price,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+        |    AS sum_price
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+  }
+
   val queries: Map[String, Query] = Map(
     "sql_lateral" -> lateralTopk _,
     "sql_date_spine" -> dateSpine _,
@@ -198,6 +238,7 @@ object SqlSurface {
     "sql_exists" -> existsSubquery _,
     "sql_unpivot" -> unpivot _,
     "sql_filter_agg" -> filterAgg _,
+    "sql_grid_mixed" -> gridMixedSql _,
     "ml_ols" -> olsRegression _)
 
   val oracle: Map[String, String] = Map(
@@ -241,6 +282,15 @@ object SqlSurface {
         |  count(*) FILTER (WHERE value >= 400) AS n_high,
         |  round(avg(value) FILTER (WHERE value >= 100), 6) AS avg_mid
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "sql_grid_mixed" ->
+      """SELECT l_returnflag,
+        |  round(median(l_quantity), 6) AS med_qty,
+        |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+        |    AS sum_price
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "sql_exists" ->
       """SELECT o_orderkey, round(o_totalprice, 6) AS o_totalprice
         |FROM orders o

@@ -3,9 +3,9 @@ package graft.plans
 import graft.operators.Relational
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, And,
-  AttributeReference, Cast, CreateArray, CreateStruct, EqualNullSafe,
-  Expression, GetStructField, If, IsNull, KnownNotNull, Literal,
-  NamedExpression}
+  AttributeReference, AttributeSet, Cast, CreateArray, CreateStruct,
+  EqualNullSafe, Expression, GetStructField, If, IsNull, KnownNotNull,
+  Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
   Complete, Percentile}
@@ -42,13 +42,19 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, NumericType}
   * builtin in `GridRewriteSpec`.
   *
   * Scope (conservative by design — anything else keeps the builtin):
-  *  - every aggregate in the `Aggregate` is a `Percentile` with a
-  *    foldable scalar or array percentage, unit frequency,
-  *    `reverse = false`, no DISTINCT and no FILTER, in `Complete` mode
-  *    (the array form returns the builtin's
-  *    `ArrayType(double, containsNull=false)`, NULL for empty groups);
+  *  - every `Percentile` in the `Aggregate` has a foldable scalar or
+  *    array percentage, unit frequency, `reverse = false`, no DISTINCT
+  *    and no FILTER, and is in `Complete` mode (the array form returns
+  *    the builtin's `ArrayType(double, containsNull=false)`, NULL for
+  *    empty groups);
   *  - all percentile children resolve to the same expression (one value
   *    column per rewrite), of numeric type;
+  *  - an output column may wrap its percentiles in scalar arithmetic
+  *    (`round(median(x), 6)`, `p75 − p25`), and other output columns
+  *    may carry ordinary non-Percentile aggregates (sum/count/avg…) —
+  *    those run as a residual Aggregate over the same pinned child and
+  *    join back on the grouping keys; mixing a Percentile and another
+  *    aggregate inside ONE output expression bails;
   *  - grouping expressions are plain attributes (also allowed aliased
   *    in the output list);
   *  - the child is a batch (non-streaming) plan.
@@ -72,31 +78,65 @@ object GridOrderStatsRule extends Rule[LogicalPlan] {
     case agg: Aggregate if eligible(agg) => rewrite(agg)
   }
 
-  /** A rewritable Percentile behind an output column: the alias, the
-    * aggregate, its percentage list, and whether the output is the
-    * array form (`percentile(v, array(...))`) or a scalar.
+  /** A rewritable Percentile call: the aggregate, its percentage list,
+    * and whether it is the array form (`percentile(v, array(...))`).
     */
-  private case class Hit(alias: Alias, pc: Percentile, ps: Seq[Double],
+  private case class PHit(pc: Percentile, ps: Seq[Double],
     isArray: Boolean)
 
-  private def hitOf(e: NamedExpression): Option[Hit] = e match {
-    case al @ Alias(AggregateExpression(
-        pc: Percentile, Complete, false, None, _), _)
+  private def pHitOf(ae: AggregateExpression): Option[PHit] = ae match {
+    case AggregateExpression(pc: Percentile, Complete, false, None, _)
       if pc.frequencyExpression == Literal(1L) && !pc.reverse &&
         pc.percentageExpression.foldable &&
         pc.child.dataType.isInstanceOf[NumericType] &&
         pc.child.deterministic =>
       (pc.percentageExpression.dataType, pc.percentageExpression.eval()) match {
         case (DoubleType, p: java.lang.Double) =>
-          Some(Hit(al, pc, Seq(p), isArray = false))
+          Some(PHit(pc, Seq(p), isArray = false))
         case (ArrayType(DoubleType, _), arr: ArrayData)
           if arr.numElements() > 0 &&
             (0 until arr.numElements()).forall(!arr.isNullAt(_)) =>
-          Some(Hit(al, pc, arr.toDoubleArray().toSeq, isArray = true))
+          Some(PHit(pc, arr.toDoubleArray().toSeq, isArray = true))
         case _ => None
       }
     case _ => None
   }
+
+  /** Classify one aliased output column.
+    *  - Some(true): HIT leg — every AggregateExpression in the tree is
+    *    a rewritable Percentile. Scalar arithmetic around or between
+    *    them (`round(median(x), 6)`, `median(x) + 1`,
+    *    `percentile(x,.75) − percentile(x,.25)`) is reconstructed over
+    *    the grid columns in the final projection — v1 rewrote only
+    *    direct aliases and sent exactly the SQL everyone writes
+    *    (rounded medians) back to the buffering builtin.
+    *  - Some(false): RESIDUAL leg — no Percentile anywhere in the tree
+    *    (plain aggregates, incl. arithmetic like sum(x)/count(*)); it
+    *    re-runs as an ordinary Aggregate and joins back on the keys.
+    *  - None: bail — a non-rewritable Percentile, or a Percentile mixed
+    *    with another aggregate in the SAME alias (the grid column and
+    *    the residual column live on opposite sides of the join-back, so
+    *    one scalar tree cannot reference both).
+    */
+  private def legOf(al: Alias): Option[Boolean] = {
+    val aes = al.child.collect { case ae: AggregateExpression => ae }
+    if (aes.isEmpty)
+      if (al.child.exists(_.isInstanceOf[Percentile])) None else Some(false)
+    else if (aes.forall(pHitOf(_).isDefined)) Some(true)
+    else if (!al.child.exists(_.isInstanceOf[Percentile])) Some(false)
+    else None
+  }
+
+  /** Every distinct rewritable Percentile call in output order (by
+    * canonicalized form — `median(v)` written twice is one grid block).
+    */
+  private def distinctPHits(agg: Aggregate): Seq[(Expression, PHit)] =
+    agg.aggregateExpressions
+      .flatMap(_.collect { case ae: AggregateExpression => ae })
+      .flatMap(ae => pHitOf(ae).map(ae.canonicalized -> _))
+      .foldLeft(Vector.empty[(Expression, PHit)]) { case (acc, (c, h)) =>
+        if (acc.exists(_._1 == c)) acc else acc :+ (c -> h)
+      }
 
   private def eligible(agg: Aggregate): Boolean = {
     if (agg.child.isStreaming) return false
@@ -104,27 +144,18 @@ object GridOrderStatsRule extends Rule[LogicalPlan] {
       return false
     val keyIds = agg.groupingExpressions
       .map(_.asInstanceOf[AttributeReference].exprId).toSet
-    val hits = agg.aggregateExpressions.flatMap(hitOf)
+    val hits = distinctPHits(agg).map(_._2)
     if (hits.isEmpty) return false
     // One value expression per rewrite; all hits must share it.
     if (!hits.tail.forall(_.pc.child.semanticEquals(hits.head.pc.child)))
       return false
-    // Every output column is a grouping attribute (possibly re-aliased),
-    // one of the hits, or a RESIDUAL leg — any aliased expression with
-    // no Percentile anywhere in its tree (sum/count/avg/min/max legs,
-    // including arithmetic over them like sum(x)/count(*)). Residual
-    // legs keep running as an ordinary Aggregate over the same child
-    // and join back on the grouping keys; real BI SQL mixes `median(x)`
-    // with `count(*)` in one GROUP BY, and v1's bail-out sent exactly
-    // those queries back to the buffering builtin. A Percentile INSIDE
-    // arithmetic (median(x)+1) still bails — only direct aliases
-    // rewrite.
+    // Every output column is a grouping attribute (possibly
+    // re-aliased), a HIT leg, or a RESIDUAL leg — see [[legOf]].
     agg.aggregateExpressions.forall {
       case ar: AttributeReference => keyIds.contains(ar.exprId)
       case al: Alias => al.child match {
         case ar: AttributeReference => keyIds.contains(ar.exprId)
-        case _ => hitOf(al).isDefined ||
-          !al.child.exists(_.isInstanceOf[Percentile])
+        case _ => legOf(al).isDefined
       }
       case _ => false
     }
@@ -135,17 +166,16 @@ object GridOrderStatsRule extends Rule[LogicalPlan] {
     val keys = agg.groupingExpressions.map(_.asInstanceOf[AttributeReference])
     val keyIds = keys.map(_.exprId).toSet
     val keyNames = keys.indices.map(i => s"__gk$i")
-    val hits = agg.aggregateExpressions.flatMap(hitOf)
-    // Residual legs: aliased non-Percentile aggregate expressions. They
-    // re-run as an ordinary Aggregate over the same child (the ORIGINAL
-    // Alias objects, so their exprIds survive) and join back on the
-    // grouping keys. This reads the child twice — the price of turning
-    // the percentile legs' single-reducer value buffer into the grid
-    // plan; the residual pass itself stays map-side-combinable.
+    val hitList = distinctPHits(agg)
+    val hits = hitList.map(_._2)
+    // Residual legs: aliased aggregate expressions with no Percentile.
+    // They re-run as an ordinary Aggregate over the same (pinned,
+    // below) child and join back on the grouping keys; the residual
+    // pass itself stays map-side-combinable.
     val residual = agg.aggregateExpressions.collect {
       case al: Alias if (al.child match {
-        case ar: AttributeReference => !keyIds.contains(ar.exprId)
-        case _ => hitOf(al).isEmpty
+        case _: AttributeReference => false // key re-alias
+        case _ => legOf(al).contains(false)
       }) => al
     }
     val ps = hits.flatMap(_.ps)
@@ -158,11 +188,32 @@ object GridOrderStatsRule extends Rule[LogicalPlan] {
     // would silently drop NULL-keyed groups — a struct is never null
     // and struct comparison treats null fields as equal, making every
     // downstream join/groupBy null-safe without touching rangeCumsum.
+    //
+    // Mixed legs read the child TWICE by construction (grid collapse +
+    // residual Aggregate — two different partial aggregations that no
+    // exchange reuse can merge). At 100× a second fact-table scan is
+    // the difference between one pass and two, so the child is first
+    // projected to exactly the attributes the rewrite consumes (keys,
+    // the percentile input, residual-leg inputs) and that NARROW
+    // projection is pinned: both consumers then read one cache entry
+    // and the fact table is scanned once. Entry lifetime is bounded —
+    // the pin registry keys on the canonicalized plan (re-compiling
+    // the same query replaces, never appends) and evicts on context
+    // stop; the cached rows are the narrow projection, spilling to
+    // disk past memory, which still beats a second full scan.
+    val needed = AttributeSet(keys.toSeq) ++
+      hits.head.pc.child.references ++
+      AttributeSet(residual.flatMap(_.references))
+    val sharedDf = Glue.ofRows(spark,
+      Project(agg.child.output.filter(needed.contains), agg.child))
+    val shared =
+      (if (residual.isEmpty) sharedDf else graft.ContextCaches.pin(sharedDf))
+        .queryExecution.analyzed
     val projList = keys.zip(keyNames).map { case (a, n) =>
       Alias(CreateStruct(Seq(a)), n)() } :+
       Alias(Cast(hits.head.pc.child, DoubleType), "v")()
     val base = Glue.ofRows(spark,
-      Project(projList.toSeq, agg.child))
+      Project(projList.toSeq, shared))
     // When residual legs exist their Aggregate already yields exactly
     // one row per group (incl. all-NULL-value and NULL-keyed groups),
     // so the grid side can skip its own all-keys frame — the join
@@ -179,14 +230,13 @@ object GridOrderStatsRule extends Rule[LogicalPlan] {
     // contains no Percentile). Output attribute ids survive optimization.
     val resolved = res.queryExecution.optimizedPlan
     val byName = resolved.output.map(a => a.name -> a).toMap
-    var hitIdx = -1
     // Scalar hit → its __q column. Array hit → the builtin's array
     // shape: NULL for an empty group (never an array OF nulls — a
     // non-empty group's quantiles are provably non-null, so the first
     // element's nullness IS group-emptiness), elements marked
     // KnownNotNull so the output type matches the builtin's
     // ArrayType(double, containsNull = false).
-    def hitExpr(h: Hit, off: Int): Expression =
+    def hitExpr(h: PHit, off: Int): Expression =
       if (!h.isArray) byName(s"__q$off")
       else {
         val elems = h.ps.indices.map(j =>
@@ -194,6 +244,20 @@ object GridOrderStatsRule extends Rule[LogicalPlan] {
         If(IsNull(byName(s"__q$off")),
           Literal(null, ArrayType(DoubleType, containsNull = false)),
           CreateArray(elems))
+      }
+    // Rebuild a HIT leg's scalar tree over the grid columns: every
+    // rewritable Percentile call becomes its grid expression (looked up
+    // by canonicalized form, so repeated identical calls share one
+    // block) and grouping-attribute references remap through `keyRef`.
+    // transformDown: the replacement is emitted whole, so attributes
+    // INSIDE a percentile's value expression are never touched.
+    def rewriteHitTree(e: Expression, keyRef: Int => Expression): Expression =
+      e.transformDown {
+        case ae: AggregateExpression if pHitOf(ae).isDefined =>
+          val idx = hitList.indexWhere(_._1 == ae.canonicalized)
+          hitExpr(hits(idx), hitOffsets(idx))
+        case ar: AttributeReference if keyIds.contains(ar.exprId) =>
+          keyRef(keys.indexWhere(_.exprId == ar.exprId))
       }
     if (residual.isEmpty) {
       def unwrapKey(i: Int): Expression =
@@ -207,8 +271,7 @@ object GridOrderStatsRule extends Rule[LogicalPlan] {
             val i = keys.indexWhere(_.exprId == ar.exprId)
             Alias(unwrapKey(i), al.name)(exprId = al.exprId)
           case _ =>
-            hitIdx += 1
-            Alias(hitExpr(hits(hitIdx), hitOffsets(hitIdx)), al.name)(
+            Alias(rewriteHitTree(al.child, unwrapKey), al.name)(
               exprId = al.exprId)
         }
         case other => // unreachable under eligible()
@@ -225,8 +288,15 @@ object GridOrderStatsRule extends Rule[LogicalPlan] {
       // single-row frames, a 1×1 broadcast nested-loop join.
       val keyAliases = keys.zipWithIndex.map { case (k, i) =>
         Alias(k, s"__rk$i")() }
-      val residualAgg = Aggregate(agg.groupingExpressions,
-        (keyAliases ++ residual).toSeq, agg.child)
+      // Over `shared`, not agg.child — and through a fresh
+      // QueryExecution, because cache substitution (withCachedData)
+      // runs BEFORE optimization on the outer query: a subtree spliced
+      // in by this rule would never be matched against the pin. The
+      // fresh QE substitutes the shared InMemoryRelation and optimizes;
+      // output attribute ids survive, so the join/projection below
+      // resolve unchanged.
+      val residualAgg = Glue.ofRows(spark, Aggregate(agg.groupingExpressions,
+        (keyAliases ++ residual).toSeq, shared)).queryExecution.optimizedPlan
       val joined =
         if (keys.isEmpty)
           Join(residualAgg, resolved, Cross, None, JoinHint.NONE)
@@ -247,10 +317,10 @@ object GridOrderStatsRule extends Rule[LogicalPlan] {
           case ar: AttributeReference if keyIds.contains(ar.exprId) =>
             val i = keys.indexWhere(_.exprId == ar.exprId)
             Alias(keyAliases(i).toAttribute, al.name)(exprId = al.exprId)
-          case _ if hitOf(al).isDefined =>
-            hitIdx += 1
-            Alias(hitExpr(hits(hitIdx), hitOffsets(hitIdx)), al.name)(
-              exprId = al.exprId)
+          case _ if legOf(al).contains(true) =>
+            Alias(
+              rewriteHitTree(al.child, i => keyAliases(i).toAttribute),
+              al.name)(exprId = al.exprId)
           case _ => al.toAttribute // residual leg, exprId preserved
         }
         case other => // unreachable under eligible()
@@ -265,22 +335,38 @@ object GridOrderStatsRule extends Rule[LogicalPlan] {
     * bracketing order statistics → the builtin's interpolation, one
     * result column `__q<i>` per requested percentage.
     *
-    * `pin = false` on the cumsum: an optimizer rule runs once per query
-    * compilation, and a pinned grid would leave one cache entry behind
-    * per DISTINCT rewritten query for the life of the context. The
-    * consumers re-evaluate the collapse instead — the scale-critical
-    * property (no buffering reducer, no single sort task) is unaffected.
+    * The collapse is PINNED (grid-sized: one row per distinct
+    * (keys, v) cell, NULL-v cells kept so the all-keys frame reads the
+    * same entry): unpinned, every cumsum consumer and the all-keys
+    * frame re-ran the scan+collapse — the exact multi-scan disease the
+    * library's gridQuantiles already fixed. The earlier `pin = false`
+    * rationale (cache entries accumulating per distinct rewritten
+    * query) is retired by the registry semantics: entries key on the
+    * canonicalized plan (recompiling the same query replaces, never
+    * appends), are grid-sized, and evict on context stop.
+    *
+    * No broadcast hints here, unlike the library helper: this rewrites
+    * ARBITRARY user SQL, whose grouping key may be high-cardinality
+    * (a per-group frame then must not collect to the driver). The
+    * joins stay shuffled in the plan and AQE converts them to
+    * broadcast at runtime when the group side is actually small.
+    *
+    * `pin = false` on the cumsum: the cumsum's consumers re-evaluate
+    * only the cheap filter over the pinned collapse, so a second cache
+    * entry would buy nothing.
     */
   private def gridPercentiles(base: DataFrame, keyNames: Seq[String],
       ps: Seq[Double], needAllKeys: Boolean): DataFrame = {
     val global = keyNames.isEmpty
     val keys = if (global) Seq("__gkc") else keyNames
     val withKeys = if (global) base.withColumn("__gkc", lit(0)) else base
-    val counts = withKeys.filter(col("v").isNotNull)
+    val gridAll = withKeys
       .groupBy((keys :+ "v").map(col): _*).agg(count(lit(1)).as("c"))
+    val gridPin = graft.ContextCaches.pin(gridAll)
+    val counts = gridPin.filter(col("v").isNotNull)
     val tot = counts.groupBy(keys.map(col): _*).agg(sum("c").as("n"))
     val cum = Relational.rangeCumsum(counts, keys, pin = false)
-      .join(broadcast(tot), keys)
+      .join(tot, keys)
     val qs = ps.zipWithIndex.flatMap { case (p, i) =>
       // 0-based fractional position (n−1)·p, exactly the builtin's
       // arithmetic; a grid row covers 1-based rank r iff
@@ -321,8 +407,10 @@ object GridOrderStatsRule extends Rule[LogicalPlan] {
       scored
     } else {
       // Null-safe left join keeps all-NULL (and NULL-keyed) groups in
-      // the output with NULL quantiles — the builtin's row set.
-      val allKeys = withKeys.select(keys.map(col): _*).distinct()
+      // the output with NULL quantiles — the builtin's row set. Reads
+      // the pinned collapse (which keeps NULL-v cells), not the child:
+      // the group list comes for free off the same cache entry.
+      val allKeys = gridPin.select(keys.map(col): _*).distinct()
       val cond = keys.map(k => allKeys(k) <=> scored(k)).reduce(_ && _)
       allKeys.join(scored, cond, "left")
         .select(keys.map(allKeys(_)) ++

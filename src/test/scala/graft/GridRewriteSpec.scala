@@ -123,13 +123,14 @@ class GridRewriteSpec extends GraftSuite {
 
   test("out-of-scope shapes keep the builtin and stay correct") {
     fixture(spark); fixture(rewritten)
-    // DISTINCT, FILTER, and a Percentile inside arithmetic: all must
-    // NOT be rewritten — and still agree with the baseline session.
+    // DISTINCT, FILTER, and a Percentile mixed with ANOTHER aggregate
+    // in one expression: all must NOT be rewritten — and still agree
+    // with the baseline session.
     val guards = Seq(
       "SELECT k, percentile(DISTINCT v, 0.5) AS med FROM grs GROUP BY k",
       "SELECT k, percentile(v, 0.5) FILTER (WHERE v > 1) AS med " +
         "FROM grs GROUP BY k",
-      "SELECT k, median(v) + 1 AS medp1 FROM grs GROUP BY k")
+      "SELECT k, median(v) / count(*) AS ratio FROM grs GROUP BY k")
     guards.foreach { q =>
       val qe = rewritten.sql(q).queryExecution
       assert(qe.optimizedPlan.toString.toLowerCase.contains("percentile"),
@@ -138,6 +139,57 @@ class GridRewriteSpec extends GraftSuite {
       val g = rewritten.sql(q).collect().map(_.toString).sorted.toSeq
       assert(b == g, q)
     }
+  }
+
+  test("scalar arithmetic around percentiles rewrites bit-equal") {
+    fixture(spark); fixture(rewritten)
+    // The SQL everyone actually writes: rounded medians, IQR spans,
+    // offsets, a repeated identical call, an array element — all
+    // scalar trees over rewritable percentiles, all must take the grid
+    // plan and agree with the builtin bit-for-bit.
+    val q =
+      """SELECT k, round(median(v), 2) AS med2, median(v) + 1 AS medp1,
+        |  percentile(v, 0.75) - percentile(v, 0.25) AS iqr,
+        |  percentile(v, array(0.1, 0.9))[1] AS p90_elem
+        |FROM grs GROUP BY k""".stripMargin
+    val opt = rewritten.sql(q).queryExecution.optimizedPlan.toString
+    assert(!opt.toLowerCase.contains("percentile"), opt.take(1500))
+    def canon(s: SparkSession) = s.sql(q).collect()
+      .map(r => (0 until r.length).map(i => Option(r.get(i))).toList)
+      .sortBy(_.head.map(_.toString).getOrElse(""))
+    val b = canon(spark)
+    val g = canon(rewritten)
+    assert(b.length == g.length && b.length == 6)
+    b.zip(g).foreach { case (x, y) => assert(x == y, s"\n$x\n$y") }
+    assert(spark.sql(q).schema == rewritten.sql(q).schema)
+  }
+
+  test("mixed rewrite reads the source exactly once (shared pin)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    Tables.lineitem(rewritten, sf).createOrReplaceTempView("grs_scan")
+    val q =
+      """SELECT l_returnflag, median(l_quantity) AS med, count(*) AS n,
+        |  sum(l_extendedprice) AS sv
+        |FROM grs_scan GROUP BY l_returnflag""".stripMargin
+    // AQE off for the probe only: query stages hide subtrees from plan
+    // traversal; the non-adaptive executedPlan shows every scan node.
+    val aqe = rewritten.conf.get("spark.sql.adaptive.enabled")
+    rewritten.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = rewritten.sql(q)
+      df.collect() // materialize (and populate the pins) first
+      val plan = df.queryExecution.executedPlan
+      // Both consumers (grid collapse + residual Aggregate) must read
+      // the pinned shared projection: the visible plan has NO direct
+      // file scan — every source access routes through in-memory-table
+      // scans of the one cache entry, so the parquet is read once
+      // (when the cache populates).
+      assert(plan.collect { case s: FileSourceScanExec => s }.isEmpty,
+        plan.toString.take(2000))
+      assert(plan.collect { case s: InMemoryTableScanExec => s }.size >= 2,
+        plan.toString.take(2000))
+    } finally rewritten.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
   test("mixed sum/count legs rewrite; residual joins back bit-equal") {
