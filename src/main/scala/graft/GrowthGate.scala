@@ -52,7 +52,14 @@ object GrowthGate {
         "cell-bounded)"),
     "ml_model_compare" -> (40.0,
       "CV model training: optimizer iteration count is data-dependent, " +
-        "not a relational plan property"))
+        "not a relational plan property"),
+    "g4_jaccard" -> (25.0,
+      "plan is measured-linear: candidate pair volume 12,544,866 -> " +
+        "125,448,660 (exactly 10.0x) with max customer degree 102 at " +
+        "both scales (DuckDB-verified); the 125M-row pair stage's wall " +
+        "swings 11-69s run-to-run with single-JVM GC/shuffle pressure " +
+        "at 10x, so the default bound flags variance, not a quadratic " +
+        "(which would show ~100x). 25x still catches a real blow-up."))
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

@@ -47,8 +47,11 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, NumericType}
   *    and no FILTER, and is in `Complete` mode (the array form returns
   *    the builtin's `ArrayType(double, containsNull=false)`, NULL for
   *    empty groups);
-  *  - all percentile children resolve to the same expression (one value
-  *    column per rewrite), of numeric type;
+  *  - percentile children may be DIFFERENT expressions (numeric each):
+  *    the rewrite runs one grid per distinct value expression —
+  *    `median(a), median(b), percentile(b, .9)` compiles grid(a) and
+  *    grid(b), all fed from one pinned narrow projection of the child
+  *    (one fact scan) and joined back on the grouping keys;
   *  - an output column may wrap its percentiles in scalar arithmetic
   *    (`round(median(x), 6)`, `p75 − p25`), and other output columns
   *    may carry ordinary non-Percentile aggregates (sum/count/avg…) —
@@ -144,11 +147,7 @@ object GridOrderStatsRule extends Rule[LogicalPlan] {
       return false
     val keyIds = agg.groupingExpressions
       .map(_.asInstanceOf[AttributeReference].exprId).toSet
-    val hits = distinctPHits(agg).map(_._2)
-    if (hits.isEmpty) return false
-    // One value expression per rewrite; all hits must share it.
-    if (!hits.tail.forall(_.pc.child.semanticEquals(hits.head.pc.child)))
-      return false
+    if (distinctPHits(agg).isEmpty) return false
     // Every output column is a grouping attribute (possibly
     // re-aliased), a HIT leg, or a RESIDUAL leg — see [[legOf]].
     agg.aggregateExpressions.forall {
@@ -167,7 +166,6 @@ object GridOrderStatsRule extends Rule[LogicalPlan] {
     val keyIds = keys.map(_.exprId).toSet
     val keyNames = keys.indices.map(i => s"__gk$i")
     val hitList = distinctPHits(agg)
-    val hits = hitList.map(_._2)
     // Residual legs: aliased aggregate expressions with no Percentile.
     // They re-run as an ordinary Aggregate over the same (pinned,
     // below) child and join back on the grouping keys; the residual
@@ -178,73 +176,95 @@ object GridOrderStatsRule extends Rule[LogicalPlan] {
         case _ => legOf(al).contains(false)
       }) => al
     }
-    val ps = hits.flatMap(_.ps)
-    // First flat __q ordinal of each hit (array hits own a range).
-    val hitOffsets = hits.map(_.ps.length).scanLeft(0)(_ + _)
-    // Hand the (already optimized) child back to the analyzer under
-    // collision-free names; everything downstream is ordinary DataFrame
-    // code over __gk*/v. Keys travel wrapped in single-field structs:
+    // One grid per DISTINCT value expression (grouped by canonical
+    // form): `median(a), median(b), percentile(b, .9)` runs grid(a)
+    // and grid(b) — the plain-SQL form of exactMedians' multi-column
+    // pass. v1 required every percentile to share one value column and
+    // silently kept the buffering builtin for exactly the BI query
+    // this exists for (several columns' medians in one GROUP BY).
+    val groups: Seq[Seq[(Expression, PHit)]] =
+      hitList.map(_._2.pc.child.canonicalized).distinct.map(ck =>
+        hitList.filter(_._2.pc.child.canonicalized == ck))
+    // ONE fact-table scan for the whole rewrite however many legs the
+    // query carries: the child is projected to exactly the attributes
+    // consumed (grouping keys, every percentile input, residual-leg
+    // inputs) and, when more than one consumer exists (several grids
+    // and/or a residual Aggregate — different partial aggregations no
+    // exchange reuse can merge), that NARROW projection is pinned so
+    // every consumer reads one cache entry. At 100× a second fact scan
+    // is the difference between one pass and two. Entry lifetime is
+    // bounded: the pin registry keys on the canonicalized plan
+    // (re-compiling the same query replaces, never appends) and evicts
+    // on context stop; the cached rows are the narrow projection,
+    // spilling to disk past memory, which still beats a re-scan.
+    val needed = AttributeSet(keys.toSeq) ++
+      AttributeSet(hitList.flatMap(_._2.pc.child.references)) ++
+      AttributeSet(residual.flatMap(_.references))
+    val consumers = groups.size + (if (residual.isEmpty) 0 else 1)
+    val sharedDf = Glue.ofRows(spark,
+      Project(agg.child.output.filter(needed.contains), agg.child))
+    val shared =
+      (if (consumers > 1) graft.ContextCaches.pin(sharedDf) else sharedDf)
+        .queryExecution.analyzed
+    // Per-grid compile. Keys travel wrapped in single-field structs:
     // the grid's internal equi-joins (cum⋈tot, the prefix-sum offsets)
     // would silently drop NULL-keyed groups — a struct is never null
     // and struct comparison treats null fields as equal, making every
     // downstream join/groupBy null-safe without touching rangeCumsum.
     //
-    // Mixed legs read the child TWICE by construction (grid collapse +
-    // residual Aggregate — two different partial aggregations that no
-    // exchange reuse can merge). At 100× a second fact-table scan is
-    // the difference between one pass and two, so the child is first
-    // projected to exactly the attributes the rewrite consumes (keys,
-    // the percentile input, residual-leg inputs) and that NARROW
-    // projection is pinned: both consumers then read one cache entry
-    // and the fact table is scanned once. Entry lifetime is bounded —
-    // the pin registry keys on the canonicalized plan (re-compiling
-    // the same query replaces, never appends) and evicts on context
-    // stop; the cached rows are the narrow projection, spilling to
-    // disk past memory, which still beats a second full scan.
-    val needed = AttributeSet(keys.toSeq) ++
-      hits.head.pc.child.references ++
-      AttributeSet(residual.flatMap(_.references))
-    val sharedDf = Glue.ofRows(spark,
-      Project(agg.child.output.filter(needed.contains), agg.child))
-    val shared =
-      (if (residual.isEmpty) sharedDf else graft.ContextCaches.pin(sharedDf))
-        .queryExecution.analyzed
-    val projList = keys.zip(keyNames).map { case (a, n) =>
-      Alias(CreateStruct(Seq(a)), n)() } :+
-      Alias(Cast(hits.head.pc.child, DoubleType), "v")()
-    val base = Glue.ofRows(spark,
-      Project(projList.toSeq, shared))
-    // When residual legs exist their Aggregate already yields exactly
-    // one row per group (incl. all-NULL-value and NULL-keyed groups),
-    // so the grid side can skip its own all-keys frame — the join
-    // below re-attaches missing groups as NULL quantiles.
-    val res = gridPercentiles(base, keyNames, ps,
-      needAllKeys = residual.isEmpty)
-    // The replacement subtree must be OPTIMIZED, not merely analyzed:
-    // it contains Deduplicate/ResolvedHint nodes that only early
-    // optimizer batches rewrite, and when this rule runs from a late
-    // batch (experimental.extraOptimizations) those batches won't visit
-    // the new subtree again — the planner then fails on the leftovers.
-    // Running the child QueryExecution's optimizer here is reentrancy-
-    // safe (fresh QueryExecution; this rule no-ops on the subtree, which
-    // contains no Percentile). Output attribute ids survive optimization.
-    val resolved = res.queryExecution.optimizedPlan
-    val byName = resolved.output.map(a => a.name -> a).toMap
-    // Scalar hit → its __q column. Array hit → the builtin's array
-    // shape: NULL for an empty group (never an array OF nulls — a
+    // Each grid subtree must be OPTIMIZED, not merely analyzed: it
+    // contains Deduplicate/ResolvedHint nodes that only early optimizer
+    // batches rewrite, and when this rule runs from a late batch
+    // (experimental.extraOptimizations) those batches won't visit the
+    // new subtree again — the planner then fails on the leftovers. It
+    // must also pass through a FRESH QueryExecution for cache
+    // substitution (withCachedData runs BEFORE optimization on the
+    // outer query, so a subtree spliced in by this rule would never be
+    // matched against the pin). Reentrancy-safe (this rule no-ops on
+    // the subtree, which contains no Percentile); output attribute ids
+    // survive optimization.
+    //
+    // `exprs` maps each rewritable AggregateExpression (canonicalized)
+    // to its output expression: the scalar __q column, or the builtin's
+    // array shape — NULL for an empty group (never an array OF nulls; a
     // non-empty group's quantiles are provably non-null, so the first
-    // element's nullness IS group-emptiness), elements marked
-    // KnownNotNull so the output type matches the builtin's
-    // ArrayType(double, containsNull = false).
-    def hitExpr(h: PHit, off: Int): Expression =
-      if (!h.isArray) byName(s"__q$off")
-      else {
-        val elems = h.ps.indices.map(j =>
-          KnownNotNull(byName(s"__q${off + j}")))
-        If(IsNull(byName(s"__q$off")),
-          Literal(null, ArrayType(DoubleType, containsNull = false)),
-          CreateArray(elems))
-      }
+    // element's nullness IS group-emptiness), elements KnownNotNull so
+    // the type matches ArrayType(double, containsNull = false).
+    case class Grid(resolved: LogicalPlan,
+      byName: Map[String, org.apache.spark.sql.catalyst.expressions.Attribute],
+      exprs: Map[Expression, Expression])
+    def mkGrid(g: Seq[(Expression, PHit)], needAllKeys: Boolean): Grid = {
+      val projList = keys.zip(keyNames).map { case (a, n) =>
+        Alias(CreateStruct(Seq(a)), n)() } :+
+        Alias(Cast(g.head._2.pc.child, DoubleType), "v")()
+      val base = Glue.ofRows(spark, Project(projList.toSeq, shared))
+      val ps = g.flatMap(_._2.ps)
+      val res = gridPercentiles(base, keyNames, ps, needAllKeys)
+      val resolved = res.queryExecution.optimizedPlan
+      val byName = resolved.output.map(a => a.name -> a).toMap
+      def hitExpr(h: PHit, off: Int): Expression =
+        if (!h.isArray) byName(s"__q$off")
+        else {
+          val elems = h.ps.indices.map(j =>
+            KnownNotNull(byName(s"__q${off + j}")))
+          If(IsNull(byName(s"__q$off")),
+            Literal(null, ArrayType(DoubleType, containsNull = false)),
+            CreateArray(elems))
+        }
+      val offs = g.map(_._2.ps.length).scanLeft(0)(_ + _)
+      Grid(resolved, byName,
+        g.zip(offs).map { case ((c, h), o) => c -> hitExpr(h, o) }.toMap)
+    }
+    // With residual legs the residual Aggregate is the row-set spine
+    // (one row per group, incl. all-NULL-value and NULL-keyed groups);
+    // without them grid 0 carries the all-keys frame and later grids
+    // left-join onto it (their row sets are subsets: a group missing
+    // from grid i has an all-NULL value column there — exactly the
+    // NULL quantiles the left join produces).
+    val grids = groups.zipWithIndex.map { case (g, gi) =>
+      mkGrid(g, needAllKeys = residual.isEmpty && gi == 0) }
+    val hitExprOf: Map[Expression, Expression] =
+      grids.flatMap(_.exprs).toMap
     // Rebuild a HIT leg's scalar tree over the grid columns: every
     // rewritable Percentile call becomes its grid expression (looked up
     // by canonicalized form, so repeated identical calls share one
@@ -253,15 +273,37 @@ object GridOrderStatsRule extends Rule[LogicalPlan] {
     // INSIDE a percentile's value expression are never touched.
     def rewriteHitTree(e: Expression, keyRef: Int => Expression): Expression =
       e.transformDown {
-        case ae: AggregateExpression if pHitOf(ae).isDefined =>
-          val idx = hitList.indexWhere(_._1 == ae.canonicalized)
-          hitExpr(hits(idx), hitOffsets(idx))
+        case ae: AggregateExpression if hitExprOf.contains(ae.canonicalized) =>
+          hitExprOf(ae.canonicalized)
         case ar: AttributeReference if keyIds.contains(ar.exprId) =>
           keyRef(keys.indexWhere(_.exprId == ar.exprId))
       }
+    def keyOf(g: Grid, i: Int) = g.byName(keyNames(i))
+    // Join-back shape: every non-spine frame has ONE ROW PER GROUP, so
+    // at scale these are group-cardinality joins (AQE broadcasts small
+    // sides at runtime; no compile-time hint — arbitrary user SQL may
+    // group by a high-cardinality key, where a forced broadcast would
+    // collect every group to the driver). Global form: all sides are
+    // single-row frames, a 1×1 nested-loop join.
+    // `spineKey` and `gridKey` must be the SAME representation: the
+    // pure path compares struct key to struct key; the mixed path
+    // compares the residual spine's raw key to the grid struct's
+    // unwrapped field.
+    def joinBack(spine: LogicalPlan, g: Grid, spineKey: Int => Expression,
+        gridKey: Int => Expression): LogicalPlan =
+      if (keys.isEmpty) Join(spine, g.resolved, Cross, None, JoinHint.NONE)
+      else {
+        val cond = keys.indices.map(i =>
+          EqualNullSafe(spineKey(i), gridKey(i)))
+          .reduceLeft[Expression](And(_, _))
+        Join(spine, g.resolved, LeftOuter, Some(cond), JoinHint.NONE)
+      }
     if (residual.isEmpty) {
+      val spine = grids.head
+      val joined = grids.tail.foldLeft(spine.resolved)((acc, g) =>
+        joinBack(acc, g, i => keyOf(spine, i), i => keyOf(g, i)))
       def unwrapKey(i: Int): Expression =
-        GetStructField(byName(keyNames(i)), 0, None)
+        GetStructField(keyOf(spine, i), 0, None)
       val outs: Seq[NamedExpression] = agg.aggregateExpressions.map {
         case ar: AttributeReference =>
           val i = keys.indexWhere(_.exprId == ar.exprId)
@@ -278,37 +320,22 @@ object GridOrderStatsRule extends Rule[LogicalPlan] {
           throw new IllegalStateException(
             s"unexpected aggregate output $other")
       }
-      Project(outs, resolved)
+      Project(outs, joined)
     } else {
       // Mixed legs: the residual Aggregate (original Alias objects, so
       // downstream references resolve unchanged) provides one row per
-      // group — exactly the builtin's row set — and the grid result
+      // group — exactly the builtin's row set — and each grid result
       // LEFT-joins onto it per grouping key, null-safely so NULL-keyed
-      // groups match their grid row. Global form: both sides are
-      // single-row frames, a 1×1 broadcast nested-loop join.
+      // groups match their grid rows. Built over `shared` through a
+      // fresh QueryExecution (same cache-substitution argument as the
+      // grids above).
       val keyAliases = keys.zipWithIndex.map { case (k, i) =>
         Alias(k, s"__rk$i")() }
-      // Over `shared`, not agg.child — and through a fresh
-      // QueryExecution, because cache substitution (withCachedData)
-      // runs BEFORE optimization on the outer query: a subtree spliced
-      // in by this rule would never be matched against the pin. The
-      // fresh QE substitutes the shared InMemoryRelation and optimizes;
-      // output attribute ids survive, so the join/projection below
-      // resolve unchanged.
       val residualAgg = Glue.ofRows(spark, Aggregate(agg.groupingExpressions,
         (keyAliases ++ residual).toSeq, shared)).queryExecution.optimizedPlan
-      val joined =
-        if (keys.isEmpty)
-          Join(residualAgg, resolved, Cross, None, JoinHint.NONE)
-        else {
-          val cond = keys.indices
-            .map { i =>
-              EqualNullSafe(keyAliases(i).toAttribute,
-                GetStructField(byName(keyNames(i)), 0, None))
-            }
-            .reduceLeft[Expression](And(_, _))
-          Join(residualAgg, resolved, LeftOuter, Some(cond), JoinHint.NONE)
-        }
+      val joined = grids.foldLeft(residualAgg)((acc, g) =>
+        joinBack(acc, g, i => keyAliases(i).toAttribute,
+          i => GetStructField(keyOf(g, i), 0, None)))
       val outs: Seq[NamedExpression] = agg.aggregateExpressions.map {
         case ar: AttributeReference =>
           val i = keys.indexWhere(_.exprId == ar.exprId)

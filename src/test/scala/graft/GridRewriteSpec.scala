@@ -33,7 +33,13 @@ class GridRewriteSpec extends GraftSuite {
       (1 to 10).map(i => (Some("e"),
         if (i % 3 == 0) None else Some(i.toDouble))) ++                    // mixed NULLs
       Seq((None, Some(7.0)), (None, Some(9.0)))                            // NULL key
-    rows.toDF("k", "v").createOrReplaceTempView("grs")
+    // Second value column, row-set-misaligned with v: NULL where v is
+    // large (so per-column grids see DIFFERENT group row sets — group
+    // "c" is all-NULL in w but live in v) — the multi-grid join-back's
+    // edge case.
+    rows.zipWithIndex.map { case ((k, v), i) =>
+      (k, v, v.filter(_ < 40.0).map(x => x * 3 + i % 7)) }
+      .toDF("k", "v", "w").createOrReplaceTempView("grs")
   }
 
   private val grouped =
@@ -162,6 +168,61 @@ class GridRewriteSpec extends GraftSuite {
     assert(b.length == g.length && b.length == 6)
     b.zip(g).foreach { case (x, y) => assert(x == y, s"\n$x\n$y") }
     assert(spark.sql(q).schema == rewritten.sql(q).schema)
+  }
+
+  test("multi-column percentiles rewrite: one grid per value column") {
+    fixture(spark); fixture(rewritten)
+    // The plain-SQL a13 shape: medians of SEVERAL columns (+ plain
+    // aggregates) in one GROUP BY. One grid per distinct value
+    // expression, all joined back; group "c" is all-NULL in w but live
+    // in v, so the join-back must produce NULL w-quantiles there while
+    // keeping v's.
+    val q =
+      """SELECT k, median(v) AS med_v, median(w) AS med_w,
+        |  percentile(w, 0.9) AS p90_w, count(*) AS n
+        |FROM grs GROUP BY k""".stripMargin
+    val opt = rewritten.sql(q).queryExecution.optimizedPlan.toString
+    assert(!opt.toLowerCase.contains("percentile"), opt.take(1500))
+    def canon(s: SparkSession) = s.sql(q).collect()
+      .map(r => (0 until r.length).map(i => Option(r.get(i))).toList)
+      .sortBy(_.head.map(_.toString).getOrElse(""))
+    val b = canon(spark)
+    val g = canon(rewritten)
+    assert(b.length == g.length && b.length == 6)
+    b.zip(g).foreach { case (x, y) => assert(x == y, s"\n$x\n$y") }
+    assert(g.exists(r => r.head.contains("c") && r(1).contains(42.0) &&
+      r(2).isEmpty && r(3).isEmpty))
+    // Global multi-column form keeps the one-row contract.
+    val qg = "SELECT median(v) AS mv, median(w) AS mw FROM grs"
+    assert(!rewritten.sql(qg).queryExecution.optimizedPlan
+      .toString.toLowerCase.contains("percentile"))
+    val bg = spark.sql(qg).collect()
+    val gg = rewritten.sql(qg).collect()
+    assert(bg.length == 1 && gg.length == 1)
+    assert(bg.head.getDouble(0) == gg.head.getDouble(0))
+    assert(bg.head.getDouble(1) == gg.head.getDouble(1))
+  }
+
+  test("multi-column rewrite reads the source once (shared pin)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    Tables.lineitem(rewritten, sf).createOrReplaceTempView("grs_scan2")
+    val q =
+      """SELECT l_returnflag, median(l_quantity) AS mq,
+        |  median(l_extendedprice) AS mp, count(*) AS n
+        |FROM grs_scan2 GROUP BY l_returnflag""".stripMargin
+    val aqe = rewritten.conf.get("spark.sql.adaptive.enabled")
+    rewritten.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = rewritten.sql(q)
+      df.collect()
+      val plan = df.queryExecution.executedPlan
+      assert(plan.collect { case s: FileSourceScanExec => s }.isEmpty,
+        plan.toString.take(2000))
+      // Two grids + residual: at least three readers of the one entry.
+      assert(plan.collect { case s: InMemoryTableScanExec => s }.size >= 3,
+        plan.toString.take(2000))
+    } finally rewritten.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
   test("mixed rewrite reads the source exactly once (shared pin)") {
