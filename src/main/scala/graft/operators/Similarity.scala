@@ -329,8 +329,10 @@ object Similarity {
 
   // SemDeDup keeps its own coarser geometry: pair recall needs both
   // members of a near-dup pair in one cell, so FEWER, larger cells win
-  // there (0.757 pair recall at 32 cells / 3-assign at sf0.1; 128
-  // cells would shred pairs across boundaries). Search and dedup share
+  // there (0.868 pair recall at 32 cells / 4-assign at sf0.1; finer
+  // cells shred pairs across boundaries unless assign grows with them
+  // at the same scanned fraction — the round-12 sweep showed matched
+  // fraction → matched recall across 16/32/64 cells). Search and dedup share
   // the trainer and the per-(dir, cells, iters) cache — two tiny
   // centroid tables, each serving the configuration its recall was
   // measured at.
@@ -466,13 +468,19 @@ object Similarity {
 
   // --------------------------------------------------- SemDeDup variant
 
-  // Cell multi-assignment breadth: each vector joins its 3 nearest cells,
+  // Cell multi-assignment breadth: each vector joins its 4 nearest cells,
   // so a near-dup pair straddling cell boundaries still meets — the
-  // same recall knob as IVF probes, paid as ~assign²/2-fold candidate
-  // volume. Measured pair-recall vs the exact pass: 2-assign 0.71 at
-  // sf0.001 but 0.53 at sf0.1 (denser cells → more boundary misses);
-  // 3-assign restores the larger corpus while candidates stay ≪ N².
-  private[graft] val SemAssign = 3
+  // same recall knob as IVF probes, paid as ~assign²/cells-fold candidate
+  // volume. Round-12 sweep at sf0.1 (RecallSweep sem: mode, 32 cells,
+  // exact baseline 144 pairs): assign 3 → pair recall 0.757, 4 → 0.868
+  // at 1.27× serve wall, 5 → 0.938 at ~1.8×. This corpus's embeddings
+  // are weakly clustered (cos-to-centroid ∈ [−0.24, 0.46]), so recall
+  // tracks the scanned fraction closely whatever the cell geometry —
+  // sweeping cells 16/32/64 at matched fractions gave matched recall.
+  // 4 clears the 0.85 recall floor inside the 1.5× latency budget; the
+  // candidate fraction stays cells-bounded and FALLS as the corpus
+  // grows (cells ∝ N at fixed assign).
+  private[graft] val SemAssign = 4
 
   /** Semantic (embedding-space) near-duplicate detection bucketed by the
     * trained k-means cells — the SemDeDup scheme (Abbas et al. 2023,
@@ -586,8 +594,8 @@ object Similarity {
     */
   private[graft] def semanticAssignments(s: SparkSession, d: String,
       cells: Int, nAssign: Int): DataFrame =
-    // seed = "rank" PINNED: SemDeDup's pair-recall floor (0.757 at
-    // sf0.1) was tuned for its deliberately coarse few-cell geometry
+    // seed = "rank" PINNED: SemDeDup's pair-recall floor (0.868 at
+    // sf0.1, 4-assign) was tuned for its deliberately coarse few-cell geometry
     // under rank seeding; round 10's k-means++ default reshaped those
     // 32 cells and pair recall fell to 0.708 in the full bench. Search
     // wants tight cells (finer quantization = higher recall); dedup

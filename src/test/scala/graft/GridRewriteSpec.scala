@@ -299,6 +299,29 @@ class GridRewriteSpec extends GraftSuite {
     assert(be.head.getLong(1) == 0 && ge.head.getLong(1) == 0)
   }
 
+  test("join-back plan shape: runtime broadcast, Cross only for 1x1") {
+    fixture(rewritten)
+    // The join-back sides are group-cardinality frames with NO
+    // compile-time broadcast hint (arbitrary SQL may group by a
+    // high-cardinality key); for this 6-group query AQE must upgrade
+    // the null-safe LeftOuter join-back to a broadcast join at
+    // runtime, and nothing may plan a cartesian product.
+    val df = rewritten.sql(
+      "SELECT k, median(v) AS med, count(*) AS n FROM grs GROUP BY k")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // Global mixed form: the Cross join is whitelisted ONLY because
+    // both sides are single-row aggregates — it must plan as a
+    // broadcast nested loop, never CartesianProduct.
+    val g = rewritten.sql("SELECT median(v) AS med, count(*) AS n FROM grs")
+    g.collect()
+    val gp = g.queryExecution.executedPlan.toString
+    assert(!gp.contains("CartesianProduct"), gp.take(2000))
+  }
+
   test("rewrite matches the builtin on a large continuous column") {
     // lineitem prices: ~6k rows, grid cardinality near row count — the
     // shape where interpolation almost always lands between two distinct
