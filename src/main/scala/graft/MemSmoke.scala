@@ -71,6 +71,27 @@ object MemSmoke {
         plans.GridOrderStatsRule.install(spark)
         frame.createOrReplaceTempView("mem_t")
         spark.sql("SELECT median(x) AS m FROM mem_t").first().getDouble(0)
+      case "sql_mixed_rewritten" =>
+        // Mixed median + plain aggregates: the rewrite's residual path
+        // pins a narrow projection of the child (30M doubles — bigger
+        // than the heap's storage share, so the pin must spill to disk
+        // rather than die) and joins the residual Aggregate back onto
+        // the grid result. Survival proves the one-scan mixed plan
+        // holds under constrained memory, not just at bench scale.
+        plans.GridOrderStatsRule.install(spark)
+        frame.createOrReplaceTempView("mem_t")
+        spark.sql("SELECT round(median(x), 6) AS m, count(*) AS n FROM mem_t")
+          .first().getDouble(0)
+      case "sql_multicol_rewritten" =>
+        // Two value columns → two grids off the one pinned projection;
+        // the builtin form would buffer BOTH columns' values in one
+        // reducer (2× the median_agg state that already OOMs).
+        plans.GridOrderStatsRule.install(spark)
+        spark.range(0, n)
+          .select((col("id") * 1e-6).as("x"), (col("id") * 2e-6).as("y"))
+          .createOrReplaceTempView("mem_t2")
+        spark.sql("SELECT median(x) AS mx, median(y) AS my FROM mem_t2")
+          .first().getDouble(0)
       case q if q.startsWith("query:") =>
         val name = q.stripPrefix("query:")
         SparkEntry.queries(name)(spark, sfDir)

@@ -24,6 +24,40 @@ class RelationalSpec extends GraftSuite {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("gridQuantiles high-cardinality fallback is bit-equal, no broadcast") {
+    // lowCardGroups = false is the documented escape hatch for callers
+    // grouping by a high-cardinality key, where broadcasting the
+    // per-group frames would collect every group's quantiles to the
+    // driver. Values must be bit-equal to the default path, and the
+    // per-group joins must carry no compile-time broadcast hint (the
+    // logical plan keeps plain joins for the shuffle path).
+    val li = Tables.lineitem(spark, sf)
+    def canon(lowCard: Boolean) = operators.Relational
+      .gridQuantiles(li, Seq("l_returnflag"), "l_extendedprice",
+        Seq(0.5 -> "p50", 0.9 -> "p90"), lowCardGroups = lowCard)
+      .collect().map(_.toString).sorted.toSeq
+    assert(canon(lowCard = true) == canon(lowCard = false))
+    val plan = operators.Relational
+      .gridQuantiles(li, Seq("l_returnflag"), "l_extendedprice",
+        Seq(0.5 -> "p50"), lowCardGroups = false)
+      .queryExecution.optimizedPlan.toString
+    // rangeCumsum's internal grid-sized broadcasts remain; the
+    // GROUP-cardinality frames (tot join, quantile join-back) must not
+    // hint. Count hints in the analyzed plan instead: optimizer
+    // rewrites hints into join strategies, so probe pre-optimization.
+    val hints = "ResolvedHint".r.findAllIn(operators.Relational
+      .gridQuantiles(li, Seq("l_returnflag"), "l_extendedprice",
+        Seq(0.5 -> "p50"), lowCardGroups = false)
+      .queryExecution.analyzed.toString).length
+    val hintsDefault = "ResolvedHint".r.findAllIn(operators.Relational
+      .gridQuantiles(li, Seq("l_returnflag"), "l_extendedprice",
+        Seq(0.5 -> "p50"), lowCardGroups = true)
+      .queryExecution.analyzed.toString).length
+    assert(hints == hintsDefault - 2,
+      s"expected exactly the 2 per-group hints dropped: $hints vs $hintsDefault")
+    assert(plan.nonEmpty)
+  }
+
   test("s1 text roundtrip is lossless") {
     val parsed = run("s1_text_scan")
     val orig = Tables.lineitem(spark, sf)
