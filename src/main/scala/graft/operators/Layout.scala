@@ -119,10 +119,103 @@ object Layout {
       .orderBy("zkey", "l_orderkey", "l_linenumber")
   }
 
+  // ------------------------------------------- bucketed co-location
+
+  private[graft] val Buckets = 16
+
+  // One bucketed-layout build per (context, dir): a production
+  // warehouse keeps its fact tables bucketed on their join keys
+  // permanently — the first query pays the layout write (the same
+  // residency contract as the dedup signature pins and the trained ANN
+  // indexes), later queries read co-located buckets with no exchange.
+  // Table names carry a dir hash so scale factors never collide; the
+  // external catalog is shared across cloned sessions, so one build
+  // serves every consumer in the context.
+  private val bucketedTables = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.SparkContext, String), (String, String)]
+
+  private def bucketTables(s: SparkSession, d: String): (String, String) = {
+    ContextCaches.evictOnStop(s.sparkContext, "bucketed-tables")(() =>
+      bucketedTables.filterInPlace { case ((c, _), _) =>
+        c ne s.sparkContext })
+    bucketedTables.getOrElseUpdate((s.sparkContext, d), {
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val liT = s"graft_bkt_lineitem_$tag"
+      val ordT = s"graft_bkt_orders_$tag"
+      // The in-memory catalog dies with the context but the managed
+      // warehouse directory doesn't: a fresh JVM sees tableExists =
+      // false while CTAS refuses the leftover location. Clear the
+      // orphaned directory before re-creating (a REGISTERED table is
+      // reused without touching disk).
+      def clearOrphan(t: String): Unit = {
+        val wh = new java.net.URI(
+          s.conf.get("spark.sql.warehouse.dir")).getPath
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(wh, t))
+      }
+      // Pre-repartition on the SAME murmur3 hash bucketBy uses, so each
+      // write task holds exactly one bucket → one file per bucket (the
+      // layout that also lets sorted-bucket reads skip their sort).
+      if (!s.catalog.tableExists(liT)) {
+        clearOrphan(liT)
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_extendedprice"),
+            col("l_discount"))
+          .repartition(Buckets, col("l_orderkey"))
+          .write.bucketBy(Buckets, "l_orderkey").sortBy("l_orderkey")
+          .mode("overwrite").saveAsTable(liT)
+      }
+      if (!s.catalog.tableExists(ordT)) {
+        clearOrphan(ordT)
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .repartition(Buckets, col("o_orderkey"))
+          .write.bucketBy(Buckets, "o_orderkey").sortBy("o_orderkey")
+          .mode("overwrite").saveAsTable(ordT)
+      }
+      (liT, ordT)
+    })
+  }
+
+  /** Bucket-co-located fact⋈fact join (K3/§2 layout family): lineitem
+    * and orders are written `bucketBy(16, orderkey)` + sorted, and the
+    * revenue-by-priority join then runs with ZERO exchange on either
+    * join side — the bucketed scans already satisfy the join's
+    * distribution requirement, so the only shuffle in the plan is the
+    * final tiny per-priority aggregate. At 100 TB this is the
+    * difference between shuffling the two largest tables in the
+    * warehouse on every query and shuffling them once at layout time.
+    * The `merge` hint pins the sort-merge strategy the layout exists
+    * for (at bench scale the orders side would otherwise broadcast —
+    * the right plan for a SMALL side, but fact⋈fact is the case this
+    * demonstrates; both are fact-scale in production). Plan shape is
+    * spec-asserted (one hash exchange total); values are
+    * oracle-checked.
+    */
+  private def bucketJoin(s: SparkSession, d: String): DataFrame = {
+    val (liT, ordT) = bucketTables(s, d)
+    s.table(liT).hint("merge")
+      .join(s.table(ordT), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, Query] = Map(
-    "o5_zorder" -> zorder _)
+    "o5_zorder" -> zorder _,
+    "o6_bucket_join" -> bucketJoin _)
 
   val oracle: Map[String, String] = Map(
+    "o6_bucket_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "o5_zorder" -> {
       val terms =
         (0 until Bits).map(i =>

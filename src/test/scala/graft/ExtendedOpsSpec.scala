@@ -120,6 +120,24 @@ class ExtendedOpsSpec extends GraftSuite {
     assert(df.count() > 0)
   }
 
+  test("o6 bucketed join: co-located scans join with one exchange total") {
+    val df = SparkEntry.queries("o6_bucket_join")(spark, sf)
+    df.collect() // materialize (first call pays the bucketed layout write)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan.take(1500))
+    assert(plan.contains("Bucketed: true"), plan.take(1500))
+    // The bucketed scans satisfy the join's distribution requirement,
+    // so the ONLY hash exchange left is the final tiny per-priority
+    // aggregate — the unbucketed twin of this plan carries three.
+    // Count in the FINAL adaptive plan only (the "Initial Plan" section
+    // AQE appends repeats every exchange once more).
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(finalPlan).length
+    assert(hashEx == 1,
+      s"expected 1 hash exchange (final agg only), got $hashEx:\n" +
+        finalPlan.take(2000))
+  }
+
   test("plan hygiene: no cartesian product anywhere in the inventory") {
     // dd_clusters iterates jobs at plan-build time — skip it here (its
     // joins are the same equi-join shape the other dedup ops use).
