@@ -48,4 +48,49 @@ object ContextCaches {
       pinned.remove(sc).getOrElse(Map.empty).values.foreach(_.unpersist()))
     df
   }
+
+  // Insertion-ordered (LinkedHashMap) per-(context, pool) registries for
+  // pinBounded — recency is maintained by remove+re-insert on touch.
+  private val pools = scala.collection.concurrent.TrieMap
+    .empty[(SparkContext, String),
+      scala.collection.mutable.LinkedHashMap[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        org.apache.spark.sql.DataFrame]]
+
+  /** [[pin]] with a per-pool LRU bound: once a pool holds `cap` distinct
+    * plans, pinning another unpersists the least-recently-pinned entry.
+    *
+    * For OPTIMIZER-RULE pins (GridOrderStatsRule's shared projections):
+    * the rule fires once per DISTINCT query compilation, and an unbounded
+    * registry would grow a data-sized cache entry per distinct rewritten
+    * query for the context lifetime — a long-lived session running many
+    * ad-hoc medians would exhaust storage. Library operators keep using
+    * [[pin]] (their residency IS the contract — a vector store must not
+    * silently evict its inverted lists); rule pins are best-effort
+    * residency, and eviction is always SAFE: an unpersisted
+    * InMemoryRelation recomputes from its cached child plan, it does not
+    * fail. Touching an already-pooled plan refreshes both its recency
+    * and (via CacheManager's own dedup) its single storage entry.
+    */
+  def pinBounded(df: org.apache.spark.sql.DataFrame, pool: String,
+      cap: Int): org.apache.spark.sql.DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val key = df.queryExecution.analyzed.canonicalized
+    val m = pools.getOrElseUpdate((sc, pool),
+      scala.collection.mutable.LinkedHashMap.empty)
+    m.synchronized {
+      df.persist()
+      m.remove(key) // re-insert below → most-recent position
+      m += (key -> df)
+      while (m.size > cap) {
+        val (_, oldest) = m.head
+        m.remove(m.head._1)
+        oldest.unpersist()
+      }
+    }
+    evictOnStop(sc, s"pinned-pool-$pool")(() =>
+      pools.remove((sc, pool)).foreach(p =>
+        p.synchronized { p.values.foreach(_.unpersist()); p.clear() }))
+    df
+  }
 }

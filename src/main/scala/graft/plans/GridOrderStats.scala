@@ -204,7 +204,9 @@ object GridOrderStatsRule extends Rule[LogicalPlan] {
     val sharedDf = Glue.ofRows(spark,
       Project(agg.child.output.filter(needed.contains), agg.child))
     val shared =
-      (if (consumers > 1) graft.ContextCaches.pin(sharedDf) else sharedDf)
+      (if (consumers > 1)
+        graft.ContextCaches.pinBounded(sharedDf, "grid-rule-shared", 8)
+      else sharedDf)
         .queryExecution.analyzed
     // Per-grid compile. Keys travel wrapped in single-field structs:
     // the grid's internal equi-joins (cum⋈tot, the prefix-sum offsets)
@@ -389,7 +391,8 @@ object GridOrderStatsRule extends Rule[LogicalPlan] {
     val withKeys = if (global) base.withColumn("__gkc", lit(0)) else base
     val gridAll = withKeys
       .groupBy((keys :+ "v").map(col): _*).agg(count(lit(1)).as("c"))
-    val gridPin = graft.ContextCaches.pin(gridAll)
+    val gridPin =
+      graft.ContextCaches.pinBounded(gridAll, "grid-rule-grids", 32)
     val counts = gridPin.filter(col("v").isNotNull)
     val tot = counts.groupBy(keys.map(col): _*).agg(sum("c").as("n"))
     val cum = Relational.rangeCumsum(counts, keys, pin = false)

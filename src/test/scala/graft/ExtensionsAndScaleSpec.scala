@@ -16,6 +16,24 @@ class ExtensionsAndScaleSpec extends GraftSuite {
     assert(r.getLong(2) != 0L)
   }
 
+  test("pinBounded: LRU pool unpersists beyond its cap; touch refreshes") {
+    import spark.implicits._
+    def live(df: org.apache.spark.sql.DataFrame) =
+      df.storageLevel.useMemory || df.storageLevel.useDisk
+    val dfs = (1 to 3).map(i => Seq(i).toDF(s"pb_c$i"))
+    ContextCaches.pinBounded(dfs(0), "test-pool", 2)
+    ContextCaches.pinBounded(dfs(1), "test-pool", 2)
+    assert(live(dfs(0)) && live(dfs(1)))
+    // Touch df0 → df1 becomes oldest; the third pin must evict df1.
+    ContextCaches.pinBounded(dfs(0), "test-pool", 2)
+    ContextCaches.pinBounded(dfs(2), "test-pool", 2)
+    assert(live(dfs(0)), "touched entry must survive")
+    assert(!live(dfs(1)), "least-recently-pinned entry must be unpersisted")
+    assert(live(dfs(2)))
+    // Eviction is safe, not fatal: the evicted frame still computes.
+    assert(dfs(1).count() == 1)
+  }
+
   test("catalog ops: existence probe, fallback chain, name patterns") {
     import graft.pipeline.CatalogOps
     Tables.events(spark, sf).createOrReplaceTempView("cat_events")
