@@ -72,6 +72,34 @@ object BenchGate {
     t.max - t.min
   }
 
+  /** Floor-defense ratio: a published stat beyond this multiple of the
+    * committed prior triggers the bounded re-measure loop — BELOW the
+    * [[RatioFloor]] flag threshold, so every would-be regression flag
+    * has been through the defense before it can be published. Round
+    * 12's official artifact carried 7 regression flags that quiet
+    * reruns over unchanged code all disproved (uniform co-tenant
+    * inflation of the capture window); the artifact should defend
+    * itself instead of publishing flags the protocol believes are
+    * false.
+    */
+  val FloorRatio = 1.3
+
+  /** Extra samples the floor-defense loop may spend per suspect query. */
+  val FloorExtraPasses = 2
+
+  /** Does `stat` sit suspiciously above the committed floor? (No prior
+    * → nothing to defend.)
+    */
+  def floorSuspect(stat: Double, prior: Option[Double]): Boolean =
+    prior.exists(p => p > 0 && stat > FloorRatio * p)
+
+  /** Has ANY sample come back near the floor? Noise only inflates, so
+    * one sample at ≤ [[FloorRatio]]× the prior proves the floor still
+    * holds and the inflated samples were the window, not the code.
+    */
+  def floorReproduced(samples: List[Double], prior: Double): Boolean =
+    samples.nonEmpty && samples.min <= FloorRatio * prior
+
   /** Queries that completed in both runs and got decisively slower:
     * ratio above [[RatioFloor]] AND delta above both [[AbsFloorSec]]
     * and [[SpreadMult]]× the query's own spread. Cold (unwarmed)

@@ -45,9 +45,20 @@ object ContextCaches {
     val key = df.queryExecution.analyzed.canonicalized
     pinned.updateWith(sc)(p => Some(p.getOrElse(Map.empty) + (key -> df)))
     evictOnStop(sc, "pinned-plans")(() =>
-      pinned.remove(sc).getOrElse(Map.empty).values.foreach(_.unpersist()))
+      pinned.remove(sc).getOrElse(Map.empty).values
+        .foreach(quietUnpersist))
     df
   }
+
+  /** Best-effort unpersist for stop-time eviction: onApplicationEnd
+    * fires after the context has stopped, where unpersist throws
+    * IllegalStateException — but the executors' storage died with the
+    * context; the hook's real job is clearing the DRIVER-side
+    * registries, which must proceed regardless.
+    */
+  private def quietUnpersist(df: org.apache.spark.sql.DataFrame): Unit =
+    try df.unpersist()
+    catch { case scala.util.control.NonFatal(_) => }
 
   // Insertion-ordered (LinkedHashMap) per-(context, pool) registries for
   // pinBounded — recency is maintained by remove+re-insert on touch.
@@ -56,6 +67,30 @@ object ContextCaches {
       scala.collection.mutable.LinkedHashMap[
         org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
         org.apache.spark.sql.DataFrame]]
+
+  /** One lock for ALL pool mutation (pin, LRU evict, stop-evict): pins
+    * are rare driver-side events, so contention is irrelevant, and a
+    * single lock lets eviction consult OTHER pools ([[heldElsewhere]])
+    * without nested per-pool locks — two pools evicting concurrently
+    * while each checks the other would order per-pool locks
+    * inconsistently and deadlock.
+    */
+  private val poolsLock = new Object
+
+  /** Is `key`'s plan also pinned by ANOTHER registry on this context —
+    * the unbounded [[pin]] map or a different pool? Spark's CacheManager
+    * keys storage by canonicalized plan, so the SAME entry backs every
+    * registry holding the plan; an LRU eviction that unpersisted it
+    * would silently drop a library pin's residency (its contract) and
+    * leave the other registry's map entry pointing at evicted storage.
+    * Caller holds [[poolsLock]].
+    */
+  private def heldElsewhere(sc: SparkContext, pool: String,
+      key: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+    pinned.get(sc).exists(_.contains(key)) ||
+      pools.exists { case ((c, p), m) =>
+        (c eq sc) && p != pool && m.contains(key)
+      }
 
   /** [[pin]] with a per-pool LRU bound: once a pool holds `cap` distinct
     * plans, pinning another unpersists the least-recently-pinned entry.
@@ -71,26 +106,40 @@ object ContextCaches {
     * InMemoryRelation recomputes from its cached child plan, it does not
     * fail. Touching an already-pooled plan refreshes both its recency
     * and (via CacheManager's own dedup) its single storage entry.
+    * An evicted plan that is ALSO held by [[pin]] or another pool only
+    * drops this pool's map entry — storage stays resident for the other
+    * registry ([[heldElsewhere]]), preserving the library-pin contract.
     */
   def pinBounded(df: org.apache.spark.sql.DataFrame, pool: String,
       cap: Int): org.apache.spark.sql.DataFrame = {
     val sc = df.sparkSession.sparkContext
     val key = df.queryExecution.analyzed.canonicalized
-    val m = pools.getOrElseUpdate((sc, pool),
-      scala.collection.mutable.LinkedHashMap.empty)
-    m.synchronized {
+    // Everything under the ONE pool lock — including the stop-eviction
+    // callback below — so the callback cannot race the lookup and
+    // remove the pool between a getOrElseUpdate and the mutation (a pin
+    // landing in an orphaned map would persist() storage no hook ever
+    // releases).
+    poolsLock.synchronized {
+      val m = pools.getOrElseUpdate((sc, pool),
+        scala.collection.mutable.LinkedHashMap.empty)
       df.persist()
       m.remove(key) // re-insert below → most-recent position
       m += (key -> df)
       while (m.size > cap) {
-        val (_, oldest) = m.head
-        m.remove(m.head._1)
-        oldest.unpersist()
+        val (k, oldest) = m.head
+        m.remove(k)
+        if (!heldElsewhere(sc, pool, k)) oldest.unpersist()
       }
     }
     evictOnStop(sc, s"pinned-pool-$pool")(() =>
-      pools.remove((sc, pool)).foreach(p =>
-        p.synchronized { p.values.foreach(_.unpersist()); p.clear() }))
+      poolsLock.synchronized {
+        pools.remove((sc, pool)).foreach { p =>
+          p.foreach { case (k, v) =>
+            if (!heldElsewhere(sc, pool, k)) quietUnpersist(v)
+          }
+          p.clear()
+        }
+      })
     df
   }
 }

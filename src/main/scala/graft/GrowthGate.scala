@@ -21,7 +21,9 @@ import org.apache.spark.sql.SparkSession
   * 10× time is material (> [[MaterialSec]] — a 0.1s→1.5s query is
   * fixed-overhead noise, not a scale signal), unless an [[exemptions]]
   * entry raises its bound with a reason (algorithms whose work is
-  * super-linear BY SPEC, e.g. exact all-pairs similarity).
+  * super-linear BY SPEC, e.g. exact all-pairs similarity) or a
+  * [[workGated]] entry replaces the wall comparison with an exact,
+  * variance-free work metric (wall kept only as a loose backstop).
   *
   * Usage: runMain graft.GrowthGate [factor] [srcSfDir] [scratchDir]
   *   [query ...]
@@ -52,14 +54,28 @@ object GrowthGate {
         "cell-bounded)"),
     "ml_model_compare" -> (40.0,
       "CV model training: optimizer iteration count is data-dependent, " +
-        "not a relational plan property"),
+        "not a relational plan property"))
+
+  /** Queries gated on a MEASURED WORK METRIC instead of wall time.
+    * g4_jaccard's r12 story motivated this: its candidate-pair volume
+    * is exactly linear (12,544,866 → 125,448,660 = 10.0× at 10×,
+    * DuckDB-verified, variance-free) while the pair STAGE's wall swung
+    * 11–69s run-to-run under shared-box shuffle/GC pressure — a wall
+    * bound loose enough to absorb that variance (25×) would also pass
+    * a genuine quadratic. The work metric is the discriminator (bound
+    * = factor × [[WorkSlack]]); wall keeps only a loose blow-up
+    * backstop. Value per name: (wall backstop ×, metric fn, why).
+    */
+  val WorkSlack = 1.3
+  val workGated: Map[String,
+      (Double, (SparkSession, String) => Double, String)] = Map(
     "g4_jaccard" -> (25.0,
-      "plan is measured-linear: candidate pair volume 12,544,866 -> " +
-        "125,448,660 (exactly 10.0x) with max customer degree 102 at " +
-        "both scales (DuckDB-verified); the 125M-row pair stage's wall " +
-        "swings 11-69s run-to-run with single-JVM GC/shuffle pressure " +
-        "at 10x, so the default bound flags variance, not a quadratic " +
-        "(which would show ~100x). 25x still catches a real blow-up."))
+      (s: SparkSession, dir: String) =>
+        operators.Graph.jaccardPairVolume(s, dir),
+      "gated on candidate-pair volume (exact work contract, " +
+        "variance-free); wall backstop 25x only catches a blow-up " +
+        "the pair count cannot see (e.g. a plan regression that " +
+        "re-evaluates the generator)"))
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
@@ -93,10 +109,16 @@ object GrowthGate {
       .filter(n => only.isEmpty || only.exists(n.contains))
     val rows = scala.collection.mutable.ArrayBuffer
       .empty[(String, Double, Double, String)] // name, t1, tN, err
+    // name -> (work1, workN) for the work-gated queries — measured once
+    // per query, not per timing pass (the metric is deterministic).
+    val work = scala.collection.mutable.Map.empty[String, (Double, Double)]
     names.foreach { name =>
       val r = try {
         val t1 = timed(name, src)
         val tN = timed(name, scratch)
+        workGated.get(name).foreach { case (_, metric, _) =>
+          work(name) = (metric(spark, src), metric(spark, scratch))
+        }
         (name, t1, tN, "")
       } catch {
         case e: Throwable => (name, -1.0, -1.0, errLine(name, e))
@@ -104,23 +126,41 @@ object GrowthGate {
       rows += r
       val g = if (r._2 > 0) r._3 / r._2 else -1.0
       println(f"[growth] ${r._1}%-28s t1=${r._2}%7.2f t$factor=" +
-        f"${r._3}%8.2f growth=$g%6.1f ${r._4}")
+        f"${r._3}%8.2f growth=$g%6.1f ${r._4}" +
+        work.get(r._1).map { case (w1, wN) =>
+          f" work=${w1}%.0f->${wN}%.0f (${wN / math.max(w1, 1)}%4.1fx)"
+        }.getOrElse(""))
     }
     def fmt(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val flags = rows.collect {
-      case (n, t1, tN, "") if t1 > 0 && {
-        val bound = exemptions.get(n).map(_._1).getOrElse(DefaultBound)
-        tN / math.max(t1, 0.05) > bound && tN > MaterialSec
-      } => n
+      case (n, t1, tN, "") if t1 > 0 && (workGated.get(n) match {
+        // Work-gated: the metric discriminates (linear in `factor` with
+        // slack); wall is only the loose blow-up backstop.
+        case Some((backstop, _, _)) =>
+          work.get(n).exists { case (w1, wN) =>
+            wN / math.max(w1, 1.0) > factor * WorkSlack } ||
+            (tN / math.max(t1, 0.05) > backstop && tN > MaterialSec)
+        case None =>
+          val bound = exemptions.get(n).map(_._1).getOrElse(DefaultBound)
+          tN / math.max(t1, 0.05) > bound && tN > MaterialSec
+      }) => n
     }
     val failed = rows.collect { case (n, _, _, e) if e.nonEmpty => n }
     val qJson = rows.map { case (n, t1, tN, _) =>
       s""""$n":{"t1":${fmt(t1)},"t$factor":${fmt(tN)},"growth":${
-        fmt(if (t1 > 0) tN / math.max(t1, 0.05) else -1.0)}}"""
+        fmt(if (t1 > 0) tN / math.max(t1, 0.05) else -1.0)}${
+        work.get(n).map { case (w1, wN) =>
+          s""","work1":${fmt(w1)},"work$factor":${fmt(wN)},""" +
+            s""""work_growth":${fmt(wN / math.max(w1, 1.0))}"""
+        }.getOrElse("")}}"""
     }.mkString("{", ",", "}")
     val exJson = exemptions.toSeq.sortBy(_._1).map { case (n, (b, why)) =>
       s""""$n":{"bound":${fmt(b)},"why":"$why"}"""
+    }.mkString("{", ",", "}")
+    val wgJson = workGated.toSeq.sortBy(_._1).map { case (n, (b, _, why)) =>
+      s""""$n":{"work_bound":${fmt(factor * WorkSlack)},""" +
+        s""""wall_backstop":${fmt(b)},"why":"$why"}"""
     }.mkString("{", ",", "}")
     def arr(xs: Seq[String]) =
       xs.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -128,11 +168,17 @@ object GrowthGate {
       s"""{"metric":"growth_gate","factor":$factor,"n":${rows.size},""" +
         s""""bound":$DefaultBound,"material_sec":$MaterialSec,""" +
         s""""flags":${arr(flags.toSeq)},"failed":${arr(failed.toSeq)},""" +
-        s""""exemptions":$exJson,"queries":$qJson,"sf":"$src"}"""
+        s""""exemptions":$exJson,"work_gated":$wgJson,""" +
+        s""""only":${arr(only.toSeq)},"queries":$qJson,"sf":"$src"}"""
     // Subset (dev) runs write a side file — overwriting the full-run
     // artifact with a partial map would destroy the committed gate.
+    // Non-default factors get their own standing artifact (the 30×
+    // heavy-family gate is a committed round deliverable, subset or
+    // not; the `only` field records its coverage).
     val artifact =
-      if (only.isEmpty) "growth_gate.json" else "growth_gate_subset.json"
+      if (factor != 10) s"growth_gate_${factor}x.json"
+      else if (only.isEmpty) "growth_gate.json"
+      else "growth_gate_subset.json"
     java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
       (line + "\n").getBytes("UTF-8"))
     println(s"""{"metric":"growth_gate","factor":$factor,"n":${rows.size},""" +

@@ -57,6 +57,27 @@ object HubGate {
       runFull(name, dir)
       (System.nanoTime() - t0) / 1e9
     }
+    // Measure the planted CUSTOMER-side hub the way g4 sees it: its
+    // degree in the (customer, supplier) incidence list and the
+    // C(deg, 2) pair contribution that all lands on one customer —
+    // recorded in the artifact so the gate names the hazard it planted
+    // (g4's chunked generator spreads those pairs across ⌈deg/chunk⌉²/2
+    // tasks; the pre-r13 self-join form put them on ONE join key).
+    import org.apache.spark.sql.functions._
+    val (hubDeg, hubPairs) = {
+      val ord = spark.read.parquet(s"$hubDir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = spark.read.parquet(s"$hubDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val maxDeg = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
+        .distinct().groupBy("c").agg(count(lit(1)).as("n"))
+        .agg(max("n")).collect().head.getLong(0)
+      (maxDeg, maxDeg * (maxDeg - 1) / 2)
+    }
+    println(s"[hub] planted customer hub: degree=$hubDeg " +
+      s"pair_contrib=$hubPairs")
+
     val names = Seq("g1_pagerank", "g2_triangles", "g3_reach", "g4_jaccard")
     val rows = names.map { name =>
       val plain = timed(name, scratch)
@@ -75,6 +96,8 @@ object HubGate {
     val line =
       s"""{"metric":"hub_gate","factor":$factor,"bound":$Bound,""" +
         s""""hub_supplier_frac":0.3,"hot_part_order_frac":0.3,""" +
+        s""""hub_customer_degree":$hubDeg,""" +
+        s""""hub_customer_pair_contrib":$hubPairs,""" +
         s""""flags":${flags.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""queries":$qJson,"sf":"$src"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("hub_gate.json"),

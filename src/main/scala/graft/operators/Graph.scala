@@ -202,22 +202,49 @@ object Graph {
 
   private val JacTopK = 20
 
+  /** Per-customer supplier-array chunk width for [[jaccard]]'s pair
+    * generation. Work per exploded chunk-pair row is ≤ JacChunk² cheap
+    * comparisons feeding a map-side partial aggregate, so one task's
+    * share of a hub customer is bounded by the CHUNK, not the hub's
+    * degree. 256 keeps a chunk-pair row ≤ ~4 KB (two long arrays) and
+    * a task's pair quota at 65k — far below a straggler — while
+    * leaving every natural customer (max degree ~102 in this corpus at
+    * every measured scale) in a single chunk with zero overhead.
+    */
+  private val JacChunk = 256
+
   /** Supplier-pair Jaccard similarity of customer neighborhoods — the
     * graph-native "related entities" primitive (who serves the same
     * customer base?): J(a,b) = |C(a) ∩ C(b)| / |C(a) ∪ C(b)| over the
     * distinct customer sets, top-[[JacTopK]] pairs.
     *
-    * Scale shape: candidate pairs come ONLY from co-occurrence — a
-    * self-join of the (customer, supplier) incidence list keyed on the
-    * customer — so disjoint suppliers never meet (no all-pairs stage),
-    * exactly the PPJoin/minhash candidate philosophy [[Dedup]] uses on
-    * text. Intersections are the pair co-counts from that equi-join;
-    * unions come from broadcast degree counts (supplier-cardinality
-    * frame). Per-customer fan-out is C(deg, 2) — bounded by the
-    * customer-side degree distribution; a pathological hub customer
-    * would call for the same salting treatment as any hot join key.
-    * All counts are exact BIGINTs; the one division happens in doubles
-    * on both engines.
+    * Scale shape: candidate pairs come ONLY from co-occurrence, the
+    * PPJoin/minhash candidate philosophy [[Dedup]] uses on text — but
+    * NOT via the naive incidence self-join (which shuffles the full
+    * (customer, supplier) list twice and materializes every candidate
+    * pair as a join output row; measured at 10× that 125M-row stage's
+    * wall swung 11–69s run-to-run from shuffle/GC pressure alone).
+    * Instead each customer's distinct suppliers are collected once
+    * into a SORTED array (one groupBy shuffle), split into
+    * [[JacChunk]]-wide slices, and the chunk-pair rows — (i ≤ j) slice
+    * pairs, ~1 row per natural customer — are REPARTITIONED before a
+    * nested explode generates (s1 < s2) pairs straight into a map-side
+    * partial count keyed by the pair. The pair volume Σ_c C(deg_c, 2)
+    * is unchanged (it is the algorithm's output contract), but no pair
+    * ever crosses a shuffle: the only post-explode exchange carries
+    * the DISTINCT (s1, s2) partial counts, bounded by supplier².
+    *
+    * Hub-degree guard: a hub customer of degree D contributes
+    * C(⌈D/chunk⌉, 2) chunk-pair rows that the repartition spreads
+    * across the cluster — each task does ≤ chunk² work — where the
+    * self-join form would land all C(D, 2) pairs on ONE join key
+    * (quadratic straggler; [[HubGate]] plants exactly this customer
+    * shape and bounds the inflation). Chunks are consecutive slices of
+    * a sorted array, so cross-chunk (i < j) pairs are ordered by
+    * construction and within-chunk pairs order by value; no positions
+    * are carried. Unions come from broadcast degree counts
+    * (supplier-cardinality frame). All counts are exact BIGINTs; the
+    * one division happens in doubles on both engines.
     */
   private def jaccard(s: SparkSession, d: String): DataFrame = {
     val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
@@ -225,11 +252,35 @@ object Graph {
     val cs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
       .distinct()
-      .pinned() // consumed by both sides of the pair join + degrees
+      .pinned() // consumed by the chunk build + degrees
     val deg = cs.groupBy("sup").agg(count(lit(1)).as("dg"))
-    val pairs = cs.as("a").join(cs.as("b"),
-        col("a.c") === col("b.c") && col("a.sup") < col("b.sup"))
-      .groupBy(col("a.sup").as("s1"), col("b.sup").as("s2"))
+    // (c, i, j, a, b): chunk-pair rows built per customer with one
+    // higher-order expression — no self-join, so a customer's rows
+    // never concentrate on a join key. Row count ≈ customers (nch = 1
+    // for every natural degree) + C(nch, 2) per hub.
+    val chunkPairs = cs.groupBy("c")
+      .agg(sort_array(collect_list(col("sup"))).as("sups"))
+      .select(col("c"), explode(expr(
+        s"""flatten(transform(
+           |  sequence(0, int(ceil(size(sups) / ${JacChunk}d)) - 1), i ->
+           |  transform(sequence(i, int(ceil(size(sups) / ${JacChunk}d)) - 1),
+           |    j -> struct(i, j,
+           |      slice(sups, i * $JacChunk + 1, $JacChunk) AS a,
+           |      slice(sups, j * $JacChunk + 1, $JacChunk) AS b))))
+           |""".stripMargin)).as("cp"))
+      .select(col("c"), col("cp.i").as("i"), col("cp.j").as("j"),
+        col("cp.a").as("a"), col("cp.b").as("b"))
+      // Spread a hub's chunk-pair rows across tasks BEFORE the explode:
+      // without this every chunk pair of one customer stays in the
+      // groupBy(c) output partition that built it.
+      .repartition(col("c"), col("i"), col("j"))
+    val pairs = chunkPairs
+      .select(col("i"), col("j"), col("b"), explode(col("a")).as("s1"))
+      .select(col("s1"), col("i"), col("j"), explode(col("b")).as("s2"))
+      // cross-chunk (i < j): all pairs, already s1 < s2 (sorted slices);
+      // within-chunk (i = j): value order dedups the unordered pairs.
+      .filter(col("i") < col("j") || col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2"))
       .agg(count(lit(1)).as("inter"))
     pairs
       .join(broadcast(deg.select(col("sup").as("s1"), col("dg").as("d1"))),
@@ -242,6 +293,24 @@ object Graph {
           .as("jaccard"))
       .orderBy(col("jaccard").desc, col("s1"), col("s2"))
       .limit(JacTopK)
+  }
+
+  /** [[jaccard]]'s exact work contract, for [[graft.GrowthGate]]'s
+    * work-metric gate: the candidate-pair volume Σ_c C(deg_c, 2) the
+    * chunked generator must emit. One aggregate over the incidence
+    * list — variance-free where the wall of the pair stage is not, so
+    * the growth gate can discriminate a genuinely super-linear
+    * candidate set from shared-box timing noise.
+    */
+  private[graft] def jaccardPairVolume(s: SparkSession, d: String): Double = {
+    val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
+      .distinct()
+      .groupBy("c").agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * (col("n") - 1) / 2).as("pairs"))
+      .collect().head.getAs[Number](0).doubleValue
   }
 
   /** Symmetric customer–supplier purchase edges in the shared node id

@@ -148,12 +148,23 @@ object Layout {
       // false while CTAS refuses the leftover location. Clear the
       // orphaned directory before re-creating (a REGISTERED table is
       // reused without touching disk).
-      def clearOrphan(t: String): Unit = {
-        val wh = new java.net.URI(
-          s.conf.get("spark.sql.warehouse.dir")).getPath
-        org.apache.commons.io.FileUtils.deleteQuietly(
-          new java.io.File(wh, t))
-      }
+      // Resolve the would-be managed location the way the catalog does
+      // (hadoop Path composition, not hand-built URI parsing: a
+      // warehouse dir with spaces or unencoded chars throws in
+      // java.net.URI, and the delete is through the table's OWN
+      // FileSystem so an object-store scheme is honored rather than
+      // silently missed). Defensive: a failure here leaves the CTAS to
+      // surface the real error.
+      def clearOrphan(t: String): Unit =
+        try {
+          val wh = new org.apache.hadoop.fs.Path(new java.net.URI(
+            s.catalog.getDatabase(s.catalog.currentDatabase).locationUri))
+          val loc = new org.apache.hadoop.fs.Path(wh, t)
+          val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(loc)) fs.delete(loc, true)
+        } catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[layout] clearOrphan($t) skipped: $e")
+        }
       // Pre-repartition on the SAME murmur3 hash bucketBy uses, so each
       // write task holds exactly one bucket → one file per bucket (the
       // layout that also lets sorted-bucket reads skip their sort).

@@ -133,4 +133,24 @@ class BenchGateSpec extends AnyFunSuite {
       assert(merged === Some(Map("q" -> 1.0)), s"spread=$spread")
     }
   }
+
+  test("floor defense: suspects sit above 1.3x the prior, below the flag bar") {
+    // Every would-be regression flag (>1.5x) must first pass through
+    // the defense loop, so the suspect threshold sits BELOW RatioFloor.
+    assert(BenchGate.FloorRatio < BenchGate.RatioFloor)
+    assert(BenchGate.floorSuspect(1.4, Some(1.0)))
+    assert(!BenchGate.floorSuspect(1.2, Some(1.0)))
+    // No prior, or a degenerate one, means nothing to defend.
+    assert(!BenchGate.floorSuspect(9.0, None))
+    assert(!BenchGate.floorSuspect(9.0, Some(-1.0)))
+  }
+
+  test("floor defense: one at-floor sample exonerates the query") {
+    // r12's official artifact flagged 7 regressions that quiet reruns
+    // over unchanged code disproved — noise only inflates, so a single
+    // sample back at <=1.3x the prior proves the floor still holds.
+    assert(BenchGate.floorReproduced(List(4.2, 3.9, 1.2), prior = 1.0))
+    assert(!BenchGate.floorReproduced(List(4.2, 3.9, 2.8), prior = 1.0))
+    assert(!BenchGate.floorReproduced(Nil, prior = 1.0))
+  }
 }

@@ -120,22 +120,41 @@ class ExtendedOpsSpec extends GraftSuite {
     assert(df.count() > 0)
   }
 
-  test("o6 bucketed join: co-located scans join with one exchange total") {
+  test("o6 bucketed join: co-located scans join with exchange-free inputs") {
     val df = SparkEntry.queries("o6_bucket_join")(spark, sf)
     df.collect() // materialize (first call pays the bucketed layout write)
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("SortMergeJoin"), plan.take(1500))
-    assert(plan.contains("Bucketed: true"), plan.take(1500))
-    // The bucketed scans satisfy the join's distribution requirement,
-    // so the ONLY hash exchange left is the final tiny per-priority
-    // aggregate — the unbucketed twin of this plan carries three.
-    // Count in the FINAL adaptive plan only (the "Initial Plan" section
-    // AQE appends repeats every exchange once more).
-    val finalPlan = plan.split("== Initial Plan ==").head
-    val hashEx = "Exchange hashpartitioning".r.findAllIn(finalPlan).length
-    assert(hashEx == 1,
-      s"expected 1 hash exchange (final agg only), got $hashEx:\n" +
-        finalPlan.take(2000))
+    // Assert the property directionally by traversing the FINAL
+    // adaptive plan's nodes — an exact exchange count over the rendered
+    // string would break on any Spark change to AQE plan rendering or
+    // an added internal exchange elsewhere, without a real regression.
+    // The property the layout buys: the sort-merge join's inputs carry
+    // NO shuffle (bucketed scans already satisfy the distribution).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec,
+      QueryStageExec, ShuffleQueryStageExec}
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case q: QueryStageExec => flatten(q.plan)
+      case _ => p.children.flatMap(flatten)
+    })
+    val phys = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val smjs = flatten(phys).collect { case j: SortMergeJoinExec => j }
+    assert(smjs.nonEmpty, "bucketed join must plan a sort-merge join:\n" +
+      phys.toString.take(1500))
+    smjs.foreach(_.children.foreach { side =>
+      val shuffles = flatten(side).filter(n =>
+        n.isInstanceOf[ShuffleExchangeLike] ||
+          n.isInstanceOf[ShuffleQueryStageExec])
+      assert(shuffles.isEmpty,
+        s"join input must be exchange-free, found: " +
+          shuffles.map(_.nodeName).mkString(", "))
+    })
+    assert(phys.toString.contains("Bucketed: true"),
+      phys.toString.take(1500))
   }
 
   test("plan hygiene: no cartesian product anywhere in the inventory") {

@@ -34,6 +34,62 @@ class ExtensionsAndScaleSpec extends GraftSuite {
     assert(dfs(1).count() == 1)
   }
 
+  test("pinBounded eviction never drops a plan held by another registry") {
+    import spark.implicits._
+    def live(df: org.apache.spark.sql.DataFrame) =
+      df.storageLevel.useMemory || df.storageLevel.useDisk
+    // Spark's CacheManager keys storage by canonicalized plan: a rule
+    // pool evicting a plan that a LIBRARY pin (or another pool) also
+    // holds would silently drop that pin's residency — its contract.
+    val shared = Seq(9).toDF("xpool_shared")
+    ContextCaches.pin(shared)
+    val twin = Seq(9).toDF("xpool_shared") // same canonicalized plan
+    ContextCaches.pinBounded(twin, "xp-a", 1)
+    ContextCaches.pinBounded(Seq(10).toDF("xpool_a2"), "xp-a", 1) // evict twin
+    assert(live(shared),
+      "library-pinned plan must survive a pool's LRU eviction")
+    // Same protection across two bounded pools.
+    val b1 = Seq(11).toDF("xpool_b1")
+    ContextCaches.pinBounded(b1, "xp-b", 4)
+    ContextCaches.pinBounded(Seq(11).toDF("xpool_b1"), "xp-c", 1)
+    ContextCaches.pinBounded(Seq(12).toDF("xpool_c2"), "xp-c", 1) // evict
+    assert(live(b1), "plan held by another pool must survive eviction")
+  }
+
+  test("pinBounded chaos: concurrent sessions churn pools, library pin serves") {
+    // Two session clones hammer DISTINCT ad-hoc plans through bounded
+    // pools (the GridOrderStatsRule shape) while a library pin serves —
+    // the round-12 LRU's concurrency contract: no exception, no
+    // library-pin eviction, pool registries stay bounded.
+    import spark.implicits._
+    def live(df: org.apache.spark.sql.DataFrame) =
+      df.storageLevel.useMemory || df.storageLevel.useDisk
+    val lib = Seq(0).toDF("chaos_lib")
+    ContextCaches.pin(lib)
+    assert(lib.count() == 1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (0 until 2).map { t =>
+      new Thread(() => {
+        try {
+          val s = spark.newSession()
+          val sqlc = s.sqlContext
+          import sqlc.implicits._
+          for (i <- 0 until 25) {
+            val df = Seq(t * 1000 + i).toDF(s"chaos_${t}_$i")
+            ContextCaches.pinBounded(df, s"chaos-pool-$t", 4)
+            if (i % 5 == 0) assert(df.count() == 1)
+          }
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(errs.isEmpty, s"concurrent pinBounded threw: ${errs.peek()}")
+    assert(live(lib),
+      "library pin must stay resident under concurrent pool churn")
+    assert(lib.count() == 1)
+  }
+
   test("catalog ops: existence probe, fallback chain, name patterns") {
     import graft.pipeline.CatalogOps
     Tables.events(spark, sf).createOrReplaceTempView("cat_events")

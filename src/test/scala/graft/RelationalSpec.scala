@@ -37,25 +37,42 @@ class RelationalSpec extends GraftSuite {
         Seq(0.5 -> "p50", 0.9 -> "p90"), lowCardGroups = lowCard)
       .collect().map(_.toString).sorted.toSeq
     assert(canon(lowCard = true) == canon(lowCard = false))
-    val plan = operators.Relational
-      .gridQuantiles(li, Seq("l_returnflag"), "l_extendedprice",
-        Seq(0.5 -> "p50"), lowCardGroups = false)
-      .queryExecution.optimizedPlan.toString
     // rangeCumsum's internal grid-sized broadcasts remain; the
     // GROUP-cardinality frames (tot join, quantile join-back) must not
-    // hint. Count hints in the analyzed plan instead: optimizer
-    // rewrites hints into join strategies, so probe pre-optimization.
-    val hints = "ResolvedHint".r.findAllIn(operators.Relational
+    // hint. Identify those two joins STRUCTURALLY in the analyzed plan
+    // (hints resolve to strategies later) and assert the property
+    // directionally — an exact ResolvedHint count would break on any
+    // Spark change to hint resolution without a real regression:
+    //  - the join-back is the plan's only null-safe (<=>) join;
+    //  - the tot join's right side is the Aggregate producing `n`.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join,
+      LogicalPlan, ResolvedHint}
+    import org.apache.spark.sql.catalyst.expressions.EqualNullSafe
+    def analyzed(lowCard: Boolean): LogicalPlan = operators.Relational
       .gridQuantiles(li, Seq("l_returnflag"), "l_extendedprice",
-        Seq(0.5 -> "p50"), lowCardGroups = false)
-      .queryExecution.analyzed.toString).length
-    val hintsDefault = "ResolvedHint".r.findAllIn(operators.Relational
-      .gridQuantiles(li, Seq("l_returnflag"), "l_extendedprice",
-        Seq(0.5 -> "p50"), lowCardGroups = true)
-      .queryExecution.analyzed.toString).length
-    assert(hints == hintsDefault - 2,
-      s"expected exactly the 2 per-group hints dropped: $hints vs $hintsDefault")
-    assert(plan.nonEmpty)
+        Seq(0.5 -> "p50"), lowCardGroups = lowCard)
+      .queryExecution.analyzed
+    def unhint(p: LogicalPlan): LogicalPlan = p match {
+      case ResolvedHint(c, _) => c
+      case other => other
+    }
+    def hintedRoot(p: LogicalPlan): Boolean = p.isInstanceOf[ResolvedHint]
+    def perGroupJoins(plan: LogicalPlan): Seq[Join] = plan.collect {
+      case j: Join if j.condition
+        .exists(_.exists(_.isInstanceOf[EqualNullSafe])) => j
+      case j: Join if unhint(j.right).isInstanceOf[Aggregate] &&
+        unhint(j.right).output.exists(_.name == "n") => j
+    }
+    val defJoins = perGroupJoins(analyzed(lowCard = true))
+    assert(defJoins.size >= 2 && defJoins.forall(j => hintedRoot(j.right)),
+      s"default path should broadcast-hint both per-group joins: " +
+        defJoins.map(_.right.nodeName).mkString(", "))
+    val fbJoins = perGroupJoins(analyzed(lowCard = false))
+    assert(fbJoins.size >= 2 &&
+      fbJoins.forall(j => !hintedRoot(j.left) && !hintedRoot(j.right)),
+      s"fallback must leave the per-group joins unhinted: " +
+        fbJoins.map(j => s"${j.left.nodeName}/${j.right.nodeName}")
+          .mkString(", "))
   }
 
   test("s1 text roundtrip is lossless") {
