@@ -133,6 +133,11 @@ object GrowthGate {
     }
     def fmt(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // Wall bounds are CALIBRATED AT 10× (n·log n on 10× data ≈ 11.7×
+    // plus overhead); at other factors they scale linearly so the same
+    // per-unit-growth slack applies — at 30× a linear plan lands ~30×
+    // and the default bound becomes 36, not 12.
+    def scaled(b: Double): Double = b * factor / 10.0
     val flags = rows.collect {
       case (n, t1, tN, "") if t1 > 0 && (workGated.get(n) match {
         // Work-gated: the metric discriminates (linear in `factor` with
@@ -140,9 +145,10 @@ object GrowthGate {
         case Some((backstop, _, _)) =>
           work.get(n).exists { case (w1, wN) =>
             wN / math.max(w1, 1.0) > factor * WorkSlack } ||
-            (tN / math.max(t1, 0.05) > backstop && tN > MaterialSec)
+            (tN / math.max(t1, 0.05) > scaled(backstop) && tN > MaterialSec)
         case None =>
-          val bound = exemptions.get(n).map(_._1).getOrElse(DefaultBound)
+          val bound =
+            scaled(exemptions.get(n).map(_._1).getOrElse(DefaultBound))
           tN / math.max(t1, 0.05) > bound && tN > MaterialSec
       }) => n
     }
@@ -160,13 +166,13 @@ object GrowthGate {
     }.mkString("{", ",", "}")
     val wgJson = workGated.toSeq.sortBy(_._1).map { case (n, (b, _, why)) =>
       s""""$n":{"work_bound":${fmt(factor * WorkSlack)},""" +
-        s""""wall_backstop":${fmt(b)},"why":"$why"}"""
+        s""""wall_backstop":${fmt(scaled(b))},"why":"$why"}"""
     }.mkString("{", ",", "}")
     def arr(xs: Seq[String]) =
       xs.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
       s"""{"metric":"growth_gate","factor":$factor,"n":${rows.size},""" +
-        s""""bound":$DefaultBound,"material_sec":$MaterialSec,""" +
+        s""""bound":${fmt(scaled(DefaultBound))},"material_sec":$MaterialSec,""" +
         s""""flags":${arr(flags.toSeq)},"failed":${arr(failed.toSeq)},""" +
         s""""exemptions":$exJson,"work_gated":$wgJson,""" +
         s""""only":${arr(only.toSeq)},"queries":$qJson,"sf":"$src"}"""

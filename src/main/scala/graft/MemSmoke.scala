@@ -92,6 +92,44 @@ object MemSmoke {
           .createOrReplaceTempView("mem_t2")
         spark.sql("SELECT median(x) AS mx, median(y) AS my FROM mem_t2")
           .first().getDouble(0)
+      case "pin_churn" =>
+        // Concurrent-session pool churn under the constrained heap: two
+        // session clones push 24 DISTINCT grid-sized ad-hoc plans each
+        // through bounded pinBounded pools (the GridOrderStatsRule
+        // shape) while a LIBRARY pin serves throughout. Survival +
+        // result proves (a) the LRU caps keep total pinned storage
+        // bounded well below what 48 unevicted grid pins would need,
+        // and (b) the library pin is never evicted by the churn — its
+        // count stays exact and its storage level stays set at the end.
+        val libN = math.max(1000L, n / 30)
+        val lib = spark.range(0, libN).select((col("id") * 7L).as("k"))
+        ContextCaches.pin(lib)
+        require(lib.count() == libN)
+        val perPool = 24
+        val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+        val threads = (0 until 2).map { t =>
+          new Thread(() => {
+            try {
+              val s = spark.newSession()
+              for (i <- 0 until perPool) {
+                // distinct plan per iteration, each a grid-sized frame
+                val df = s.range(0, n / 8)
+                  .select((col("id") * (t * perPool + i + 2L)).as("v"))
+                  .groupBy("v").count()
+                ContextCaches.pinBounded(df, s"mem-pool-$t", 4)
+                df.queryExecution.toRdd.foreachPartition { it =>
+                  while (it.hasNext) it.next() }
+              }
+            } catch { case e: Throwable => errs.add(e) }
+          })
+        }
+        threads.foreach(_.start())
+        threads.foreach(_.join())
+        require(errs.isEmpty, s"churn thread failed: ${errs.peek()}")
+        require(lib.storageLevel.useMemory || lib.storageLevel.useDisk,
+          "library pin evicted by pool churn")
+        require(lib.count() == libN, "library pin result drifted")
+        libN.toDouble
       case q if q.startsWith("query:") =>
         val name = q.stripPrefix("query:")
         SparkEntry.queries(name)(spark, sfDir)

@@ -468,19 +468,21 @@ object Similarity {
 
   // --------------------------------------------------- SemDeDup variant
 
-  // Cell multi-assignment breadth: each vector joins its 4 nearest cells,
+  // Cell multi-assignment breadth: each vector joins its 5 nearest cells,
   // so a near-dup pair straddling cell boundaries still meets — the
   // same recall knob as IVF probes, paid as ~assign²/cells-fold candidate
-  // volume. Round-12 sweep at sf0.1 (RecallSweep sem: mode, 32 cells,
-  // exact baseline 144 pairs): assign 3 → pair recall 0.757, 4 → 0.868
-  // at 1.27× serve wall, 5 → 0.938 at ~1.8×. This corpus's embeddings
-  // are weakly clustered (cos-to-centroid ∈ [−0.24, 0.46]), so recall
-  // tracks the scanned fraction closely whatever the cell geometry —
-  // sweeping cells 16/32/64 at matched fractions gave matched recall.
-  // 4 clears the 0.85 recall floor inside the 1.5× latency budget; the
-  // candidate fraction stays cells-bounded and FALLS as the corpus
-  // grows (cells ∝ N at fixed assign).
-  private[graft] val SemAssign = 4
+  // volume. Round-12/13 sweeps at sf0.1 (RecallSweep sem: mode, 32
+  // cells, exact baseline 144 pairs): assign 3 → pair recall 0.757,
+  // 4 → 0.868, 5 → 0.938; coarser geometry at fixed assign (24/20/16
+  // cells, 4-assign) gave 0.896/0.951/0.972 — consistent with the
+  // round-12 finding that this corpus's embeddings are weakly clustered
+  // (cos-to-centroid ∈ [−0.24, 0.46]), so recall tracks the scanned
+  // fraction at ANY cell geometry. 5-assign clears the lifted 0.90
+  // recall floor at 25/16 ≈ 1.56× the 4-assign candidate volume (the
+  // serve wall rides the candidate count; bench-measured against the
+  // 1.5× budget); the candidate fraction stays cells-bounded and FALLS
+  // as the corpus grows (cells ∝ N at fixed assign).
+  private[graft] val SemAssign = 5
 
   /** Semantic (embedding-space) near-duplicate detection bucketed by the
     * trained k-means cells — the SemDeDup scheme (Abbas et al. 2023,
@@ -640,7 +642,15 @@ object Similarity {
   // per query); a 100 TB store caps it absolutely and buys recall back
   // with better codebooks (more PqK / OPQ rotation) instead.
   private val PqRerankMin = 50
-  private val PqRerankFrac = 0.10
+  // Round-13 retune (RecallSweep pq:<k>:<rerank%> at sf0.1): 0.10 →
+  // recall 0.89, 0.12 → 0.91, 0.15 → 0.92 at ~equal warm serve wall
+  // (1.7s vs the 2.0s served baseline — the rerank reads frac·N full
+  // vectors, and at this corpus the extra 5% is noise next to the ADC
+  // scan). k=64 codebooks reach 0.93 but at 2× assignment FLOPs;
+  // widening the shortlist is the cheaper +0.03. The composed IVFPQ
+  // path shares this knob (its rerank budget is deliberately frac·N,
+  // not probed-proportional), so both families clear the 0.90 floor.
+  private val PqRerankFrac = 0.15
 
   /** (vec_id, m, sv): the PqM subvectors of every normalized vector. */
   private def subvectors(v: DataFrame, dim: Int): DataFrame = {

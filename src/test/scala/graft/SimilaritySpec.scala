@@ -128,7 +128,13 @@ class SimilaritySpec extends GraftSuite {
       f"(frac=$frac%.3f, uniform prediction=$predicted%.3f)")
     assert(frac <= 1.3 * predicted,
       f"candidate fraction $frac%.3f beyond 1.3x the assign²/cells law")
-    assert(frac <= 0.6, "cell bucketing must cut candidate volume")
+    // At this floor-clamped corpus (32 cells, the minimum geometry) the
+    // 5-assign cut is marginal BY DESIGN — assign²/cells ≈ 0.78 here,
+    // falling as cells ∝ N (≈ 0.10 at a 20k/256-cell corpus). The
+    // ceiling proves bucketing still cuts SOME volume even at the
+    // worst-case floor geometry; the law assertion above is the
+    // guarantee that matters at scale.
+    assert(frac <= 0.9, "cell bucketing must cut candidate volume")
   }
 
   test("SemDeDup blocked pair join is bit-equal to the unblocked cell join") {
