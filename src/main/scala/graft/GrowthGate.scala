@@ -56,26 +56,49 @@ object GrowthGate {
       "CV model training: optimizer iteration count is data-dependent, " +
         "not a relational plan property"))
 
-  /** Queries gated on a MEASURED WORK METRIC instead of wall time.
+  /** Queries gated on a MEASURED WORK METRIC instead of raw wall time.
     * g4_jaccard's r12 story motivated this: its candidate-pair volume
     * is exactly linear (12,544,866 → 125,448,660 = 10.0× at 10×,
     * DuckDB-verified, variance-free) while the pair STAGE's wall swung
     * 11–69s run-to-run under shared-box shuffle/GC pressure — a wall
     * bound loose enough to absorb that variance (25×) would also pass
-    * a genuine quadratic. The work metric is the discriminator (bound
-    * = factor × [[WorkSlack]]); wall keeps only a loose blow-up
-    * backstop. Value per name: (wall backstop ×, metric fn, why).
+    * a genuine quadratic. Two checks per entry, both deterministic in
+    * what they compare against:
+    *
+    *  1. WORK CONTRACT — the metric's own growth must stay within
+    *     `workSlack` × factor (the operator's documented cost model is
+    *     ~linear in the data; a quadratic candidate set shows up here
+    *     as ~factor², unmissably, regardless of scheduler noise).
+    *     `workSlack` absorbs how the SCALED CORPUS legitimately
+    *     inflates per-item work: dd_edit_distance's DP is quadratic in
+    *     document LENGTH and the 10× generator suffixes every token
+    *     (+~33% chars → ~1.78× per-pair DP cost — measured wall 14.5×
+    *     at 10× is the corpus, not the plan).
+    *  2. WALL TRACKS WORK — wall growth beyond `wallSlack` × the
+    *     measured work growth flags a plan regression the metric
+    *     cannot see (re-evaluated generators, lost broadcast, a
+    *     straggler key).
+    *
+    * Value per name: (workSlack, wallSlack, metric fn, why).
     */
-  val WorkSlack = 1.3
   val workGated: Map[String,
-      (Double, (SparkSession, String) => Double, String)] = Map(
-    "g4_jaccard" -> (25.0,
+      (Double, Double, (SparkSession, String) => Double, String)] = Map(
+    "g4_jaccard" -> (1.3, 2.5,
       (s: SparkSession, dir: String) =>
         operators.Graph.jaccardPairVolume(s, dir),
-      "gated on candidate-pair volume (exact work contract, " +
-        "variance-free); wall backstop 25x only catches a blow-up " +
-        "the pair count cannot see (e.g. a plan regression that " +
-        "re-evaluates the generator)"))
+      "work = candidate-pair volume sum_c C(deg_c,2): the chunked " +
+        "generator's exact output contract, linear for bounded " +
+        "customer degree; wall tracking catches a regressed pair " +
+        "stage the count cannot see"),
+    "dd_edit_distance" -> (2.5, 2.5,
+      (s: SparkSession, dir: String) =>
+        operators.Dedup.editDistanceWork(s, dir),
+      "work = sum over LSH candidate pairs of len_a*len_b (the " +
+        "Levenshtein DP's exact cost); candidates grow linearly but " +
+        "the 10x corpus generator lengthens every token by its " +
+        "replica suffix, so per-pair DP cost grows ~1.78x - the 2.5 " +
+        "work slack absorbs generator length inflation while a " +
+        "quadratic candidate blow-up (~factor^2) still flags"))
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
@@ -116,7 +139,7 @@ object GrowthGate {
       val r = try {
         val t1 = timed(name, src)
         val tN = timed(name, scratch)
-        workGated.get(name).foreach { case (_, metric, _) =>
+        workGated.get(name).foreach { case (_, _, metric, _) =>
           work(name) = (metric(spark, src), metric(spark, scratch))
         }
         (name, t1, tN, "")
@@ -138,20 +161,50 @@ object GrowthGate {
     // per-unit-growth slack applies — at 30× a linear plan lands ~30×
     // and the default bound becomes 36, not 12.
     def scaled(b: Double): Double = b * factor / 10.0
-    val flags = rows.collect {
-      case (n, t1, tN, "") if t1 > 0 && (workGated.get(n) match {
-        // Work-gated: the metric discriminates (linear in `factor` with
-        // slack); wall is only the loose blow-up backstop.
-        case Some((backstop, _, _)) =>
-          work.get(n).exists { case (w1, wN) =>
-            wN / math.max(w1, 1.0) > factor * WorkSlack } ||
-            (tN / math.max(t1, 0.05) > scaled(backstop) && tN > MaterialSec)
-        case None =>
-          val bound =
-            scaled(exemptions.get(n).map(_._1).getOrElse(DefaultBound))
-          tN / math.max(t1, 0.05) > bound && tN > MaterialSec
-      }) => n
+    def flagsOf(rs: Seq[(String, Double, Double, String)]): Seq[String] =
+      rs.collect {
+        case (n, t1, tN, "") if t1 > 0 && (workGated.get(n) match {
+          // Work-gated: the metric's own growth must honor the work
+          // contract, and wall growth must TRACK the measured work.
+          case Some((workSlack, wallSlack, _, _)) =>
+            val wg = work.get(n).map { case (w1, wN) =>
+              wN / math.max(w1, 1.0) }
+            wg.exists(_ > factor * workSlack) ||
+              (wg.exists(g => tN / math.max(t1, 0.05) >
+                wallSlack * math.max(g, 1.0)) && tN > MaterialSec)
+          case None =>
+            val bound =
+              scaled(exemptions.get(n).map(_._1).getOrElse(DefaultBound))
+            tN / math.max(t1, 0.05) > bound && tN > MaterialSec
+        }) => n
+      }
+    // Self-defense (the bench floor-defense idea applied to growth): a
+    // wall-flagged query gets ONE fresh (t1, tN) pair, and the pair
+    // with the smaller ratio stands — noise only inflates, and a small
+    // t1 denominator jitter (±0.3s on a ~1.5s query) alone can push a
+    // linear plan over the bound. A REAL super-linear plan reproduces
+    // its ratio in both pairs. Work-CONTRACT flags are never
+    // re-measured: the metric is deterministic, so its verdict is
+    // already evidence.
+    val remeasured = flagsOf(rows.toSeq).filter(n =>
+      workGated.get(n).forall { case (workSlack, _, _, _) =>
+        work.get(n).forall { case (w1, wN) =>
+          wN / math.max(w1, 1.0) <= factor * workSlack } })
+    remeasured.foreach { name =>
+      try {
+        val t1b = timed(name, src)
+        val tNb = timed(name, scratch)
+        val i = rows.indexWhere(_._1 == name)
+        val (_, t1a, tNa, _) = rows(i)
+        if (tNb / math.max(t1b, 0.05) < tNa / math.max(t1a, 0.05))
+          rows(i) = (name, t1b, tNb, "")
+        println(f"[growth] $name%-28s REMEASURED t1=$t1b%7.2f " +
+          f"t$factor=$tNb%8.2f growth=${tNb / math.max(t1b, 0.05)}%6.1f")
+      } catch { case e: Throwable =>
+        println(s"[growth] $name remeasure failed: ${errLine(name, e)}")
+      }
     }
+    val flags = flagsOf(rows.toSeq)
     val failed = rows.collect { case (n, _, _, e) if e.nonEmpty => n }
     val qJson = rows.map { case (n, t1, tN, _) =>
       s""""$n":{"t1":${fmt(t1)},"t$factor":${fmt(tN)},"growth":${
@@ -164,9 +217,10 @@ object GrowthGate {
     val exJson = exemptions.toSeq.sortBy(_._1).map { case (n, (b, why)) =>
       s""""$n":{"bound":${fmt(b)},"why":"$why"}"""
     }.mkString("{", ",", "}")
-    val wgJson = workGated.toSeq.sortBy(_._1).map { case (n, (b, _, why)) =>
-      s""""$n":{"work_bound":${fmt(factor * WorkSlack)},""" +
-        s""""wall_backstop":${fmt(scaled(b))},"why":"$why"}"""
+    val wgJson = workGated.toSeq.sortBy(_._1).map {
+      case (n, (workSlack, wallSlack, _, why)) =>
+        s""""$n":{"work_bound":${fmt(factor * workSlack)},""" +
+          s""""wall_tracks_work_slack":${fmt(wallSlack)},"why":"$why"}"""
     }.mkString("{", ",", "}")
     def arr(xs: Seq[String]) =
       xs.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -174,6 +228,7 @@ object GrowthGate {
       s"""{"metric":"growth_gate","factor":$factor,"n":${rows.size},""" +
         s""""bound":${fmt(scaled(DefaultBound))},"material_sec":$MaterialSec,""" +
         s""""flags":${arr(flags.toSeq)},"failed":${arr(failed.toSeq)},""" +
+        s""""remeasured":${arr(remeasured)},""" +
         s""""exemptions":$exJson,"work_gated":$wgJson,""" +
         s""""only":${arr(only.toSeq)},"queries":$qJson,"sf":"$src"}"""
     // Subset (dev) runs write a side file — overwriting the full-run

@@ -281,6 +281,25 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** [[editDistance]]'s exact work contract, for
+    * [[graft.GrowthGate]]'s work-metric gate: the Levenshtein DP cost
+    * Σ over candidate pairs of len_a·len_b. One aggregate over the
+    * same LSH candidate frame the operator verifies — deterministic
+    * where the DP stage's wall is not, and it prices BOTH growth axes
+    * (candidate count AND document length, the latter inflated by the
+    * scaled-corpus token suffixing).
+    */
+  private[graft] def editDistanceWork(s: SparkSession, d: String): Double = {
+    val cand = minhashLsh(s, d)
+    val la = Tables.documents(s, d)
+      .select(col("doc_id").as("doc_a"), length(col("text")).as("len_a"))
+    val lb = Tables.documents(s, d)
+      .select(col("doc_id").as("doc_b"), length(col("text")).as("len_b"))
+    cand.join(la, "doc_a").join(lb, "doc_b")
+      .agg(sum(col("len_a").cast("double") * col("len_b")).as("work"))
+      .collect().head.getAs[Number](0).doubleValue
+  }
+
   // ----------------------------------------------------------- SimHash
 
   private val SimBits = 60 // 15 hex digits of md5 → fits a positive long
