@@ -150,6 +150,14 @@ object Bench {
     val floorChecked = scala.collection.mutable.Map.empty[String, Boolean]
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    // The min2/median3 stat for EVERY query, kept beside the published
+    // results (which use the raw min for floor-suspects): the committed
+    // prior refreshes from THIS — letting a suspect's defense-loop min
+    // replace its prior would ratchet jittery queries' floors to
+    // best-ever single samples, making stat > 1.3×prior chronic and
+    // resurrecting the false-flag mode the defense exists to kill.
+    val statResults = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Double)]
     val spreadsBuf = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
 
     // Locale.ROOT: f"%.3f" uses the JVM default locale, and a
@@ -282,10 +290,19 @@ object Bench {
         // to REPRODUCE that floor; if any sample comes back at ≤1.3×
         // the code is exonerated (the inflation was the window) and the
         // query publishes its min with floor_reproduced=true — only
-        // un-reproduced floors may become regression flags.
+        // un-reproduced floors may become regression flags. COLD
+        // queries are skipped (regressionFlags excludes them anyway,
+        // and after a warmup fatal nearly everything sits above its
+        // warm floor — two extra passes apiece in a degrading JVM would
+        // reproduce the round-10 wall-clock overrun); so are suspects
+        // whose absolute delta can never clear [[BenchGate.AbsFloorSec]]
+        // (a flag is impossible, there is nothing to defend).
         for (n <- chunk if !fatal && !failed(n) && samples.contains(n)
+            && !cold.contains(n)
             && BenchGate.floorSuspect(
-              BenchGate.stat(samples(n), passes), prev.get(n))) {
+              BenchGate.stat(samples(n), passes), prev.get(n))
+            && BenchGate.stat(samples(n), passes) - prev(n) >
+              BenchGate.AbsFloorSec) {
           var tries = 0
           while (tries < BenchGate.FloorExtraPasses && !fatal &&
               !failed(n) &&
@@ -311,6 +328,10 @@ object Bench {
                 else BenchGate.stat(samples(n), passes))
         }
         results ++= chunkResults
+        statResults ++= chunk.map { n =>
+          n -> (if (failed(n) || !samples.contains(n)) -1.0
+                else BenchGate.stat(samples(n), passes))
+        }
         spreadsBuf ++= chunk.collect {
           case n if !failed(n) && samples.get(n).exists(_.size >= 2) =>
             n -> BenchGate.spreadOf(samples(n), passes)
@@ -410,7 +431,7 @@ object Bench {
     // excluded from the regression check.
     val maxSpread = if (spreadsBuf.isEmpty) 0.0 else spreadsBuf.map(_._2).max
     if (only.isEmpty)
-      BenchGate.mergedPrior(prev, results.toSeq, cold, maxSpread, fatal,
+      BenchGate.mergedPrior(prev, statResults.toSeq, cold, maxSpread, fatal,
         complete = failed.isEmpty && results.size == names.size).foreach {
         merged =>
           try {

@@ -41,9 +41,16 @@ object ContextCaches {
     */
   def pin(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val sc = df.sparkSession.sparkContext
-    df.persist()
     val key = df.queryExecution.analyzed.canonicalized
-    pinned.updateWith(sc)(p => Some(p.getOrElse(Map.empty) + (key -> df)))
+    // Register-then-persist UNDER the pool lock: persisting first left
+    // a window where a concurrent pinBounded LRU eviction of the same
+    // canonicalized plan saw no library registration (heldElsewhere
+    // misses) and unpersisted the just-created storage — the exact
+    // contract violation the cross-registry check exists to prevent.
+    poolsLock.synchronized {
+      pinned.updateWith(sc)(p => Some(p.getOrElse(Map.empty) + (key -> df)))
+      df.persist()
+    }
     evictOnStop(sc, "pinned-plans")(() =>
       pinned.remove(sc).getOrElse(Map.empty).values
         .foreach(quietUnpersist))

@@ -35,24 +35,29 @@ object GrowthGate {
   val DefaultBound = 12.0
   val MaterialSec = 3.0
 
-  /** Queries whose cost model is super-linear by SPEC, with the bound
-    * the spec implies at 10× and the reason the judge should read.
+  /** Queries whose cost model is super-linear by SPEC: (bound at 10×,
+    * cost-model exponent, reason the judge should read). At another
+    * factor f the bound scales as bound₁₀ · (f/10)^(exponent−1) ON TOP
+    * of the gate's linear (f/10) scaling — i.e. a quadratic-spec
+    * exemption (exponent 2) scales its bound by (f/10)², because a
+    * healthy by-spec quadratic lands at ~f²/100 × its 10× wall, and
+    * linear scaling alone would flag it at any f > 10.
     */
-  val exemptions: Map[String, (Double, String)] = Map(
-    "sim_knn_self" -> (150.0,
+  val exemptions: Map[String, (Double, Double, String)] = Map(
+    "sim_knn_self" -> (150.0, 2.0,
       "exact all-pairs self-join: scored pairs grow quadratically " +
         "(100x) by definition; the tiled kernel bounds task size, " +
         "not total work"),
-    "dd_cosine_neardup" -> (150.0,
+    "dd_cosine_neardup" -> (150.0, 2.0,
       "exact all-pairs cosine screen: quadratic scored-pair count by " +
         "definition (the LSH/semantic variants are the scale path)"),
-    "dd_semantic" -> (30.0,
+    "dd_semantic" -> (30.0, 1.0,
       "near-dup pair OUTPUT grows superlinearly when corpus growth " +
-        "densifies the embedding manifold (measured at 10x: true " +
-        "tau=0.45 pairs 144 -> 162,589 = 1129x while wall grew 20x — " +
-        "sublinear per output pair; candidate generation stays " +
-        "cell-bounded)"),
-    "ml_model_compare" -> (40.0,
+        "densifies the embedding manifold (r12 measured 20x wall at " +
+        "10x; the r13 assign/cells retune brought the measured point " +
+        "to 2.2x at 10x and 3.6x at 30x, so the linear-scaled bound " +
+        "now holds with wide margin)"),
+    "ml_model_compare" -> (40.0, 1.0,
       "CV model training: optimizer iteration count is data-dependent, " +
         "not a relational plan property"))
 
@@ -173,8 +178,11 @@ object GrowthGate {
               (wg.exists(g => tN / math.max(t1, 0.05) >
                 wallSlack * math.max(g, 1.0)) && tN > MaterialSec)
           case None =>
-            val bound =
-              scaled(exemptions.get(n).map(_._1).getOrElse(DefaultBound))
+            val bound = exemptions.get(n) match {
+              case Some((b, exp, _)) =>
+                scaled(b) * math.pow(factor / 10.0, exp - 1.0)
+              case None => scaled(DefaultBound)
+            }
             tN / math.max(t1, 0.05) > bound && tN > MaterialSec
         }) => n
       }
@@ -214,8 +222,11 @@ object GrowthGate {
             s""""work_growth":${fmt(wN / math.max(w1, 1.0))}"""
         }.getOrElse("")}}"""
     }.mkString("{", ",", "}")
-    val exJson = exemptions.toSeq.sortBy(_._1).map { case (n, (b, why)) =>
-      s""""$n":{"bound":${fmt(b)},"why":"$why"}"""
+    val exJson = exemptions.toSeq.sortBy(_._1).map {
+      case (n, (b, exp, why)) =>
+        s""""$n":{"bound":${
+          fmt(scaled(b) * math.pow(factor / 10.0, exp - 1.0))},""" +
+          s""""cost_exponent":${fmt(exp)},"why":"$why"}"""
     }.mkString("{", ",", "}")
     val wgJson = workGated.toSeq.sortBy(_._1).map {
       case (n, (workSlack, wallSlack, _, why)) =>

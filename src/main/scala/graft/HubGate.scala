@@ -57,24 +57,16 @@ object HubGate {
       runFull(name, dir)
       (System.nanoTime() - t0) / 1e9
     }
-    // Measure the planted CUSTOMER-side hub the way g4 sees it: its
-    // degree in the (customer, supplier) incidence list and the
-    // C(deg, 2) pair contribution that all lands on one customer —
-    // recorded in the artifact so the gate names the hazard it planted
+    // Measure the planted CUSTOMER-side hub the way g4 sees it — via
+    // the SAME incidence construction the operator and the growth
+    // gate's work metric share (Graph.customerDegreeStats, reading
+    // through Tables' schema contract): its max degree and the
+    // C(deg, 2) pair contribution that all lands on one customer.
+    // Recorded in the artifact so the gate names the hazard it planted
     // (g4's chunked generator spreads those pairs across ⌈deg/chunk⌉²/2
     // tasks; the pre-r13 self-join form put them on ONE join key).
-    import org.apache.spark.sql.functions._
-    val (hubDeg, hubPairs) = {
-      val ord = spark.read.parquet(s"$hubDir/orders.parquet")
-        .select(col("o_orderkey"), col("o_custkey"))
-      val li = spark.read.parquet(s"$hubDir/lineitem.parquet")
-        .select(col("l_orderkey"), col("l_suppkey"))
-      val maxDeg = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
-        .distinct().groupBy("c").agg(count(lit(1)).as("n"))
-        .agg(max("n")).collect().head.getLong(0)
-      (maxDeg, maxDeg * (maxDeg - 1) / 2)
-    }
+    val (hubDeg, _) = operators.Graph.customerDegreeStats(spark, hubDir)
+    val hubPairs = hubDeg * (hubDeg - 1) / 2
     println(s"[hub] planted customer hub: degree=$hubDeg " +
       s"pair_contrib=$hubPairs")
 

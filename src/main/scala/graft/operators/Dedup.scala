@@ -295,8 +295,12 @@ object Dedup {
       .select(col("doc_id").as("doc_a"), length(col("text")).as("len_a"))
     val lb = Tables.documents(s, d)
       .select(col("doc_id").as("doc_b"), length(col("text")).as("len_b"))
+    // coalesce: sum over ZERO candidate pairs (a tiny dev corpus with
+    // no LSH collisions) is NULL, and a bare getAs NPE here would void
+    // the gate row's two successful timings.
     cand.join(la, "doc_a").join(lb, "doc_b")
-      .agg(sum(col("len_a").cast("double") * col("len_b")).as("work"))
+      .agg(coalesce(sum(col("len_a").cast("double") * col("len_b")),
+        lit(0.0)).as("work"))
       .collect().head.getAs[Number](0).doubleValue
   }
 

@@ -257,7 +257,13 @@ object Graph {
     // (c, i, j, a, b): chunk-pair rows built per customer with one
     // higher-order expression — no self-join, so a customer's rows
     // never concentrate on a join key. Row count ≈ customers (nch = 1
-    // for every natural degree) + C(nch, 2) per hub.
+    // for every natural degree) + C(nch, 2) per hub. Measured negative
+    // result (r13): shipping b = NULL for the dominant i = j rows (to
+    // halve the repartition payload, reading the second explode from
+    // coalesce(b, a)) ran ~40% SLOWER at 10× (9.7–10.7s vs 6.8s,
+    // same window) — the nullable array branch costs more in the
+    // generate/codegen path than the duplicate slice costs the
+    // shuffle. Keep both slices materialized.
     val chunkPairs = cs.groupBy("c")
       .agg(sort_array(collect_list(col("sup"))).as("sups"))
       .select(col("c"), explode(expr(
@@ -295,23 +301,35 @@ object Graph {
       .limit(JacTopK)
   }
 
-  /** [[jaccard]]'s exact work contract, for [[graft.GrowthGate]]'s
-    * work-metric gate: the candidate-pair volume Σ_c C(deg_c, 2) the
-    * chunked generator must emit. One aggregate over the incidence
-    * list — variance-free where the wall of the pair stage is not, so
-    * the growth gate can discriminate a genuinely super-linear
-    * candidate set from shared-box timing noise.
+  /** Customer-side degree profile of THE SAME incidence list
+    * [[jaccard]] builds: (max customer degree, candidate-pair volume
+    * Σ_c C(deg_c, 2)). One shared construction so the two consumers —
+    * [[graft.GrowthGate]]'s work metric and [[graft.HubGate]]'s
+    * planted-hub accounting — cannot silently diverge from what the
+    * operator actually sees; both numbers are variance-free where the
+    * pair stage's wall is not.
     */
-  private[graft] def jaccardPairVolume(s: SparkSession, d: String): Double = {
+  private[graft] def customerDegreeStats(s: SparkSession,
+      d: String): (Long, Double) = {
     val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
     val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
-    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+    val r = li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
       .distinct()
       .groupBy("c").agg(count(lit(1)).as("n"))
-      .agg(sum(col("n") * (col("n") - 1) / 2).as("pairs"))
-      .collect().head.getAs[Number](0).doubleValue
+      // coalesce: an empty incidence list aggregates to NULLs, not 0s.
+      .agg(coalesce(max(col("n")), lit(0L)).as("max_deg"),
+        coalesce(sum(col("n") * (col("n") - 1) / 2), lit(0.0)).as("pairs"))
+      .collect().head
+    (r.getAs[Number](0).longValue, r.getAs[Number](1).doubleValue)
   }
+
+  /** [[jaccard]]'s exact work contract, for [[graft.GrowthGate]]'s
+    * work-metric gate: the candidate-pair volume the chunked generator
+    * must emit.
+    */
+  private[graft] def jaccardPairVolume(s: SparkSession, d: String): Double =
+    customerDegreeStats(s, d)._2
 
   /** Symmetric customer–supplier purchase edges in the shared node id
     * space (customer k → 2k, supplier k → 2k+1) — the graph under both

@@ -84,6 +84,12 @@ class ExtensionsAndScaleSpec extends GraftSuite {
     }
     threads.foreach(_.start())
     threads.foreach(_.join(120000))
+    // A hung thread would let the timed join return with empty errs —
+    // exactly the deadlock class the single pool lock defends against
+    // must FAIL here, not leak a zombie mutating shared state into
+    // later tests.
+    assert(threads.forall(!_.isAlive),
+      "churn thread still running after 120s: pinBounded deadlock/hang")
     assert(errs.isEmpty, s"concurrent pinBounded threw: ${errs.peek()}")
     assert(live(lib),
       "library pin must stay resident under concurrent pool churn")
