@@ -105,6 +105,39 @@ object GrowthGate {
         "work slack absorbs generator length inflation while a " +
         "quadratic candidate blow-up (~factor^2) still flags"))
 
+  /** The gate's entire per-query flag policy, as a pure function (the
+    * BenchGate precedent: decision logic spec-testable without Spark or
+    * a scaled warehouse).
+    *
+    * Wall bounds are CALIBRATED AT 10× (n·log n on 10× data ≈ 11.7×
+    * plus overhead); at another factor f they scale by (f/10), and an
+    * exemption with cost-model exponent e scales by (f/10)^e — a
+    * healthy by-spec quadratic lands at ~(f/10)² × its 10× wall, so a
+    * linearly-scaled bound would flag it at any f > 10. Work-gated
+    * queries ignore the wall bound entirely: the metric's own growth
+    * must stay within workSlack·factor (the cost-model contract), and
+    * the wall must stay within wallSlack × the measured work growth.
+    */
+  private[graft] def flagged(factor: Int, name: String, t1: Double,
+      tN: Double, work: Option[(Double, Double)]): Boolean = {
+    if (t1 <= 0) return false
+    def scaled(b: Double): Double = b * factor / 10.0
+    workGated.get(name) match {
+      case Some((workSlack, wallSlack, _, _)) =>
+        val wg = work.map { case (w1, wN) => wN / math.max(w1, 1.0) }
+        wg.exists(_ > factor * workSlack) ||
+          (wg.exists(g => tN / math.max(t1, 0.05) >
+            wallSlack * math.max(g, 1.0)) && tN > MaterialSec)
+      case None =>
+        val bound = exemptions.get(name) match {
+          case Some((b, exp, _)) =>
+            scaled(b) * math.pow(factor / 10.0, exp - 1.0)
+          case None => scaled(DefaultBound)
+        }
+        tN / math.max(t1, 0.05) > bound && tN > MaterialSec
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     val src = args.lift(1).getOrElse("/root/testdata/sf0.1")
@@ -161,30 +194,11 @@ object GrowthGate {
     }
     def fmt(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    // Wall bounds are CALIBRATED AT 10× (n·log n on 10× data ≈ 11.7×
-    // plus overhead); at other factors they scale linearly so the same
-    // per-unit-growth slack applies — at 30× a linear plan lands ~30×
-    // and the default bound becomes 36, not 12.
     def scaled(b: Double): Double = b * factor / 10.0
     def flagsOf(rs: Seq[(String, Double, Double, String)]): Seq[String] =
       rs.collect {
-        case (n, t1, tN, "") if t1 > 0 && (workGated.get(n) match {
-          // Work-gated: the metric's own growth must honor the work
-          // contract, and wall growth must TRACK the measured work.
-          case Some((workSlack, wallSlack, _, _)) =>
-            val wg = work.get(n).map { case (w1, wN) =>
-              wN / math.max(w1, 1.0) }
-            wg.exists(_ > factor * workSlack) ||
-              (wg.exists(g => tN / math.max(t1, 0.05) >
-                wallSlack * math.max(g, 1.0)) && tN > MaterialSec)
-          case None =>
-            val bound = exemptions.get(n) match {
-              case Some((b, exp, _)) =>
-                scaled(b) * math.pow(factor / 10.0, exp - 1.0)
-              case None => scaled(DefaultBound)
-            }
-            tN / math.max(t1, 0.05) > bound && tN > MaterialSec
-        }) => n
+        case (n, t1, tN, "")
+          if flagged(factor, n, t1, tN, work.get(n)) => n
       }
     // Self-defense (the bench floor-defense idea applied to growth): a
     // wall-flagged query gets ONE fresh (t1, tN) pair, and the pair
