@@ -41,13 +41,22 @@ import org.apache.spark.sql.SparkSession
   * summary carries the worst spread so a noisy capture is visible in
   * the artifact itself. Queries whose stat lands >1.3× above the
   * committed floor get a FLOOR-DEFENSE loop (up to 2 more passes
-  * hunting one at-floor sample — [[BenchGate.floorSuspect]]); they
-  * publish their min plus a per-query "floor_reproduced" verdict, and
-  * only UN-reproduced floors can enter "regressions_vs_prev" — round
-  * 12's artifact carried 7 flags its own quiet reruns disproved, so
-  * the artifact now runs that exoneration before publishing. The artifact also carries recall@10 of each
-  * approximate ANN variant vs the exact baseline ("recall") and any
-  * queries left unwarmed by a fatal warmup break ("cold").
+  * hunting one at-floor sample — [[BenchGate.floorSuspect]]); a
+  * suspect that REPRODUCES its floor publishes its min (the defense
+  * loop spent extra samples hunting it — the min is then the honest
+  * stat, and the query is exonerated from the regression gate); a
+  * suspect that does NOT reproduce publishes the same min2/median3
+  * stat as everyone else — publishing its defense-loop min would let
+  * a min landing in the (1.3, 1.5]× gap dodge a flag the stat would
+  * raise, silently weakening the gate. The regression comparison
+  * itself always runs on the stat series ("stat" in the artifact
+  * records which estimator each query published; min-publishers are
+  * exactly the floor_reproduced=true set). Round 12's artifact
+  * carried 7 flags its own quiet reruns disproved, so the artifact
+  * now runs that exoneration before publishing. The artifact also
+  * carries recall@10 of each approximate ANN variant vs the exact
+  * baseline ("recall") and any queries left unwarmed by a fatal
+  * warmup break ("cold").
   *
   * Cross-round gate policy (flag rules, committed-prior refresh, the
   * agreement/trim rules — all noise-aware) lives in [[BenchGate]] —
@@ -199,7 +208,7 @@ object Bench {
       val maxSpread =
         if (spreadsBuf.isEmpty) 0.0 else spreadsBuf.map(_._2).max
       val line =
-        s"""{"metric":"total","value":$value,"unit":"sec","n":${names.size},"completed":$done,"provisional":$provisional,"total_sec":${f3(total)},"passes":$passes,"stat":"min2/median3","max_spread_sec":${f3(maxSpread)},"queries":${qJson(results.toSeq)},"spread":${qJson(spreadsBuf.toSeq)}$extra,"remeasured":${jArr(remeasured.toSeq.sorted)},"cold":${jArr(cold)},"failed":${jArr(failed.toSeq.sorted)},"first_error":${firstErr.map(jstr).getOrElse("null")},"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$value,"unit":"sec","n":${names.size},"completed":$done,"provisional":$provisional,"total_sec":${f3(total)},"passes":$passes,"stat":"min2/median3; floor_reproduced=true publishes min","max_spread_sec":${f3(maxSpread)},"queries":${qJson(results.toSeq)},"spread":${qJson(spreadsBuf.toSeq)}$extra,"remeasured":${jArr(remeasured.toSeq.sorted)},"cold":${jArr(cold)},"failed":${jArr(failed.toSeq.sorted)},"first_error":${firstErr.map(jstr).getOrElse("null")},"sf":"$sfDir"}"""
       try java.nio.file.Files.write(
         java.nio.file.Paths.get(artifact), (line + "\n").getBytes("UTF-8"))
       catch { case scala.util.control.NonFatal(e) =>
@@ -213,7 +222,7 @@ object Bench {
       val value = if (!provisional && failed.isEmpty) f3(total) else "-1"
       val maxSpread =
         if (spreadsBuf.isEmpty) 0.0 else spreadsBuf.map(_._2).max
-      s"""{"metric":"total","value":$value,"unit":"sec","n":${names.size},"completed":$done,"provisional":$provisional,"total_sec":${f3(total)},"passes":$passes,"stat":"min2/median3","max_spread_sec":${f3(maxSpread)},"recall":$recallJson,"regressions_vs_prev":$regNamesJson,"floor_reproduced":$floorJson,"prev_n":${prev.size},"failed":${jArr(failed.toSeq.sorted)},"first_error":${firstErr.map(jstr).getOrElse("null")},"sf":"$sfDir","detail":"$artifact"}"""
+      s"""{"metric":"total","value":$value,"unit":"sec","n":${names.size},"completed":$done,"provisional":$provisional,"total_sec":${f3(total)},"passes":$passes,"stat":"min2/median3; floor_reproduced=true publishes min","max_spread_sec":${f3(maxSpread)},"recall":$recallJson,"regressions_vs_prev":$regNamesJson,"floor_reproduced":$floorJson,"prev_n":${prev.size},"failed":${jArr(failed.toSeq.sorted)},"first_error":${firstErr.map(jstr).getOrElse("null")},"sf":"$sfDir","detail":"$artifact"}"""
     }
 
     // One timed sample; returns false on a FATAL (OOM-class) throw —
@@ -322,9 +331,12 @@ object Bench {
         // artifact's n − completed stops reconciling with failed.length.
         if (fatal)
           failed ++= chunk.filterNot(n => samples.contains(n) || failed(n))
+        // Only an EXONERATED suspect (floor reproduced) publishes its
+        // defense-loop min; an un-reproduced suspect publishes the
+        // stat like every non-suspect (see the header contract).
         val chunkResults = chunk.map { n =>
           n -> (if (failed(n) || !samples.contains(n)) -1.0
-                else if (floorChecked.contains(n)) samples(n).min
+                else if (floorChecked.getOrElse(n, false)) samples(n).min
                 else BenchGate.stat(samples(n), passes))
         }
         results ++= chunkResults
@@ -406,8 +418,11 @@ object Bench {
     // A reproduced floor exonerates the code: the defense loop found a
     // sample at the committed floor, so the elevated stat was the
     // capture window and the flag would be noise, not a regression.
+    // The comparison runs on statResults (min2/median3 for EVERY
+    // query), never on a suspect's published min — the gate's input
+    // must not depend on which estimator a query happened to publish.
     val regressions = BenchGate.regressionFlags(
-      results.toSeq, prev, spreadsBuf.toMap, cold)
+      statResults.toSeq, prev, spreadsBuf.toMap, cold)
       .filterNot { case (n, _) => floorChecked.getOrElse(n, false) }
     val floorJson = floorChecked.toSeq.sortBy(_._1)
       .map { case (n, ok) => "\"" + n + "\":" + ok }

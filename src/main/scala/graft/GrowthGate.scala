@@ -95,15 +95,16 @@ object GrowthGate {
         "generator's exact output contract, linear for bounded " +
         "customer degree; wall tracking catches a regressed pair " +
         "stage the count cannot see"),
-    "dd_edit_distance" -> (2.5, 2.5,
+    "dd_edit_distance" -> (1.5, 2.5,
       (s: SparkSession, dir: String) =>
         operators.Dedup.editDistanceWork(s, dir),
-      "work = sum over LSH candidate pairs of len_a*len_b (the " +
-        "Levenshtein DP's exact cost); candidates grow linearly but " +
-        "the 10x corpus generator lengthens every token by its " +
-        "replica suffix, so per-pair DP cost grows ~1.78x - the 2.5 " +
-        "work slack absorbs generator length inflation while a " +
-        "quadratic candidate blow-up (~factor^2) still flags"))
+      "work = mean-length-NORMALIZED banded-DP cost over LSH " +
+        "candidate pairs (min_len*(2k+3), or ~1 past the length-gap " +
+        "early exit, / corpus mean len): the operator now runs Spark " +
+        "4's thresholded levenshtein, and normalizing by mean length " +
+        "cancels the generator's uniform token-suffix inflation, so " +
+        "the metric tracks candidate COUNT - slack tightened 2.5 -> " +
+        "1.5; a quadratic candidate blow-up (~factor^2) still flags"))
 
   /** The gate's entire per-query flag policy, as a pure function (the
     * BenchGate precedent: decision logic spec-testable without Spark or
@@ -201,13 +202,15 @@ object GrowthGate {
           if flagged(factor, n, t1, tN, work.get(n)) => n
       }
     // Self-defense (the bench floor-defense idea applied to growth): a
-    // wall-flagged query gets ONE fresh (t1, tN) pair, and the pair
-    // with the smaller ratio stands — noise only inflates, and a small
-    // t1 denominator jitter (±0.3s on a ~1.5s query) alone can push a
-    // linear plan over the bound. A REAL super-linear plan reproduces
-    // its ratio in both pairs. Work-CONTRACT flags are never
-    // re-measured: the metric is deterministic, so its verdict is
-    // already evidence.
+    // wall-flagged query gets ONE fresh (t1, tN) pair, and the verdict
+    // ratio is min(tN)/min(t1) ACROSS both pairs — noise only inflates
+    // a timing, so the per-scale minima are the honest estimates of
+    // both numerator and denominator. (Keeping the whole smaller-ratio
+    // PAIR, as this loop first did, let one inflated t1 denominator
+    // deflate the kept growth and mask a borderline super-linear plan.)
+    // A REAL super-linear plan reproduces its ratio in both pairs.
+    // Work-CONTRACT flags are never re-measured: the metric is
+    // deterministic, so its verdict is already evidence.
     val remeasured = flagsOf(rows.toSeq).filter(n =>
       workGated.get(n).forall { case (workSlack, _, _, _) =>
         work.get(n).forall { case (w1, wN) =>
@@ -218,10 +221,10 @@ object GrowthGate {
         val tNb = timed(name, scratch)
         val i = rows.indexWhere(_._1 == name)
         val (_, t1a, tNa, _) = rows(i)
-        if (tNb / math.max(t1b, 0.05) < tNa / math.max(t1a, 0.05))
-          rows(i) = (name, t1b, tNb, "")
+        rows(i) = (name, math.min(t1a, t1b), math.min(tNa, tNb), "")
         println(f"[growth] $name%-28s REMEASURED t1=$t1b%7.2f " +
-          f"t$factor=$tNb%8.2f growth=${tNb / math.max(t1b, 0.05)}%6.1f")
+          f"t$factor=$tNb%8.2f kept=${
+            math.min(tNa, tNb) / math.max(math.min(t1a, t1b), 0.05)}%6.1f")
       } catch { case e: Throwable =>
         println(s"[growth] $name remeasure failed: ${errLine(name, e)}")
       }
@@ -258,11 +261,18 @@ object GrowthGate {
         s""""only":${arr(only.toSeq)},"queries":$qJson,"sf":"$src"}"""
     // Subset (dev) runs write a side file — overwriting the full-run
     // artifact with a partial map would destroy the committed gate.
-    // Non-default factors get their own standing artifact (the 30×
-    // heavy-family gate is a committed round deliverable, subset or
-    // not; the `only` field records its coverage).
+    // This applies at EVERY factor: the 30×/100× heavy-family gates
+    // are standing committed artifacts too, and a one-query dev probe
+    // at factor 30 must not silently replace them. The intended
+    // heavy-family coverage for those gates is launched as one run
+    // with the family list in `only`, via GRAFT_GROWTH_FULL=1.
+    val subsetSuffix =
+      if (only.isEmpty || sys.env.contains("GRAFT_GROWTH_FULL")) ""
+      else "_subset"
     val artifact =
-      if (factor != 10) s"growth_gate_${factor}x.json"
+      if (factor != 10) s"growth_gate_${factor}x$subsetSuffix.json"
+      // Factor 10's standing artifact is the FULL inventory — no
+      // env-var override: a subset can never claim growth_gate.json.
       else if (only.isEmpty) "growth_gate.json"
       else "growth_gate_subset.json"
     java.nio.file.Files.write(java.nio.file.Paths.get(artifact),

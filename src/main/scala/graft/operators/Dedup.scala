@@ -264,8 +264,14 @@ object Dedup {
        |SELECT doc_a, doc_b FROM mh_cand ORDER BY doc_a, doc_b""".stripMargin
 
   /** Edit-distance near-dup: MinHash candidates verified by Levenshtein
-    * distance (both engines implement the identical unit-cost DP). The
-    * expensive O(len²) distance runs only on the LSH-filtered pairs.
+    * distance. The DP is THRESHOLDED (Spark 4's 3-arg `levenshtein`):
+    * the banded form costs O(min_len · (2·EditMax+1)) per pair instead
+    * of O(len_a · len_b), returns −1 past the bound, and short-circuits
+    * entirely when |len_a − len_b| > threshold — the output set is
+    * identical to computing the full distance and filtering ≤ EditMax
+    * (the DuckDB oracle keeps the unthresholded form), but per-pair
+    * cost drops by ~len/(2k+1), which at typical document lengths here
+    * is the dominant term of the whole verify stage.
     */
   private val EditMax = 40
   private def editDistance(s: SparkSession, d: String): DataFrame = {
@@ -274,32 +280,47 @@ object Dedup {
       .select(col("doc_id").as("doc_a"), col("text").as("text_a"))
     val tb = Tables.documents(s, d)
       .select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+    // Threshold EditMax + 1 (not EditMax): robust to either off-by-one
+    // reading of "exceeds the bound → −1"; the BETWEEN filter then pins
+    // the exact output contract regardless.
     cand.join(ta, "doc_a").join(tb, "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        levenshtein(col("text_a"), col("text_b")).as("edit_dist"))
-      .filter(col("edit_dist") <= EditMax)
+        levenshtein(col("text_a"), col("text_b"), EditMax + 1)
+          .as("edit_dist"))
+      .filter(col("edit_dist").between(0, EditMax))
       .orderBy("doc_a", "doc_b")
   }
 
   /** [[editDistance]]'s exact work contract, for
-    * [[graft.GrowthGate]]'s work-metric gate: the Levenshtein DP cost
-    * Σ over candidate pairs of len_a·len_b. One aggregate over the
-    * same LSH candidate frame the operator verifies — deterministic
-    * where the DP stage's wall is not, and it prices BOTH growth axes
-    * (candidate count AND document length, the latter inflated by the
-    * scaled-corpus token suffixing).
+    * [[graft.GrowthGate]]'s work-metric gate, updated for the BANDED
+    * DP: per candidate pair the thresholded Levenshtein costs ~1 when
+    * |len_a − len_b| > EditMax (immediate −1) and ~min_len·(2k+3)
+    * otherwise. The sum is NORMALIZED by the corpus mean document
+    * length: the scaled-corpus generator suffixes every token, which
+    * inflates min_len and mean_len by the same uniform factor, so the
+    * normalized metric tracks the CANDIDATE COUNT (the linear-contract
+    * quantity) instead of re-pricing generator length inflation —
+    * that inflation is what forced the old len_a·len_b metric to carry
+    * a 2.5× work slack. Deterministic where the DP stage's wall is not.
     */
   private[graft] def editDistanceWork(s: SparkSession, d: String): Double = {
     val cand = minhashLsh(s, d)
-    val la = Tables.documents(s, d)
+    val docs = Tables.documents(s, d)
+    val meanLen = docs.agg(coalesce(avg(length(col("text"))), lit(1.0)))
+      .collect().head.getAs[Number](0).doubleValue
+    val la = docs
       .select(col("doc_id").as("doc_a"), length(col("text")).as("len_a"))
-    val lb = Tables.documents(s, d)
+    val lb = docs
       .select(col("doc_id").as("doc_b"), length(col("text")).as("len_b"))
+    val pairCost = when(
+      abs(col("len_a") - col("len_b")) > EditMax, lit(1.0))
+      .otherwise(least(col("len_a"), col("len_b")).cast("double") *
+        (2.0 * (EditMax + 1) + 1.0))
     // coalesce: sum over ZERO candidate pairs (a tiny dev corpus with
     // no LSH collisions) is NULL, and a bare getAs NPE here would void
     // the gate row's two successful timings.
     cand.join(la, "doc_a").join(lb, "doc_b")
-      .agg(coalesce(sum(col("len_a").cast("double") * col("len_b")),
+      .agg(coalesce(sum(pairCost / lit(math.max(meanLen, 1.0))),
         lit(0.0)).as("work"))
       .collect().head.getAs[Number](0).doubleValue
   }

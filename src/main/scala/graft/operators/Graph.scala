@@ -224,27 +224,33 @@ object Graph {
     * (customer, supplier) list twice and materializes every candidate
     * pair as a join output row; measured at 10× that 125M-row stage's
     * wall swung 11–69s run-to-run from shuffle/GC pressure alone).
-    * Instead each customer's distinct suppliers are collected once
-    * into a SORTED array (one groupBy shuffle), split into
-    * [[JacChunk]]-wide slices, and the chunk-pair rows — (i ≤ j) slice
-    * pairs, ~1 row per natural customer — are REPARTITIONED before a
-    * nested explode generates (s1 < s2) pairs straight into a map-side
-    * partial count keyed by the pair. The pair volume Σ_c C(deg_c, 2)
-    * is unchanged (it is the algorithm's output contract), but no pair
-    * ever crosses a shuffle: the only post-explode exchange carries
-    * the DISTINCT (s1, s2) partial counts, bounded by supplier².
+    * Instead each customer's distinct suppliers are rank-partitioned
+    * (window row_number over the sorted list) into consecutive
+    * [[JacChunk]]-wide SEGMENT arrays — never one O(degree) row — and
+    * the chunk-pair rows ((i ≤ j) segment pairs, ~1 row per natural
+    * customer) are assembled by joining tiny (c, i, j) key rows to the
+    * segment arrays, then REPARTITIONED before a nested explode
+    * generates (s1 < s2) pairs straight into a map-side partial count
+    * keyed by the pair. The pair volume Σ_c C(deg_c, 2) is unchanged
+    * (it is the algorithm's output contract), but no pair ever crosses
+    * a shuffle: the only post-explode exchange carries the DISTINCT
+    * (s1, s2) partial counts, bounded by supplier².
     *
     * Hub-degree guard: a hub customer of degree D contributes
-    * C(⌈D/chunk⌉, 2) chunk-pair rows that the repartition spreads
+    * C(⌈D/chunk⌉+1, 2) chunk-pair rows that the repartition spreads
     * across the cluster — each task does ≤ chunk² work — where the
     * self-join form would land all C(D, 2) pairs on ONE join key
     * (quadratic straggler; [[HubGate]] plants exactly this customer
-    * shape and bounds the inflation). Chunks are consecutive slices of
-    * a sorted array, so cross-chunk (i < j) pairs are ordered by
-    * construction and within-chunk pairs order by value; no positions
-    * are carried. Unions come from broadcast degree counts
-    * (supplier-cardinality frame). All counts are exact BIGINTs; the
-    * one division happens in doubles on both engines.
+    * shape and bounds the inflation). The segmented build keeps every
+    * per-stage unit bounded too: the widest ROW anywhere is one
+    * JacChunk array, and the hub's only single-task stages are the
+    * window sort (O(D log D), spillable) and the tiny key-row explode.
+    * Chunks are consecutive rank ranges of the per-customer sort, so
+    * cross-chunk (i < j) pairs are ordered by construction and
+    * within-chunk pairs order by value; no positions are carried.
+    * Unions come from broadcast degree counts (supplier-cardinality
+    * frame). All counts are exact BIGINTs; the one division happens in
+    * doubles on both engines.
     */
   private def jaccard(s: SparkSession, d: String): DataFrame = {
     val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
@@ -254,31 +260,54 @@ object Graph {
       .distinct()
       .pinned() // consumed by the chunk build + degrees
     val deg = cs.groupBy("sup").agg(count(lit(1)).as("dg"))
-    // (c, i, j, a, b): chunk-pair rows built per customer with one
-    // higher-order expression — no self-join, so a customer's rows
-    // never concentrate on a join key. Row count ≈ customers (nch = 1
-    // for every natural degree) + C(nch, 2) per hub. Measured negative
-    // result (r13): shipping b = NULL for the dominant i = j rows (to
-    // halve the repartition payload, reading the second explode from
-    // coalesce(b, a)) ran ~40% SLOWER at 10× (9.7–10.7s vs 6.8s,
-    // same window) — the nullable array branch costs more in the
-    // generate/codegen path than the duplicate slice costs the
-    // shuffle. Keep both slices materialized.
-    val chunkPairs = cs.groupBy("c")
-      .agg(sort_array(collect_list(col("sup"))).as("sups"))
-      .select(col("c"), explode(expr(
-        s"""flatten(transform(
-           |  sequence(0, int(ceil(size(sups) / ${JacChunk}d)) - 1), i ->
-           |  transform(sequence(i, int(ceil(size(sups) / ${JacChunk}d)) - 1),
-           |    j -> struct(i, j,
-           |      slice(sups, i * $JacChunk + 1, $JacChunk) AS a,
-           |      slice(sups, j * $JacChunk + 1, $JacChunk) AS b))))
-           |""".stripMargin)).as("cp"))
-      .select(col("c"), col("cp.i").as("i"), col("cp.j").as("j"),
-        col("cp.a").as("a"), col("cp.b").as("b"))
-      // Spread a hub's chunk-pair rows across tasks BEFORE the explode:
-      // without this every chunk pair of one customer stays in the
-      // groupBy(c) output partition that built it.
+    // (c, ci, arr): per-customer CHUNK rows, built SEGMENTED — a
+    // window row_number partitions each customer's sorted suppliers
+    // into consecutive ≤ JacChunk-wide ranks and the groupBy collects
+    // one array per (c, chunk), so no single row (and no single
+    // expression evaluation) is ever wider than JacChunk. The r13 form
+    // collected ONE O(D) array per customer and built all C(nch+1,2)
+    // chunk-pair structs inside one flatten(transform(...)) — fine at
+    // the planted degree-3000 hub (nch = 12), but a degree-10⁶ hub
+    // would materialize ~7.6M 4 KB structs (~30 GB) inside a single
+    // task's expression evaluation before the explode could stream
+    // them. The window's per-customer sort is the same work the old
+    // sort_array did; the groupBy reuses the window's hash(c)
+    // partitioning (no extra exchange — hash(c) satisfies the
+    // (c, ci) clustering requirement).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("c").orderBy("sup")
+    val chunks = cs
+      .withColumn("ci",
+        ((row_number().over(w) - 1) / JacChunk).cast("int"))
+      .groupBy(col("c"), col("ci"))
+      .agg(sort_array(collect_list(col("sup"))).as("arr"))
+      .pinned() // consumed 3×: chunk counts + both pair-join sides
+    // Chunk-pair KEYS (c, i, j), i ≤ j — tiny rows (~24 B), so even a
+    // degree-10⁶ hub's ~7.6M keys are a ~200 MB stream from one task,
+    // not a 30 GB one. The two equi-joins then attach the array
+    // payloads AFTER a shuffle keyed by (c, i) / (c, j): a hub's
+    // payload assembly spreads over its nch chunk keys instead of
+    // happening inside the one task that aggregated the customer.
+    val keys = chunks.groupBy("c")
+      .agg((max(col("ci")) + 1).as("nch"))
+      .select(col("c"),
+        explode(sequence(lit(0), col("nch") - 1)).as("i"), col("nch"))
+      .select(col("c"), col("i"),
+        explode(sequence(col("i"), col("nch") - 1)).as("j"))
+    val chunkPairs = keys
+      .join(chunks.select(col("c"), col("ci").as("i"), col("arr").as("a")),
+        Seq("c", "i"))
+      .join(chunks.select(col("c"), col("ci").as("j"), col("arr").as("b")),
+        Seq("c", "j"))
+      // Spread a hub's chunk-pair rows evenly across tasks BEFORE the
+      // explode: the join leaves them clustered by (c, j) — balanced
+      // enough to survive, but the largest (c, j) group still holds
+      // nch rows of one customer. Measured negative result (r13,
+      // still applies to this generator): shipping b = NULL for the
+      // dominant i = j rows (to halve the repartition payload, reading
+      // the second explode from coalesce(b, a)) ran ~40% SLOWER at 10×
+      // — the nullable array branch costs more in the generate/codegen
+      // path than the duplicate slice costs the shuffle.
       .repartition(col("c"), col("i"), col("j"))
     val pairs = chunkPairs
       .select(col("i"), col("j"), col("b"), explode(col("a")).as("s1"))

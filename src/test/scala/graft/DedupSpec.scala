@@ -35,6 +35,27 @@ class DedupSpec extends GraftSuite {
     assert(recall >= 0.9, s"minhash recall $recall too low")
   }
 
+  test("thresholded edit-distance equals full-DP-then-filter semantics") {
+    // dd_edit_distance runs Spark 4's banded levenshtein(a, b, k+1);
+    // its output contract is IDENTICAL to the unthresholded DP + a
+    // <= 40 filter (what the DuckDB oracle computes). Rebuild the
+    // unthresholded form over the same LSH candidates and diff.
+    val got = run("dd_edit_distance")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val cand = run("dd_minhash_lsh")
+    val ta = Tables.documents(spark, sf)
+      .select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+    val tb = Tables.documents(spark, sf)
+      .select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+    val full = cand.join(ta, "doc_a").join(tb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("text_a"), col("text_b")).as("edit_dist"))
+      .filter(col("edit_dist") <= 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == full)
+    assert(got.nonEmpty, "testdata should contain edit-distance near-dups")
+  }
+
   test("exact dedup groups cover every document exactly once") {
     val g = run("dd_exact").agg(sum("n_copies")).first().getLong(0)
     assert(g == Tables.documents(spark, sf).count())

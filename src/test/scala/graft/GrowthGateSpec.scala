@@ -51,15 +51,20 @@ class GrowthGateSpec extends AnyFunSuite {
   }
 
   test("work-gated: wall must track the measured work") {
-    // dd_edit_distance's r13 shape: work 19.7× (length-inflated corpus)
-    // while wall grew 10.8× — wall under work, no flag even though the
-    // wall ratio would breach the default bound.
+    // dd_edit_distance under the r14 normalized banded metric: work
+    // tracks candidate count (~11× at 10×) and the slack is 1.5 —
+    // wall under wallSlack × work growth, no flag.
     assert(!GrowthGate.flagged(10, "dd_edit_distance",
+      t1 = 1.9, tN = 12.7, work = Some((1000000.0, 11000000.0))))
+    // The r13 length-inflated shape (19.7× work at 10×) now BREACHES
+    // the tightened 1.5 slack — the normalization exists precisely so
+    // that a legitimate linear plan can no longer produce it.
+    assert(GrowthGate.flagged(10, "dd_edit_distance",
       t1 = 1.9, tN = 18.7, work = Some((26624995.0, 525799480.0))))
     // A wall far beyond the measured work (lost broadcast, re-evaluated
     // generator) flags even when the work itself is in contract.
     assert(GrowthGate.flagged(10, "dd_edit_distance",
-      t1 = 1.0, tN = 60.0, work = Some((26624995.0, 525799480.0))))
+      t1 = 1.0, tN = 60.0, work = Some((1000000.0, 11000000.0))))
   }
 
   test("failed timings never flag") {
