@@ -81,17 +81,72 @@ object HubGate {
     }
     def fmt(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val flags = rows.collect { case (n, _, _, inf) if inf > Bound => n }
+
+    // ---------------------------------------------- extreme-hub probe
+    // The planted warehouse hub (~degree 3000) bounds g4's inflation on
+    // realistic skew; this section probes ADVERSARIAL degrees. Two
+    // measurements, because the two hazards are different:
+    //
+    //  1. GENERATION at degree 10⁶ — the stage the pre-r14 build could
+    //     not survive (one O(D) collect_list row, then ~7.6M 4 KB
+    //     chunk-pair structs materialized inside ONE task's expression
+    //     evaluation). The probe drives the segmented generator through
+    //     its repartition (every shuffle the stage owns) and records
+    //     the per-partition row distribution — straggler-free means
+    //     max/mean stays near 1. The downstream C(10⁶, 2) ≈ 5·10¹¹
+    //     explode is NOT run: those pairs are the query's own OUTPUT
+    //     contract (each is a real result row), a volume no plan can
+    //     dodge — the gate's job is proving the PLAN adds no
+    //     concentration on top of it.
+    //  2. FULL QUERY at degree 30 000 (10× the warehouse hub; C(D,2)
+    //     ≈ 4.5·10⁸ pairs) — end-to-end completion with wall recorded
+    //     against the measured pair volume.
+    val genDeg = sys.env.getOrElse("GRAFT_HUB_GEN_DEG", "1000000").toLong
+    val fullDeg = sys.env.getOrElse("GRAFT_HUB_FULL_DEG", "30000").toLong
+    val genDir = s"${scratch}_xdeg$genDeg"
+    val fullDir = s"${scratch}_xdeg$fullDeg"
+    ScaleData.writeExtremeHubWarehouse(spark, src, genDir, genDeg)
+    ScaleData.writeExtremeHubWarehouse(spark, src, fullDir, fullDeg)
+    val genT0 = System.nanoTime()
+    val partCounts = operators.Graph.jaccardChunkPairsFor(spark, genDir)
+      .queryExecution.toRdd
+      .mapPartitions { it =>
+        var n = 0L; while (it.hasNext) { it.next(); n += 1 }; Iterator(n)
+      }.collect()
+    val genWall = (System.nanoTime() - genT0) / 1e9
+    val genRows = partCounts.sum
+    val genBalance =
+      if (genRows == 0) 1.0
+      else partCounts.max.toDouble /
+        math.max(genRows.toDouble / partCounts.length, 1.0)
+    println(f"[hub] extreme gen deg=$genDeg rows=$genRows " +
+      f"wall=$genWall%.2f max/mean=$genBalance%.2f")
+    val (fullMaxDeg, fullPairs) =
+      operators.Graph.customerDegreeStats(spark, fullDir)
+    val fullT0 = System.nanoTime()
+    runFull("g4_jaccard", fullDir)
+    val fullWall = (System.nanoTime() - fullT0) / 1e9
+    println(f"[hub] extreme full deg=$fullMaxDeg pairs=$fullPairs%.0f " +
+      f"wall=$fullWall%.2f")
+
+    val flags = rows.collect { case (n, _, _, inf) if inf > Bound => n } ++
+      (if (genBalance > 5.0) Seq("extreme_gen_straggler") else Nil)
     val qJson = rows.map { case (n, p, h, inf) =>
       s""""$n":{"plain":${fmt(p)},"hub":${fmt(h)},"inflation":${fmt(inf)}}"""
     }.mkString("{", ",", "}")
+    val extremeJson =
+      s"""{"gen_degree":$genDeg,"gen_chunk_pair_rows":$genRows,""" +
+        s""""gen_wall_sec":${fmt(genWall)},""" +
+        s""""gen_partition_max_over_mean":${fmt(genBalance)},""" +
+        s""""full_degree":$fullMaxDeg,"full_pair_volume":${fmt(fullPairs)},""" +
+        s""""full_wall_sec":${fmt(fullWall)}}"""
     val line =
       s"""{"metric":"hub_gate","factor":$factor,"bound":$Bound,""" +
         s""""hub_supplier_frac":0.3,"hot_part_order_frac":0.3,""" +
         s""""hub_customer_degree":$hubDeg,""" +
         s""""hub_customer_pair_contrib":$hubPairs,""" +
         s""""flags":${flags.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-        s""""queries":$qJson,"sf":"$src"}"""
+        s""""extreme":$extremeJson,"queries":$qJson,"sf":"$src"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("hub_gate.json"),
       (line + "\n").getBytes("UTF-8"))
     println(line)

@@ -247,6 +247,64 @@ object ScaleData {
       s"rename $tmp -> $outDir failed")
   }
 
+  /** Minimal synthetic warehouse for [[HubGate]]'s EXTREME-hub probe:
+    * only the two tables `g4_jaccard` reads (orders, lineitem), with
+    *
+    *  - ONE customer (key 1) whose single order covers supplier keys
+    *    1..`degree` — degrees far beyond any real corpus (the probe
+    *    runs 10⁶, where the planted-skew gate's warehouse hub is
+    *    ~3000), and
+    *  - 1000 background customers of degree ~30 each, so the query
+    *    exercises its normal path alongside the hub.
+    *
+    * Schemas are cloned from one template row of the source warehouse
+    * (same trick as [[writeHubWarehouse]]) so `Tables`' contracts hold
+    * bit for bit. Each degree gets its own subdir (`deg<D>`): probes at
+    * different degrees must not reuse a stale build.
+    */
+  def writeExtremeHubWarehouse(spark: SparkSession, src: String,
+      outDir: String, degree: Long): Unit = {
+    import org.apache.spark.sql.types.DataType
+    if (new java.io.File(outDir).exists()) return
+    val tmp = outDir + ".tmp"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    def oType(c: String): DataType = ord.schema(c).dataType
+    def lType(c: String): DataType = li.schema(c).dataType
+    val ordT = ord.orderBy("o_orderkey").limit(1)
+    val liT = li.orderBy("l_orderkey", "l_linenumber").limit(1)
+    // Orders: customer k owns order k; customer 1 is the hub.
+    val custs = spark.range(1, 1002).select(col("id").as("k"))
+    val orders = ordT.crossJoin(custs).select(ord.columns.map {
+      case "o_orderkey" => col("k").cast(oType("o_orderkey")).as("o_orderkey")
+      case "o_custkey" => col("k").cast(oType("o_custkey")).as("o_custkey")
+      case c => col(c)
+    }.toSeq: _*)
+    val hubLines = spark.range(1, degree + 1)
+      .select(lit(1L).as("ok"), col("id").as("sk"))
+    val bgLines = custs.filter(col("k") > 1)
+      .select(col("k").as("ok"),
+        explode(sequence(lit(0L), lit(29L))).as("i"))
+      .select(col("ok"),
+        (pmod(col("ok") * 7 + col("i"), lit(1000L)) + 1).as("sk"))
+    val lineitem = hubLines.unionByName(bgLines)
+      .crossJoin(broadcast(liT)).select(li.columns.map {
+        case "l_orderkey" => col("ok").cast(lType("l_orderkey"))
+          .as("l_orderkey")
+        case "l_suppkey" => col("sk").cast(lType("l_suppkey"))
+          .as("l_suppkey")
+        // suppkey doubles as a unique-within-order line number.
+        case "l_linenumber" => col("sk").cast(lType("l_linenumber"))
+          .as("l_linenumber")
+        case c => col(c)
+      }.toSeq: _*)
+    orders.write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    lineitem.write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    require(new java.io.File(tmp).renameTo(new java.io.File(outDir)),
+      s"rename $tmp -> $outDir failed")
+  }
+
   /** Hardlink a parquet directory tree (fallback to copy when the
     * filesystem refuses links) — unchanged tables of a derived
     * warehouse share the source's bytes.

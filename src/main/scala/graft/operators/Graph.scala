@@ -253,13 +253,52 @@ object Graph {
     * doubles on both engines.
     */
   private def jaccard(s: SparkSession, d: String): DataFrame = {
+    val cs = jaccardIncidence(s, d)
+    val deg = cs.groupBy("sup").agg(count(lit(1)).as("dg"))
+    val chunkPairs = jaccardChunkPairs(cs)
+    val pairs = chunkPairs
+      .select(col("i"), col("j"), col("b"), explode(col("a")).as("s1"))
+      .select(col("s1"), col("i"), col("j"), explode(col("b")).as("s2"))
+      // cross-chunk (i < j): all pairs, already s1 < s2 (sorted slices);
+      // within-chunk (i = j): value order dedups the unordered pairs.
+      .filter(col("i") < col("j") || col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(broadcast(deg.select(col("sup").as("s1"), col("dg").as("d1"))),
+        "s1")
+      .join(broadcast(deg.select(col("sup").as("s2"), col("dg").as("d2"))),
+        "s2")
+      .select(col("s1"), col("s2"),
+        r6(col("inter").cast("double") /
+          (col("d1") + col("d2") - col("inter")).cast("double"))
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("s1"), col("s2"))
+      .limit(JacTopK)
+  }
+
+  /** The distinct (customer, supplier) incidence list both [[jaccard]]
+    * stages read, pinned once. */
+  private def jaccardIncidence(s: SparkSession, d: String): DataFrame = {
     val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
     val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
-    val cs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
       .distinct()
       .pinned() // consumed by the chunk build + degrees
-    val deg = cs.groupBy("sup").agg(count(lit(1)).as("dg"))
+  }
+
+  /** [[jaccard]]'s chunk-pair generator, exposed for
+    * [[graft.HubGate]]'s extreme-hub probe (which must drive THIS
+    * stage — the one the pre-r14 build could not survive at degree
+    * 10⁶ — without paying the downstream C(D, 2) explode, an output
+    * volume no plan can dodge). Returns (c, i, j, a, b) chunk-pair
+    * rows, repartitioned and ready for the nested explode.
+    */
+  private[graft] def jaccardChunkPairsFor(s: SparkSession,
+      d: String): DataFrame = jaccardChunkPairs(jaccardIncidence(s, d))
+
+  private def jaccardChunkPairs(cs: DataFrame): DataFrame = {
     // (c, ci, arr): per-customer CHUNK rows, built SEGMENTED — a
     // window row_number partitions each customer's sorted suppliers
     // into consecutive ≤ JacChunk-wide ranks and the groupBy collects
@@ -309,25 +348,7 @@ object Graph {
       // — the nullable array branch costs more in the generate/codegen
       // path than the duplicate slice costs the shuffle.
       .repartition(col("c"), col("i"), col("j"))
-    val pairs = chunkPairs
-      .select(col("i"), col("j"), col("b"), explode(col("a")).as("s1"))
-      .select(col("s1"), col("i"), col("j"), explode(col("b")).as("s2"))
-      // cross-chunk (i < j): all pairs, already s1 < s2 (sorted slices);
-      // within-chunk (i = j): value order dedups the unordered pairs.
-      .filter(col("i") < col("j") || col("s1") < col("s2"))
-      .groupBy(col("s1"), col("s2"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(broadcast(deg.select(col("sup").as("s1"), col("dg").as("d1"))),
-        "s1")
-      .join(broadcast(deg.select(col("sup").as("s2"), col("dg").as("d2"))),
-        "s2")
-      .select(col("s1"), col("s2"),
-        r6(col("inter").cast("double") /
-          (col("d1") + col("d2") - col("inter")).cast("double"))
-          .as("jaccard"))
-      .orderBy(col("jaccard").desc, col("s1"), col("s2"))
-      .limit(JacTopK)
+    chunkPairs
   }
 
   /** Customer-side degree profile of THE SAME incidence list

@@ -248,34 +248,42 @@ object Similarity {
   // acceptable to the 4096-cell cap, another reason the cap marks the
   // hand-off to a hierarchical coarse quantizer.
   //
-  // Round 8: cell COUNTS are corpus-derived, not fixed — prior rounds
-  // shipped 128/32 with a scaladoc note that "production guidance is
-  // cells ∝ N"; now the code follows its own guidance. The tuned
-  // sf0.1 point (N=2000 → 128 IVF cells / 32 SemDeDup cells) becomes
-  // the target CELL SIZE (16 / 64 vectors), and the count is
-  // 2^round(log2(N / target)), clamped to [tuned floor, 4096]:
+  // Round 8 (cell-count rule; TARGETS retuned round 10): cell COUNTS
+  // are corpus-derived, not fixed — prior rounds shipped 128/32 with a
+  // scaladoc note that "production guidance is cells ∝ N"; now the
+  // code follows its own guidance. The count is
+  // 2^round(log2(N / target)), clamped to [tuned floor, 4096], with
+  // target CELL SIZE 4 (IVF, retuned 16 → 4 in round 10's
+  // quantization-grain fix above) / 64 (SemDeDup) vectors:
   //  - power-of-two rounding keeps the trained config stable under
   //    small corpus drift (no retrain on ±5% growth);
   //  - the FLOOR is the round-7 tuned fixed count itself (128 / 32),
-  //    so every corpus at or below the tuned anchor keeps the exact
-  //    geometry its recall floors were measured at — the rule only
-  //    takes over under GROWTH. (A first cut floored IVF at 32 cells
-  //    and sf0.001 recall fell 0.90 → 0.64: finer quantization wins
-  //    at a fixed scan fraction, per the sweep, so small corpora must
-  //    keep the fine 128-cell geometry even at cell size < target.)
+  //    so no corpus ever quantizes COARSER than the geometry the
+  //    original recall floors were measured at. (A first cut floored
+  //    IVF at 32 cells and sf0.001 recall fell 0.90 → 0.64: finer
+  //    quantization wins at a fixed scan fraction, per the sweep, so
+  //    small corpora must keep fine geometry even at cell size <
+  //    target.)
   //  - the 4096 cap bounds the broadcast centroid table and the
-  //    driver-resident model; past ~65k vectors per the rule, a real
-  //    deployment moves toward ~√N coarse sizing or a hierarchical
-  //    coarse quantizer rather than more flat cells.
+  //    driver-resident model; past ~16k vectors per the rule (4096
+  //    cells × target 4), a real deployment moves toward ~√N coarse
+  //    sizing or a hierarchical coarse quantizer rather than more
+  //    flat cells.
   // Probe count keeps the tuned 25% scan fraction with an absolute
   // probed-vector floor (the PQ shortlist lesson: fixed absolute knobs
   // decay as the corpus grows; fixed FRACTIONS survive): probes =
-  // ceil(cells · max(50, 0.25·N) / N), capped at cells. At sf0.1 this
-  // derives exactly the shipped-and-measured 128/32; at 10× natural
-  // growth (20k vectors) it derives 1024/256 — same fraction, finer
-  // quantization (measured: see the RecallSweep curve note below).
-  // Determinism: N comes from the cached corpusCount, so the derived
-  // config is fixed per (context, dir) like the trained models.
+  // ceil(cells · max(50, 0.25·N) / N), capped at cells. Derived
+  // geometry at the tuned sf0.1 anchor (N = 2000 embeddings):
+  //   IVF  cells = 2^round(log2(2000/4))  = 512, probes = 128 (25%);
+  //   Sem  cells = 2^round(log2(2000/64)) = 32 (the floor value).
+  // At 10× natural growth (20k vectors): IVF hits the 4096-cell cap,
+  // probes = 1024 — same 25% fraction, finer quantization (measured:
+  // see the RecallSweep curve note below). These derivations are
+  // asserted by SimilaritySpec's "derived IVF/Sem geometry" test —
+  // if a constant changes, that spec (and this block) must move with
+  // it. Determinism: N comes from the cached corpusCount, so the
+  // derived config is fixed per (context, dir) like the trained
+  // models.
   private[graft] val IvfTargetCellSize = 4
   private[graft] val SemTargetCellSize = 64
   private[graft] val IvfCellFloor = 128
@@ -537,10 +545,19 @@ object Similarity {
     * removes the skew hazard, not the quadratic-within-cell definition.
     */
   private[graft] def semanticNearDupBlocked(s: SparkSession, d: String,
-      cells: Int, nAssign: Int, tau: Double, block: Int): DataFrame = {
+      cells: Int, nAssign: Int, tau: Double, block: Int): DataFrame =
     // One blocked-assignment build feeds both join sides (the pinned
     // assignment underneath runs its crossJoin fan-out + rank once).
-    val f = semanticBlockedFrame(s, d, cells, nAssign, block)
+    semanticPairsOfBlocked(
+      semanticBlockedFrame(s, d, cells, nAssign, block), tau)
+
+  /** The within-cell pair join over an already-blocked frame — shared
+    * verbatim by the in-session path and the persisted-index serve, so
+    * a loaded index answers bit-identically to the session that built
+    * it (the IVF family's contract, applied to dedup).
+    */
+  private def semanticPairsOfBlocked(f: DataFrame,
+      tau: Double): DataFrame = {
     val a = f.select(col("cell").as("cell_a"), col("bi").as("bi_a"),
       col("bj").as("bj_a"), col("salt").as("salt_a"),
       col("vec_id").as("id_a"), col("u").as("ua"))
@@ -572,8 +589,10 @@ object Similarity {
     * Exposed for the hot-cell spec's per-key volume accounting.
     */
   private[graft] def semanticBlockedFrame(s: SparkSession, d: String,
-      cells: Int, nAssign: Int, block: Int): DataFrame = {
-    val assign = semanticAssignments(s, d, cells, nAssign)
+      cells: Int, nAssign: Int, block: Int): DataFrame =
+    blockedFrameOf(semanticAssignments(s, d, cells, nAssign), block)
+
+  private def blockedFrameOf(assign: DataFrame, block: Int): DataFrame = {
     val sizes = assign.groupBy("cell").agg(count(lit(1)).as("n_cell"))
     assign.join(broadcast(sizes), "cell")
       .withColumn("k",
@@ -607,6 +626,113 @@ object Similarity {
     assignCells(normalized(s, d),
       trainedCentroids(s, d, cells, IvfIters, seed = "rank"), nAssign)
       .pinned()
+
+  // --------------------------------------- SemDeDup persisted index
+
+  /** Persist the SemDeDup index: the rank-seeded coarse centroids plus
+    * the [[SemAssign]]-way cell assignments in a cell-partitioned
+    * layout — the dedup twin of [[saveIvfFlatIndex]]. The k-means
+    * train over the full corpus (the dominant one-time cost — ~200k
+    * vectors × ~3k cells at the 100× warehouse) and the N·cells
+    * assignment pass both happen HERE, once per corpus; serving
+    * ([[semanticPairsAgainstIndex]]) and incremental ingest
+    * ([[appendToSemDedupIndex]]) never retrain. Training, assignment,
+    * and salting are all deterministic, so build → load → serve is
+    * bit-identical to the in-session `dd_semantic` on the same corpus
+    * (spec-asserted).
+    */
+  def saveSemDedupIndex(s: SparkSession, d: String, path: String,
+      cells: Int = 0): Unit = {
+    val nCells = if (cells > 0) cells else semCells(s, d)
+    val cent = trainedCentroids(s, d, nCells, IvfIters, seed = "rank")
+    cent.coalesce(1).write.mode("overwrite").parquet(s"$path/coarse")
+    assignCells(normalized(s, d), cent, SemAssign)
+      .select(col("vec_id"), col("u"), col("cell").as("ccell"))
+      .write.mode("overwrite").partitionBy("ccell")
+      .parquet(s"$path/assignments")
+  }
+
+  /** Near-dup pairs served straight from a persisted SemDeDup index —
+    * no training, no corpus read, no resident-cache dependency: a
+    * fresh session (or a different cluster) serves immediately, and
+    * the per-corpus k-means cost is amortized across every serve the
+    * way the IVF search family already amortizes it. The blocked pair
+    * join is the SAME code path as the in-session operator
+    * ([[semanticPairsOfBlocked]]), fed from the index's assignment
+    * table instead of the pinned in-session frame.
+    */
+  def semanticPairsAgainstIndex(s: SparkSession, indexPath: String,
+      tau: Double = Dedup.CosTau, block: Int = SemCellBlock): DataFrame = {
+    val assign = s.read.parquet(s"$indexPath/assignments")
+      .select(col("ccell").cast("long").as("cell"), col("vec_id"),
+        col("u"))
+    semanticPairsOfBlocked(blockedFrameOf(assign, block), tau)
+  }
+
+  /** Append new vectors to a persisted SemDeDup index without
+    * retraining: assign to the EXISTING (immutable) centroids under
+    * the same [[SemAssign]] breadth and append into the
+    * cell-partitioned layout — only the new rows' cells are touched.
+    * The next serve then finds new↔old pairs through the shared
+    * cells, which is the whole point of an INCREMENTAL dedup index: a
+    * daily crawl batch dedups against the full historical corpus at
+    * the cost of assigning only the batch. Add-without-retrain costs
+    * cell-boundary drift exactly as the IVF appends do — centroids
+    * reflect the build corpus — so the same rebuild cadence applies
+    * ([[rebuildSemDedupIndex]]). Batch guards mirror the other
+    * appends: empty no-op, loud dimension mismatch, loud vec_id
+    * collision.
+    */
+  def appendToSemDedupIndex(newVectors: DataFrame,
+      indexPath: String): Unit = {
+    val s = newVectors.sparkSession
+    val coarse = s.read.parquet(s"$indexPath/coarse").select("cell", "cu")
+    val dim = coarse.select(size(col("cu"))).first().getInt(0)
+    val v = normalizeFrame(newVectors)
+    val stats = v.agg(count(lit(1)).as("n"),
+      min(size(col("u"))).as("lo"), max(size(col("u"))).as("hi")).first()
+    if (stats.getLong(0) == 0) return
+    require(stats.getInt(1) == dim && stats.getInt(2) == dim,
+      s"append batch dimension ${stats.getInt(1)}..${stats.getInt(2)} " +
+        s"does not match index dimension $dim")
+    val clash = s.read.parquet(s"$indexPath/assignments")
+      .select("vec_id").distinct()
+      .join(v.select("vec_id"), "vec_id").count()
+    require(clash == 0,
+      s"append would duplicate $clash vec_ids already in the index")
+    assignCells(v, coarse, SemAssign)
+      .select(col("vec_id"), col("u"), col("cell").as("ccell"))
+      .write.mode("append").partitionBy("ccell")
+      .parquet(s"$indexPath/assignments")
+  }
+
+  /** Full rebuild of a persisted SemDeDup index from its own resident
+    * vectors — the STALE-INDEX REFRESH step: once appended batches
+    * make the build-time centroids a poor quantizer for the resident
+    * population (boundary-straddling pairs stop sharing cells and
+    * recall drifts down), retrain on everything resident and land a
+    * fresh index at `outPath`. Same blue/green contract as the IVF
+    * rebuilds: the old index is never modified, serving swaps by
+    * repointing. The multi-assigned layout is deduplicated to one row
+    * per vector before it becomes the training corpus.
+    */
+  def rebuildSemDedupIndex(s: SparkSession, indexPath: String,
+      outPath: String): Unit = {
+    require(java.nio.file.Paths.get(outPath).normalize() !=
+        java.nio.file.Paths.get(indexPath).normalize(),
+      "rebuild writes a FRESH index: an in-place rebuild would yank " +
+        "the layout out from under concurrent readers — write to a " +
+        "new path and repoint serving after the build commits")
+    val vecs = s.read.parquet(s"$indexPath/assignments")
+      .dropDuplicates("vec_id")
+    val n = vecs.count()
+    require(n > 0, s"index at $indexPath has no resident vectors")
+    val corpus = s"$outPath/_corpus_n$n"
+    vecs.select(col("vec_id"), col("u").as("embedding"),
+        lit(0L).as("label"))
+      .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+    saveSemDedupIndex(s, corpus, outPath)
+  }
 
   // -------------------------------------------------------- PQ variant
 

@@ -2,6 +2,23 @@ package graft
 
 class SimilaritySpec extends GraftSuite {
 
+  test("derived IVF/Sem geometry at the tuned anchors matches the " +
+      "documented derivation") {
+    import operators.Similarity._
+    // The sf0.1 anchor (N = 2000 embeddings) — the numbers the tuning
+    // block in Similarity.scala documents. If a target/floor constant
+    // is retuned, this spec and that comment block move together.
+    assert(cellsFor(2000, IvfTargetCellSize, IvfCellFloor) == 512)
+    assert(probesFor(512, 2000) == 128)
+    assert(cellsFor(2000, SemTargetCellSize, SemCellFloor) == 32)
+    // 10× natural growth: IVF hits the 4096-cell cap, 25% scan keeps
+    // probes at cells/4.
+    assert(cellsFor(20000, IvfTargetCellSize, IvfCellFloor) == MaxCells)
+    assert(probesFor(4096, 20000) == 1024)
+    // Below the anchor the floor holds the round-7 geometry.
+    assert(cellsFor(200, IvfTargetCellSize, IvfCellFloor) == IvfCellFloor)
+  }
+
   test("exact ANN: 10 queries x 10 ranked neighbors, cosine in [-1,1]") {
     val rows = SparkEntry.queries("ann_topk_exact")(spark, sf).collect()
     assert(rows.length == 100)
@@ -586,6 +603,78 @@ class SimilaritySpec extends GraftSuite {
     val recall = served.count(exact.contains).toDouble / exact.size
     info(f"rebuilt IVF-Flat serving recall: $recall%.3f")
     assert(recall >= 0.7, f"rebuilt IVF-Flat serving recall $recall%.3f")
+  }
+
+  test("SemDeDup persisted index: serve is bit-identical to in-session; " +
+      "append dedups cross-batch; rebuild refreshes a stale index") {
+    import org.apache.spark.sql.functions._
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_semdedup_index").toString
+    // Build on the full corpus: same cached centroids, same assignment,
+    // same blocked pair join → the index serve answers bit-identically
+    // to the in-session dd_semantic (doubles round-trip parquet exactly).
+    operators.Similarity.saveSemDedupIndex(spark, sf, s"$base/index")
+    val inSession = SparkEntry.queries("dd_semantic")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val served = operators.Similarity
+      .semanticPairsAgainstIndex(spark, s"$base/index").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(inSession.nonEmpty && served == inSession)
+    // Incremental lifecycle: build on the even half, append the odd
+    // half WITHOUT retraining — the serve must then find pairs that
+    // straddle the two batches (the point of an incremental dedup
+    // index: a new crawl batch dedups against the historical corpus).
+    val all = Tables.embeddings(spark, sf)
+    all.filter(col("vec_id") % 2 === 0)
+      .write.parquet(s"$base/sub/embeddings.parquet")
+    operators.Similarity.saveSemDedupIndex(spark, s"$base/sub", s"$base/inc")
+    operators.Similarity.appendToSemDedupIndex(
+      all.filter(col("vec_id") % 2 === 1).select("vec_id", "embedding"),
+      s"$base/inc")
+    val incr = pairSet(operators.Similarity
+      .semanticPairsAgainstIndex(spark, s"$base/inc"))
+    val exact = pairSet(SparkEntry.queries("dd_cosine_neardup")(spark, sf))
+    assert(incr.subsetOf(exact), s"phantom pairs: ${incr.diff(exact)}")
+    assert(incr.exists { case (a, b) => a % 2 != b % 2 },
+      "appended index found no cross-batch near-dup pair")
+    // Append guards: vec_id collision and dimension mismatch are loud.
+    val clash = intercept[IllegalArgumentException] {
+      operators.Similarity.appendToSemDedupIndex(
+        all.filter(col("vec_id") % 2 === 1).select("vec_id", "embedding"),
+        s"$base/inc")
+    }
+    assert(clash.getMessage.contains("duplicate"))
+    val badDim = intercept[IllegalArgumentException] {
+      operators.Similarity.appendToSemDedupIndex(
+        all.select(col("vec_id") + 500000L as "vec_id",
+          slice(col("embedding"), 1, 3).as("embedding")),
+        s"$base/inc")
+    }
+    assert(badDim.getMessage.contains("dimension"))
+    // Stale-index refresh: in-place rebuild refused; a fresh rebuild
+    // retrains on the FULL resident population (both batches) and must
+    // recover at least the drifted index's recall, still sound.
+    val inPlace = intercept[IllegalArgumentException] {
+      operators.Similarity.rebuildSemDedupIndex(
+        spark, s"$base/inc", s"$base/inc")
+    }
+    assert(inPlace.getMessage.contains("FRESH"))
+    operators.Similarity.rebuildSemDedupIndex(
+      spark, s"$base/inc", s"$base/inc2")
+    assert(spark.read.parquet(s"$base/inc2/assignments")
+      .select("vec_id").distinct().count() == all.count())
+    val rebuilt = pairSet(operators.Similarity
+      .semanticPairsAgainstIndex(spark, s"$base/inc2"))
+    assert(rebuilt.subsetOf(exact), s"phantom pairs: ${rebuilt.diff(exact)}")
+    val rIncr = incr.size.toDouble / exact.size
+    val rRebuilt = rebuilt.size.toDouble / exact.size
+    info(f"SemDeDup index recall: appended $rIncr%.3f -> " +
+      f"rebuilt $rRebuilt%.3f (in-session ${
+        inSession.size.toDouble / exact.size}%.3f)")
+    assert(rRebuilt >= rIncr - 0.01,
+      f"rebuild lost recall: $rIncr%.3f -> $rRebuilt%.3f")
   }
 
   test("LSH append: appended index is bit-identical to a rebuild over the union") {
