@@ -247,6 +247,53 @@ object ScaleData {
       s"rename $tmp -> $outDir failed")
   }
 
+  /** Derive a ZIPF-SKEWED variant of a warehouse: `o_custkey` is
+    * remapped so customer popularity follows a Zipf law with exponent
+    * `alpha` (default 1.2 — the "realistic web/commerce skew" regime),
+    * while every other table hardlinks unchanged. The growth gates
+    * clone-grow data whose key frequencies stay uniform-ish and
+    * [[writeHubWarehouse]] plants one adversarial node; this variant
+    * covers the gap between them — a whole heavy-tailed key
+    * DISTRIBUTION, where a plan that is linear on uniform keys can
+    * straggle on the popular ones. Sampling is deterministic
+    * (xxhash64(o_orderkey) → inverse-CDF of the continuous Pareto tail:
+    * rank = ⌈u^(−1/(α−1))⌉ clamped to the customer count, so
+    * P(rank ≤ k) = 1 − k^−(α−1)); rank r maps to the r-th customer in
+    * key order, so referential integrity to the customer table is
+    * preserved exactly.
+    */
+  def writeZipfWarehouse(spark: SparkSession, src: String, outDir: String,
+      alpha: Double = 1.2): Unit = {
+    if (new java.io.File(outDir).exists()) return
+    val tmp = outDir + ".tmp"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    Seq("region", "nation", "customer", "supplier", "part", "events",
+      "documents", "embeddings", "lineitem").foreach { t =>
+      linkTree(java.nio.file.Paths.get(src, s"$t.parquet"),
+        java.nio.file.Paths.get(tmp, s"$t.parquet"))
+    }
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    val cust = spark.read.parquet(s"$src/customer.parquet")
+    val nCust = cust.count()
+    val ranked = cust.select(col("c_custkey"))
+      .withColumn("zrank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("c_custkey")))
+    val u = (pmod(xxhash64(col("o_orderkey")), lit(1000000007L))
+      .cast("double") + 0.5) / 1000000007.0
+    val rank = least(lit(nCust),
+      ceil(pow(u, lit(-1.0 / (alpha - 1.0))))).cast("int")
+    val cType = ord.schema("o_custkey").dataType
+    ord.withColumn("zrank", rank)
+      .join(ranked, "zrank")
+      .select(ord.columns.map {
+        case "o_custkey" => col("c_custkey").cast(cType).as("o_custkey")
+        case c => col(c)
+      }.toSeq: _*)
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    require(new java.io.File(tmp).renameTo(new java.io.File(outDir)),
+      s"rename $tmp -> $outDir failed")
+  }
+
   /** Minimal synthetic warehouse for [[HubGate]]'s EXTREME-hub probe:
     * only the two tables `g4_jaccard` reads (orders, lineitem), with
     *
@@ -312,6 +359,17 @@ object ScaleData {
   private def linkTree(src: java.nio.file.Path,
       dst: java.nio.file.Path): Unit = {
     import java.nio.file.{Files, Path}
+    // A raw-testdata table is ONE parquet file, not a directory (the
+    // scaled warehouses write directories) — link it as a file, or the
+    // walk below would materialize an empty dir Spark cannot read.
+    if (Files.isRegularFile(src)) {
+      Files.createDirectories(dst.getParent)
+      if (!Files.exists(dst)) {
+        try Files.createLink(dst, src)
+        catch { case _: Exception => Files.copy(src, dst) }
+      }
+      return
+    }
     Files.createDirectories(dst)
     Files.walk(src).forEach { p: Path =>
       val rel = src.relativize(p)

@@ -663,9 +663,15 @@ object Similarity {
     */
   def semanticPairsAgainstIndex(s: SparkSession, indexPath: String,
       tau: Double = Dedup.CosTau, block: Int = SemCellBlock): DataFrame = {
+    // Pinned: the pair join reads the assignment table on BOTH sides
+    // (plus the cell-size aggregate), and a serving deployment keeps
+    // the loaded index resident across serves anyway — unpinned, the
+    // 100× probe measured the serve re-scanning its 1.4 GB parquet
+    // per consumer and losing to the in-session recompute path.
     val assign = s.read.parquet(s"$indexPath/assignments")
       .select(col("ccell").cast("long").as("cell"), col("vec_id"),
         col("u"))
+      .pinned()
     semanticPairsOfBlocked(blockedFrameOf(assign, block), tau)
   }
 
