@@ -275,7 +275,12 @@ object Dedup {
     */
   private val EditMax = 40
   private def editDistance(s: SparkSession, d: String): DataFrame = {
-    val cand = minhashLsh(s, d)
+    // minhashCandidates, NOT minhashLsh: the registry twin carries an
+    // ORDER BY for its own output contract, and inheriting it here
+    // plants a total-order range exchange (plus its sampling re-pass)
+    // under this query's own final sort — measured at 30× data the
+    // registry plan cost ~47s against ~11s for its actual components.
+    val cand = minhashCandidates(minhashSigsFrame(s, d))
     val ta = Tables.documents(s, d)
       .select(col("doc_id").as("doc_a"), col("text").as("text_a"))
     val tb = Tables.documents(s, d)
@@ -283,7 +288,21 @@ object Dedup {
     // Threshold EditMax + 1 (not EditMax): robust to either off-by-one
     // reading of "exceeds the bound → −1"; the BETWEEN filter then pins
     // the exact output contract regardless.
+    //
+    // Repartition + RDD barrier before the DP: the candidate frame is
+    // BYTE-tiny (≈10⁻⁴ of the corpus), so AQE's byte-based coalescing
+    // collapses the join output to ONE partition — and the DP, which is
+    // CPU-heavy per row in a way byte stats cannot see, then runs
+    // serially (measured at 30× data: all 8,380 pairs in one task,
+    // ~8s serial DP; the whole registry query sat at ~47s). The
+    // explicit-N repartition spreads the pairs; the lazy localCheckpoint
+    // is a predicate-pushdown barrier — without it the BETWEEN filter
+    // (whose pushed form re-evaluates the levenshtein) sinks below the
+    // repartition, putting one full DP pass back on the serial side.
+    val n = s.sessionState.conf.numShufflePartitions
     cand.join(ta, "doc_a").join(tb, "doc_b")
+      .repartition(n, col("doc_a"), col("doc_b"))
+      .localCheckpoint(false)
       .select(col("doc_a"), col("doc_b"),
         levenshtein(col("text_a"), col("text_b"), EditMax + 1)
           .as("edit_dist"))
@@ -304,7 +323,8 @@ object Dedup {
     * a 2.5× work slack. Deterministic where the DP stage's wall is not.
     */
   private[graft] def editDistanceWork(s: SparkSession, d: String): Double = {
-    val cand = minhashLsh(s, d)
+    val cand = minhashCandidates(minhashSigsFrame(s, d)) // no inner sort
+
     val docs = Tables.documents(s, d)
     val meanLen = docs.agg(coalesce(avg(length(col("text"))), lit(1.0)))
       .collect().head.getAs[Number](0).doubleValue
