@@ -95,6 +95,21 @@ object Bench {
     def sfDirMatches(txt: String): Boolean =
       """"sf_dir":"([^"]*)"""".r.findFirstMatchIn(txt)
         .forall(_.group(1) == sfDir)
+    // The prior also records the CPU count it was measured at: dev-scale
+    // (sf0.001) walls are dominated by per-stage fixed costs that scale
+    // with parallelism (stash-verified 2.4s vs 0.766s for the same code
+    // on different cpu counts), so a prior from a different container
+    // shape would flag phantom regressions — ignore it with a note and
+    // let this run's refresh start a fresh prior. Legacy priors without
+    // the field are accepted (same policy as sf_dir).
+    def cpusMatch(txt: String): Boolean = {
+      val ok = """"cpus":"([^"]*)"""".r.findFirstMatchIn(txt)
+        .forall(_.group(1) == cpus)
+      if (!ok) System.err.println(
+        s"[bench] prior ignored: measured on different cpu count " +
+          s"(prior vs current $cpus)")
+      ok
+    }
     // Prior run's per-query medians, read BEFORE this run overwrites the
     // artifact. Fallback to the legacy uncommitted artifact (useful for
     // back-to-back local runs), with a same-SF guard — a prior at a
@@ -104,7 +119,8 @@ object Bench {
         if (java.nio.file.Files.exists(prevPath)) {
           val txt = new String(
             java.nio.file.Files.readAllBytes(prevPath), "UTF-8")
-          if (sfDirMatches(txt)) parseQueries(txt) else Map.empty
+          if (sfDirMatches(txt) && cpusMatch(txt)) parseQueries(txt)
+          else Map.empty
         } else {
           val txt = new String(java.nio.file.Files.readAllBytes(
             java.nio.file.Paths.get("bench_results.json")), "UTF-8")
@@ -408,7 +424,12 @@ object Bench {
         Seq("ann_topk_lsh", "ann_topk_ivf", "ann_topk_pq",
           "ann_topk_ivfpq"),
         Seq("query_id", "neighbor_id")) ++
-      recallOf("dd_cosine_neardup", Seq("dd_semantic"), Seq("id_a", "id_b"))
+      recallOf("dd_cosine_neardup", Seq("dd_semantic"), Seq("id_a", "id_b")) ++
+      // Curation-mode jaccard vs the exact operator: on THIS (natural)
+      // corpus the degree cap excludes nothing, so the number isolates
+      // pure minhash ranking noise; the skew gate carries the
+      // capped-under-Zipf overlap separately.
+      recallOf("g4_jaccard", Seq("g4_jaccard_capped"), Seq("s1", "s2"))
     // Cross-round regressions — policy in [[BenchGate.regressionFlags]]:
     // >1.5× slower AND delta above max(0.5s, 3× the query's own spread).
     // Cold queries (unwarmed after a warmup fatal) are excluded: their
@@ -453,8 +474,8 @@ object Bench {
             val mergedJson = qJson(merged.toSeq.sortBy(_._1))
             java.nio.file.Files.createDirectories(prevPath.getParent)
             java.nio.file.Files.write(prevPath,
-              (s"""{"sf":"$sfBase","sf_dir":"$sfDir","queries":$mergedJson}""" +
-                "\n").getBytes("UTF-8"))
+              (s"""{"sf":"$sfBase","sf_dir":"$sfDir","cpus":"$cpus",""" +
+                s""""queries":$mergedJson}""" + "\n").getBytes("UTF-8"))
           } catch { case scala.util.control.NonFatal(e) =>
             System.err.println(s"[bench] prior write failed: $e")
           }

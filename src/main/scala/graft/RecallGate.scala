@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Committed-floor gate for the approximate-query family. The ANN and
+  * semantic-dedup recalls have been measured inside every bench run
+  * since round 12 ([[Bench]]'s `recall` field), but carried no flag
+  * policy: a tuning change that silently dropped recall would sail
+  * through the round-close checks that catch a perf regression. This
+  * gate pins PER-QUERY FLOORS — the round-14/15 measured recalls minus
+  * a 0.02 jitter allowance — and flags any approximate query that
+  * lands under its floor (or fails to produce a measurement at all),
+  * the same protocol shape as the growth/hub/skew gates.
+  *
+  * Recall here is id-pair-set recall against the exact twin, computed
+  * with the SAME pairings [[Bench]] reports, at the official sf0.1
+  * scale: (query_id, neighbor_id) for the ANN variants vs the exact
+  * scan, (id_a, id_b) for SemDeDup vs the exact cosine pass, (s1, s2)
+  * for the capped curation-mode jaccard vs the exact operator.
+  *
+  * Usage: runMain graft.RecallGate [sfDir]
+  * Artifact: recall_gate.json (per-query recall + floor + flags).
+  */
+object RecallGate {
+  /** (exact twin, approximate variants, id-pair columns) — one row per
+    * no-oracle approximate family with an exact twin in the inventory.
+    */
+  val Pairings: Seq[(String, Seq[String], Seq[String])] = Seq(
+    ("ann_topk_exact",
+      Seq("ann_topk_lsh", "ann_topk_ivf", "ann_topk_pq", "ann_topk_ivfpq"),
+      Seq("query_id", "neighbor_id")),
+    ("dd_cosine_neardup", Seq("dd_semantic"), Seq("id_a", "id_b")),
+    ("g4_jaccard", Seq("g4_jaccard_capped"), Seq("s1", "s2")))
+
+  /** Committed floors: measured recall at sf0.1 minus 0.02. The 0.02
+    * allowance covers cross-round corpus regeneration jitter (the
+    * driver rebuilds testdata per round with fresh seeds); every
+    * pipeline here is deterministic per corpus, so on FIXED data any
+    * drop below the floor is a code change, not noise. Raise a floor
+    * when a retune raises the measured recall; never lower one without
+    * a verdict-visible reason.
+    */
+  val Floors: Map[String, Double] = Map(
+    "ann_topk_lsh" -> 0.98, // r14 measured 1.00
+    "ann_topk_ivf" -> 0.88, // r14 measured 0.90
+    "ann_topk_pq" -> 0.90, // r14 measured 0.92
+    "ann_topk_ivfpq" -> 0.91, // r14 measured 0.93
+    "dd_semantic" -> 0.918, // r14 measured 0.938
+    "g4_jaccard_capped" -> 0.93) // r15 measured 0.95 (minhash ranking noise)
+
+  /** The gate's entire flag policy, pure for the spec: a floored query
+    * flags when its measured recall is under the floor OR when the
+    * measurement is missing entirely (an exact twin that failed to
+    * run must not silently pass its variants).
+    */
+  def flagged(recalls: Map[String, Double],
+      floors: Map[String, Double]): Seq[String] =
+    floors.keys.toSeq.sorted
+      .filter(q => recalls.get(q).forall(_ < floors(q)))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def pairs(q: String, keyCols: Seq[String]): Set[(Long, Long)] =
+      SparkEntry.queries(q)(spark, sfDir)
+        .select(keyCols.head, keyCols.tail: _*).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recalls = Pairings.flatMap { case (exactName, variants, keyCols) =>
+      val exact = pairs(exactName, keyCols)
+      if (exact.isEmpty) Seq.empty
+      else variants.map { q =>
+        val r = pairs(q, keyCols).count(exact.contains).toDouble / exact.size
+        println(f"[recall_gate] $q%-20s vs $exactName%-18s recall=$r%.3f " +
+          f"floor=${Floors.getOrElse(q, 0.0)}%.3f")
+        q -> r
+      }
+    }.toMap
+    val flags = flagged(recalls, Floors)
+
+    def fmt(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    def qJson(m: Seq[(String, Double)]) =
+      m.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"recall_gate","n":${Floors.size},""" +
+        s""""flags":${flags.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""recall":${qJson(recalls.toSeq.sortBy(_._1))},""" +
+        s""""floors":${qJson(Floors.toSeq.sortBy(_._1))},"sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("recall_gate.json"),
+      (line + "\n").getBytes("UTF-8"))
+    println(line)
+    spark.stop()
+  }
+}

@@ -25,6 +25,7 @@ object SkewGate {
     * variant leaves untouched).
     */
   val Names = Seq("g1_pagerank", "g2_triangles", "g3_reach", "g4_jaccard",
+    "g4_jaccard_capped",
     "sql_grid_mixed", "a7_two_level", "o2_topk_recent", "j1_broadcast_join")
 
   def main(args: Array[String]): Unit = {
@@ -80,6 +81,26 @@ object SkewGate {
         }.getOrElse(""))
       r
     }
+    // Curation-mode accuracy on the SKEWED corpus — the number that
+    // justifies g4_jaccard_capped's existence: top-k overlap between
+    // the capped variant and exact g4 on the Zipf warehouses (both
+    // orders are deterministic; sets compared as unordered id pairs).
+    // Measured at BOTH scales: z1 is cheap, and the factor-N point
+    // shows the overlap the cap actually trades under the full tail.
+    def topPairs(name: String, dir: String): Set[(String, String)] =
+      SparkEntry.queries(name)(spark, dir)
+        .select("s1", "s2").collect()
+        .map(r => (r.get(0).toString, r.get(1).toString)).toSet
+    def cappedRecall(dir: String): Double = {
+      val exact = topPairs("g4_jaccard", dir)
+      val capped = topPairs("g4_jaccard_capped", dir)
+      if (exact.isEmpty) 1.0
+      else exact.intersect(capped).size.toDouble / exact.size
+    }
+    val (recall1, recallN) = (cappedRecall(z1), cappedRecall(zN))
+    println(f"[skew] g4_jaccard_capped top-k recall vs exact: " +
+      f"z1=$recall1%.3f z$factor=$recallN%.3f")
+
     // Skew-specific flag policy: for work-gated queries the WORK
     // CONTRACT check is dropped — on Zipf keys the candidate volume is
     // legitimately superlinear in data growth (the popular customers'
@@ -119,6 +140,8 @@ object SkewGate {
       s"""{"metric":"growth_gate_skew","factor":$factor,"alpha":$alpha,""" +
         s""""n":${rows.size},"max_customer_degree_1x":$maxDeg1,""" +
         s""""max_customer_degree_${factor}x":$maxDegN,""" +
+        s""""capped_recall":{"z1":${fmt(recall1)},""" +
+        s""""z$factor":${fmt(recallN)}},""" +
         s""""flags":${arr(flags)},"failed":${arr(failed)},""" +
         s""""queries":$qJson,"sf":"$src"}"""
     java.nio.file.Files.write(

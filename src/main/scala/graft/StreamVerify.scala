@@ -47,7 +47,12 @@ object StreamVerify {
       */
     def orderedDrops(df: DataFrame, orderCol: String, parts: Int,
         dir: String): String = {
+      // Delete-then-create: a rerun with an existing scratch dir (the
+      // documented [scratchDir] arg) must replace stale drops, not
+      // abort on mkdirs — and stale drop files would silently replay
+      // a previous corpus.
       val dropsDir = new java.io.File(dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(dropsDir)
       require(dropsDir.mkdirs(), s"mkdirs $dir")
       val keys = df.select(orderCol).orderBy(orderCol).collect()
         .map(_.get(0).toString)
@@ -57,12 +62,14 @@ object StreamVerify {
         val tmp = s"$dir.tmp_$i"
         df.filter(col(orderCol).cast("string") >= lit(lo) &&
             col(orderCol).cast("string") < lit(hi))
-          .coalesce(1).write.parquet(tmp)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
         val part = new java.io.File(tmp).listFiles()
           .filter(_.getName.endsWith(".parquet")).head
         val dst = new java.io.File(dropsDir, f"drop-$i%02d.parquet")
         java.nio.file.Files.copy(part.toPath, dst.toPath)
         require(dst.setLastModified(1700000000000L + i * 60000L))
+        // Staging dir is spent once its part file is copied out.
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
       }
       dir
     }
@@ -294,15 +301,17 @@ object StreamVerify {
             .withColumn("bucket", lit(b))
       }.toSeq
       val dropsDir = new java.io.File(s"$scratch/upsert_src")
+      org.apache.commons.io.FileUtils.deleteQuietly(dropsDir)
       require(dropsDir.mkdirs())
       buckets.zipWithIndex.foreach { case (bdf, i) =>
         val tmp = s"$scratch/upsert_tmp_$i"
-        bdf.drop("bucket").coalesce(1).write.parquet(tmp)
+        bdf.drop("bucket").coalesce(1).write.mode("overwrite").parquet(tmp)
         val part = new java.io.File(tmp).listFiles()
           .filter(_.getName.endsWith(".parquet")).head
         val dst = new java.io.File(dropsDir, f"drop-$i%02d.parquet")
         java.nio.file.Files.copy(part.toPath, dst.toPath)
         require(dst.setLastModified(1700000000000L + i * 60000L))
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
       }
       val tbl = s"$scratch/upsert_tbl"
       val q = spark.readStream

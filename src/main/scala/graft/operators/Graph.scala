@@ -156,9 +156,15 @@ object Graph {
       // reached in one round at another — the 30× gate measured
       // exactly that failure (absolute 1e-4 "converged" in 1 round on
       // a 480k-node graph whose ranks all sit below 1e-4).
+      // coalesce: on an empty graph (no purchase edges, or none shared
+      // between rounds) the join is empty and max() aggregates to NULL
+      // — delta 0.0 then converges immediately on the empty rank
+      // frame, matching the fixed-iteration path's tolerance of the
+      // same corpus instead of throwing NPE from getDouble.
       val row = next.join(ranks.select(col("node"),
           col("rank").as("prev")), "node")
-        .agg(max(abs(col("rank") - col("prev"))), max(col("rank")))
+        .agg(coalesce(max(abs(col("rank") - col("prev"))), lit(0.0)),
+          coalesce(max(col("rank")), lit(0.0)))
         .collect().head
       delta = row.getDouble(0) /
         math.max(row.getDouble(1), Double.MinPositiveValue)
@@ -281,6 +287,24 @@ object Graph {
     */
   private val JacChunk = 256
 
+  /** Degree threshold where the chunk build switches from the
+    * in-expression flatten to the segmented key-join assembly. At
+    * 4 × [[JacChunk]] the in-expression path materializes at most
+    * C(4+1, 2) = 10 chunk-pair structs (≤ ~40 KB) inside one
+    * expression evaluation — trivially bounded — while everything
+    * above it (only genuine hubs; natural max degree is ~102 in this
+    * corpus at every measured scale) pays the key-join build that
+    * spreads a degree-10⁶ hub's ~7.6M chunk keys across the cluster.
+    * The split exists because r14's all-segmented build made EVERY
+    * customer pay the (c, i, j) key-join that only extreme hubs need:
+    * the planted-3000-hub inflation rose 1.04× → 1.78× (hub_gate.json
+    * r14) purely from that overhead on the ~99.97% of customers with
+    * nch = 1. NOTE: declared before every val that derives from it
+    * ([[JacCapDeg]]) — object vals initialize in declaration order and
+    * a forward reference silently reads 0.
+    */
+  private val JacSegDeg = 4 * JacChunk
+
   /** Supplier-pair Jaccard similarity of customer neighborhoods — the
     * graph-native "related entities" primitive (who serves the same
     * customer base?): J(a,b) = |C(a) ∩ C(b)| / |C(a) ∪ C(b)| over the
@@ -292,12 +316,13 @@ object Graph {
     * (customer, supplier) list twice and materializes every candidate
     * pair as a join output row; measured at 10× that 125M-row stage's
     * wall swung 11–69s run-to-run from shuffle/GC pressure alone).
-    * Instead each customer's distinct suppliers are rank-partitioned
-    * (window row_number over the sorted list) into consecutive
-    * [[JacChunk]]-wide SEGMENT arrays — never one O(degree) row — and
-    * the chunk-pair rows ((i ≤ j) segment pairs, ~1 row per natural
-    * customer) are assembled by joining tiny (c, i, j) key rows to the
-    * segment arrays, then REPARTITIONED before a nested explode
+    * Instead each customer's distinct suppliers are gathered into
+    * [[JacChunk]]-wide chunk arrays and the ((i ≤ j) chunk-pair rows,
+    * ~1 row per natural customer) are built by a DEGREE-HYBRID
+    * generator ([[jaccardChunkPairs]]): in-expression for everyone
+    * under [[JacSegDeg]], segmented (rank-partitioned arrays assembled
+    * via tiny (c, i, j) key-row joins — never one O(degree) row) for
+    * hubs above it, then REPARTITIONED before a nested explode
     * generates (s1 < s2) pairs straight into a map-side partial count
     * keyed by the pair. The pair volume Σ_c C(deg_c, 2) is unchanged
     * (it is the algorithm's output contract), but no pair ever crosses
@@ -345,6 +370,96 @@ object Graph {
       .limit(JacTopK)
   }
 
+  /** Degree cap for [[jaccardCapped]]'s exact candidate expansion.
+    * Set at [[JacSegDeg]] so that on a NATURAL corpus (max degree ~102
+    * at every measured scale) the capped candidate set is IDENTICAL to
+    * [[jaccard]]'s — the cap only ever excludes adversarial hubs, and
+    * the variant's accuracy loss on healthy data is purely minhash
+    * ranking noise (measured as recall in the bench artifact).
+    */
+  private val JacCapDeg: Long = JacSegDeg.toLong
+
+  /** Minhash components per supplier signature. At J ≈ 0.5 the
+    * estimator's σ = √(J(1−J)/128) ≈ 0.044 — tight enough that the
+    * top-[[JacTopK]] ranking on the natural corpus reproduces the
+    * exact operator's set almost verbatim (bench recall), while the
+    * signature pass stays one 128-aggregate groupBy.
+    */
+  private val JacMinHashes = 128
+
+  /** Curation-mode supplier Jaccard for SKEWED corpora — same output
+    * shape as [[jaccard]] (top-[[JacTopK]] supplier pairs by customer-
+    * neighborhood Jaccard) with BOUNDED work on heavy-tailed customer
+    * degrees, where the exact operator is quadratic in hub degree by
+    * its own semantics (the skew gate measured a 99.8× pair-volume
+    * blow-up under Zipf(1.2) keys absorbed in 47× wall — correct, but
+    * not what a 100 TB curation pass should pay for hubs that carry
+    * almost no similarity signal anyway).
+    *
+    * Two-part bound, the DISCO/frequency-cap philosophy re-expressed:
+    *
+    *  1. CANDIDATE pairs expand exactly only through customers of
+    *     degree ≤ [[JacCapDeg]] (the [[jaccardChunkPairs]] machinery
+    *     with its cap engaged) — work Σ_{deg≤cap} C(deg, 2), linear
+    *     under any tail because per-customer contribution is capped at
+    *     C(cap, 2).
+    *  2. SCORING is minhash over each supplier's FULL customer set
+    *     (hubs included): 128 per-seed `min(xxhash64(c, seed))`
+    *     aggregates in ONE map-side-combinable groupBy — no collected
+    *     array, no O(degree) row anywhere — so the estimate is of the
+    *     TRUE Jaccard, not the capped one; the cap costs only pairs
+    *     whose ONLY co-occurrence runs through hubs (precisely the
+    *     pairs a curation pass wants suppressed).
+    *
+    * Estimated Ĵ(a,b) = |{i : sig_i(a) = sig_i(b)}| / 128, the
+    * classic unbiased collision estimator. Deterministic end to end
+    * (xxhash64 + fixed seeds), so the top-k is stable per corpus. No
+    * DuckDB oracle (minhash is engine-specific); accuracy is pinned by
+    * the bench/skew-gate recall vs [[jaccard]]'s exact top-k and by
+    * GraphSpec's estimator checks.
+    */
+  private def jaccardCapped(s: SparkSession, d: String): DataFrame = {
+    val cs = jaccardIncidence(s, d)
+    val sigs = cs.groupBy(col("sup")).agg(
+      array((0 until JacMinHashes).map(i =>
+        min(xxhash64(col("c"), lit(i)))): _*).as("sig"))
+    val cand = jaccardChunkPairs(cs, capDeg = JacCapDeg)
+      .select(col("i"), col("j"), col("b"), explode(col("a")).as("s1"))
+      .select(col("s1"), col("i"), col("j"), explode(col("b")).as("s2"))
+      .filter(col("i") < col("j") || col("s1") < col("s2"))
+      .select("s1", "s2").distinct()
+    cand
+      .join(sigs.select(col("sup").as("s1"), col("sig").as("g1")), "s1")
+      .join(sigs.select(col("sup").as("s2"), col("sig").as("g2")), "s2")
+      .select(col("s1"), col("s2"),
+        (aggregate(
+          zip_with(col("g1"), col("g2"),
+            (x: Column, y: Column) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc: Column, m: Column) => acc + m).cast("double") /
+          JacMinHashes).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("s1"), col("s2"))
+      .limit(JacTopK)
+  }
+
+  /** [[jaccardCapped]]'s work contract for the growth/skew gates:
+    * capped candidate volume Σ_{deg ≤ cap} C(deg, 2) plus the linear
+    * signature pass (128 × incidence rows). Unlike
+    * [[jaccardPairVolume]], this metric stays ~linear under a Zipf
+    * tail — which is the variant's entire reason to exist, so the gate
+    * verifies the bound rather than excusing its absence.
+    */
+  private[graft] def jaccardCappedWork(s: SparkSession, d: String): Double = {
+    val r = jaccardIncidence(s, d)
+      .groupBy("c").agg(count(lit(1)).as("n"))
+      .agg(
+        coalesce(sum(when(col("n") <= JacCapDeg,
+          col("n") * (col("n") - 1) / 2).otherwise(lit(0L))), lit(0L))
+          .cast("double").as("pairs"),
+        coalesce(sum(col("n")), lit(0L)).cast("double").as("rows"))
+      .collect().head
+    r.getDouble(0) + JacMinHashes.toDouble * r.getDouble(1)
+  }
+
   /** The distinct (customer, supplier) incidence list both [[jaccard]]
     * stages read, pinned once. */
   private def jaccardIncidence(s: SparkSession, d: String): DataFrame = {
@@ -366,57 +481,84 @@ object Graph {
   private[graft] def jaccardChunkPairsFor(s: SparkSession,
       d: String): DataFrame = jaccardChunkPairs(jaccardIncidence(s, d))
 
-  private def jaccardChunkPairs(cs: DataFrame): DataFrame = {
-    // (c, ci, arr): per-customer CHUNK rows, built SEGMENTED — a
-    // window row_number partitions each customer's sorted suppliers
-    // into consecutive ≤ JacChunk-wide ranks and the groupBy collects
-    // one array per (c, chunk), so no single row (and no single
-    // expression evaluation) is ever wider than JacChunk. The r13 form
-    // collected ONE O(D) array per customer and built all C(nch+1,2)
-    // chunk-pair structs inside one flatten(transform(...)) — fine at
-    // the planted degree-3000 hub (nch = 12), but a degree-10⁶ hub
-    // would materialize ~7.6M 4 KB structs (~30 GB) inside a single
-    // task's expression evaluation before the explode could stream
-    // them. The window's per-customer sort is the same work the old
-    // sort_array did; the groupBy reuses the window's hash(c)
-    // partitioning (no extra exchange — hash(c) satisfies the
-    // (c, ci) clustering requirement).
+  /** @param capDeg customers above this degree are DROPPED entirely —
+    *   [[jaccardCapped]]'s curation-mode contract (hub neighborhoods
+    *   are scored by minhash instead of exact pair expansion). The
+    *   default keeps every customer: [[jaccard]]'s exact semantics.
+    */
+  private def jaccardChunkPairs(cs: DataFrame,
+      capDeg: Long = Long.MaxValue): DataFrame = {
+    // HYBRID build. One window pass over the incidence list (a single
+    // hash(c) exchange + per-customer sort) annotates each row with
+    // its customer's degree and sorted rank; the two paths split on
+    // the degree WITHOUT another exchange (both groupBys are clustered
+    // by c, which hash(c) satisfies):
+    //
+    //  - degree ≤ [[JacSegDeg]] (every natural customer): collect ONE
+    //    sorted array per customer and build all C(nch+1, 2) ≤ 10
+    //    chunk-pair structs in-expression — no join, no key frame, so
+    //    a customer's rows never touch a second shuffle before the
+    //    final spread. This is the r13 form, now degree-guarded.
+    //  - degree > [[JacSegDeg]] (hubs only): SEGMENTED — row_number
+    //    rank-partitions the customer's sorted suppliers into
+    //    consecutive ≤ JacChunk-wide (c, ci) arrays, so no single row
+    //    (and no single expression evaluation) is ever wider than
+    //    JacChunk. A degree-10⁶ hub under the in-expression form would
+    //    materialize ~7.6M 4 KB structs (~30 GB) inside ONE task's
+    //    expression evaluation before the explode could stream them;
+    //    here its ~7.6M (c, i, j) KEYS (~24 B each, a ~200 MB stream)
+    //    explode first and two equi-joins attach the array payloads
+    //    AFTER a shuffle keyed by (c, i) / (c, j), spreading the hub's
+    //    payload assembly over its nch chunk keys.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("c").orderBy("sup")
-    val chunks = cs
-      .withColumn("ci",
-        ((row_number().over(w) - 1) / JacChunk).cast("int"))
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy("c")
+    val ranked = cs
+      .withColumn("dg", count(lit(1)).over(wc))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("dg") <= capDeg)
+    val flat = ranked.filter(col("dg") <= JacSegDeg)
+      .groupBy("c")
+      .agg(sort_array(collect_list(col("sup"))).as("sups"))
+      .select(col("c"), explode(expr(
+        s"""flatten(transform(
+           |  sequence(0, int(ceil(size(sups) / ${JacChunk}d)) - 1), i ->
+           |  transform(sequence(i, int(ceil(size(sups) / ${JacChunk}d)) - 1),
+           |    j -> struct(i, j,
+           |      slice(sups, i * $JacChunk + 1, $JacChunk) AS a,
+           |      slice(sups, j * $JacChunk + 1, $JacChunk) AS b))))
+           |""".stripMargin)).as("cp"))
+      .select(col("c"), col("cp.i").as("i"), col("cp.j").as("j"),
+        col("cp.a").as("a"), col("cp.b").as("b"))
+    val chunks = ranked.filter(col("dg") > JacSegDeg)
+      .withColumn("ci", ((col("rn") - 1) / JacChunk).cast("int"))
       .groupBy(col("c"), col("ci"))
       .agg(sort_array(collect_list(col("sup"))).as("arr"))
       .pinned() // consumed 3×: chunk counts + both pair-join sides
-    // Chunk-pair KEYS (c, i, j), i ≤ j — tiny rows (~24 B), so even a
-    // degree-10⁶ hub's ~7.6M keys are a ~200 MB stream from one task,
-    // not a 30 GB one. The two equi-joins then attach the array
-    // payloads AFTER a shuffle keyed by (c, i) / (c, j): a hub's
-    // payload assembly spreads over its nch chunk keys instead of
-    // happening inside the one task that aggregated the customer.
     val keys = chunks.groupBy("c")
       .agg((max(col("ci")) + 1).as("nch"))
       .select(col("c"),
         explode(sequence(lit(0), col("nch") - 1)).as("i"), col("nch"))
       .select(col("c"), col("i"),
         explode(sequence(col("i"), col("nch") - 1)).as("j"))
-    val chunkPairs = keys
+    val segmented = keys
       .join(chunks.select(col("c"), col("ci").as("i"), col("arr").as("a")),
         Seq("c", "i"))
       .join(chunks.select(col("c"), col("ci").as("j"), col("arr").as("b")),
         Seq("c", "j"))
+      .select(col("c"), col("i").cast("int").as("i"),
+        col("j").cast("int").as("j"), col("a"), col("b"))
+    flat.unionByName(segmented)
       // Spread a hub's chunk-pair rows evenly across tasks BEFORE the
-      // explode: the join leaves them clustered by (c, j) — balanced
-      // enough to survive, but the largest (c, j) group still holds
-      // nch rows of one customer. Measured negative result (r13,
+      // explode: the segmented join leaves them clustered by (c, j) —
+      // balanced enough to survive, but the largest (c, j) group still
+      // holds nch rows of one customer. Measured negative result (r13,
       // still applies to this generator): shipping b = NULL for the
       // dominant i = j rows (to halve the repartition payload, reading
       // the second explode from coalesce(b, a)) ran ~40% SLOWER at 10×
       // — the nullable array branch costs more in the generate/codegen
       // path than the duplicate slice costs the shuffle.
       .repartition(col("c"), col("i"), col("j"))
-    chunkPairs
   }
 
   /** Customer-side degree profile of THE SAME incidence list
@@ -474,7 +616,8 @@ object Graph {
     "g1_pagerank" -> pagerank _,
     "g2_triangles" -> triangles _,
     "g3_reach" -> reach _,
-    "g4_jaccard" -> jaccard _)
+    "g4_jaccard" -> jaccard _,
+    "g4_jaccard_capped" -> jaccardCapped _)
 
   /** The oracle unrolls the [[PrIters]] rounds as chained CTE pairs
     * (update, re-attach degree) — recursive CTEs can't aggregate over

@@ -648,6 +648,14 @@ object Similarity {
     cent.coalesce(1).write.mode("overwrite").parquet(s"$path/coarse")
     assignCells(normalized(s, d), cent, SemAssign)
       .select(col("vec_id"), col("u"), col("cell").as("ccell"))
+      // Cluster by cell BEFORE the partitioned write: without it every
+      // shuffle partition holds rows of ~every cell and the writer
+      // fans out cells × partitions files (the 100× bulk build paid
+      // 4096-way × ~3k cells — the dominant one-time cost in
+      // sem_index_gate_100x). Hashing ccell lands each cell's rows in
+      // exactly one task → exactly one file per cell, and the serve
+      // path's per-cell reads touch one file instead of thousands.
+      .repartition(col("ccell"))
       .write.mode("overwrite").partitionBy("ccell")
       .parquet(s"$path/assignments")
   }
@@ -685,9 +693,25 @@ object Similarity {
     * the cost of assigning only the batch. Add-without-retrain costs
     * cell-boundary drift exactly as the IVF appends do — centroids
     * reflect the build corpus — so the same rebuild cadence applies
-    * ([[rebuildSemDedupIndex]]). Batch guards mirror the other
-    * appends: empty no-op, loud dimension mismatch, loud vec_id
-    * collision.
+    * ([[rebuildSemDedupIndex]]).
+    *
+    * Batch guards: empty no-op, loud dimension mismatch — and the
+    * vec_id-collision guard distinguishes REPLAY from CONFLICT, which
+    * is what makes the append safe under at-least-once ingest (a crash
+    * between the parquet commit and the caller's offset commit replays
+    * the batch): rows whose vec_id is already resident with the SAME
+    * vector are silently skipped (the whole pipeline is deterministic
+    * — normalization, assignment, salting — so a replayed row is
+    * bit-identical and re-appending it would only duplicate
+    * assignments), while a resident vec_id carrying a DIFFERENT vector
+    * still fails loudly (that is data corruption, not retry).
+    * Re-appending an already-applied batch is therefore a committed
+    * no-op: index bytes and serve results unchanged (spec-asserted).
+    * Replay identity is PER INDEX GENERATION: a rebuild re-normalizes
+    * its residents (last-ulp drift), so replaying a batch from an
+    * older generation into a rebuilt index conflicts loudly — correct,
+    * because ingest offsets pair with the generation they loaded into
+    * (blue/green swaps move the offsets with the pointer).
     */
   def appendToSemDedupIndex(newVectors: DataFrame,
       indexPath: String): Unit = {
@@ -701,13 +725,29 @@ object Similarity {
     require(stats.getInt(1) == dim && stats.getInt(2) == dim,
       s"append batch dimension ${stats.getInt(1)}..${stats.getInt(2)} " +
         s"does not match index dimension $dim")
-    val clash = s.read.parquet(s"$indexPath/assignments")
-      .select("vec_id").distinct()
-      .join(v.select("vec_id"), "vec_id").count()
-    require(clash == 0,
-      s"append would duplicate $clash vec_ids already in the index")
-    assignCells(v, coarse, SemAssign)
+    // NOT pinned: the pin registry dedups by canonicalized plan, and a
+    // frame scanning the index's own (mutable, append-target) path
+    // cached across two appends in one session could serve the
+    // pre-append file list — exactly the staleness that would turn a
+    // replay check into a double-append. One aggregate pass classifies
+    // the batch; the append below re-derives the fresh rows.
+    def joined = v.join(
+      s.read.parquet(s"$indexPath/assignments")
+        .select(col("vec_id"), col("u").as("u_res"))
+        .dropDuplicates("vec_id"),
+      Seq("vec_id"), "left")
+    val cls = joined.agg(
+      count(when(col("u_res").isNotNull && !(col("u") === col("u_res")),
+        1)).as("conflicts"),
+      count(when(col("u_res").isNull, 1)).as("fresh")).first()
+    require(cls.getLong(0) == 0,
+      s"append would overwrite ${cls.getLong(0)} resident vec_ids with " +
+        "DIFFERENT vectors — not a replay; refusing to corrupt the index")
+    if (cls.getLong(1) == 0) return // full replay: committed no-op
+    val fresh = joined.filter(col("u_res").isNull).drop("u_res")
+    assignCells(fresh, coarse, SemAssign)
       .select(col("vec_id"), col("u"), col("cell").as("ccell"))
+      .repartition(col("ccell")) // one file per touched cell, as the build
       .write.mode("append").partitionBy("ccell")
       .parquet(s"$indexPath/assignments")
   }
@@ -733,7 +773,13 @@ object Similarity {
       .dropDuplicates("vec_id")
     val n = vecs.count()
     require(n > 0, s"index at $indexPath has no resident vectors")
-    val corpus = s"$outPath/_corpus_n$n"
+    // Training snapshot on warehouse-FS SCRATCH (deleted at context
+    // stop), NOT inside the new index: a resident copy under outPath
+    // would ship with — and roughly double — every rebuilt index
+    // forever (the 100× index is ~1.4 GB of assignments alone). The
+    // scratch dir is unique per rebuild, so the per-dir pin caches'
+    // immutable-dir contract holds for the session it lives in.
+    val corpus = s"${TileScratch.newDir(s, s"semrebuild-n$n")}/corpus"
     vecs.select(col("vec_id"), col("u").as("embedding"),
         lit(0L).as("label"))
       .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
@@ -1443,13 +1489,12 @@ object Similarity {
   }
 
   /** Snapshot a persisted index's resident vectors as a training corpus
-    * under the NEW index path and return the snapshot dir — the shared
-    * first step of both rebuilds. The dir name carries the resident
-    * count: appends only grow an index, so successive rebuilds of the
-    * same index never reuse a snapshot path, keeping the per-dir model/
-    * count/pin caches' immutable-dir contract intact. The snapshot
-    * stays on disk as the rebuild's audit record of exactly what was
-    * trained on.
+    * on warehouse-FS SCRATCH (deleted at context stop) and return the
+    * snapshot dir — the shared first step of both rebuilds. The scratch
+    * nonce makes every snapshot path unique, keeping the per-dir model/
+    * count/pin caches' immutable-dir contract intact; writing it under
+    * the NEW index path instead (the pre-r15 layout) shipped a full
+    * resident-vector copy inside every rebuilt index forever.
     */
   private def snapshotResident(s: SparkSession, indexPath: String,
       outPath: String): String = {
@@ -1461,7 +1506,7 @@ object Similarity {
     val vecs = s.read.parquet(s"$indexPath/vectors")
     val n = vecs.count()
     require(n > 0, s"index at $indexPath has no resident vectors")
-    val corpus = s"$outPath/_corpus_n$n"
+    val corpus = s"${TileScratch.newDir(s, s"ivfrebuild-n$n")}/corpus"
     // label satisfies the embeddings load contract; the index layout
     // does not carry labels and no training path reads them.
     vecs.select(col("vec_id"), col("u").as("embedding"),

@@ -429,6 +429,40 @@ class GraphAndStatsSpec extends GraftSuite {
     got.foreach { case (_, _, jc) => assert(jc > 0.0 && jc <= 1.0) }
   }
 
+  test("capped jaccard: estimates track true jaccard within minhash " +
+      "error; work contract matches driver-side math") {
+    val got = Graph.queries("g4_jaccard_capped")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 20)
+    // Estimates are collision fractions over 128 components.
+    got.foreach { case (_, _, je) =>
+      assert(je >= 0.0 && je <= 1.0)
+      assert(math.abs(je * 128 - math.round(je * 128)) < 1e-9)
+    }
+    // True jaccard per returned pair, driver-side. sf0.001's max
+    // customer degree (~100) is far under the cap, so the candidate
+    // scope equals the exact operator's and every deviation is
+    // estimator noise: each estimate must sit within a generous
+    // 5σ + discretization band of the truth (σ = √(J(1−J)/128)).
+    val cs = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").cast("long"), col("l_suppkey").cast("long"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bySup = cs.groupBy(_._2).map { case (s0, v) => s0 -> v.map(_._1).toSet }
+    got.foreach { case (a, b, je) =>
+      val (sa, sb) = (bySup(a), bySup(b))
+      val j = (sa intersect sb).size.toDouble / (sa union sb).size
+      val sigma = math.sqrt(j * (1 - j) / 128).max(1.0 / 128)
+      assert(math.abs(je - j) <= 5 * sigma + 1.0 / 128,
+        s"pair ($a,$b): est $je vs true $j")
+    }
+    // Work contract: capped pair volume + 128 × incidence rows.
+    val byCust = cs.groupBy(_._1).view.mapValues(_.size.toLong)
+    val wantWork = byCust.values.map(n => n * (n - 1) / 2.0).sum +
+      128.0 * cs.length
+    assert(math.abs(Graph.jaccardCappedWork(spark, sf) - wantWork) < 0.5)
+  }
+
   // ------------------------------------------------- statistical audits
 
   test("chi-square: matches driver-side recomputation from exact counts") {

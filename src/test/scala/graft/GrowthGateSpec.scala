@@ -70,4 +70,36 @@ class GrowthGateSpec extends AnyFunSuite {
   test("failed timings never flag") {
     assert(!GrowthGate.flagged(10, "q", t1 = -1.0, tN = -1.0, work = None))
   }
+
+  // ------------------------------------------------- recall-gate policy
+
+  test("recall gate: under-floor flags, at/above floor passes, " +
+      "missing measurement flags, output sorted") {
+    val floors = Map("a" -> 0.9, "b" -> 0.8, "c" -> 0.95)
+    // All at or above floor: clean.
+    assert(RecallGate.flagged(
+      Map("a" -> 0.9, "b" -> 0.85, "c" -> 0.99), floors).isEmpty)
+    // One under floor: exactly that one, by name.
+    assert(RecallGate.flagged(
+      Map("a" -> 0.89, "b" -> 0.85, "c" -> 0.99), floors) == Seq("a"))
+    // A floored query with NO measurement (its exact twin failed, or
+    // the variant errored) must flag — silence is not a pass.
+    assert(RecallGate.flagged(
+      Map("a" -> 0.95, "c" -> 0.99), floors) == Seq("b"))
+    // Multiple flags come out sorted for a stable artifact.
+    assert(RecallGate.flagged(Map.empty[String, Double], floors)
+      == Seq("a", "b", "c"))
+    // Measurements without floors are ignored (new variants opt in by
+    // getting a floor, not by existing).
+    assert(RecallGate.flagged(
+      Map("a" -> 0.9, "b" -> 0.8, "c" -> 0.95, "zz" -> 0.0),
+      floors).isEmpty)
+  }
+
+  test("recall gate: every shipped pairing variant has a floor") {
+    val variants = RecallGate.Pairings.flatMap(_._2).toSet
+    assert(RecallGate.Floors.keySet == variants,
+      s"floorless variants: ${variants.diff(RecallGate.Floors.keySet)}; " +
+        s"orphan floors: ${RecallGate.Floors.keySet.diff(variants)}")
+  }
 }

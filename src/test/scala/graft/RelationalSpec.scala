@@ -117,10 +117,11 @@ class RelationalSpec extends GraftSuite {
       unioned.map(r => (r.getString(0), r.getLong(1))).toSeq)
   }
 
-  test("approx distinct lands within 5% of exact") {
+  test("approx distinct bound flags hold against exact counts") {
     val r = run("a16_approx_distinct").first()
-    val exact = r.getLong(0).toDouble
-    assert(math.abs(r.getLong(1) - exact) / exact <= 0.05)
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0)
+    assert(r.getBoolean(2), "user_id HLL estimate outside 3-sigma bound")
+    assert(r.getBoolean(3), "value HLL estimate outside 3-sigma bound")
   }
 
   test("entry flagship returns rows") {

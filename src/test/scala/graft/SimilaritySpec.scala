@@ -639,13 +639,31 @@ class SimilaritySpec extends GraftSuite {
     assert(incr.subsetOf(exact), s"phantom pairs: ${incr.diff(exact)}")
     assert(incr.exists { case (a, b) => a % 2 != b % 2 },
       "appended index found no cross-batch near-dup pair")
-    // Append guards: vec_id collision and dimension mismatch are loud.
-    val clash = intercept[IllegalArgumentException] {
+    // Crash-replay idempotence: re-appending the SAME batch (the
+    // at-least-once ingest replay after a crash between the parquet
+    // commit and the caller's offset commit) is a committed no-op —
+    // assignment rows and serve results unchanged, read straight from
+    // disk (not through any session cache).
+    val beforeRows = spark.read.parquet(s"$base/inc/assignments").count()
+    operators.Similarity.appendToSemDedupIndex(
+      all.filter(col("vec_id") % 2 === 1).select("vec_id", "embedding"),
+      s"$base/inc")
+    assert(spark.read.parquet(s"$base/inc/assignments").count()
+      == beforeRows, "replayed append changed the index")
+    assert(pairSet(operators.Similarity
+      .semanticPairsAgainstIndex(spark, s"$base/inc")) == incr,
+      "replayed append changed serve results")
+    // A resident vec_id carrying a DIFFERENT vector is corruption, not
+    // replay — still loud.
+    val conflict = intercept[IllegalArgumentException] {
       operators.Similarity.appendToSemDedupIndex(
-        all.filter(col("vec_id") % 2 === 1).select("vec_id", "embedding"),
+        all.filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id"),
+            transform(col("embedding"), e => e + lit(1.0f))
+              .as("embedding")),
         s"$base/inc")
     }
-    assert(clash.getMessage.contains("duplicate"))
+    assert(conflict.getMessage.contains("DIFFERENT"))
     val badDim = intercept[IllegalArgumentException] {
       operators.Similarity.appendToSemDedupIndex(
         all.select(col("vec_id") + 500000L as "vec_id",
@@ -675,6 +693,25 @@ class SimilaritySpec extends GraftSuite {
         inSession.size.toDouble / exact.size}%.3f)")
     assert(rRebuilt >= rIncr - 0.01,
       f"rebuild lost recall: $rIncr%.3f -> $rRebuilt%.3f")
+    // A PARTIAL replay (some rows already resident, some new — a torn
+    // previous append retried) appends ONLY the missing rows: per-row
+    // idempotence. Run against the incrementally-built index, whose
+    // resident odd half came through the SAME normalize-and-append
+    // path the retry takes (bit-identity is per index GENERATION: a
+    // rebuilt index re-normalizes its residents, so upstream ingest
+    // offsets pair with the generation they loaded into — replaying an
+    // old generation's batch into a new one is a conflict, correctly).
+    operators.Similarity.appendToSemDedupIndex(
+      all.filter(col("vec_id") % 2 === 1).select("vec_id", "embedding")
+        .unionByName(all.orderBy("vec_id").limit(1)
+          .select((col("vec_id") + 998244L).as("vec_id"),
+            col("embedding"))),
+      s"$base/inc")
+    val afterPartial = spark.read.parquet(s"$base/inc/assignments")
+      .select("vec_id").distinct().count()
+    assert(afterPartial == all.count() + 1,
+      s"partial replay: expected exactly one new vec_id, got " +
+        s"${afterPartial - all.count()}")
   }
 
   test("LSH append: appended index is bit-identical to a rebuild over the union") {
