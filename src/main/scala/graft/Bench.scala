@@ -426,9 +426,10 @@ object Bench {
         Seq("query_id", "neighbor_id")) ++
       recallOf("dd_cosine_neardup", Seq("dd_semantic"), Seq("id_a", "id_b")) ++
       // Curation-mode jaccard vs the exact operator: on THIS (natural)
-      // corpus the degree cap excludes nothing, so the number isolates
-      // pure minhash ranking noise; the skew gate carries the
-      // capped-under-Zipf overlap separately.
+      // corpus the degree cap excludes nothing and the capped variant's
+      // exact-over-capped-expansion scoring makes the outputs
+      // bit-identical, so anything under 1.0 is a code change; the
+      // skew gate carries the capped-under-Zipf overlap separately.
       recallOf("g4_jaccard", Seq("g4_jaccard_capped"), Seq("s1", "s2"))
     // Cross-round regressions — policy in [[BenchGate.regressionFlags]]:
     // >1.5× slower AND delta above max(0.5s, 3× the query's own spread).

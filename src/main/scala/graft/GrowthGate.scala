@@ -98,11 +98,10 @@ object GrowthGate {
     "g4_jaccard_capped" -> (1.3, 2.5,
       (s: SparkSession, dir: String) =>
         operators.Graph.jaccardCappedWork(s, dir),
-      "work = capped candidate volume sum_{deg<=cap} C(deg,2) + 128x " +
-        "incidence rows (the signature pass): stays ~linear under a " +
-        "Zipf tail BY CONSTRUCTION — the gate verifies the curation-" +
-        "mode bound instead of excusing exact-jaccard's quadratic " +
-        "hub response"),
+      "work = capped candidate volume sum_{deg<=cap} C(deg,2): stays " +
+        "~linear under a Zipf tail BY CONSTRUCTION — the gate " +
+        "verifies the curation-mode bound instead of excusing exact-" +
+        "jaccard's quadratic hub response"),
     "dd_edit_distance" -> (1.5, 2.5,
       (s: SparkSession, dir: String) =>
         operators.Dedup.editDistanceWork(s, dir),

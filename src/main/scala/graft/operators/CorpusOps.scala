@@ -120,7 +120,11 @@ object CorpusOps {
     */
   private def ioTextScan(s: SparkSession, d: String): DataFrame = {
     val dir = roundtripScratch(s, "gtext")
-    Tables.lineitem(s, d)
+    // spreadScan: serializes in parallel AND leaves one text part per
+    // task, so the read-back gets one byte-range split per part
+    // instead of ⌈24 MB / 16 MiB⌉ = 2 (r15 plan audit: both sides of
+    // the roundtrip otherwise ran 1–2 cores).
+    spreadScan(Tables.lineitem(s, d), col("l_orderkey"))
       .select(concat_ws(" ", col("l_orderkey"), col("l_linenumber"),
         col("l_quantity"), col("l_extendedprice"), col("l_discount"))
         .as("value"))
@@ -294,7 +298,11 @@ object CorpusOps {
     * broadcast carries one long per benchmark gram.
     */
   private def ppDecontaminate(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).withColumn("bucket", splitBucket)
+    // spreadScan: normText + word-hash + 5-gram digest explode
+    // otherwise run inside the single-split documents scan on one core
+    // for BOTH branches (r15 plan audit).
+    val docs = spreadScan(Tables.documents(s, d), col("doc_id"))
+      .withColumn("bucket", splitBucket)
     gramDigests(docs.filter(col("bucket") < 80))
       .join(broadcast(benchGramSet(docs)), "gh")
       .groupBy("doc_id")
@@ -453,7 +461,9 @@ object CorpusOps {
     * buckets as 'middle'.
     */
   private def ppPplBuckets(s: SparkSession, d: String): DataFrame = {
-    val tok = Tables.documents(s, d)
+    // spreadScan: tokenize+explode otherwise runs inside the
+    // single-split documents scan on one core (r15 plan audit).
+    val tok = spreadScan(Tables.documents(s, d), col("doc_id"))
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("token"))
     val freq = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
@@ -600,7 +610,10 @@ object CorpusOps {
     // growth gate's flag, and a real liability for long documents.
     val topFreq = element_at(graft.functions.FreqFunctions
         .sortedFreqStats(sort_array(w)), 1).cast("double") / size(w)
-    Tables.documents(s, d).select(
+    // spreadScan: the four per-doc rule kernels (tokenize, aggregate,
+    // sort+run-length) otherwise run inside the single-split documents
+    // scan on one core (r15 plan audit).
+    spreadScan(Tables.documents(s, d), col("doc_id")).select(
       col("doc_id"),
       (size(w) >= 20 && size(w) <= 10000).as("r_len"),
       (meanLen >= 3.0 && meanLen <= 10.0).as("r_word_len"),

@@ -109,7 +109,10 @@ object Dedup {
     // collision probability, and the ORACLE ranks and verifies raw
     // strings, so the differential check would expose a colliding
     // count (same contract as CorpusOps.gramDigests).
-    val docs = Tables.documents(s, d)
+    // spreadScan BEFORE the pin: a cache entry built straight on the
+    // single-split scan holds ONE partition, so even warm (cached)
+    // passes of every consumer below ran single-core (r15 plan audit).
+    val docs = spreadScan(Tables.documents(s, d), col("doc_id"))
       .select(col("doc_id"), array_sort(array_distinct(
         transform(shingles(col("text"), 3), x => xxhash64(x)))).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -831,7 +834,10 @@ object Dedup {
   private[graft] def blockedCosinePairs(s: SparkSession, d: String,
       tau: Double): DataFrame = {
     import s.implicits._
-    val v = Tables.embeddings(s, d)
+    // spreadScan: the O(N²/2) kernel loop otherwise runs inside the
+    // single-split embeddings scan on ONE core every pass (r15 plan
+    // audit — this was the whole cost of dd_cosine_neardup).
+    val v = spreadScan(Tables.embeddings(s, d), col("vec_id"))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .as[(Long, Array[Double])]
     val bc = collectCorpus(s, d)
@@ -920,7 +926,9 @@ object Dedup {
     // the aggregated frame, so the raw span stream exists exactly once
     // and the gram-keyed join moves one row per distinct (doc, gram),
     // not one per position.
-    val dg = Tables.documents(s, d)
+    // spreadScan: tokenize + 8-gram build + explode otherwise run
+    // inside the single-split documents scan on one core (r15 audit).
+    val dg = spreadScan(Tables.documents(s, d), col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= SpanK)
       .select(col("doc_id"), explode(transform(
@@ -967,7 +975,9 @@ object Dedup {
     * all-pairs stage exists anywhere.
     */
   private def containment(s: SparkSession, d: String): DataFrame =
-    containmentOf(Tables.documents(s, d))
+    // spreadScan: the shingle-digest build feeding the postings index
+    // otherwise runs inside the single-split scan on one core.
+    containmentOf(spreadScan(Tables.documents(s, d), col("doc_id")))
 
   /** Spec hook: the containment join over an arbitrary (doc_id, text)
     * frame — lets the spec plant a genuine quote-inside-wrapper pair

@@ -79,7 +79,9 @@ object Extended {
     * training-data pipeline.
     */
   private def taBigrams(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    // spreadScan: tokenize+shingle+explode otherwise runs inside the
+    // single-split documents scan on one core (r15 plan audit).
+    spreadScan(Tables.documents(s, d), col("doc_id"))
       .select(explode(Dedup.shingles(col("text"), 2)).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("bigram")).limit(20)
@@ -715,6 +717,9 @@ object Extended {
   private def dqReferential(s: SparkSession, d: String): DataFrame = {
     def fk(name: String, child: DataFrame, ck: String,
         parent: DataFrame, pk: String): DataFrame =
+      // No spreadScan on the probes (r15, measured): the per-check
+      // BHJ+count work is one narrow column, and adding 7 repartition
+      // exchanges + task waves measured NET SLOWER (1.40 → 1.63s).
       child.select(col(ck).as("k"))
         .join(parent.select(col(pk).as("k")).distinct()
           .withColumn("hit", lit(1)), Seq("k"), "left")
@@ -895,6 +900,11 @@ object Extended {
       min(col(c)).as(s"${c}__mn"),
       max(col(c)).as(s"${c}__mx"),
       r6(avg(col(c))).as(s"${c}__av")) } :+ count(lit(1)).as("__n"))
+    // No spreadScan (r15, measured then REVOKED): the r6(avg(double))
+    // columns are only bit-stable at the sequential aggregation order
+    // the oracle's DuckDB avg shares — the spread moved
+    // avg(l_discount) across the 0.0499185 round boundary
+    // (0.049918 vs 0.049919) and hash-diverged at sf0.01.
     val one = Tables.lineitem(s, d).agg(aggs.head, aggs.tail: _*)
     one.select(expr(
       s"stack(${cols.length}, " + cols.map(c =>

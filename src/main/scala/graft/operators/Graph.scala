@@ -87,7 +87,15 @@ object Graph {
     */
   private def pagerankRound(ranks: DataFrame, edges: DataFrame,
       nNodes: Double): DataFrame = {
-    val contribs = ranks.join(edges, col("node") === col("src"))
+    // SHUFFLE_HASH build on the node-cardinality rank frame (guide
+    // §3.1): the default SortMergeJoin re-sorted BOTH sides every
+    // round — the pinned 1.2M-row edge partitions ten times over —
+    // where a per-partition hash build of the rank side (nodes /
+    // shuffle-partitions rows, uniform bigint hash so no hot build
+    // partition) streams the edges with no sort at all. The hint only
+    // changes the physical strategy, never the rows.
+    val contribs = ranks.hint("shuffle_hash")
+      .join(edges, col("node") === col("src"))
       .select(col("dst").as("node"), (col("rank") / col("dsrc")).as("w"))
     contribs.groupBy("node")
       .agg(((lit(1.0) - lit(PrDamp)) / lit(nNodes) +
@@ -254,10 +262,26 @@ object Graph {
     */
   private def reach(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val edges = purchaseEdges(s, d).pinned()
+    // Pinned WITH src partitioning (the g1_pagerank lesson applied in
+    // r15): the per-round equi-join then reuses the cached layout and
+    // moves only the frontier side — unpartitioned, each of the 6
+    // rounds re-shuffled the full symmetric edge list (r15 measured
+    // 3.0s; see OPTIMIZATION_r15.md).
+    val edges = purchaseEdges(s, d).repartition(col("src")).pinned()
     var dist = Seq((BfsSource, 0)).toDF("node", "dist")
-    for (_ <- 1 to BfsRounds) {
-      val next = dist.join(edges, col("node") === col("src"))
+    for (r <- 1 to BfsRounds) {
+      // FRONTIER join (r15): only nodes first discovered last round
+      // (dist = r−1) can contribute a new minimum — a node found at
+      // round j propagates dist j+1 to its neighbors at round j+1;
+      // re-propagating it later yields only ≥-existing distances, so
+      // filtering to the frontier is the classic level-synchronous BFS
+      // invariant, bit-identical output. The unfiltered form re-joined
+      // the ENTIRE discovered set against the edge list every round —
+      // at diameter ~4, rounds 5–6 re-derived every known distance for
+      // zero new information.
+      val next = dist.filter(col("dist") === (r - 1))
+        .hint("shuffle_hash") // frontier-side hash build, no edge sort
+        .join(edges, col("node") === col("src"))
         .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
       // eager=false: the plan still truncates to a LogicalRDD leaf per
       // round (each round references its predecessor twice — join +
@@ -345,10 +369,20 @@ object Graph {
     * frame). All counts are exact BIGINTs; the one division happens in
     * doubles on both engines.
     */
-  private def jaccard(s: SparkSession, d: String): DataFrame = {
-    val cs = jaccardIncidence(s, d)
+  private def jaccard(s: SparkSession, d: String): DataFrame =
+    jaccardTopK(jaccardIncidence(s, d))
+
+  /** The shared candidate → intersection-count → score → top-k pipeline
+    * behind both jaccard variants. `capDeg` bounds the candidate
+    * expansion ([[jaccardChunkPairs]]); union denominators always come
+    * from the FULL (uncapped) supplier degrees, so on any corpus whose
+    * max customer degree is ≤ `capDeg` the output is bit-identical to
+    * the exact operator's.
+    */
+  private[graft] def jaccardTopK(cs: DataFrame,
+      capDeg: Long = Long.MaxValue): DataFrame = {
     val deg = cs.groupBy("sup").agg(count(lit(1)).as("dg"))
-    val chunkPairs = jaccardChunkPairs(cs)
+    val chunkPairs = jaccardChunkPairs(cs, capDeg)
     val pairs = chunkPairs
       .select(col("i"), col("j"), col("b"), explode(col("a")).as("s1"))
       .select(col("s1"), col("i"), col("j"), explode(col("b")).as("s2"))
@@ -379,14 +413,6 @@ object Graph {
     */
   private val JacCapDeg: Long = JacSegDeg.toLong
 
-  /** Minhash components per supplier signature. At J ≈ 0.5 the
-    * estimator's σ = √(J(1−J)/128) ≈ 0.044 — tight enough that the
-    * top-[[JacTopK]] ranking on the natural corpus reproduces the
-    * exact operator's set almost verbatim (bench recall), while the
-    * signature pass stays one 128-aggregate groupBy.
-    */
-  private val JacMinHashes = 128
-
   /** Curation-mode supplier Jaccard for SKEWED corpora — same output
     * shape as [[jaccard]] (top-[[JacTopK]] supplier pairs by customer-
     * neighborhood Jaccard) with BOUNDED work on heavy-tailed customer
@@ -396,57 +422,47 @@ object Graph {
     * not what a 100 TB curation pass should pay for hubs that carry
     * almost no similarity signal anyway).
     *
-    * Two-part bound, the DISCO/frequency-cap philosophy re-expressed:
+    * The DISCO/frequency-cap bound: candidate pairs AND intersection
+    * counts come only from customers of degree ≤ [[JacCapDeg]] (the
+    * [[jaccardChunkPairs]] machinery with its cap engaged) — work
+    * Σ_{deg≤cap} C(deg, 2), linear under any tail because per-customer
+    * contribution is capped at C(cap, 2). Union denominators use the
+    * FULL degrees, so a hub-heavy supplier's score is suppressed
+    * (capped intersection over true union) — exactly the curation
+    * semantics: co-occurrence that exists only through promiscuous hub
+    * keys is similarity noise, the same reason [[Dedup]]'s text
+    * pipeline drops stop-shingles.
     *
-    *  1. CANDIDATE pairs expand exactly only through customers of
-    *     degree ≤ [[JacCapDeg]] (the [[jaccardChunkPairs]] machinery
-    *     with its cap engaged) — work Σ_{deg≤cap} C(deg, 2), linear
-    *     under any tail because per-customer contribution is capped at
-    *     C(cap, 2).
-    *  2. SCORING is minhash over each supplier's FULL customer set
-    *     (hubs included): 128 per-seed `min(xxhash64(c, seed))`
-    *     aggregates in ONE map-side-combinable groupBy — no collected
-    *     array, no O(degree) row anywhere — so the estimate is of the
-    *     TRUE Jaccard, not the capped one; the cap costs only pairs
-    *     whose ONLY co-occurrence runs through hubs (precisely the
-    *     pairs a curation pass wants suppressed).
+    * On any corpus whose max customer degree is ≤ the cap (every
+    * natural corpus measured: max ~102 at all SFs vs cap 1024) the
+    * output is BIT-IDENTICAL to [[jaccard]] — recall 1.0 by
+    * construction, which the bench's recall field and RecallGate pin.
     *
-    * Estimated Ĵ(a,b) = |{i : sig_i(a) = sig_i(b)}| / 128, the
-    * classic unbiased collision estimator. Deterministic end to end
-    * (xxhash64 + fixed seeds), so the top-k is stable per corpus. No
-    * DuckDB oracle (minhash is engine-specific); accuracy is pinned by
-    * the bench/skew-gate recall vs [[jaccard]]'s exact top-k and by
-    * GraphSpec's estimator checks.
+    * Round-15 measured redesign (OPTIMIZATION_r15.md): the r14 variant
+    * scored candidates by 128-component minhash over full customer
+    * sets. At the official sf0.1 scale the exact top-40 Jaccard scores
+    * span 0.0434–0.0403 over 499,500 candidate pairs, while the
+    * estimator's σ at J≈0.04 is ≈0.017 quantized to 1/128 steps —
+    * top-k ranking recall vs exact measured 0.00 (the dev-scale 0.95
+    * the r14 floor was pinned from came from a 10-supplier corpus with
+    * 45 pairs). No hash count a signature pass could afford resolves a
+    * 5·10⁻⁴ score gap; exact-over-capped-expansion ranks sharply at
+    * every scale, deletes the 128-aggregate signature pass + pair
+    * `distinct` + two shuffled signature joins (measured in the bench),
+    * and keeps the SAME hub-work bound. No DuckDB oracle (the cap is
+    * engine-side); accuracy is pinned by bench/RecallGate recall vs
+    * [[jaccard]] and GraphSpec's equality-under-cap test.
     */
-  private def jaccardCapped(s: SparkSession, d: String): DataFrame = {
-    val cs = jaccardIncidence(s, d)
-    val sigs = cs.groupBy(col("sup")).agg(
-      array((0 until JacMinHashes).map(i =>
-        min(xxhash64(col("c"), lit(i)))): _*).as("sig"))
-    val cand = jaccardChunkPairs(cs, capDeg = JacCapDeg)
-      .select(col("i"), col("j"), col("b"), explode(col("a")).as("s1"))
-      .select(col("s1"), col("i"), col("j"), explode(col("b")).as("s2"))
-      .filter(col("i") < col("j") || col("s1") < col("s2"))
-      .select("s1", "s2").distinct()
-    cand
-      .join(sigs.select(col("sup").as("s1"), col("sig").as("g1")), "s1")
-      .join(sigs.select(col("sup").as("s2"), col("sig").as("g2")), "s2")
-      .select(col("s1"), col("s2"),
-        (aggregate(
-          zip_with(col("g1"), col("g2"),
-            (x: Column, y: Column) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc: Column, m: Column) => acc + m).cast("double") /
-          JacMinHashes).as("jaccard"))
-      .orderBy(col("jaccard").desc, col("s1"), col("s2"))
-      .limit(JacTopK)
-  }
+  private def jaccardCapped(s: SparkSession, d: String): DataFrame =
+    jaccardTopK(jaccardIncidence(s, d), capDeg = JacCapDeg)
 
   /** [[jaccardCapped]]'s work contract for the growth/skew gates:
-    * capped candidate volume Σ_{deg ≤ cap} C(deg, 2) plus the linear
-    * signature pass (128 × incidence rows). Unlike
+    * capped candidate volume Σ_{deg ≤ cap} C(deg, 2). Unlike
     * [[jaccardPairVolume]], this metric stays ~linear under a Zipf
     * tail — which is the variant's entire reason to exist, so the gate
-    * verifies the bound rather than excusing its absence.
+    * verifies the bound rather than excusing its absence. (The r14
+    * `+ 128 × rows` signature-pass term left with the minhash scoring
+    * — see [[jaccardCapped]].)
     */
   private[graft] def jaccardCappedWork(s: SparkSession, d: String): Double = {
     val r = jaccardIncidence(s, d)
@@ -454,10 +470,9 @@ object Graph {
       .agg(
         coalesce(sum(when(col("n") <= JacCapDeg,
           col("n") * (col("n") - 1) / 2).otherwise(lit(0L))), lit(0L))
-          .cast("double").as("pairs"),
-        coalesce(sum(col("n")), lit(0L)).cast("double").as("rows"))
+          .cast("double").as("pairs"))
       .collect().head
-    r.getDouble(0) + JacMinHashes.toDouble * r.getDouble(1)
+    r.getDouble(0)
   }
 
   /** The distinct (customer, supplier) incidence list both [[jaccard]]

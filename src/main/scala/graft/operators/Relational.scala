@@ -24,7 +24,10 @@ object Relational {
     * positional split + try_cast pipeline the CMAPSS reader uses.
     */
   private def s1TextScan(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
+    // spreadScan: the serialize→trim→regex-split→try_cast chain is the
+    // query's whole cost and otherwise runs inside the single-split
+    // scan stage on one core (r15 plan audit).
+    val li = spreadScan(Tables.lineitem(s, d), col("l_orderkey"))
     val line = concat_ws(" ", col("l_orderkey"), col("l_linenumber"),
       col("l_quantity"), col("l_extendedprice"), col("l_discount"))
     li.select(line.as("value"))
@@ -302,6 +305,22 @@ object Relational {
         sum(pow(col("t") - col("tbar"), 2))).as("r2"))
   }
 
+  /** Per-key sort-state bound under which a single window task is the
+    * RIGHT plan for a prefix sum / quantile grid at any corpus scale:
+    * 4M cells ≈ ~100 MB of spillable sort state. Shared by
+    * [[rangeCumsum]]'s runtime adaptive switch and [[gridQuantiles]]'.
+    */
+  private[graft] val CumsumSingleSortMaxCells = 4L * 1024 * 1024
+
+  /** Largest per-key cell count of a (pinned) grid — the one number
+    * the adaptive plan choice needs; an empty grid reads 0. Shared
+    * with [[graft.plans.GridOrderStatsRule]]'s rewrite.
+    */
+  private[graft] def maxCellsPerKey(cnt: DataFrame, keys: Seq[String]): Long =
+    cnt.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_cells"))
+      .agg(coalesce(max("n_cells"), lit(0L)))
+      .collect().head.getLong(0)
+
   /** Two-phase range-partitioned prefix sum over a distinct-value grid:
     * returns `counts` (key columns, `v`, `c`) with the per-key cumulative
     * count `cum` — the same value `sum(c) OVER (PARTITION BY keys ORDER
@@ -346,9 +365,9 @@ object Relational {
     */
   private[graft] def rangeCumsum(counts: DataFrame, keys: Seq[String],
       buckets: Int = 32, pin: Boolean = true): DataFrame = {
-    if (buckets == 1)
-      return counts.withColumn("cum", sum(col("c")).over(
-        Window.partitionBy(keys.map(col): _*).orderBy("v")))
+    def oneWindow(c: DataFrame) = c.withColumn("cum", sum(col("c")).over(
+      Window.partitionBy(keys.map(col): _*).orderBy("v")))
+    if (buckets == 1) return oneWindow(counts)
     // Pin the grid: its consumers (cell count for the sample fraction,
     // the sample itself, the local cumsum, the span offsets, callers'
     // group totals) each prune different columns, so their exchanges
@@ -362,6 +381,24 @@ object Relational {
     // rewrite), where per-query cache entries would accumulate for the
     // context lifetime.
     val cnt = if (pin) counts.pinned() else counts
+    // ADAPTIVE (r15, guide §1.2/§2.4 — choose the distributed
+    // algorithm from the DATA, not a constant): the two-phase form
+    // exists solely so no single task ever sorts a corpus-sized grid.
+    // When the measured grid is bounded, the plain one-window form is
+    // strictly better — it deletes the sample aggregate, two broadcast
+    // joins and the offsets window (4 exchanges) that phase-splitting
+    // costs. The bound is per-KEY cells ≤ [[CumsumSingleSortMaxCells]]
+    // (4M cells ≈ ~100 MB of sort state — a bounded, spillable window
+    // task at ANY corpus scale, the same argument the buckets = 1
+    // short-circuit's callers make by proof); a corpus whose grid
+    // outgrows it flips back to the two-phase plan at runtime, exactly
+    // like AQE's size-based plan choices. The decision costs one
+    // aggregate over the just-pinned grid (the pin was being
+    // materialized for the two-phase consumers anyway), so it is only
+    // made on the `pin = true` path; both forms produce bit-identical
+    // `cum` (integral counts, exact arithmetic).
+    if (pin && maxCellsPerKey(cnt, keys) <= CumsumSingleSortMaxCells)
+      return oneWindow(cnt)
     val nc = cnt.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_cells"))
     val target = buckets * 128
@@ -494,7 +531,13 @@ object Relational {
     val allKeys = gridAll.select(keys.map(col): _*).distinct()
     val counts = gridAll.filter(col("v").isNotNull)
     val tot = counts.groupBy(keys.map(col): _*).agg(sum("c").as("n"))
-    val cum = rangeCumsum(counts, keys, pin = false)
+    // Same runtime-adaptive plan choice as [[rangeCumsum]]'s pinned
+    // path (the decision reads the pinned gridAll, so it costs one
+    // aggregate over cache): a bounded grid takes the plain one-window
+    // cumsum, a corpus-sized one the two-phase split.
+    val cum = rangeCumsum(counts, keys, pin = false,
+        buckets = if (maxCellsPerKey(counts, keys) <=
+          CumsumSingleSortMaxCells) 1 else 32)
       .join(perGroup(tot), keys)
     val qs = ps.map { case (p, alias) =>
       val rf = lit(1.0) + lit(p) * (col("n") - 1).cast("double")

@@ -129,13 +129,18 @@ object SqlSurface {
     */
   private def unpivot(s: SparkSession, d: String): DataFrame = {
     val exec = registerViews(s, d)
+    // spreadScan under a temp view: the stack() Generate (600k → 1.8M
+    // rows) and the range-sort sampling pass above it otherwise both
+    // run the single-split scan stage on one core (r15 plan audit).
+    spreadScan(Tables.lineitem(exec, d), org.apache.spark.sql.functions
+      .col("l_orderkey")).createOrReplaceTempView("lineitem_spread")
     exec.sql(
       """SELECT l_orderkey, l_linenumber, metric, round(value, 6) AS value
         |FROM (SELECT l_orderkey, l_linenumber,
         |        stack(3, 'quantity', l_quantity,
         |                 'extendedprice', l_extendedprice,
         |                 'discount', l_discount) AS (metric, value)
-        |      FROM lineitem)
+        |      FROM lineitem_spread)
         |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin)
   }
 

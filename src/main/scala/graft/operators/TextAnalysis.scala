@@ -406,7 +406,12 @@ object TextAnalysis {
     */
   private def bigramLogprob(s: SparkSession, d: String): DataFrame = {
     val w = split(col("text"), " ")
-    val docs = Tables.documents(s, d).select(col("doc_id"), w.as("w"))
+    // No spreadScan (r15, measured): the bigram stream feeds the c12
+    // dictionary AND the scoring join, the token stream two broadcast
+    // unigram dictionaries — the branches' jobs re-ran the repartition
+    // and measured net +0.3s (1.20 → 1.39–1.65s across three runs).
+    val base = Tables.documents(s, d)
+    val docs = base.select(col("doc_id"), w.as("w"))
     val bi = docs.filter(size(col("w")) >= 2)
       .select(col("doc_id"), explode(zip_with(
         slice(col("w"), lit(1), size(col("w")) - 1),
@@ -414,7 +419,7 @@ object TextAnalysis {
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val tok = Tables.documents(s, d).select(explode(w).as("token"))
+    val tok = base.select(explode(w).as("token"))
     val c1 = tok.groupBy("token").agg(count(lit(1)).as("c1"))
     val total = c1.agg(sum(col("c1")).as("total"))
     val p = lit(BigramLambda) * col("c12") / col("ctx") +
@@ -494,6 +499,10 @@ object TextAnalysis {
     * (one count job), never a per-row subquery.
     */
   private def tfidf(s: SparkSession, d: String): DataFrame = {
+    // No spreadScan (r15, measured): the exploded term stream feeds TWO
+    // aggregations plus a broadcast dictionary subquery, and each
+    // branch's job re-ran the repartition — net +0.2s over the 1-core
+    // tokenize it parallelized (1.30 → 1.46–1.57s across three runs).
     val docs = Tables.documents(s, d)
     val n = docs.count()
     val terms = docs
@@ -557,10 +566,14 @@ object TextAnalysis {
     */
   private def bm25(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, d)
+    // spreadScan: tokenize+explode+semi-join otherwise run inside the
+    // single-split documents scan on one core (r15 plan audit). The
+    // stats head reads the UNspread scan — a separate driver action
+    // that would otherwise pay the repartition for two scalar sums.
+    val docs = spreadScan(Tables.documents(s, d), col("doc_id"))
     // Exact global doc count / avg doc length from integer sums: one
     // driver-side division, bit-identical to the oracle's.
-    val st = docs.select(
+    val st = Tables.documents(s, d).select(
       sum(size(split(col("text"), " ")).cast("long")).as("tot"),
       count(lit(1)).as("n")).head()
     val n = st.getLong(1)
@@ -624,6 +637,10 @@ object TextAnalysis {
     * with the oracle.
     */
   private def pmi(s: SparkSession, d: String): DataFrame = {
+    // No spreadScan (r15, measured): the tokenized frame feeds the
+    // stats head, the unigram dictionary (broadcast twice) and the
+    // bigram count — each branch's job re-ran the repartition and
+    // measured net +0.4s (0.63 → 1.01–1.10s across three runs).
     val w0 = Tables.documents(s, d).select(split(col("text"), " ").as("w"))
     val st = w0.select(
       sum(size(col("w")).cast("long")).as("nt"),
@@ -697,7 +714,9 @@ object TextAnalysis {
       lpad(col("doc_id").cast("string"), 4, "0"))
     val redacted = regexp_replace(
       regexp_replace(withPii, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
-    Tables.documents(s, d).select(
+    // spreadScan: four regex passes per row otherwise run inside the
+    // single-split documents scan on one core (r15 plan audit).
+    spreadScan(Tables.documents(s, d), col("doc_id")).select(
       col("doc_id"),
       size(regexp_extract_all(withPii, lit(EmailRe), lit(0))).as("n_emails"),
       size(regexp_extract_all(withPii, lit(PhoneRe), lit(0))).as("n_phones"),
@@ -729,6 +748,10 @@ object TextAnalysis {
     */
   private def heavyHitters(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // No spreadScan here (r15, measured): the per-call persist already
+    // amortizes the tokenize across the sketch and recount consumers,
+    // and the added repartition + 32-task waves measured NET SLOWER
+    // (0.64 → 0.86s) than the one-core explode it parallelized.
     val tok = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("token")).as[String]
     heavyHittersOf(tok, HhK)

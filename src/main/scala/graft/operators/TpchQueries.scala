@@ -27,6 +27,13 @@ object TpchQueries {
   private def tpchQ1(s: SparkSession, d: String): DataFrame = {
     val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
     val charge = disc * (lit(1.0) + col("l_tax"))
+    // No spreadScan (r15, measured then REVOKED): parallelizing the
+    // 8-partial aggregate off the single-split scan measured −48%, but
+    // the three r6(avg(double)) columns are only bit-stable at the
+    // sequential aggregation order the oracle's DuckDB avg shares —
+    // dq_profile's identical shape hit a 6th-decimal round boundary
+    // (0.0499185) under the spread and hash-diverged. The dsum columns
+    // are parallelism-exact; the avg contract is not.
     Tables.lineitem(s, d)
       .filter(col("l_shipdate") <= to_timestamp(lit("2001-09-02")))
       .groupBy("l_returnflag", "l_linestatus")
@@ -283,7 +290,9 @@ object TpchQueries {
     * its broadcast hint is scale-honest; customer is left to AQE.
     */
   private def tpchQ18(s: SparkSession, d: String): DataFrame = {
-    val big = Tables.lineitem(s, d)
+    // spreadScan: the per-order decimal partial aggregate otherwise
+    // runs inside the single-split scan on one core (r15 plan audit).
+    val big = spreadScan(Tables.lineitem(s, d), col("l_orderkey"))
       .groupBy("l_orderkey")
       .agg(dsum(col("l_quantity")).as("total_qty"))
       .filter(col("total_qty") > 250)
@@ -519,6 +528,9 @@ object TpchQueries {
   private def tpchQ16(s: SparkSession, d: String): DataFrame = {
     val excluded = Tables.supplier(s, d)
       .filter(col("s_acctbal") < 0).select("s_suppkey")
+    // No spreadScan (r15, measured): the distinct's 1-core partial is
+    // cheaper than the repartition shuffle + task waves that would
+    // parallelize it (1.48 → 1.66s with the spread).
     val pairs = Tables.lineitem(s, d)
       .select("l_partkey", "l_suppkey").distinct()
       .join(broadcast(excluded),

@@ -33,6 +33,27 @@ package object graft {
   /** Timestamp → epoch microseconds (matches DuckDB epoch_us). */
   def tsUs(c: Column): Column = unix_micros(c)
 
+  /** Parallelize heavy per-row work above an under-split scan (guide
+    * §2.5: unsplittable input → repartition immediately after the
+    * read). The driver's testdata parquet is single-file AND single-
+    * row-group, so every scan is ONE split and any nontrivial per-row
+    * compute placed above it (string parsing, explodes, wide decimal
+    * partials) runs at parallelism 1 while the other 31 cores idle —
+    * the r15 plan audit found exactly that shape on the text/tpch
+    * scan stages. Hash-repartition on the given key to the session's
+    * shuffle parallelism (hash, not round-robin: no
+    * sortBeforeRepartition pass, deterministic under task retry) —
+    * but ONLY when the scan is actually under-parallel (fewer splits
+    * than half the shuffle partitions): a production table with
+    * thousands of splits keeps its layout and pays nothing, so this
+    * is a runtime data-layout adaptation, not a local[32] constant.
+    */
+  def spreadScan(df: DataFrame, key: Column): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target, key)
+    else df
+  }
+
   /** One-line failure cause for artifacts: exception class + first two
     * message lines, raw-truncated BEFORE any JSON escaping (truncating
     * an escaped string can split an escape pair and emit unterminated

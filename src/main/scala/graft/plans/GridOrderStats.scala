@@ -395,7 +395,16 @@ object GridOrderStatsRule extends Rule[LogicalPlan] {
       graft.ContextCaches.pinBounded(gridAll, "grid-rule-grids", 32)
     val counts = gridPin.filter(col("v").isNotNull)
     val tot = counts.groupBy(keys.map(col): _*).agg(sum("c").as("n"))
-    val cum = Relational.rangeCumsum(counts, keys, pin = false)
+    // Same runtime-adaptive plan choice as the library gridQuantiles
+    // (r15): a bounded grid takes the plain one-window cumsum instead
+    // of the 4-extra-exchange two-phase split. The decision aggregate
+    // runs over the pinBounded collapse during the rewrite — a nested
+    // job from the optimizer thread, same mechanism broadcast
+    // exchanges use; the count query contains no percentile aggregate,
+    // so the rule cannot recurse into itself.
+    val cum = Relational.rangeCumsum(counts, keys, pin = false,
+        buckets = if (Relational.maxCellsPerKey(counts, keys) <=
+          Relational.CumsumSingleSortMaxCells) 1 else 32)
       .join(tot, keys)
     val qs = ps.zipWithIndex.flatMap { case (p, i) =>
       // 0-based fractional position (n−1)·p, exactly the builtin's

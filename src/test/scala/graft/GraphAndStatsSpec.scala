@@ -429,38 +429,54 @@ class GraphAndStatsSpec extends GraftSuite {
     got.foreach { case (_, _, jc) => assert(jc > 0.0 && jc <= 1.0) }
   }
 
-  test("capped jaccard: estimates track true jaccard within minhash " +
-      "error; work contract matches driver-side math") {
+  test("capped jaccard: bit-identical to the exact operator when no " +
+      "customer exceeds the cap; work contract matches driver-side math") {
+    // sf0.001's max customer degree (~10) is far under the 1024 cap, so
+    // the capped expansion covers every co-occurrence and the
+    // exact-over-capped-expansion scoring must reproduce the exact
+    // operator's top-20 VERBATIM (rows, order, and scores) — the
+    // property RecallGate's 0.98 floor pins at the official scale.
     val got = Graph.queries("g4_jaccard_capped")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(got.length == 20)
-    // Estimates are collision fractions over 128 components.
-    got.foreach { case (_, _, je) =>
-      assert(je >= 0.0 && je <= 1.0)
-      assert(math.abs(je * 128 - math.round(je * 128)) < 1e-9)
-    }
-    // True jaccard per returned pair, driver-side. sf0.001's max
-    // customer degree (~100) is far under the cap, so the candidate
-    // scope equals the exact operator's and every deviation is
-    // estimator noise: each estimate must sit within a generous
-    // 5σ + discretization band of the truth (σ = √(J(1−J)/128)).
+    val exact = Graph.queries("g4_jaccard")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == exact.toSeq)
+    // Work contract: capped candidate-pair volume only (the r14
+    // signature-pass term left with the minhash scoring).
     val cs = Tables.lineitem(spark, sf)
       .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").cast("long"), col("l_suppkey").cast("long"))
       .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
-    val bySup = cs.groupBy(_._2).map { case (s0, v) => s0 -> v.map(_._1).toSet }
-    got.foreach { case (a, b, je) =>
-      val (sa, sb) = (bySup(a), bySup(b))
-      val j = (sa intersect sb).size.toDouble / (sa union sb).size
-      val sigma = math.sqrt(j * (1 - j) / 128).max(1.0 / 128)
-      assert(math.abs(je - j) <= 5 * sigma + 1.0 / 128,
-        s"pair ($a,$b): est $je vs true $j")
-    }
-    // Work contract: capped pair volume + 128 × incidence rows.
     val byCust = cs.groupBy(_._1).view.mapValues(_.size.toLong)
-    val wantWork = byCust.values.map(n => n * (n - 1) / 2.0).sum +
-      128.0 * cs.length
+    val wantWork = byCust.values.map(n => n * (n - 1) / 2.0).sum
     assert(math.abs(Graph.jaccardCappedWork(spark, sf) - wantWork) < 0.5)
+  }
+
+  test("capped jaccard: a hub customer past the cap contributes no " +
+      "candidates and no intersection counts; unions keep full degrees") {
+    import spark.implicits._
+    // Suppliers 10, 20 co-occur through TWO low-degree customers (1, 2)
+    // and once more through hub customer 99, whose degree 3 also links
+    // supplier 30. With capDeg = 2 the hub is dropped from expansion:
+    //   inter(10,20) = 2 (not 3), d(10) = d(20) = 3 (hub still counts),
+    //   J = 2 / (3 + 3 - 2) = 0.5;
+    //   pairs (10,30), (20,30) co-occur ONLY through the hub → absent.
+    val inc = Seq(
+      (1L, 10L), (1L, 20L),
+      (2L, 10L), (2L, 20L),
+      (99L, 10L), (99L, 20L), (99L, 30L)).toDF("c", "sup")
+    val capped = Graph.jaccardTopK(inc, capDeg = 2L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(capped.toSeq == Seq((10L, 20L, 0.5)))
+    // Uncapped on the same incidence: the hub's pairs appear and
+    // inter(10,20) counts all three co-customers.
+    val exact = Graph.jaccardTopK(inc).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(exact.toSet == Set(
+      (10L, 20L, 1.0), // identical customer sets {1,2,99}
+      (10L, 30L, 0.333333), // 1 / (3 + 1 - 1)
+      (20L, 30L, 0.333333)))
   }
 
   // ------------------------------------------------- statistical audits
