@@ -256,7 +256,22 @@ object Extended {
     * evaluates all five sums in one window pass; state is one 20-row
     * frame per open partition at any history length.
     */
-  private def w22RollingCorr(s: SparkSession, d: String): DataFrame = {
+  private def w22RollingCorr(s: SparkSession, d: String): DataFrame =
+    w22Body(s, d)
+      // Lazy checkpoint BEFORE the output-contract sort (r15): the
+      // range exchange's sampling job otherwise re-executes the whole
+      // two-window decimal subtree a second time just to pick sort
+      // boundaries; the checkpointed rows compute once and both the
+      // sample and the sort read them. Same rows, same order.
+      .localCheckpoint(false)
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+
+  /** The pre-checkpoint correlation body — split out so the plan-shape
+    * spec can still assert its ONE-window-shuffle property (the
+    * checkpoint truncates the registry query's visible plan to a
+    * LogicalRDD leaf).
+    */
+  private[graft] def w22Body(s: SparkSession, d: String): DataFrame = {
     val wOrd = Window.partitionBy("l_suppkey")
       .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
     val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -295,7 +310,6 @@ object Extended {
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         when(vx > 0 && vy > 0,
           r6((n * sxy - sx * sy) / sqrt(vx * vy))).as("roll_corr"))
-      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
   }
 
   /** Two-sample Kolmogorov–Smirnov statistic between the l_quantity
@@ -894,18 +908,31 @@ object Extended {
     */
   private def dqProfile(s: SparkSession, d: String): DataFrame = {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-    val aggs = (cols.flatMap { c => Seq(
+    // SPLIT-BRANCH aggregation (r15): the heavy part — four exact
+    // countDistincts, i.e. an Expand(×5) over the table — is
+    // order-INSENSITIVE, so it runs on a spreadScan branch at full
+    // parallelism; the r6(avg(double)) columns are only bit-stable at
+    // the sequential aggregation order the oracle's DuckDB avg shares
+    // (a whole-aggregate spread moved avg(l_discount) across the
+    // 0.0499185 round boundary and hash-diverged at sf0.01), so they
+    // stay on the unspread single-split scan with the cheap
+    // count/min/max. One extra 10 MB scan buys 31 idle cores for the
+    // Expand; both 1-row results broadcast-join back.
+    val seqAggs = (cols.flatMap { c => Seq(
       count(col(c)).as(s"${c}__nn"),
-      countDistinct(col(c)).as(s"${c}__nd"),
       min(col(c)).as(s"${c}__mn"),
       max(col(c)).as(s"${c}__mx"),
       r6(avg(col(c))).as(s"${c}__av")) } :+ count(lit(1)).as("__n"))
-    // No spreadScan (r15, measured then REVOKED): the r6(avg(double))
-    // columns are only bit-stable at the sequential aggregation order
-    // the oracle's DuckDB avg shares — the spread moved
-    // avg(l_discount) across the 0.0499185 round boundary
-    // (0.049918 vs 0.049919) and hash-diverged at sf0.01.
-    val one = Tables.lineitem(s, d).agg(aggs.head, aggs.tail: _*)
+    val ndAggs = cols.map(c => countDistinct(col(c)).as(s"${c}__nd"))
+    val li = Tables.lineitem(s, d)
+    val one = li.agg(seqAggs.head, seqAggs.tail: _*)
+      .crossJoin(broadcast(
+        // spread key = l_orderkey (high-cardinality): hashing on a
+        // measure column's ~50 distinct values would leave most of
+        // the 32 partitions empty (guide §2.5).
+        spreadScan(li.select((col("l_orderkey") +: cols.map(col)): _*),
+          col("l_orderkey"))
+          .agg(ndAggs.head, ndAggs.tail: _*)))
     one.select(expr(
       s"stack(${cols.length}, " + cols.map(c =>
         s"'$c', __n, ${c}__nn, ${c}__nd, ${c}__mn, ${c}__mx, ${c}__av")

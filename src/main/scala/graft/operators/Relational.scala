@@ -39,6 +39,9 @@ object Relational {
         expr("try_cast(element_at(f, 4) AS double)").as("l_extendedprice"),
         expr("try_cast(element_at(f, 5) AS double)").as("l_discount"))
       .orderBy("l_orderkey", "l_linenumber")
+    // (r15: a localCheckpoint before this sort measured NO gain — the
+    // spreadScan exchange's map output is reused by the range-sampling
+    // job, so only the cheap post-exchange parse re-runs.)
   }
 
   /** S2/J2 (scripts/ml_pipeline.py:190-191): single-column scan with

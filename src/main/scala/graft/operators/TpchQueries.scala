@@ -27,25 +27,37 @@ object TpchQueries {
   private def tpchQ1(s: SparkSession, d: String): DataFrame = {
     val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
     val charge = disc * (lit(1.0) + col("l_tax"))
-    // No spreadScan (r15, measured then REVOKED): parallelizing the
-    // 8-partial aggregate off the single-split scan measured −48%, but
-    // the three r6(avg(double)) columns are only bit-stable at the
-    // sequential aggregation order the oracle's DuckDB avg shares —
-    // dq_profile's identical shape hit a 6th-decimal round boundary
-    // (0.0499185) under the spread and hash-diverged. The dsum columns
-    // are parallelism-exact; the avg contract is not.
-    Tables.lineitem(s, d)
+    // SPLIT-BRANCH aggregation (r15): the four DECIMAL sums + count are
+    // order-INSENSITIVE (exact arithmetic), so they run on a spreadScan
+    // branch at full parallelism — the measured −48% win — while the
+    // three r6(avg(double)) columns stay on the unspread single-split
+    // scan: they are only bit-stable at the sequential aggregation
+    // order the oracle's DuckDB avg shares (dq_profile's identical
+    // shape hit the 0.0499185 round boundary under a whole-aggregate
+    // spread and hash-diverged at sf0.01). Both group frames are
+    // 4 rows; the avg side broadcast-joins back.
+    val filtered = Tables.lineitem(s, d)
       .filter(col("l_shipdate") <= to_timestamp(lit("2001-09-02")))
-      .groupBy("l_returnflag", "l_linestatus")
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val sums = spreadScan(filtered, col("l_orderkey"))
+      .groupBy(keys.map(col): _*)
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
         dsum(disc).as("sum_disc_price"),
         dsum(charge).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+    val avgs = filtered
+      .groupBy(keys.map(col): _*)
+      .agg(
         r6(avg(col("l_quantity"))).as("avg_qty"),
         r6(avg(col("l_extendedprice"))).as("avg_price"),
-        r6(avg(col("l_discount"))).as("avg_disc"),
-        count(lit(1)).as("count_order"))
+        r6(avg(col("l_discount"))).as("avg_disc"))
+    sums.join(broadcast(avgs), keys)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("sum_qty"), col("sum_base_price"), col("sum_disc_price"),
+        col("sum_charge"), col("avg_qty"), col("avg_price"),
+        col("avg_disc"), col("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
 

@@ -272,12 +272,19 @@ class GraphAndStatsSpec extends GraftSuite {
     assert(bm25.contains("ObjectHashAggregate"), bm25.take(1200))
     assert(!bm25.contains("Window"), "top-k must not be a window")
     // Rolling corr: prefix sums + lag differences stack on ONE window
-    // shuffle (same partitioning/ordering); the final orderBy is the
-    // only other exchange. No sliding-frame recompute anywhere.
+    // shuffle (same partitioning/ordering) — asserted on the
+    // pre-checkpoint body, since the r15 checkpoint-before-sort
+    // truncates the registry query's visible plan to a LogicalRDD.
+    val corrBody = Extended.w22Body(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(corrBody).length == 1,
+      corrBody.take(1200))
+    // The registry query itself: the checkpointed rows feed the output
+    // sort directly (no window recompute in the sampling pass).
     val corr = Extended.queries("w22_rolling_corr")(spark, sf)
       .queryExecution.executedPlan.toString
-    assert("Exchange hashpartitioning".r.findAllIn(corr).length == 1,
-      corr.take(1200))
+    assert(corr.contains("ExistingRDD") &&
+      corr.contains("Exchange rangepartitioning"), corr.take(1200))
     // PSI: the filtered events projection is pinned; both halves, the
     // type skeleton and the split bound must read it from cache instead
     // of re-scanning events per consumer.
